@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the large-scale training-data pipeline tier
+  * (north star in BASELINE.json): tokenization, shingling, fingerprinting,
+  * MinHash/SimHash sketches, language-ID heuristics, quality features.
+  *
+  * All pure Column compositions over Spark higher-order functions — the
+  * whole layer is codegen'd and embarrassingly parallel (no shuffle, no
+  * UDF), so it scales linearly with input splits at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish token pieces: letter runs, digit runs, or single non-space
+    * symbols (a practical pre-tokenizer regex).
+    */
+  val PreTokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token count via the pre-tokenizer regex (codegen'd `regexp_count`). */
+  def tokenCountRegex(text: Column): Column = regexp_count(text, lit(PreTokenRegex))
+
+  /** Token count via whitespace split. */
+  def tokenCountWs(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles (distinct), the dedup unit. `transform` over an
+    * index sequence + `slice` keeps it inside codegen.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = greatest(size(toks) - (n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(1), count),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Deterministic per-token value used by the SQL-expressible fingerprint:
+    * mixes length with first/last character codes. Chosen to be exactly
+    * reproducible in any ANSI engine (for the DuckDB oracle).
+    */
+  private def tokenValue(t: Column): Column =
+    length(t) * lit(131) + ascii(substring(t, 1, 1)) * lit(7) +
+      ascii(substring(t, -1, 1))
+
+  val FingerprintMod = 1000000007L
+
+  /** Order-sensitive document fingerprint: position-weighted token-value
+    * sum mod a prime. Commutative integer addition ⇒ identical under any
+    * aggregation order (safe for distributed execution AND for the oracle).
+    */
+  def docFingerprint(text: Column): Column = {
+    val terms = transform(tokens(text),
+      (t, i) => ((i + lit(1)).cast(LongType) * lit(1000003L)
+        * tokenValue(t).cast(LongType)) % FingerprintMod)
+    aggregate(terms, lit(0L), (acc, x) => acc + x) % FingerprintMod
+  }
+
+  /** 64-bit rolling (polynomial) hash over tokens with xxhash64 token
+    * values — the production fingerprint (not oracle-expressible; covered
+    * by ScalaTest instead).
+    */
+  def rollingHash64(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** MinHash signature: k minimums of per-seed hashes over the shingle set
+    * (shingle→minhash of SURVEY's north-star dedup). One pass over the
+    * shingles array per seed, all inside codegen.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles,
+        s => xxhash64(concat(i.cast(StringType), lit("#"), s)))))
+
+  /** LSH band keys: the signature split into `bands` bands of
+    * `k/bands` rows, each band hashed to one bucket key. Documents sharing
+    * any band key are near-dup candidates.
+    */
+  def lshBandKeys(signature: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(signature, lit(b * rows + 1), lit(rows)),
+            v => v.cast(StringType)))).as("bucket"))
+    }: _*)
+  }
+
+  /** 64-bit SimHash over the token multiset: per bit, sign of the sum of
+    * ±1 votes from each token's xxhash64 bit.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    (0 until 64).map { b =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + shiftright(xxhash64(t), b)
+          .bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, x) => a.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // --- language ID (n-gram/stopword heuristic) ---------------------------
+
+  /** Tiny public stopword profiles. Order is the deterministic tie-break
+    * (first profile wins on equal score).
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "du", "est", "dans"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  /** Number of tokens of `text` inside `words` (with multiplicity). */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Heuristic language: argmax of profile scores, ties broken by profile
+    * order. Emits the winning language code.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val scored = LangProfiles.map { case (lang, words) =>
+      (lang, stopwordHits(text, words))
+    }
+    // strict > keeps the earlier profile on ties: deterministic
+    scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }._1
+  }
+
+  // --- quality features ---------------------------------------------------
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[\\.,;:!\\?'\"()\\[\\]{}-]"))
+
+  /** Mean whitespace-token length: exact integer division in double. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+  }
+
+  /** English stopword ratio — a standard quality signal. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text, LangProfiles.head._2).cast(DoubleType) /
+      size(tokens(text)).cast(DoubleType)
+}

@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-vector math over `Array[Float]` columns, for the similarity /
+  * near-dup operators (north star in BASELINE.json).
+  *
+  * All pure higher-order-function compositions (codegen'd, no UDF). Floats
+  * are widened to double BEFORE multiplying: a float×float product is exact
+  * in double (24-bit mantissas), and the sequential left-to-right `aggregate`
+  * accumulation makes results bit-reproducible across engines — which is
+  * what lets the DuckDB oracle hash-match cosine similarities exactly.
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast(DoubleType) - y.cast(DoubleType)
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic pseudo-random hyperplane sign for random-projection LSH:
+    * the sign of xxhash64 of (plane index, component index) weights each
+    * vector component ±1. Gives `nPlanes` sign bits packed into a long —
+    * the ANN bucket key. No RNG state, fully reproducible.
+    */
+  def randomHyperplaneKey(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        transform(vec, (x, i) => {
+          val sign = when(
+            xxhash64(concat(lit(s"$p:"), i.cast(StringType)))
+              .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
+          x.cast(DoubleType) * sign
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, x) => a.bitwiseOR(x))
+}

@@ -1,0 +1,483 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.EdgarFunctions._
+import graft.ops.EntryOps
+import graft.queries.Q._
+
+/** Oracle-checked queries for the reference's relational operator surface
+  * (SURVEY.md §2.1-2.9), expressed over the driver testdata tables. Each
+  * entry exercises the library operator it is named for; the SEC-specific
+  * parsing paths additionally run on inline fixture literals so the DuckDB
+  * oracle can reproduce them.
+  */
+object CoreQueries {
+
+  /** Synthetic master.idx fixture (format per
+    * `tests/data/filings/master/master.idx`: 10 header lines then
+    * pipe-delimited rows; values invented).
+    */
+  val idxFixture: Seq[(Int, String)] = Seq(
+    1 -> "Description:           Master Index of EDGAR Dissemination Feed",
+    2 -> "Last Data Received:    December 31, 1993",
+    3 -> "CIK|Company Name|Form Type|Date Filed|Filename",
+    4 -> "--------------------------------------------------------------------------------",
+    5 -> "1000045|ACME STEEL CORP /DE/|10-Q|1993-11-12|edgar/data/1000045/0000912057-93-000123.txt",
+    6 -> "1000045|ACME STEEL CORP /DE/|8-K|1993-12-01|edgar/data/1000045/0000912057-93-000456.txt",
+    7 -> "1000120|BETA FUND TRUST|485BPOS|1993-10-05|edgar/data/1000120/0000912057-93-000789.txt",
+    8 -> "1000120|BETA FUND TRUST|10-K|1993-12-30|edgar/data/1000120/0000912057-93-000999.txt",
+    9 -> "1000200|GAMMA ENERGY INC|4|1993-12-15|edgar/data/1000200/0000912057-93-001111.txt")
+
+  private def idxFixtureSqlValues: String =
+    idxFixture.map { case (n, l) => s"($n, '${l.replace("'", "''")}')" }
+      .mkString(", ")
+
+  val queries: Map[String, QueryFn] = Map(
+    // §2.2 idx row extractor + §2.5 running filtered count, on the inline
+    // fixture (same shape as the golden master.idx).
+    "q_idx_parse" -> ((s, _) => {
+      import s.implicits._
+      val raw = s.createDataset(idxFixture).toDF("line_no", "value")
+      val parsed = graft.functions.EdgarFunctions.parseIdxLines(raw)
+        .filter(col("form_type") =!= "485BPOS") // entry_filter analog
+      EntryOps.withRunningCount(parsed, "line_no")
+        .select(col("cik"), col("company_name"), col("form_type"),
+          col("date_filed"), col("file_name"), col("path"),
+          asLong(col("num_previously_valid")).as("num_previously_valid"))
+        .orderBy("num_previously_valid")
+    }),
+
+    // §2.4 entry_filter: predicate applied at the scan (pushdown).
+    "q_entry_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") < 5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // §2.4 predicate conjunction (form-type ∧ user filter analog).
+    "q_filter_conjunction" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O"
+          && col("o_totalprice").between(1000, 50000)
+          && col("o_orderpriority").startsWith("1"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
+    // §2.4 date-boundary filters at quarter edges.
+    "q_date_between" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate"))
+          .between("1995-03-01", "1995-06-30"))
+        .groupBy(date_trunc("month", col("o_orderdate")).cast(DateType)
+          .as("month"))
+        .agg(asLong(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("month")),
+
+    // §2.5 group-by-key with order-preserving collected list edge shape.
+    "q_group_collect" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000)
+        .groupBy(col("o_custkey"))
+        .agg(
+          asLong(count(lit(1))).as("n_orders"),
+          array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast(StringType)), ",").as("order_keys"))
+        .orderBy("o_custkey")),
+
+    // §2.5 running filtered count over an event stream.
+    "q_running_count" -> ((s, dir) => {
+      val kept = Q.events(s, dir).filter(col("event_type") === "click")
+      EntryOps.withRunningCount(kept, "event_id")
+        .select(col("event_id"), col("user_id"),
+          asLong(col("num_previously_valid")).as("num_previously_valid"))
+        .orderBy("event_id")
+    }),
+
+    // §2.6 CIK lookup join: digit-passthrough ∨ broadcast dim match ∨
+    // unresolved, with ordered-coalesce precedence.
+    "q_lookup_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = t(s, dir, "nation")
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(
+            when(col("c_name").rlike("^[0-9]+$"), col("c_name")),
+            col("n_name"), lit("UNRESOLVED")).as("resolved"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.5 per-key union merge (_reducer): UNION ALL then re-group.
+    "q_union_by_key" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      EntryOps.unionByKey(Seq(
+        o.filter(col("o_orderpriority") === "1-URGENT"),
+        o.filter(col("o_totalprice") > 150000)))
+        .groupBy(col("o_custkey"))
+        .agg(asLong(count(lit(1))).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_custkey")
+    }),
+
+    // §2.7 per-company `count` limit = per-key top-k window (NOT a global
+    // limit), newest first, deterministic tiebreaker.
+    "q_per_key_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), asLong(col("rn")).as("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // §2.6 anti join: the "skip unresolved lookups" shape.
+    "q_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // §2.6 semi join.
+    "q_semi_join" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem")
+          .filter(to_date(col("l_shipdate")) >= lit("2000-01-01")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy("s_suppkey")),
+
+    // §2.5 distinct.
+    "q_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"))
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.8 set ops.
+    "q_except" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .except(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+    "q_intersect" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+        .intersect(o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    }),
+
+    // §2.5 aggregation with exact decimal arithmetic (TPC-H Q1 shape);
+    // partial (map-side) agg + column pruning at the scan.
+    "q_agg_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("2000-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          asLong(count(lit(1))).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // §2.6 multi-join + agg + top-k (TPC-H Q3 shape); broadcast dims.
+    "q_join_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(to_date(col("o_orderdate")) < lit("1996-01-01"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast(DoubleType).as("revenue"),
+          asLong(count(lit(1))).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // §2.3 quarter math: get_quarter / get_month / add_quarter.
+    "q_quarter_math" -> ((s, dir) => {
+      val d = col("o_orderdate")
+      t(s, dir, "orders")
+        .groupBy(
+          asLong(year(d)).as("y"),
+          asLong(quarterOf(d)).as("q"))
+        .agg(asLong(count(lit(1))).as("n"))
+        .withColumn("next_y", asLong(nextYearOfQuarter(col("y"), col("q"))))
+        .withColumn("next_q", asLong(nextQuarter(col("q"))))
+        .withColumn("q_start_month", asLong(quarterStartMonth(col("q"))))
+        .orderBy("y", "q")
+    }),
+
+    // §2.3 era-dependent idx date format (3 eras; dates shifted back 4
+    // years so all three branches are exercised).
+    "q_era_date_format" -> ((s, dir) => {
+      val d = add_months(to_date(col("o_orderdate")), -48)
+      t(s, dir, "orders")
+        .select(d.as("d"), dailyIdxFilename(d).as("idx_filename"))
+        .distinct()
+        .orderBy("d")
+    }),
+
+    // §2.3 fill_days: date-range generator (sequence + explode), default
+    // exclusive bounds like the reference.
+    "q_fill_days" -> ((s, dir) => {
+      val start = to_date(col("o_orderdate"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 20)
+        .select(col("o_orderkey"),
+          explode(fillDays(start, date_add(start, 7))).as("day"))
+        .orderBy("o_orderkey", "day")
+    }),
+
+    // §2.3 scalar string battery: CIK zero-fill, upper, digit detection,
+    // directory cleaning, accession number, href→.txt rewrite.
+    "q_scalar_fns" -> ((s, dir) => {
+      val fileName = concat(lit("edgar/data/"), col("c_custkey"), lit("/"),
+        col("c_custkey"), lit("-94-000001.txt"))
+      val href = concat(lit("https://x/Archives/"), col("c_custkey"),
+        lit("-index.htm"))
+      t(s, dir, "customer").select(
+        col("c_custkey"),
+        cikZfill(col("c_custkey")).as("cik10"),
+        upper(col("c_name")).as("uname"),
+        isAllDigits(col("c_name")).as("name_is_digits"),
+        cleanDirectoryPath(col("c_name")).as("clean_dir"),
+        accessionNumber(fileName).as("accession_number"),
+        accessionToTxtUrl(href).as("txt_url"))
+        .orderBy("c_custkey")
+    }),
+
+    // §2.7-adjacent: window frame running sum (exact decimal).
+    "q_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Q.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          sum(dec(col("value"))).over(w).cast(DoubleType).as("running"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // grouping-sets family (free from Spark; §2.5 note).
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(asLong(count(lit(1))).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(asLong(count(lit(1))).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
+    // §2.10 streaming-shaped: tumbling 1-hour window aggregation (batch
+    // equivalence of the Structured Streaming daily-poll pipeline).
+    "q_tumbling_window" -> ((s, dir) =>
+      Q.events(s, dir)
+        .groupBy(
+          date_format(window(col("ts"), "1 hour").getField("start"),
+            "yyyy-MM-dd HH:00").as("hour"),
+          col("event_type"))
+        .agg(asLong(count(lit(1))).as("n"), dsum(col("value")).as("v"))
+        .orderBy("hour", "event_type"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_idx_parse" ->
+      s"""WITH raw(line_no, line) AS (VALUES $idxFixtureSqlValues),
+         |parsed AS (
+         |  SELECT line_no,
+         |    split_part(line,'|',1) AS cik,
+         |    split_part(line,'|',2) AS company_name,
+         |    split_part(line,'|',3) AS form_type,
+         |    CAST(split_part(line,'|',4) AS DATE) AS date_filed,
+         |    split_part(line,'|',5) AS file_name
+         |  FROM raw
+         |  WHERE regexp_matches(line, '^[0-9]+\\|.+\\|.+\\|[0-9-]+\\|.+$$'))
+         |SELECT cik, company_name, form_type, date_filed, file_name,
+         |  'Archives/' || file_name AS path,
+         |  row_number() OVER (ORDER BY line_no) - 1 AS num_previously_valid
+         |FROM parsed WHERE form_type <> '485BPOS'
+         |ORDER BY num_previously_valid""".stripMargin,
+
+    "q_entry_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_conjunction" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice BETWEEN 1000 AND 50000
+        |  AND o_orderpriority LIKE '1%'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_date_between" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-03-01' AND DATE '1995-06-30'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_group_collect" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_running_count" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (ORDER BY event_id) - 1 AS num_previously_valid
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_lookup_join" ->
+      """SELECT c_custkey,
+        |  coalesce(CASE WHEN regexp_matches(c_name, '^[0-9]+$') THEN c_name END,
+        |           n_name, 'UNRESOLVED') AS resolved
+        |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_union_by_key" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_totalprice > 150000)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_per_key_topk" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND CAST(l_shipdate AS DATE) >= DATE '2000-01-01')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_quarter_math" ->
+      """SELECT y, q, count(*) AS n,
+        |  CASE WHEN q = 4 THEN y + 1 ELSE y END AS next_y,
+        |  CASE WHEN q = 4 THEN 1 ELSE q + 1 END AS next_q,
+        |  (q - 1) * 3 + 1 AS q_start_month
+        |FROM (SELECT year(o_orderdate) AS y, quarter(o_orderdate) AS q FROM orders)
+        |GROUP BY y, q ORDER BY y, q""".stripMargin,
+
+    "q_era_date_format" ->
+      """SELECT DISTINCT d,
+        |  'master.' ||
+        |  CASE WHEN year(d) < 1995 THEN strftime(d, '%m%d%y')
+        |       WHEN d < DATE '1998-03-31' THEN strftime(d, '%y%m%d')
+        |       ELSE strftime(d, '%Y%m%d') END || '.idx' AS idx_filename
+        |FROM (SELECT CAST(o_orderdate - INTERVAL 48 MONTH AS DATE) AS d FROM orders)
+        |ORDER BY d""".stripMargin,
+
+    "q_fill_days" ->
+      """SELECT o_orderkey, CAST(u.day AS DATE) AS day
+        |FROM orders,
+        |  unnest(generate_series(CAST(o_orderdate AS DATE) + 1,
+        |                         CAST(o_orderdate AS DATE) + 6,
+        |                         INTERVAL 1 DAY)) AS u(day)
+        |WHERE o_orderkey < 20
+        |ORDER BY o_orderkey, day""".stripMargin,
+
+    "q_scalar_fns" ->
+      """SELECT c_custkey,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS cik10,
+        |  upper(c_name) AS uname,
+        |  regexp_matches(c_name, '^[0-9]+$') AS name_is_digits,
+        |  replace(regexp_replace(c_name, '[^0-9A-Za-z \t\n]', '', 'g'), ' ', '_') AS clean_dir,
+        |  regexp_extract('edgar/data/' || c_custkey || '/' || c_custkey || '-94-000001.txt',
+        |    '[^/]*$') AS accession_number,
+        |  regexp_replace('https://x/Archives/' || c_custkey || '-index.htm',
+        |    '-[^-]*$', '.txt') AS txt_url
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_window_frames" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.queries.Q._
+
+/** Oracle-checked queries for the text-analysis / dedup tier of the north
+  * star (BASELINE.json): language ID, quality scoring, token counting,
+  * fingerprinting, exact dedup, multimodal metadata — over `documents`.
+  *
+  * All computations that feed the hash compare are exact (integer or
+  * decimal arithmetic, or divisions of exact integers), so Spark and the
+  * DuckDB oracle agree bitwise.
+  */
+object TextQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // token counting: whitespace + BPE-ish regex pre-tokenizer.
+    "q_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        asLong(length(col("text"))).as("n_chars_actual"),
+        asLong(tokenCountWs(col("text"))).as("n_tokens_ws"),
+        asLong(tokenCountRegex(col("text"))).as("n_tokens_re"))
+        .orderBy("doc_id")),
+
+    // quality scoring: exact-integer-ratio features.
+    "q_text_quality" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        asLong(length(col("text"))).as("len"),
+        (aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast(DoubleType)
+          / size(toks).cast(DoubleType)).as("mean_token_len"),
+        (punctCount(col("text")).cast(DoubleType)
+          / length(col("text")).cast(DoubleType)).as("punct_ratio"),
+        (stopwordHits(col("text"), LangProfiles.head._2).cast(DoubleType)
+          / size(toks).cast(DoubleType)).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic: per-profile stopword scores + first-max-wins.
+    "q_lang_id" -> ((s, dir) => {
+      val scores = LangProfiles.map { case (lang, words) =>
+        asLong(stopwordHits(col("text"), words)).as(s"s_$lang")
+      }
+      t(s, dir, "documents")
+        .select((col("doc_id") +: scores :+
+          langIdHeuristic(col("text")).as("predicted")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // order-sensitive document fingerprint (mod-prime rolling sum).
+    "q_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        docFingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // exact dedup: hash-groupBy on content, keep lowest doc_id.
+    "q_dedup_exact" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("content_hash"))
+        .agg(asLong(min(col("doc_id"))).as("keeper_id"),
+          asLong(count(lit(1))).as("n_copies"))
+        .select(col("keeper_id"), col("n_copies"), col("content_hash"))
+        .orderBy("keeper_id")),
+
+    // multimodal columns: opaque binary + typed metadata (decode itself is
+    // the stubbed mapPartitions path in graft.operators.Multimodal; the
+    // relational plumbing — bytes, digest, chunking — is real).
+    "q_multimodal_meta" -> ((s, dir) => {
+      val bin = to_binary(col("text"), lit("utf-8"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        asLong(length(bin)).as("n_bytes"),
+        md5(bin).as("digest"),
+        asLong(floor(length(bin) / lit(1024)) + 1).as("n_chunks"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_token_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_actual,
+        |  len(string_split(text, ' ')) AS n_tokens_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_re
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id, length(text) AS len,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |      t -> length(t)), 'sum') AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS mean_token_len,
+        |  CAST(len(regexp_extract_all(text,
+        |      '[\.,;:!\?''"()\[\]{}-]')) AS DOUBLE) / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN
+        |      ('the','and','of','to','in','is','it','that','was','for'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scored AS (SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('the','and','of','to','in','is','it','that','was','for'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('le','la','les','et','des','un','une','du','est','dans'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('的','了','是','我','不','在','有','人','这','他'))) AS s_zh
+        |FROM documents)
+        |SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh,
+        |  CASE
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_aggregate(list_transform(string_split(text, ' '),
+        |    (t, i) -> (CAST(i AS BIGINT) * 1000003
+        |               * (length(t) * 131 + ascii(t[1]) * 7 + ascii(right(t, 1))))
+        |              % 1000000007), 'sum') % 1000000007 AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
+        |  md5(text) AS content_hash
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS digest,
+        |  octet_length(encode(text)) // 1024 + 1 AS n_chunks
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and compare exactly.
+
+Usage: python3 tools/check.py <sfdir> <verify_outdir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows, cols):
+    """Sort columns by name, then rows by value — mimics the driver."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    key = lambda row: tuple((x is None, str(type(x)), str(x)) for x in row)
+    return [cols[i] for i in order], sorted(out, key=key)
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
+            got_cols = [d[0] for d in got.description]
+            got_rows = got.fetchall()
+            exp = con.execute(oracle[name])
+            exp_cols = [d[0] for d in exp.description]
+            exp_rows = exp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        gc, gr = normalize(got_rows, got_cols)
+        ec, er = normalize(exp_rows, exp_cols)
+        if gc != ec:
+            print(f"FAIL {name}: columns {gc} vs oracle {ec}")
+            n_fail += 1
+            continue
+        if len(gr) != len(er):
+            print(f"FAIL {name}: {len(gr)} rows vs oracle {len(er)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(gr, er)):
+            if a != b:
+                # allow int/float cross-type equality like 1 == 1.0
+                if all((x == y) or (isinstance(x, (int, float))
+                        and isinstance(y, (int, float)) and float(x) == float(y))
+                        for x, y in zip(a, b)):
+                    continue
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}\n  spark:  {bad[1]}\n  oracle: {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(gr)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
