@@ -18,12 +18,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.TextQueries.queries
+      graft.queries.TextQueries.queries ++
+      graft.queries.SimilarityQueries.queries ++
+      graft.queries.ParseQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
-      graft.queries.TextQueries.oracles
+      graft.queries.TextQueries.oracles ++
+      graft.queries.SimilarityQueries.oracles ++
+      graft.queries.ParseQueries.oracles
 }

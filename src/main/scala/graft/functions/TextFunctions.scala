@@ -33,10 +33,12 @@ object TextFunctions {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    val count = greatest(size(toks) - (n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(1), count),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast(ArrayType(StringType)))
   }
 
   /** Deterministic per-token value used by the SQL-expressible fingerprint:

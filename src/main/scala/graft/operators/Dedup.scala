@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+
+/** Deduplication operators for the training-data pipeline tier (north star
+  * in BASELINE.json): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash-groupBy — map-side partial agg, one shuffle
+  *     on the content hash;
+  *   - candidate generation never does an all-pairs join: MinHash bands /
+  *     SimHash bands are inverted-index equi-joins whose output is bounded
+  *     by bucket sizes, with an explicit `maxBucketSize` guard against
+  *     degenerate buckets (boilerplate/empty docs) — capped buckets are
+  *     *counted and surfaced*, not silently dropped;
+  *   - exact verification joins shingle sets back only for surviving
+  *     candidate pairs.
+  */
+object Dedup {
+
+  /** Exact dedup groups: one row per distinct content, lowest id kept.
+    * (`md5` over utf-8 bytes; switch to `xxhash64` for cheaper 100 TB runs
+    * when a 64-bit fingerprint is acceptable.)
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(to_binary(col(textCol), lit("utf-8"))).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows that survive exact dedup (keep lowest id per content). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keepers = exactDupGroups(df, idCol, textCol)
+      .select(col("keeper_id").as(idCol))
+    df.join(keepers, Seq(idCol), "left_semi")
+  }
+
+  /** Per-doc MinHash signature + LSH band keys, exploded to
+    * (id, band, bucket) — the inverted index. One narrow pass, no shuffle.
+    */
+  def lshIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
+    val sh = TextFunctions.wordShingles(col(textCol), shingleN)
+    val sig = TextFunctions.minhashSignature(sh, k)
+    df.select(col(idCol).as("id"),
+        explode(TextFunctions.lshBandKeys(sig, k, bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Candidate pairs from the LSH index: docs sharing any band bucket.
+    * Buckets larger than `maxBucketSize` are excluded from pairing (their
+    * count is reported via the `capped_buckets` accumulator column of
+    * [[lshBucketStats]]) — a mandatory guard at scale, where one viral
+    * boilerplate bucket would otherwise emit O(n²) pairs.
+    */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val idx = lshIndex(df, idCol, textCol, shingleN, k, bands)
+    val small = idx
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("sz") <= maxBucketSize)
+      .drop("sz")
+    val a = small.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = small.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands_matched"))
+  }
+
+  /** Bucket-size distribution (for tuning bands / maxBucketSize). */
+  def lshBucketStats(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    lshIndex(df, idCol, textCol, shingleN, k, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > maxBucketSize, 1).otherwise(0)).as("capped_buckets"))
+
+  /** Exact n-gram Jaccard for candidate pairs: join each side's distinct
+    * shingle set back and compute |∩| / |∪| with integer arithmetic.
+    */
+  def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates → exact verification →
+    * threshold. This is the scale path; [[ngramJaccardPairs]] is the exact
+    * (bounded-input) baseline it is validated against.
+    */
+  def minhashDedupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    verifyJaccard(
+      minhashCandidates(df, idCol, textCol, shingleN, k, bands, maxBucketSize),
+      df, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+
+  /** Exact all-pairs n-gram Jaccard via an inverted shingle index: explode
+    * distinct shingles, equi-join on shingle, count common per pair, join
+    * per-doc set sizes. Output bounded by co-occurrence, never a cross
+    * join — but still quadratic in degenerate corpora; intended for
+    * bounded inputs or as the verifier behind LSH candidates.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("n_common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs with a hamming bound: split the 64-bit sketch
+    * into `hammingMax + 1` bands — pigeonhole guarantees any pair within
+    * `hammingMax` agrees on at least one exact band — join per band,
+    * verify hamming on the full sketch. Linear index, no all-pairs.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3): DataFrame = {
+    val nBands = hammingMax + 1
+    val width = 64 / nBands
+    val withSketch = df.select(col(idCol).as("id"),
+      TextFunctions.simhash64(col(textCol)).as("sketch"))
+    val banded = withSketch.select(col("id"), col("sketch"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sketch"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sketch"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("sketch").as("sk_a"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("sketch").as("sk_b"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextFunctions.hamming64(col("sk_a"), col("sk_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`), the similarity-search tier of the north star.
+  *
+  * Two paths:
+  *   - [[bruteForceTopK]]: exact cosine top-k. The *query* side is
+  *     broadcast (queries are few); the corpus streams through executors
+  *     partition-parallel, so cost is O(|Q|·N) flops with zero shuffle of
+  *     the corpus and one small top-k aggregation. This is the correctness
+  *     baseline and is the right plan whenever |Q| is small.
+  *   - [[lshTopK]]: random-hyperplane LSH. Corpus is bucketed once by a
+  *     sign-bit key (linear pass), queries probe their own bucket plus all
+  *     hamming-1 neighbors (multi-probe) to recover recall; exact rerank
+  *     inside the candidate set. At 100 TB the bucketed corpus is written
+  *     partitioned by key, so a probe touches only matching partitions
+  *     (partition pruning on the join key).
+  */
+object Similarity {
+
+  /** Exact cosine top-k: `queries(id, embedding)` × `corpus(id, embedding)`. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("c_emb"))
+    val joined = c.crossJoin(q)
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Corpus bucketed by the `nPlanes`-bit random-hyperplane key. */
+  def lshBucketed(corpus: DataFrame, nPlanes: Int): DataFrame =
+    corpus.withColumn("bucket",
+      VectorFunctions.randomHyperplaneKey(col("embedding"), nPlanes))
+
+  /** Multi-probe keys: own bucket + each single-bit flip (hamming-1). */
+  private def probeKeys(bucket: org.apache.spark.sql.Column, nPlanes: Int) =
+    array((bucket +: (0 until nPlanes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p)))): _*)
+
+  /** ANN top-k: probe LSH buckets, exact-rerank candidates. Recall is
+    * tunable via `nPlanes` (fewer planes → bigger buckets → higher recall,
+    * more compute).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8, excludeSelf: Boolean = true): DataFrame = {
+    val bucketed = lshBucketed(corpus, nPlanes)
+      .select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("bucket"))
+    val q = broadcast(
+      lshBucketed(queries, nPlanes)
+        .select(col("id").as("query_id"), col("embedding").as("q_emb"),
+          explode(probeKeys(col("bucket"), nPlanes)).as("bucket")))
+    val cand = bucketed.join(q, Seq("bucket"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+  }
+
+  /** Embedding-cosine near-dup pairs within a blocking key (e.g. label or
+    * LSH bucket): the embedding leg of the dedup suite.
+    */
+  def cosineDupPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col("id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = df.select(col(blockCol).as("blk"), col("id").as("id_b"),
+      col("embedding").as("e_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", VectorFunctions.cosine(col("e_a"), col("e_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

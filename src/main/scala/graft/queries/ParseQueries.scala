@@ -1,0 +1,415 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.ComboPlanner
+import graft.parse.{F4Parser, MetaParser}
+import graft.queries.Q._
+import graft.sources.{CikMapReader, CompanyIndexReader, RestReader}
+
+/** Oracle-checked queries for the SEC-specific parsing/source surface
+  * (SURVEY.md §2.1-2.2): SEC-DOCUMENT splitting, header metadata state
+  * machine, Form 4 extraction, company-XML pages, CIK map JSON, REST
+  * submissions/concepts, and the combo planner.
+  *
+  * Inputs are inline fixture literals (shaped like the reference's golden
+  * test data, values invented) shared verbatim between the Spark query and
+  * the DuckDB oracle, so the hash compare exercises the identical bytes.
+  */
+object ParseQueries {
+
+  private def sq(s: String): String = s"'${s.replace("'", "''")}'"
+
+  // --- fixtures -----------------------------------------------------------
+
+  /** Form 4 document (structure per `parser.py:10-25` patterns). */
+  val form4Doc: String =
+    """<TYPE>4
+      |<SEQUENCE>1
+      |<FILENAME>form4.xml
+      |<TEXT>
+      |<ownershipDocument>
+      |<nonDerivativeTable>
+      |<nonDerivativeTransaction>
+      |<securityTitle><value>Common Stock</value></securityTitle>
+      |<transactionDate><value>2021-03-01</value></transactionDate>
+      |<transactionCoding><transactionFormType>4</transactionFormType><transactionCode>P</transactionCode><equitySwapInvolved>0</equitySwapInvolved></transactionCoding>
+      |<transactionAmounts><transactionShares><value>100.0000</value></transactionShares><transactionPricePerShare><value>12.3400</value></transactionPricePerShare><transactionAcquiredDisposedCode><value>A</value></transactionAcquiredDisposedCode></transactionAmounts>
+      |<postTransactionAmounts><sharesOwnedFollowingTransaction><value>500.0000</value></sharesOwnedFollowingTransaction></postTransactionAmounts>
+      |<ownershipNature><directOrIndirectOwnership><value>D</value></directOrIndirectOwnership></ownershipNature>
+      |</nonDerivativeTransaction>
+      |<nonDerivativeTransaction>
+      |<securityTitle><value>Class B Stock</value></securityTitle>
+      |<transactionDate><value>2021-03-02</value></transactionDate>
+      |<transactionCoding><transactionFormType>4</transactionFormType><transactionCode>S</transactionCode><equitySwapInvolved>0</equitySwapInvolved></transactionCoding>
+      |<transactionAmounts><transactionShares><value>40.0000</value></transactionShares><transactionPricePerShare><value>15.0000</value></transactionPricePerShare><transactionAcquiredDisposedCode><value>D</value></transactionAcquiredDisposedCode></transactionAmounts>
+      |<postTransactionAmounts><sharesOwnedFollowingTransaction><value>460.0000</value></sharesOwnedFollowingTransaction></postTransactionAmounts>
+      |<ownershipNature><directOrIndirectOwnership><value>I</value></directOrIndirectOwnership></ownershipNature>
+      |</nonDerivativeTransaction>
+      |</nonDerivativeTable>
+      |</ownershipDocument>
+      |</TEXT>
+      |""".stripMargin
+
+  /** SEC-DOCUMENT container: 2 filings, 2 embedded documents each. */
+  val containerDoc: String =
+    "<SEC-DOCUMENT>0000912057-94-000001.txt : 19940103\n" +
+      "<SEC-HEADER>0000912057-94-000001.hdr.sgml : 19940103\n" +
+      "CONFORMED SUBMISSION TYPE:\t10-K\n" +
+      "</SEC-HEADER>\n" +
+      "<DOCUMENT>\n<TYPE>10-K\n<SEQUENCE>1\n<FILENAME>main.txt\n" +
+      "<TEXT>\nAnnual report body one.\n</TEXT>\n</DOCUMENT>\n" +
+      "<DOCUMENT>\n<TYPE>EX-10\n<SEQUENCE>2\n<FILENAME>ex10.txt\n" +
+      "<TEXT>\nExhibit body.\n</TEXT>\n</DOCUMENT>\n" +
+      "</SEC-DOCUMENT>\n" +
+      "<SEC-DOCUMENT>0000912057-94-000002.txt : 19940104\n" +
+      "<SEC-HEADER>0000912057-94-000002.hdr.sgml : 19940104\n" +
+      "CONFORMED SUBMISSION TYPE:\t8-K\n" +
+      "</SEC-HEADER>\n" +
+      "<DOCUMENT>\n<TYPE>8-K\n<SEQUENCE>1\n<FILENAME>current.txt\n" +
+      "<TEXT>\nCurrent report body.\n</TEXT>\n</DOCUMENT>\n" +
+      "</SEC-DOCUMENT>\n"
+
+  /** SEC-HEADER metadata block exercising every state-machine rule
+    * (`parser.py:140-213`): special tags, flat KV, level-1/-2 headers and
+    * data.
+    */
+  val headerFixture: String =
+    "<ACCEPTANCE-DATETIME>20210301120000\n" +
+      "<DESCRIPTION>Sample filing header\n" +
+      "CONFORMED SUBMISSION TYPE:\t8-K\n" +
+      "PUBLIC DOCUMENT COUNT:\t3\n" +
+      "FILER:\n" +
+      "\tCOMPANY DATA:\n" +
+      "\t\tCOMPANY CONFORMED NAME:\tACME CORP\n" +
+      "\t\tCENTRAL INDEX KEY:\t0001000045\n" +
+      "\tFILING VALUES:\n" +
+      "\t\tFORM TYPE:\t8-K\n" +
+      "BUSINESS ADDRESS:\n" +
+      "\tSTREET 1:\t100 MAIN ST\n" +
+      "\tCITY:\tSPRINGFIELD\n"
+
+  /** browse-edgar company XML page (shape per
+    * `tests/data/filings/aapl_10q_filings.xml`, incl. a BAD_LINK row).
+    */
+  val companyXml: String =
+    "<companyfilings><companyinfo><cik>0001000045</cik><name>ACME CORP</name>" +
+      "<sic>3711</sic></companyinfo><results>" +
+      "<filing><type>10-Q</type><filinghref>https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000101-index.htm</filinghref><datefiled>2021-01-28</datefiled><formname>Quarterly report</formname></filing>" +
+      "<filing><type>10-K</type><filinghref>https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000202-index.htm</filinghref><datefiled>2021-02-26</datefiled><formname>Annual report</formname></filing>" +
+      "<filing><type>10-Q</type><filinghref>BAD_LINK</filinghref><datefiled>2021-04-28</datefiled><formname>Quarterly report</formname></filing>" +
+      "<filing><type>10-Q</type><filinghref>https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000303-index.htm</filinghref><datefiled>2021-04-29</datefiled><formname>Quarterly report</formname></filing>" +
+      "</results></companyfilings>"
+
+  /** company_tickers.json shape (`cik_lookup.py:10-37`). */
+  val cikMapJson: String =
+    """{"0":{"cik_str":1000045,"ticker":"ACME","title":"Acme Corp"},""" +
+      """"1":{"cik_str":1000120,"ticker":"BETA","title":"Beta Fund Trust"},""" +
+      """"2":{"cik_str":1000200,"ticker":"GAMA","title":"Gamma Energy Inc"}}"""
+
+  /** data.sec.gov submissions JSON (`rest.py:51-88` shape). */
+  val submissionsJson: String =
+    """{"cik":"0001000045","name":"ACME CORP","filings":{"recent":{""" +
+      """"accessionNumber":["0000912057-21-000101","0000912057-21-000202","0000912057-21-000303"],""" +
+      """"form":["10-Q","10-K","10-Q"],""" +
+      """"filingDate":["2021-01-28","2021-02-26","2021-04-29"],""" +
+      """"reportDate":["2020-12-26","2020-12-31","2021-03-27"],""" +
+      """"primaryDocument":["acme-q1.htm","acme-10k.htm","acme-q2.htm"],""" +
+      """"isXBRL":[1,1,1]},"files":[]}}"""
+
+  /** data.sec.gov companyconcept JSON (`rest.py:91-123` shape). */
+  val conceptJson: String =
+    """{"cik":1000045,"taxonomy":"us-gaap","tag":"AccountsPayableCurrent","units":{""" +
+      """"USD":[{"val":1250000.0,"accn":"0000912057-21-000101","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":"2020-10-01","end":"2020-12-26"},""" +
+      """{"val":1375000.5,"accn":"0000912057-21-000303","fy":2021,"fp":"Q2","form":"10-Q","filed":"2021-04-29","start":"2021-01-01","end":"2021-03-27"}],""" +
+      """"EUR":[{"val":990000.25,"accn":"0000912057-21-000404","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":"2020-10-01","end":"2020-12-26"}]}}"""
+
+  // --- queries -------------------------------------------------------------
+
+  val queries: Map[String, QueryFn] = Map(
+    // Form 4 parity parser: 10 regex streams, positional zip.
+    "q_form4_parse" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(form4Doc))
+        .flatMap(d => F4Parser.process(d).zipWithIndex)
+        .select(
+          asLong(col("_2") + 1).as("idx"),
+          col("_1.securityTitle").as("security_title"),
+          col("_1.transactionDate").as("transaction_date"),
+          col("_1.transactionFormType").as("transaction_form_type"),
+          col("_1.transactionCode").as("transaction_code"),
+          col("_1.equitySwapInvolved").as("equity_swap_involved"),
+          col("_1.transactionShares").as("transaction_shares"),
+          col("_1.transactionPricePerShare").as("transaction_price_per_share"),
+          col("_1.transactionAcquiredDisposedCode").as("transaction_acquired_disposed_code"),
+          col("_1.sharesOwnedFollowingTransaction").as("shares_owned_following_transaction"),
+          col("_1.directOrIndirectOwnership").as("direct_or_indirect_ownership"))
+        .orderBy("idx")
+    }),
+
+    // SEC-DOCUMENT splitter: container → (filing, embedded doc) rows.
+    "q_sec_doc_split" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(("fixture.txt", containerDoc)))
+        .toDF("path", "content")
+        .transform(MetaParser.explodeContainers(_).toDF())
+        .select(asLong(col("secDocNum")).as("sec_doc_num"),
+          posexplode(col("documents")).as(Seq("doc_idx", "d")))
+        .select(col("sec_doc_num"), asLong(col("doc_idx")).as("doc_idx"),
+          col("d.docType").as("doc_type"), col("d.sequence").as("sequence"),
+          col("d.filename").as("filename"), col("d.text").as("text"))
+        .orderBy("sec_doc_num", "doc_idx")
+    }),
+
+    // header metadata state machine → (section, subsection, key, value).
+    "q_meta_kv" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(headerFixture))
+        .flatMap { h =>
+          val (flat, nested, nested2) = MetaParser.processMetadata(h)
+          flat.toSeq.map { case (k, v) => (null: String, null: String, k, v) } ++
+            nested.toSeq.flatMap { case (sec, kvs) =>
+              kvs.toSeq.map { case (k, v) => (sec, null: String, k, v) } } ++
+            nested2.toSeq.flatMap { case (sec, subs) =>
+              subs.toSeq.flatMap { case (sub, kvs) =>
+                kvs.toSeq.map { case (k, v) => (sec, sub, k, v) } } }
+        }
+        .toDF("section", "subsection", "key", "value")
+        .orderBy(coalesce(col("section"), lit("")),
+          coalesce(col("subsection"), lit("")), col("key"))
+    }),
+
+    // company XML page: from_xml → explode → type filter → href rewrite.
+    "q_company_xml" -> ((s, _) => {
+      import s.implicits._
+      val pages = s.createDataset(Seq(companyXml)).toDF("value")
+      CompanyIndexReader.filterFilingLinks(
+        CompanyIndexReader.parsePages(pages), "10-Q")
+        .select(col("cik"), col("company_name"), col("type"),
+          col("date_filed"), col("txt_url"))
+        .orderBy("txt_url")
+    }),
+
+    // CIK map JSON → dimension rows.
+    "q_cik_map_json" -> ((s, _) => {
+      import s.implicits._
+      CikMapReader.fromJsonStrings(s.createDataset(Seq(cikMapJson)).toDF("value"))
+        .orderBy("cik")
+    }),
+
+    // REST submissions: parallel arrays zipped into rows.
+    "q_rest_submissions" -> ((s, _) => {
+      import s.implicits._
+      RestReader.submissions(s.createDataset(Seq(submissionsJson)).toDF("value"))
+        .select(col("cik"), col("name"), col("accession_number"), col("form"),
+          col("filing_date"))
+        .orderBy("accession_number")
+    }),
+
+    // REST company concept: units map exploded.
+    "q_rest_concept" -> ((s, _) => {
+      import s.implicits._
+      RestReader.companyConcept(s.createDataset(Seq(conceptJson)).toDF("value"))
+        .orderBy("unit", "accn")
+    }),
+
+    // combo planner decomposition (driver-side planning function; output
+    // is O(quarters), the golden values follow `combo.py:137-199`).
+    "q_combo_plan" -> ((s, _) => {
+      import s.implicits._
+      val d = ComboPlanner.decompose(
+        LocalDate.of(2020, 1, 6), LocalDate.of(2020, 11, 5), 30)
+      val qDf = s.createDataset(d.quarters.zipWithIndex.map { case (q, i) =>
+        (i.toLong, "quarterly", q.year.toLong, q.quarter.toLong, q.filter match {
+          case ComboPlanner.All => "all"
+          case _: ComboPlanner.OnOrAfter => "ge_start"
+          case _: ComboPlanner.OnOrBefore => "le_end"
+        })
+      }).toDF("seq", "kind", "year", "quarter", "filter_kind")
+        .withColumn("day", lit(null).cast(StringType))
+      val dDf = s.createDataset(d.days.zipWithIndex.map { case (day, i) =>
+        ((d.quarters.size + i).toLong, "daily", day.toString)
+      }).toDF("seq", "kind", "day")
+        .withColumn("year", lit(null).cast(LongType))
+        .withColumn("quarter", lit(null).cast(LongType))
+        .withColumn("filter_kind", lit(null).cast(StringType))
+        .select("seq", "kind", "year", "quarter", "filter_kind", "day")
+      qDf.unionByName(dDf).orderBy("seq")
+    })
+  )
+
+  // --- oracles -------------------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "q_form4_parse" -> {
+      val d = sq(form4Doc)
+      """WITH d(doc) AS (VALUES (%DOC%)),
+        |l AS (SELECT
+        |  regexp_extract_all(doc, '<securityTitle>.*?<value>(.*?)</value>.*?</securityTitle>', 1, 's') AS titles,
+        |  regexp_extract_all(doc, '<transactionDate>.*?<value>(.*?)</value>.*?</transactionDate>', 1, 's') AS dates,
+        |  regexp_extract_all(doc, '<transactionFormType>(.*?)</transactionFormType>', 1, 's') AS form_types,
+        |  regexp_extract_all(doc, '<transactionCode>(.*?)</transactionCode>', 1, 's') AS codes,
+        |  regexp_extract_all(doc, '<equitySwapInvolved>(.*?)</equitySwapInvolved>', 1, 's') AS swaps,
+        |  regexp_extract_all(doc, '<transactionShares>.*?<value>(.*?)</value>.*?</transactionShares>', 1, 's') AS shares,
+        |  regexp_extract_all(doc, '<transactionPricePerShare>.*?<value>(.*?)</value>.*?</transactionPricePerShare>', 1, 's') AS pps,
+        |  regexp_extract_all(doc, '<transactionAcquiredDisposedCode>.*?<value>(.*?)</value>.*?</transactionAcquiredDisposedCode>', 1, 's') AS disp,
+        |  regexp_extract_all(doc, '<sharesOwnedFollowingTransaction>.*?<value>(.*?)</value>.*?</sharesOwnedFollowingTransaction>', 1, 's') AS soft,
+        |  regexp_extract_all(doc, '<directOrIndirectOwnership>.*?<value>(.*?)</value>.*?</directOrIndirectOwnership>', 1, 's') AS doio
+        |FROM d)
+        |SELECT i AS idx, titles[i] AS security_title, dates[i] AS transaction_date,
+        |  form_types[i] AS transaction_form_type, codes[i] AS transaction_code,
+        |  swaps[i] AS equity_swap_involved, shares[i] AS transaction_shares,
+        |  pps[i] AS transaction_price_per_share,
+        |  disp[i] AS transaction_acquired_disposed_code,
+        |  soft[i] AS shares_owned_following_transaction,
+        |  doio[i] AS direct_or_indirect_ownership
+        |FROM l, unnest(generate_series(1, len(titles))) t(i)
+        |ORDER BY idx""".stripMargin.replace("%DOC%", d)
+    },
+
+    "q_sec_doc_split" -> {
+      val d = sq(containerDoc)
+      """WITH c(doc) AS (VALUES (%DOC%)),
+        |secs AS (SELECT regexp_extract_all(doc, '<SEC-DOCUMENT>(.*?)</SEC-DOCUMENT>', 1, 's') AS ss FROM c),
+        |sec AS (SELECT i - 1 AS sec_doc_num, ss[i] AS s
+        |  FROM secs, unnest(generate_series(1, len(ss))) t(i)),
+        |docs AS (SELECT sec_doc_num,
+        |  regexp_extract_all(s, '<DOCUMENT>(.*?)</DOCUMENT>', 1, 's') AS ds FROM sec),
+        |d AS (SELECT sec_doc_num, j - 1 AS doc_idx, ds[j] AS b
+        |  FROM docs, unnest(generate_series(1, len(ds))) t(j))
+        |SELECT sec_doc_num, doc_idx,
+        |  regexp_extract(b, '<TYPE>([^' || chr(10) || ']*)', 1) AS doc_type,
+        |  regexp_extract(b, '<SEQUENCE>([^' || chr(10) || ']*)', 1) AS sequence,
+        |  regexp_extract(b, '<FILENAME>([^' || chr(10) || ']*)', 1) AS filename,
+        |  trim(regexp_extract(b, '<TEXT>(.*?)</TEXT>', 1, 's'),
+        |       ' ' || chr(9) || chr(10) || chr(13)) AS text
+        |FROM d ORDER BY sec_doc_num, doc_idx""".stripMargin.replace("%DOC%", d)
+    },
+
+    "q_meta_kv" -> {
+      val lines = headerFixture.split("\n").zipWithIndex
+        .map { case (l, i) => s"(${i + 1}, ${sq(l)})" }.mkString(", ")
+      """WITH lines(i, l) AS (VALUES %LINES%),
+        |h1 AS (SELECT i, replace(regexp_extract(l, '^([^\t].*):\t*$', 1), ' ', '_') AS h
+        |  FROM lines WHERE regexp_matches(l, '^[^\t].*:\t*$')
+        |    AND NOT regexp_matches(l, '<ACCEPTANCE-DATETIME>|<DESCRIPTION>')),
+        |h2 AS (SELECT i, replace(regexp_extract(l, '^\t(.+):\t*$', 1), ' ', '_') AS h
+        |  FROM lines WHERE regexp_matches(l, '^\t.+:\t*$')),
+        |special AS (
+        |  SELECT CAST(NULL AS VARCHAR) AS section, CAST(NULL AS VARCHAR) AS subsection,
+        |    'acceptance-datetime' AS key, substr(l, 22) AS value
+        |  FROM lines WHERE l LIKE '<ACCEPTANCE-DATETIME>%'
+        |  UNION ALL
+        |  SELECT NULL, NULL, 'description', substr(l, 14)
+        |  FROM lines WHERE l LIKE '<DESCRIPTION>%'),
+        |kv AS (
+        |  SELECT CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+        |    replace(regexp_extract(l, '^(\w.*):\t*([^\t]+)$', 1), ' ', '_'),
+        |    regexp_extract(l, '^(\w.*):\t*([^\t]+)$', 2)
+        |  FROM lines
+        |  WHERE regexp_matches(l, '^\w.*:\t*[^\t]+$')
+        |    AND NOT regexp_matches(l, '<ACCEPTANCE-DATETIME>|<DESCRIPTION>')),
+        |d1 AS (
+        |  SELECT (SELECT h FROM h1 WHERE h1.i < x.i ORDER BY h1.i DESC LIMIT 1),
+        |    CAST(NULL AS VARCHAR),
+        |    regexp_extract(l, '^\t([^\t].*):\t*(.+)$', 1),
+        |    regexp_extract(l, '^\t([^\t].*):\t*(.+)$', 2)
+        |  FROM lines x WHERE regexp_matches(l, '^\t[^\t].*:\t*.+$')),
+        |d2 AS (
+        |  SELECT (SELECT h FROM h1 WHERE h1.i < x.i ORDER BY h1.i DESC LIMIT 1),
+        |    (SELECT h FROM h2 WHERE h2.i < x.i
+        |       AND h2.i > coalesce((SELECT max(h1.i) FROM h1 WHERE h1.i < x.i), 0)
+        |     ORDER BY h2.i DESC LIMIT 1),
+        |    replace(regexp_extract(l, '^\t\t(.+):\t*(.+)$', 1), ' ', '_'),
+        |    regexp_extract(l, '^\t\t(.+):\t*(.+)$', 2)
+        |  FROM lines x WHERE regexp_matches(l, '^\t\t.+:\t*.+$'))
+        |SELECT * FROM (
+        |  SELECT * FROM special UNION ALL SELECT * FROM kv
+        |  UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+        |  t(section, subsection, key, value)
+        |ORDER BY coalesce(section, ''), coalesce(subsection, ''), key"""
+        .stripMargin.replace("%LINES%", lines)
+    },
+
+    "q_company_xml" -> {
+      val x = sq(companyXml)
+      """WITH p(x) AS (VALUES (%DOC%)),
+        |f AS (SELECT regexp_extract(x, '<cik>(.*?)</cik>', 1) AS cik,
+        |    regexp_extract(x, '<name>(.*?)</name>', 1) AS company_name,
+        |    unnest(regexp_extract_all(x, '<filing>(.*?)</filing>', 1, 's')) AS b
+        |  FROM p),
+        |r AS (SELECT cik, company_name,
+        |    regexp_extract(b, '<type>(.*?)</type>', 1, 's') AS type,
+        |    regexp_extract(b, '<filinghref>(.*?)</filinghref>', 1, 's') AS href,
+        |    CAST(regexp_extract(b, '<datefiled>(.*?)</datefiled>', 1, 's') AS DATE) AS date_filed
+        |  FROM f)
+        |SELECT cik, company_name, type, date_filed,
+        |  regexp_replace(href, '-[^-]*$', '.txt') AS txt_url
+        |FROM r WHERE type = '10-Q' AND href LIKE '%-%'
+        |ORDER BY txt_url""".stripMargin.replace("%DOC%", x)
+    },
+
+    "q_cik_map_json" -> {
+      val j = sq(cikMapJson)
+      """WITH j(x) AS (VALUES (%DOC%)),
+        |k AS (SELECT unnest(json_keys(x)) AS key, x FROM j)
+        |SELECT json_extract_string(x, '$."' || key || '".cik_str') AS cik,
+        |  upper(json_extract_string(x, '$."' || key || '".ticker')) AS ticker,
+        |  upper(json_extract_string(x, '$."' || key || '".title')) AS title
+        |FROM k ORDER BY cik""".stripMargin.replace("%DOC%", j)
+    },
+
+    "q_rest_submissions" -> {
+      val j = sq(submissionsJson)
+      """WITH j(x) AS (VALUES (%DOC%)),
+        |l AS (SELECT
+        |  json_extract_string(x, '$.cik') AS cik,
+        |  json_extract_string(x, '$.name') AS name,
+        |  CAST(json_extract(x, '$.filings.recent.accessionNumber') AS VARCHAR[]) AS accs,
+        |  CAST(json_extract(x, '$.filings.recent.form') AS VARCHAR[]) AS forms,
+        |  CAST(json_extract(x, '$.filings.recent.filingDate') AS VARCHAR[]) AS dates
+        |FROM j)
+        |SELECT cik, name, accs[i] AS accession_number, forms[i] AS form,
+        |  CAST(dates[i] AS DATE) AS filing_date
+        |FROM l, unnest(generate_series(1, len(accs))) t(i)
+        |ORDER BY accession_number""".stripMargin.replace("%DOC%", j)
+    },
+
+    "q_rest_concept" -> {
+      val j = sq(conceptJson)
+      """WITH j(x) AS (VALUES (%DOC%)),
+        |u AS (SELECT x, unnest(json_keys(x, '$.units')) AS unit FROM j),
+        |f AS (SELECT
+        |  json_extract_string(x, '$.cik') AS cik,
+        |  json_extract_string(x, '$.taxonomy') AS taxonomy,
+        |  json_extract_string(x, '$.tag') AS tag,
+        |  unit,
+        |  unnest(CAST(json_extract(x, '$.units.' || unit) AS STRUCT(
+        |    val DOUBLE, accn VARCHAR, fy BIGINT, fp VARCHAR, form VARCHAR,
+        |    filed VARCHAR, "start" VARCHAR, "end" VARCHAR)[])) AS r
+        |FROM u)
+        |SELECT cik, taxonomy, tag, unit, r.val AS val, r.accn AS accn,
+        |  r.fy AS fy, r.fp AS fp, r.form AS form, r.filed AS filed,
+        |  r."start" AS "start", r."end" AS "end"
+        |FROM f ORDER BY unit, accn""".stripMargin.replace("%DOC%", j)
+    },
+
+    // golden decomposition verified against the reference algorithm
+    // (`combo.py:137-199`) for 2020-01-06..2020-11-05, bp=30 — note the
+    // end-edge quirk: a `le_end` quarterly AND a daily scan for the end day.
+    "q_combo_plan" ->
+      """SELECT CAST(seq AS BIGINT) AS seq, kind, CAST(year AS BIGINT) AS year,
+        |  CAST(quarter AS BIGINT) AS quarter, filter_kind, day
+        |FROM (VALUES
+        |  (0, 'quarterly', 2020, 1, 'ge_start', CAST(NULL AS VARCHAR)),
+        |  (1, 'quarterly', 2020, 2, 'all', NULL),
+        |  (2, 'quarterly', 2020, 3, 'all', NULL),
+        |  (3, 'quarterly', 2020, 4, 'le_end', NULL),
+        |  (4, 'daily', NULL, NULL, NULL, '2020-11-05'))
+        |t(seq, kind, year, quarter, filter_kind, day)
+        |ORDER BY seq""".stripMargin
+  )
+}

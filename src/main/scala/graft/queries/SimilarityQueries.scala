@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Q._
+
+/** Oracle-checked + rows-only queries for the similarity-search and
+  * near-dup tier (north star): brute-force cosine top-k, LSH ANN,
+  * embedding near-dup, MinHash+LSH and SimHash document dedup.
+  *
+  * Cosine parity with the DuckDB oracle is exact: floats widen to double
+  * before multiplying (exact products) and both engines accumulate
+  * sequentially, so the doubles agree bitwise (see
+  * [[graft.functions.VectorFunctions]]).
+  */
+object SimilarityQueries {
+
+  private def emb(s: org.apache.spark.sql.SparkSession, dir: String) =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding"), col("label"))
+
+  val queries: Map[String, QueryFn] = Map(
+    // brute-force exact cosine top-k (the ANN correctness baseline).
+    "q_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e.filter(col("id") < 5), e, 5)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // embedding-cosine near-dup pairs, blocked by label.
+    "q_embedding_dedup" -> ((s, dir) =>
+      Similarity.cosineDupPairs(emb(s, dir), "label", 0.3)
+        .orderBy("id_a", "id_b")),
+
+    // LSH-bucketed ANN (multi-probe, exact rerank) — the scale path; no
+    // SQL oracle (bucket keys are xxhash64-based), recall vs brute force
+    // is asserted in ScalaTest.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e.filter(col("id") < 5), e, 5, nPlanes = 6)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // MinHash+LSH near-dup candidates, exact-Jaccard verified. xxhash64
+    // signatures are not SQL-expressible → rows-only; the *verifier*
+    // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.01, k = 32, bands = 16)
+        .select(col("id_a"), col("id_b"), asLong(col("n_bands_matched"))
+          .as("n_bands_matched"), col("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // exact n-gram Jaccard pairs on a bounded slice (inverted-index join,
+    // no cross join) — the oracle-checked ground truth for MinHash.
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 3, threshold = 0.02)
+        .orderBy("id_a", "id_b")),
+
+    // SimHash sketches (banded for hamming-bounded joins); rows-only —
+    // pair semantics asserted in ScalaTest with constructed near-dups.
+    "q_simhash_sketch" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+        .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
+        .orderBy("doc_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(c.v, c.v))) AS sim
+        |  FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM p)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_inner_product(a.v, b.v) /
+        |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.v, b.v) /
+        |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.02
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}
