@@ -38,7 +38,10 @@ object EdgarFunctions {
         trim(parts.getItem(0)).as("cik"),
         parts.getItem(1).as("company_name"),
         parts.getItem(2).as("form_type"),
-        to_date(parts.getItem(3), "yyyy-MM-dd").as("date_filed"),
+        // quarterly idx carries yyyy-MM-dd, daily idx yyyyMMdd
+        // (`tests/data/filings/daily/master.20181231.idx`); try both
+        coalesce(try_to_date(parts.getItem(3), "yyyy-MM-dd"),
+          try_to_date(parts.getItem(3), "yyyyMMdd")).as("date_filed"),
         // strip trailing CR like the reference's .strip() (`_index.py:165`)
         regexp_replace(parts.getItem(4), "\\r$", "").as("file_name"),
         col(lineNoCol).as("line_no"))
@@ -87,6 +90,15 @@ object EdgarFunctions {
     when(year(d) < 1995, date_format(d, "MMddyy"))
       .when(d < to_date(lit("1998-03-31")), date_format(d, "yyMMdd"))
       .otherwise(date_format(d, "yyyyMMdd"))
+
+  /** Scala-side (path construction) variant of [[eraIdxDate]]. */
+  def eraIdxDateStr(d: java.time.LocalDate): String = {
+    val fmt =
+      if (d.getYear < 1995) "MMddyy"
+      else if (d.isBefore(java.time.LocalDate.of(1998, 3, 31))) "yyMMdd"
+      else "yyyyMMdd"
+    d.format(java.time.format.DateTimeFormatter.ofPattern(fmt))
+  }
 
   /** `master.{date}.idx` daily index filename (`core/daily.py:104-107`). */
   def dailyIdxFilename(d: Column): Column =

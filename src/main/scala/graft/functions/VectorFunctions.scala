@@ -41,12 +41,12 @@ object VectorFunctions {
     * vector component ±1. Gives `nPlanes` sign bits packed into a long —
     * the ANN bucket key. No RNG state, fully reproducible.
     */
-  def randomHyperplaneKey(vec: Column, nPlanes: Int): Column =
+  def randomHyperplaneKey(vec: Column, nPlanes: Int, seed: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         transform(vec, (x, i) => {
           val sign = when(
-            xxhash64(concat(lit(s"$p:"), i.cast(StringType)))
+            xxhash64(concat(lit(s"$seed:$p:"), i.cast(StringType)))
               .bitwiseAND(lit(1L)) === 1L, lit(1.0)).otherwise(lit(-1.0))
           x.cast(DoubleType) * sign
         }),

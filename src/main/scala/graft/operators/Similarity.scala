@@ -42,31 +42,45 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
   }
 
-  /** Corpus bucketed by the `nPlanes`-bit random-hyperplane key. */
-  def lshBucketed(corpus: DataFrame, nPlanes: Int): DataFrame =
-    corpus.withColumn("bucket",
-      VectorFunctions.randomHyperplaneKey(col("embedding"), nPlanes))
+  /** Corpus exploded into one bucket key per LSH table: (table, bucket).
+    * At 100 TB this index is written once, partitioned by (table, bucket),
+    * and probes prune to matching partitions.
+    */
+  def lshBucketed(corpus: DataFrame, nPlanes: Int, nTables: Int = 1): DataFrame =
+    corpus.withColumn("tb", explode(array((0 until nTables).map { t =>
+      struct(lit(t).as("table"),
+        VectorFunctions.randomHyperplaneKey(col("embedding"), nPlanes, t)
+          .as("bucket"))
+    }: _*)))
+      .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
+      .drop("tb")
 
   /** Multi-probe keys: own bucket + each single-bit flip (hamming-1). */
   private def probeKeys(bucket: org.apache.spark.sql.Column, nPlanes: Int) =
     array((bucket +: (0 until nPlanes).map(p =>
       bucket.bitwiseXOR(lit(1L << p)))): _*)
 
-  /** ANN top-k: probe LSH buckets, exact-rerank candidates. Recall is
-    * tunable via `nPlanes` (fewer planes → bigger buckets → higher recall,
-    * more compute).
+  /** ANN top-k: probe LSH buckets, exact-rerank candidates.
+    *
+    * Recall levers (standard OR-construction): `nTables` independent
+    * hyperplane sets (storage × L, recall union over tables) and hamming-1
+    * multi-probe within each table. Fewer planes → bigger buckets → higher
+    * recall, more rerank compute.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      nPlanes: Int = 8, excludeSelf: Boolean = true): DataFrame = {
-    val bucketed = lshBucketed(corpus, nPlanes)
+      nPlanes: Int = 8, nTables: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    val bucketed = lshBucketed(corpus, nPlanes, nTables)
       .select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
-        col("bucket"))
+        col("table"), col("bucket"))
     val q = broadcast(
-      lshBucketed(queries, nPlanes)
+      lshBucketed(queries, nPlanes, nTables)
         .select(col("id").as("query_id"), col("embedding").as("q_emb"),
-          explode(probeKeys(col("bucket"), nPlanes)).as("bucket")))
-    val cand = bucketed.join(q, Seq("bucket"))
+          col("table"), explode(probeKeys(col("bucket"), nPlanes)).as("bucket")))
+    val cand = bucketed.join(q, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      // a pair found by several tables/probes is still one candidate
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))

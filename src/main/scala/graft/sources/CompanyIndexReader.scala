@@ -40,8 +40,11 @@ object CompanyIndexReader {
     *              provenance columns, which are preserved).
     */
   def parsePages(pages: DataFrame, xmlCol: String = "value"): DataFrame = {
+    // real pages wrap the payload in <?xml?><html><body>… — extract the
+    // <companyfilings> element before structured parsing
     val parsed = pages.withColumn("__p",
-      from_xml(col(xmlCol), pageSchema))
+      from_xml(regexp_extract(col(xmlCol),
+        "(?s)(<companyfilings>.*</companyfilings>)", 1), pageSchema))
     parsed
       .withColumn("f", explode(col("__p.results.filing")))
       .select(

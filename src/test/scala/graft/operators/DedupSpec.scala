@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " * 8
+
+  private def corpus = Seq(
+    (0L, base.trim),
+    (1L, base.trim), // exact duplicate of 0
+    (2L, base.trim.replace("lazy dog", "sleepy dog")), // near-dup of 0
+    (3L, "completely different text about spark engines and columnar data"),
+    (4L, "another unrelated document mentioning parquet and shuffles only")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content") {
+    val kept = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 2L, 3L, 4L))
+    val groups = Dedup.exactDupGroups(corpus, "doc_id", "text")
+    assert(groups.filter($"n_copies" === 2).count() == 1)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashDedupPairs(corpus, "doc_id", "text",
+      threshold = 0.5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical → certain candidate
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("exact ngram jaccard agrees: dup pair = 1.0, near-dup high, rest low") {
+    val j = Dedup.ngramJaccardPairs(corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((0L, 1L)) == 1.0)
+    // replacing a phrase repeated throughout the doc rewrites a large
+    // share of the distinct shingle set; ~0.5 is the true jaccard
+    assert(j((0L, 2L)) > 0.4)
+    assert(j.getOrElse((0L, 3L), 0.0) < 0.1)
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, found by bands") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", hammingMax = 16)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(pairs((0L, 1L)) == 0L)
+    assert(pairs.get((0L, 2L)).exists(_ <= 16L))
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("LSH bucket guard caps degenerate buckets") {
+    val boiler = (0L until 50L).map(i => (i, base.trim)).toDF("doc_id", "text")
+    // with maxBucketSize 10, the 50-identical-docs bucket must produce no pairs
+    assert(Dedup.minhashCandidates(boiler, "doc_id", "text",
+      maxBucketSize = 10).count() == 0)
+    val stats = Dedup.lshBucketStats(boiler, "doc_id", "text", maxBucketSize = 10)
+      .head()
+    assert(stats.getAs[Long]("capped_buckets") > 0) // surfaced, not silent
+  }
+}

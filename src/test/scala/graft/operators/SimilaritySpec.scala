@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding"), col("label"))
+
+  test("brute-force top-k: self-similarity excluded, ranks dense, sim sorted") {
+    val r = Similarity.bruteForceTopK(emb.filter($"id" < 3), emb, 5)
+    val rows = r.orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(rows.length == 15)
+    assert(rows.forall { case (q, n, _, _) => q != n })
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      assert(g.sortBy(_._3).map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("LSH ANN recall vs brute force (multi-probe, multi-table)") {
+    val q = emb.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, emb, 3, nPlanes = 6, nTables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random 3-of-500 baseline is ~0.6%; uniform random embeddings are the
+    // hardest case for LSH — multi-table OR-construction must still pull
+    // recall far above chance
+    assert(recall >= 0.4, s"recall $recall too low")
+  }
+
+  test("identical vectors are each other's top match with sim == 1.0") {
+    val dup = emb.filter($"id" === 0)
+      .select(lit(9999L).as("id"), col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    val top = Similarity.bruteForceTopK(withDup.filter($"id" === 9999L), withDup, 1)
+      .head()
+    assert(top.getAs[Long]("neighbor_id") == 0L)
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-12)
+  }
+
+  test("cosineDupPairs respects blocking key") {
+    val pairs = Similarity.cosineDupPairs(emb, "label", -1.0)
+    val labels = emb.select("id", "label").as[(Long, Int)].collect().toMap
+    assert(pairs.as[(Long, Long, Double)].collect()
+      .forall { case (a, b, _) => labels(a) == labels(b) && a < b })
+  }
+}
