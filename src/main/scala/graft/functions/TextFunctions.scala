@@ -28,17 +28,24 @@ object TextFunctions {
   /** Token count via whitespace split. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles (distinct), the dedup unit. `transform` over an
-    * index sequence + `slice` keeps it inside codegen.
+  /** Word n-gram shingles (distinct), the dedup unit.
+    *
+    * Built as a `zip_with` chain over shifted copies of the token array —
+    * NOT as `transform(sequence(...), i => slice(toks, i, n))`: lambda
+    * bodies get no subexpression elimination, so the slice form re-splits
+    * the text once per shingle index (O(tokens²) per document — measured
+    * as the dominant cost of MinHash at sf0.1). Here every argument is
+    * evaluated once per row; the chain is O(n × tokens).
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    // guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast(ArrayType(StringType)))
+    // zip_with pads the shorter side with null; concat propagates the null
+    // so incomplete trailing shingles drop in the filter
+    val chained = (2 to n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(chained, x => x.isNotNull))
   }
 
   /** Deterministic per-token value used by the SQL-expressible fingerprint:

@@ -37,17 +37,42 @@ object Dedup {
     df.join(keepers, Seq(idCol), "left_semi")
   }
 
-  /** Per-doc MinHash signature + LSH band keys, exploded to
-    * (id, band, bucket) — the inverted index. One narrow pass, no shuffle.
+  /** Per-doc MinHash signatures as a relational aggregation: explode the
+    * shingle set once, hash each (seed, shingle) pair once, take k map-side
+    * `min`s. Returns (id, sig: array<long>).
+    *
+    * This shape matters twice over: (a) the map-side partial aggregation
+    * makes the shuffle O(docs × k), independent of document length; (b) a
+    * single-projection HOF formulation (minhash inside band-key inside one
+    * select) re-inlines the whole signature expression per band — Spark
+    * does no cross-lambda subexpression elimination — costing
+    * O(bands × k × shingles) hashes per document instead of
+    * O(k × shingles). Measured 708s → sub-second at sf0.1.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32): DataFrame = {
+    // hash the shingle STRING once; per-seed hashes mix the resulting
+    // long with the seed (hashing 2 longs ≈ 30× cheaper than re-hashing
+    // the string k times)
+    val inv = df.select(col(idCol).as("id"),
+        explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("hb"))
+    val aggs = (0 until k).map(i =>
+      min(xxhash64(lit(i), col("hb"))).as(s"__h$i"))
+    inv.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"__h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys over materialized signatures, exploded to
+    * (id, band, bucket) — the inverted index.
     */
   def lshIndex(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame = {
-    val sh = TextFunctions.wordShingles(col(textCol), shingleN)
-    val sig = TextFunctions.minhashSignature(sh, k)
-    df.select(col(idCol).as("id"),
-        explode(TextFunctions.lshBandKeys(sig, k, bands)).as("bk"))
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame =
+    minhashSignatures(df, idCol, textCol, shingleN, k)
+      .select(col("id"),
+        explode(TextFunctions.lshBandKeys(col("sig"), k, bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-  }
 
   /** Candidate pairs from the LSH index: docs sharing any band bucket.
     * Buckets larger than `maxBucketSize` are excluded from pairing (their
@@ -59,11 +84,14 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val idx = lshIndex(df, idCol, textCol, shingleN, k, bands)
+    // persisted: the self-join would otherwise recompute the whole
+    // signature pipeline once per branch
     val small = idx
       .withColumn("sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("sz") <= maxBucketSize)
       .drop("sz")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = small.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = small.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -88,6 +116,7 @@ object Dedup {
       textCol: String, shingleN: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))

@@ -52,7 +52,7 @@ object SimilarityQueries {
     // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.
     "q_dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedupPairs(t(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.01, k = 32, bands = 16)
+        threshold = 0.01, k = 32, bands = 16, maxBucketSize = 200)
         .select(col("id_a"), col("id_b"), asLong(col("n_bands_matched"))
           .as("n_bands_matched"), col("jaccard"))
         .orderBy("id_a", "id_b")),
