@@ -5,9 +5,10 @@ import java.time.LocalDate
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.fetch.{CompanyPaginator, Fetcher}
 import graft.functions.EdgarFunctions
 import graft.ops.{ComboPlanner, EntryOps}
-import graft.sources.IndexReader
+import graft.sources.{CompanyIndexReader, IndexReader}
 
 /** The user-facing dispatcher mirroring `secedgar.core.filings.filings`
   * (`core/filings.py:12-193`): argument shape picks the query class.
@@ -79,7 +80,8 @@ object Filings {
 
   final case class CompanyQuery(lookups: Seq[String], filingType: Option[String],
       count: Option[Int], startDate: Option[LocalDate], endDate: Option[LocalDate],
-      ownership: String = "include", matchFormat: String = "ALL") extends FilingsQuery {
+      ownership: String = "include", matchFormat: String = "ALL",
+      batchSize: Int = 10) extends FilingsQuery {
     require(Seq("include", "exclude", "only").contains(ownership),
       s"Ownership must be 'include', 'exclude' or 'only'. Given $ownership")
     require(Seq("EXACT", "AMEND", "ALL").contains(matchFormat),
@@ -88,13 +90,41 @@ object Filings {
       if (!graft.model.FilingType.isValid(ft))
         throw new IllegalArgumentException(s"Filing type $ft is not valid")
     }
-    /** Company queries read browse-edgar page mirrors; see
-      * [[graft.sources.CompanyIndexReader]]. `entries` over an idx mirror
-      * resolves lookups → CIKs and filters the quarterly indexes instead.
+
+    /** Company filings over a mirrored browse-edgar page tree
+      * (`$root/browse-edgar/<cik>/start_<n>.xml`): drive the page loop,
+      * then the relational pipeline. See [[entriesFromPages]].
       */
-    def entries(spark: SparkSession, root: String): DataFrame =
-      throw new UnsupportedOperationException(
-        "CompanyQuery reads browse-edgar mirrors via CompanyIndexReader")
+    def entries(spark: SparkSession, root: String): DataFrame = {
+      val pages = CompanyPaginator.paginate(spark, lookups,
+        CompanyPaginator.mirrorUrl(root), Fetcher.local,
+        batchSize = batchSize, count = count, filingType = filingType)
+      entriesFromPages(pages)
+    }
+
+    /** The relational half, reusable against any page source (mirror,
+      * HTTP, fixture): parse → type filter + `.txt` rewrite → residual
+      * date/ownership/match-format predicates → per-CIK `count`
+      * truncation (`company.py:253-303`).
+      */
+    def entriesFromPages(pages: DataFrame): DataFrame = {
+      val parsed = CompanyIndexReader.parsePages(pages)
+      val typed = filingType match {
+        case Some(ft) => CompanyIndexReader.filterFilingLinks(parsed, ft)
+        case None => parsed
+          .withColumn("txt_url",
+            EdgarFunctions.accessionToTxtUrl(col("filinghref")))
+          .filter(col("filinghref").contains("-"))
+      }
+      val bounded = typed
+        .filter(startDate.map(d => col("date_filed") >=
+          lit(java.sql.Date.valueOf(d))).getOrElse(lit(true)))
+        .filter(endDate.map(d => col("date_filed") <=
+          lit(java.sql.Date.valueOf(d))).getOrElse(lit(true)))
+        .filter(CompanyIndexReader.ownershipPredicate(ownership))
+        .filter(CompanyIndexReader.matchFormatPredicate(matchFormat))
+      count.map(CompanyIndexReader.limitPerCompany(bounded, _)).getOrElse(bounded)
+    }
   }
 
   /** `filings(...)` dispatch (`core/filings.py:135-193`). */

@@ -104,6 +104,49 @@ object ParseQueries {
       "<filing><type>10-Q</type><filinghref>https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000303-index.htm</filinghref><datefiled>2021-04-29</datefiled><formname>Quarterly report</formname></filing>" +
       "</results></companyfilings>"
 
+  /** Multi-page browse-edgar mirror for the pagination pipeline
+    * (`company.py:269-303` semantics): CIK A needs two pages to reach
+    * `count` type-matches (page start_4 must never be requested), CIK B
+    * exhausts pagination via a missing page, CIK C returns an empty
+    * results page. batch_size = 2.
+    */
+  val paginatedPages: Map[String, String] = {
+    def page(cik: String, name: String, filings: Seq[(String, String, String)]) =
+      s"<companyfilings><companyinfo><cik>$cik</cik><name>$name</name>" +
+        "<sic>3711</sic></companyinfo><results>" +
+        filings.map { case (t, href, d) =>
+          s"<filing><type>$t</type><filinghref>$href</filinghref>" +
+            s"<datefiled>$d</datefiled><formname>x</formname></filing>"
+        }.mkString + "</results></companyfilings>"
+    def href(cik: String, acc: String) =
+      s"https://www.sec.gov/Archives/edgar/data/$cik/0000912057-21-$acc-index.htm"
+    Map(
+      "mem://0001000045/start_0" -> page("0001000045", "ACME CORP", Seq(
+        ("10-Q", href("1000045", "000601"), "2021-06-30"),
+        ("10-K", href("1000045", "000502"), "2021-05-15"))),
+      "mem://0001000045/start_2" -> page("0001000045", "ACME CORP", Seq(
+        ("10-Q", "BAD_LINK", "2021-04-28"),
+        ("10-Q", href("1000045", "000303"), "2021-04-29"))),
+      // start_4 exists but MUST NOT be fetched: count reached at start_2
+      "mem://0001000045/start_4" -> page("0001000045", "ACME CORP", Seq(
+        ("10-Q", href("1000045", "000101"), "2021-01-28"))),
+      "mem://0001000120/start_0" -> page("0001000120", "BETA FUND", Seq(
+        ("10-K", href("1000120", "000401"), "2021-03-01"),
+        ("10-Q", href("1000120", "000201"), "2021-02-10"))),
+      // 0001000120/start_2 missing → pagination exhausted
+      "mem://0001000200/start_0" -> page("0001000200", "GAMMA ENERGY",
+        Seq.empty))
+  }
+
+  /** In-memory FetchFn over [[paginatedPages]] (missing key → fetch error,
+    * the local-mirror analog of an absent page).
+    */
+  def memFetch(pages: Map[String, String]): graft.fetch.Fetcher.FetchFn =
+    url => pages.get(url) match {
+      case Some(x) => x.getBytes("UTF-8")
+      case None => throw new java.io.FileNotFoundException(url)
+    }
+
   /** company_tickers.json shape (`cik_lookup.py:10-37`). */
   val cikMapJson: String =
     """{"0":{"cik_str":1000045,"ticker":"ACME","title":"Acme Corp"},""" +
@@ -214,6 +257,23 @@ object ParseQueries {
       import s.implicits._
       RestReader.companyConcept(s.createDataset(Seq(conceptJson)).toDF("value"))
         .orderBy("unit", "accn")
+    }),
+
+    // company-filings pagination end-to-end: page loop with per-CIK early
+    // exit (count pushdown + exhaustion), then parse → type filter →
+    // residual predicates → per-CIK count truncation.
+    "q_company_paginate" -> ((s, _) => {
+      val cq = graft.api.Filings.CompanyQuery(
+        lookups = Seq("0001000045", "0001000120", "0001000200"),
+        filingType = Some("10-Q"), count = Some(3),
+        startDate = None, endDate = None, batchSize = 2)
+      val pages = graft.fetch.CompanyPaginator.paginate(s, cq.lookups,
+        (cik, start) => s"mem://$cik/start_$start", memFetch(paginatedPages),
+        batchSize = cq.batchSize, count = cq.count, filingType = cq.filingType)
+      cq.entriesFromPages(pages)
+        .select(col("cik"), col("company_name"), col("type"),
+          col("date_filed"), col("txt_url"))
+        .orderBy("cik", "txt_url")
     }),
 
     // combo planner decomposition (driver-side planning function; output
@@ -396,6 +456,23 @@ object ParseQueries {
         |  r."start" AS "start", r."end" AS "end"
         |FROM f ORDER BY unit, accn""".stripMargin.replace("%DOC%", j)
     },
+
+    // golden rows hand-derived from the paginatedPages fixture by the
+    // reference's loop semantics (`company.py:269-303`): CIK A reaches
+    // count=3 type-matches after page start_2 (BAD_LINK counts toward the
+    // early exit but is dropped from output), CIK B stops on the missing
+    // page, CIK C's empty page yields nothing.
+    "q_company_paginate" ->
+      """SELECT cik, company_name, type, CAST(date_filed AS DATE) AS date_filed, txt_url
+        |FROM (VALUES
+        |  ('0001000045', 'ACME CORP', '10-Q', '2021-04-29',
+        |   'https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000303.txt'),
+        |  ('0001000045', 'ACME CORP', '10-Q', '2021-06-30',
+        |   'https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000601.txt'),
+        |  ('0001000120', 'BETA FUND', '10-Q', '2021-02-10',
+        |   'https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt'))
+        |t(cik, company_name, type, date_filed, txt_url)
+        |ORDER BY cik, txt_url""".stripMargin,
 
     // golden decomposition verified against the reference algorithm
     // (`combo.py:137-199`) for 2020-01-06..2020-11-05, bp=30 — note the

@@ -85,4 +85,20 @@ object CompanyIndexReader {
     case "AMEND" => EdgarFunctions.isAmend(col("type"))
     case _ => lit(true) // ALL
   }
+
+  /** The insider-ownership form family the `ownership` request param
+    * (`company.py:229-235`) includes/excludes server-side: forms 3, 4, 5
+    * and their amendments.
+    */
+  private val ownershipForms = Seq("3", "3/A", "4", "4/A", "5", "5/A")
+
+  /** `ownership` option as a residual predicate for the mirrored tier:
+    * 'include' keeps everything, 'exclude' drops ownership forms, 'only'
+    * keeps nothing else.
+    */
+  def ownershipPredicate(ownership: String): Column = ownership match {
+    case "exclude" => !col("type").isin(ownershipForms: _*)
+    case "only" => col("type").isin(ownershipForms: _*)
+    case _ => lit(true) // include
+  }
 }

@@ -1,0 +1,93 @@
+package graft.fetch
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.api.Filings
+import graft.queries.ParseQueries
+
+/** Pagination-loop semantics per `core/company.py:269-303` and
+  * `tests/core/test_company.py:113+` (count truncation, pagination
+  * exhaustion).
+  */
+/** Fetch log shared across local-mode tasks (single test JVM); top-level
+  * so the fetch closure serializes without dragging the suite along.
+  */
+object FetchLog extends Serializable {
+  val urls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val loggingFetch: Fetcher.FetchFn = { url =>
+    urls.add(url)
+    ParseQueries.memFetch(ParseQueries.paginatedPages)(url)
+  }
+}
+
+class CompanyPaginatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def loggingFetch: Fetcher.FetchFn = FetchLog.loggingFetch
+
+  test("early exit: page past count is never requested; missing and empty " +
+    "pages stop pagination (company.py:287-293)") {
+    FetchLog.urls.clear()
+    val pages = CompanyPaginator.paginate(spark,
+      Seq("0001000045", "0001000120", "0001000200"),
+      (cik, start) => s"mem://$cik/start_$start", loggingFetch,
+      batchSize = 2, count = Some(3), filingType = Some("10-Q"),
+      globalRate = 1e6)
+    val got = pages.select("cik_key", "page_start").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    // A fetched two pages, B one (start_2 404s), C one empty page
+    assert(got == Set(("0001000045", 0), ("0001000045", 2),
+      ("0001000120", 0), ("0001000200", 0)))
+    val requested = FetchLog.urls.toArray.map(_.toString).toSet
+    // count reached for A at start_2 → start_4 never requested, even
+    // though the fixture has it
+    assert(!requested.contains("mem://0001000045/start_4"))
+    // B's missing page WAS requested (that's how exhaustion is detected)
+    assert(requested.contains("mem://0001000120/start_2"))
+    // C stopped after its single empty page
+    assert(!requested.exists(_.startsWith("mem://0001000200/start_2")))
+  }
+
+  test("count=None exhausts pagination instead of early-exiting") {
+    FetchLog.urls.clear()
+    val pages = CompanyPaginator.paginate(spark, Seq("0001000045"),
+      (cik, start) => s"mem://$cik/start_$start", loggingFetch,
+      batchSize = 2, count = None, filingType = Some("10-Q"),
+      globalRate = 1e6)
+    // start_4 has filings, start_6 is missing → 3 pages collected
+    assert(pages.count() == 3)
+    assert(FetchLog.urls.toArray.map(_.toString).toSet
+      .contains("mem://0001000045/start_6"))
+  }
+
+  test("entriesFromPages: type filter, BAD_LINK drop, per-CIK truncation") {
+    val cq = Filings.CompanyQuery(
+      lookups = Seq("0001000045", "0001000120", "0001000200"),
+      filingType = Some("10-Q"), count = Some(1),
+      startDate = None, endDate = None, batchSize = 2)
+    val pages = CompanyPaginator.paginate(spark, cq.lookups,
+      (cik, start) => s"mem://$cik/start_$start",
+      ParseQueries.memFetch(ParseQueries.paginatedPages),
+      batchSize = 2, count = Some(1), filingType = Some("10-Q"),
+      globalRate = 1e6)
+    val rows = cq.entriesFromPages(pages)
+      .select("cik", "txt_url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // count=1 → newest valid 10-Q per company
+    assert(rows == Set(
+      ("0001000045",
+        "https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000601.txt"),
+      ("0001000120",
+        "https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt")))
+  }
+
+  test("pageUrl builds the browse-edgar request (company.py:96-144)") {
+    val u = CompanyPaginator.pageUrl(
+      "https://www.sec.gov/cgi-bin/browse-edgar", "0000320193",
+      Some("10-K"), 20, 10, dateb = Some("20211231"))
+    assert(u == "https://www.sec.gov/cgi-bin/browse-edgar?" +
+      "action=getcompany&CIK=0000320193&type=10-K&dateb=20211231" +
+      "&ownership=include&count=10&start=20&output=atom")
+  }
+}
