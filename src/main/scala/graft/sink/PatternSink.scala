@@ -83,4 +83,70 @@ object PatternSink {
       }
     }
   }
+
+  /** Metadata-JSON sink (`parser.py:66-72,131-135`): one
+    * `{base}_{num}.metadata.json` per SEC-DOCUMENT (or
+    * `{base}/{num}.metadata.json` with `createSubdir`), bytes matching the
+    * reference's `json.dumps(metadata_dict, indent=2, sort_keys=True,
+    * ensure_ascii=False)` — the flat/nested/nested2 metadata keys merged
+    * into one object plus the `documents` list of per-document scalars.
+    * Runs fully parallel via `foreachPartition`, like [[writeExact]].
+    */
+  def writeMetadataJson(secDocs: org.apache.spark.sql.Dataset[graft.model.SecDocument],
+      directory: String, createSubdir: Boolean = false): Unit =
+    secDocs.foreachPartition { (rows: Iterator[graft.model.SecDocument]) =>
+      rows.foreach { d =>
+        val base = Paths.get(d.path).getFileName.toString.split("\\.txt")(0)
+        val (outDir, name) =
+          if (createSubdir) (Paths.get(directory, base), s"${d.secDocNum}.metadata.json")
+          else (Paths.get(directory), s"${base}_${d.secDocNum}.metadata.json")
+        Files.createDirectories(outDir)
+        Files.write(outDir.resolve(name),
+          metadataJson(d).getBytes(StandardCharsets.UTF_8))
+      }
+    }
+
+  /** Python-`json.dumps(indent=2, sort_keys=True, ensure_ascii=False)`
+    * rendering of a [[graft.model.SecDocument]]'s metadata dict.
+    */
+  def metadataJson(d: graft.model.SecDocument): String = {
+    val merged: Map[String, Any] =
+      d.flat ++ d.nested ++ d.nested2 ++ Map("documents" -> d.documents.map(e =>
+        Map("type" -> e.docType, "sequence" -> e.sequence,
+          "filename" -> e.filename)))
+    renderJson(merged, 0)
+  }
+
+  /** Minimal python-compatible JSON renderer: sorted keys, 2-space indent,
+    * `", "`/`": "` separators, non-ASCII passed through (ensure_ascii=False).
+    */
+  private def renderJson(v: Any, depth: Int): String = {
+    val pad = "  " * (depth + 1)
+    val close = "  " * depth
+    v match {
+      case m: Map[_, _] if m.isEmpty => "{}"
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+          .map { case (k, x) => s"$pad${jsonStr(k)}: ${renderJson(x, depth + 1)}" }
+          .mkString("{\n", ",\n", s"\n$close}")
+      case s: Seq[_] if s.isEmpty => "[]"
+      case s: Seq[_] =>
+        s.map(x => pad + renderJson(x, depth + 1))
+          .mkString("[\n", ",\n", s"\n$close]")
+      case null => "null"
+      case s: String => jsonStr(s)
+      case other => other.toString
+    }
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 }
