@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -24,7 +23,27 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
-  /** Exact cosine top-k: `queries(id, embedding)` × `corpus(id, embedding)`. */
+  /** Two-phase top-k merge shared by the exact and ANN paths: bounded-heap
+    * partial aggregation per (task, query) → k-way final merge → ranked
+    * explode. Shuffles O(tasks × |Q| × k) rows, never the candidate set.
+    * Ordering (sim desc, neighbor_id asc) matches the window formulation
+    * it replaced, so results are bit-identical.
+    */
+  private def topKMerge(cand: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    cand
+      .groupBy(col("query_id"))
+      .agg(topk(col("neighbor_id"), col("sim")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e._2").as("neighbor_id"),
+        (col("pos") + 1).as("rank"), col("e._1").as("sim"))
+  }
+
+  /** Exact cosine top-k: `queries(id, embedding)` × `corpus(id, embedding)`.
+    * The query side broadcasts; the corpus streams partition-parallel
+    * through the scoring projection straight into the bounded top-k
+    * aggregation — zero corpus shuffle.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       excludeSelf: Boolean = true): DataFrame = {
     val q = broadcast(queries.select(col("id").as("query_id"),
@@ -34,12 +53,7 @@ object Similarity {
     val joined = c.crossJoin(q)
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
       .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    topKMerge(joined, k)
   }
 
   /** Corpus exploded into one bucket key per LSH table: (table, bucket).
@@ -79,15 +93,10 @@ object Similarity {
           col("table"), explode(probeKeys(col("bucket"), nPlanes)).as("bucket")))
     val cand = bucketed.join(q, Seq("table", "bucket"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
-      // a pair found by several tables/probes is still one candidate
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("sim", VectorFunctions.cosine(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("sim"))
+    // a pair found by several tables/probes collapses to one entry inside
+    // the top-k buffer — no dropDuplicates shuffle needed
+    topKMerge(cand, k)
   }
 
   /** Embedding-cosine near-dup pairs within a blocking key (e.g. label or
