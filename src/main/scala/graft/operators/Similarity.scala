@@ -99,18 +99,65 @@ object Similarity {
     topKMerge(cand, k)
   }
 
-  /** Embedding-cosine near-dup pairs within a blocking key (e.g. label or
-    * LSH bucket): the embedding leg of the dedup suite.
+  /** Embedding-cosine near-dup pairs within a semantic blocking key, with
+    * adaptive sub-blocking — the guard against the quadratic bomb a
+    * popular block becomes at 100 TB:
+    *
+    *   - blocks of at most `maxBlockSize` rows: exact all-pairs. With many
+    *     small blocks (the common case) this is both exact and optimal —
+    *     output is bounded by Σ blockᵢ² ≤ maxBlockSize · n;
+    *   - larger blocks: LSH sub-blocking. Each row buckets into `nTables`
+    *     random-hyperplane sign keys; candidate pairs share (block, table,
+    *     bucket) directly or at hamming-1 (each row also probes its
+    *     single-bit-flip buckets); exact cosine verification follows. Cost
+    *     is linear in block size × tables; recall < 1 is the explicit,
+    *     documented tradeoff (levers: `nPlanes` down / `nTables` up), and
+    *     is asserted against exact ground truth in SimilaritySpec.
+    *
+    * Both paths verify with exact cosine, so precision is always 1.
     */
-  def cosineDupPairs(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col("id").as("id_a"),
-      col("embedding").as("e_a"))
-    val b = df.select(col(blockCol).as("blk"), col("id").as("id_b"),
-      col("embedding").as("e_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
+  def cosineDupPairs(df: DataFrame, blockCol: String, threshold: Double,
+      maxBlockSize: Int = 10000, nPlanes: Int = 6, nTables: Int = 8): DataFrame = {
+    val base = df.select(col(blockCol).as("blk"), col("id"), col("embedding"))
+      .withColumn("blk_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+
+    def verified(pairs: DataFrame): DataFrame = pairs
       .withColumn("sim", VectorFunctions.cosine(col("e_a"), col("e_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
+
+    // exact tier: all-pairs within bounded blocks
+    val small = base.filter(col("blk_n") <= maxBlockSize)
+    val exactPairs = verified(
+      small.select(col("blk"), col("id").as("id_a"), col("embedding").as("e_a"))
+        .join(small.select(col("blk"), col("id").as("id_b"),
+          col("embedding").as("e_b")), Seq("blk"))
+        .filter(col("id_a") < col("id_b")))
+
+    // LSH tier: linear-cost sub-blocking inside oversized blocks
+    val big = base.filter(col("blk_n") > maxBlockSize)
+    val bucketed = big.withColumn("t", explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("table"),
+          VectorFunctions.randomHyperplaneKey(col("embedding"), nPlanes, t)
+            .as("bucket"))): _*)))
+      .select(col("blk"), col("id"), col("embedding"),
+        col("t.table").as("table"), col("t.bucket").as("bucket"))
+    // the probing side also emits every hamming-1 flip of its own bucket,
+    // so pairs whose keys differ by one plane still collide
+    val probing = bucketed.withColumn("bucket",
+      explode(array((col("bucket") +: (0 until nPlanes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p)))): _*)))
+    val lshPairs = verified(
+      probing.select(col("blk"), col("table"), col("bucket"),
+        col("id").as("id_a"), col("embedding").as("e_a"))
+        .join(bucketed.select(col("blk"), col("table"), col("bucket"),
+          col("id").as("id_b"), col("embedding").as("e_b")),
+          Seq("blk", "table", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        // the same pair collides once per shared table/probe direction
+        .dropDuplicates("id_a", "id_b"))
+
+    exactPairs.unionByName(lshPairs)
   }
 }

@@ -54,4 +54,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.as[(Long, Long, Double)].collect()
       .forall { case (a, b, _) => labels(a) == labels(b) && a < b })
   }
+
+  test("cosineDupPairs LSH sub-blocking: precision 1 and recall vs exact " +
+    "ground truth when a block exceeds maxBlockSize") {
+    // one giant block → maxBlockSize=1 forces every row down the LSH tier
+    val oneBlock = emb.withColumn("blk", lit(0))
+    val exact = Similarity.cosineDupPairs(oneBlock, "blk", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineDupPairs(oneBlock, "blk", 0.3,
+      maxBlockSize = 1, nPlanes = 6, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // exact cosine verification → no false positives, ever
+    assert(lsh.subsetOf(exact), "LSH tier produced a non-pair")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    // threshold 0.3 (~72° apart) is the hardest regime for sign-LSH;
+    // multi-table + hamming-1 probing must still recover a solid majority
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
 }
