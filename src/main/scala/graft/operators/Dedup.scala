@@ -84,17 +84,21 @@ object Dedup {
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val idx = lshIndex(df, idCol, textCol, shingleN, k, bands)
-    // persisted: the self-join would otherwise recompute the whole
-    // signature pipeline once per branch
-    val small = idx
+    // single-branch pair generation — no self-join, no persist: after the
+    // window's size filter each surviving bucket collapses to an id array
+    // (bounded by maxBucketSize, so agg buffers are safe), and pairs come
+    // from a double explode within the row. The groupBy and collect_list
+    // reuse the window's (band, bucket) partitioning, so the whole
+    // candidate step is ONE shuffle of the index and nothing is left
+    // pinned in the cache manager afterwards.
+    idx
       .withColumn("sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("sz") <= maxBucketSize)
-      .drop("sz")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = small.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = small.select(col("band"), col("bucket"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bucket"))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands_matched"))
@@ -114,9 +118,14 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle only the docs that actually appear in a candidate pair — at
+    // scale that's the small fraction surviving LSH, not the corpus, so
+    // no persist is needed and nothing stays pinned in the cache manager
+    val ids = pairs.select(col("id_a").as("__id"))
+      .union(pairs.select(col("id_b").as("__id"))).distinct()
+    val sh = df.join(ids, col(idCol) === col("__id"), "left_semi")
+      .select(col(idCol).as("__id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
