@@ -170,6 +170,26 @@ object ParseQueries {
       """{"val":1375000.5,"accn":"0000912057-21-000303","fy":2021,"fp":"Q2","form":"10-Q","filed":"2021-04-29","start":"2021-01-01","end":"2021-03-27"}],""" +
       """"EUR":[{"val":990000.25,"accn":"0000912057-21-000404","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":"2020-10-01","end":"2020-12-26"}]}}"""
 
+  /** data.sec.gov companyfacts JSON (`rest.py:126-156` shape): two
+    * taxonomies, tags with multi-unit facts.
+    */
+  val factsJson: String =
+    """{"cik":1000045,"entityName":"ACME CORP","facts":{""" +
+      """"dei":{"EntityCommonStockSharesOutstanding":{"label":"Entity Common Stock, Shares Outstanding","units":{""" +
+      """"shares":[{"val":16000000.0,"accn":"0000912057-21-000101","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":null,"end":"2020-12-26"}]}}},""" +
+      """"us-gaap":{"AccountsPayableCurrent":{"label":"Accounts Payable, Current","units":{""" +
+      """"USD":[{"val":1250000.0,"accn":"0000912057-21-000101","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":"2020-10-01","end":"2020-12-26"},""" +
+      """{"val":1375000.5,"accn":"0000912057-21-000303","fy":2021,"fp":"Q2","form":"10-Q","filed":"2021-04-29","start":"2021-01-01","end":"2021-03-27"}]}},""" +
+      """"Revenues":{"label":"Revenues","units":{""" +
+      """"USD":[{"val":9900000.25,"accn":"0000912057-21-000202","fy":2020,"fp":"FY","form":"10-K","filed":"2021-02-26","start":"2020-01-01","end":"2020-12-31"}]}}}}}"""
+
+  /** data.sec.gov XBRL frames JSON (`rest.py:159-205` shape). */
+  val framesJson: String =
+    """{"taxonomy":"us-gaap","tag":"AccountsPayableCurrent","ccp":"CY2021Q1I","uom":"USD","pts":3,"data":[""" +
+      """{"accn":"0000912057-21-000101","cik":1000045,"entityName":"ACME CORP","loc":"US-CA","start":"2021-01-01","end":"2021-03-31","val":1250000.0},""" +
+      """{"accn":"0000912057-21-000555","cik":1000120,"entityName":"BETA FUND TRUST","loc":"US-NY","start":"2021-01-01","end":"2021-03-31","val":88000.5},""" +
+      """{"accn":"0000912057-21-000666","cik":1000200,"entityName":"GAMMA ENERGY INC","loc":"US-TX","start":"2021-01-01","end":"2021-03-31","val":4200000.75}]}"""
+
   // --- queries -------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -257,6 +277,20 @@ object ParseQueries {
       import s.implicits._
       RestReader.companyConcept(s.createDataset(Seq(conceptJson)).toDF("value"))
         .orderBy("unit", "accn")
+    }),
+
+    // REST company facts: taxonomy map → tag map → unit facts, 3 explodes.
+    "q_rest_facts" -> ((s, _) => {
+      import s.implicits._
+      RestReader.companyFacts(s.createDataset(Seq(factsJson)).toDF("value"))
+        .orderBy("taxonomy", "tag", "accn")
+    }),
+
+    // REST XBRL frames: one row per (frame, entity).
+    "q_rest_frames" -> ((s, _) => {
+      import s.implicits._
+      RestReader.frames(s.createDataset(Seq(framesJson)).toDF("value"))
+        .orderBy("accn")
     }),
 
     // company-filings pagination end-to-end: page loop with per-CIK early
@@ -455,6 +489,48 @@ object ParseQueries {
         |  r.fy AS fy, r.fp AS fp, r.form AS form, r.filed AS filed,
         |  r."start" AS "start", r."end" AS "end"
         |FROM f ORDER BY unit, accn""".stripMargin.replace("%DOC%", j)
+    },
+
+    "q_rest_facts" -> {
+      val j = sq(factsJson)
+      """WITH j(x) AS (VALUES (%DOC%)),
+        |tx AS (SELECT x, unnest(json_keys(x, '$.facts')) AS taxonomy FROM j),
+        |tg AS (SELECT x, taxonomy,
+        |  unnest(json_keys(x, '$.facts.' || taxonomy)) AS tag FROM tx),
+        |un AS (SELECT x, taxonomy, tag,
+        |  json_extract_string(x, '$.facts.' || taxonomy || '.' || tag || '.label') AS label,
+        |  unnest(json_keys(x, '$.facts.' || taxonomy || '.' || tag || '.units')) AS unit
+        |  FROM tg),
+        |f AS (SELECT
+        |  json_extract_string(x, '$.cik') AS cik,
+        |  json_extract_string(x, '$.entityName') AS entity_name,
+        |  taxonomy, tag, label, unit,
+        |  unnest(CAST(json_extract(x, '$.facts.' || taxonomy || '.' || tag || '.units.' || unit)
+        |    AS STRUCT(val DOUBLE, accn VARCHAR, fy BIGINT, fp VARCHAR,
+        |      form VARCHAR, filed VARCHAR, "start" VARCHAR, "end" VARCHAR)[])) AS r
+        |FROM un)
+        |SELECT cik, entity_name, taxonomy, tag, label, unit, r.val AS val,
+        |  r.accn AS accn, r.fy AS fy, r.fp AS fp, r.form AS form,
+        |  r.filed AS filed, r."start" AS "start", r."end" AS "end"
+        |FROM f ORDER BY taxonomy, tag, accn""".stripMargin.replace("%DOC%", j)
+    },
+
+    "q_rest_frames" -> {
+      val j = sq(framesJson)
+      """WITH j(x) AS (VALUES (%DOC%)),
+        |f AS (SELECT
+        |  json_extract_string(x, '$.taxonomy') AS taxonomy,
+        |  json_extract_string(x, '$.tag') AS tag,
+        |  json_extract_string(x, '$.ccp') AS ccp,
+        |  json_extract_string(x, '$.uom') AS uom,
+        |  unnest(CAST(json_extract(x, '$.data')
+        |    AS STRUCT(accn VARCHAR, cik BIGINT, entityName VARCHAR,
+        |      loc VARCHAR, "start" VARCHAR, "end" VARCHAR, val DOUBLE)[])) AS d
+        |FROM j)
+        |SELECT taxonomy, tag, ccp, uom, CAST(d.cik AS VARCHAR) AS cik,
+        |  d.entityName AS entity_name, d.val AS val, d.accn AS accn,
+        |  d."end" AS "end"
+        |FROM f ORDER BY accn""".stripMargin.replace("%DOC%", j)
     },
 
     // golden rows hand-derived from the paginatedPages fixture by the
