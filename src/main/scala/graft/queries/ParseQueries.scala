@@ -170,6 +170,28 @@ object ParseQueries {
       """{"val":1375000.5,"accn":"0000912057-21-000303","fy":2021,"fp":"Q2","form":"10-Q","filed":"2021-04-29","start":"2021-01-01","end":"2021-03-27"}],""" +
       """"EUR":[{"val":990000.25,"accn":"0000912057-21-000404","fy":2021,"fp":"Q1","form":"10-Q","filed":"2021-01-28","start":"2020-10-01","end":"2020-12-26"}]}}"""
 
+  /** Submissions document whose `filings.files[]` names one continuation
+    * file (`rest.py:59-88` recent=False path).
+    */
+  val submissionsFilesJson: String =
+    """{"cik":"0001000045","name":"ACME CORP","filings":{"recent":{""" +
+      """"accessionNumber":["0000912057-21-000101","0000912057-21-000202"],""" +
+      """"form":["10-Q","10-K"],""" +
+      """"filingDate":["2021-01-28","2021-02-26"],""" +
+      """"reportDate":["2020-12-26","2020-12-31"],""" +
+      """"primaryDocument":["acme-q1.htm","acme-10k.htm"],""" +
+      """"isXBRL":[1,1]},""" +
+      """"files":[{"name":"CIK0001000045-submissions-001.json","filingCount":2}]}}"""
+
+  /** Continuation document: a bare recent-shaped object (`rest.py:82-84`). */
+  val submissionsContJson: String =
+    """{"accessionNumber":["0000912057-19-000777","0000912057-18-000888"],""" +
+      """"form":["8-K","10-K"],""" +
+      """"filingDate":["2019-06-01","2018-02-20"],""" +
+      """"reportDate":["2019-05-28","2017-12-31"],""" +
+      """"primaryDocument":["acme-8k.htm","acme-10k17.htm"],""" +
+      """"isXBRL":[1,0]}"""
+
   /** data.sec.gov companyfacts JSON (`rest.py:126-156` shape): two
     * taxonomies, tags with multi-unit facts.
     */
@@ -277,6 +299,18 @@ object ParseQueries {
       import s.implicits._
       RestReader.companyConcept(s.createDataset(Seq(conceptJson)).toDF("value"))
         .orderBy("unit", "accn")
+    }),
+
+    // REST continuation fan-out (recent=False): filings.files[] fetched,
+    // parsed as bare recent-shaped docs, unioned with the recent block.
+    "q_rest_continuation" -> ((s, _) => {
+      import s.implicits._
+      val raw = s.createDataset(Seq(submissionsFilesJson)).toDF("value")
+      RestReader.submissionsAll(raw,
+        memFetch(Map("mem://submissions/CIK0001000045-submissions-001.json" ->
+          submissionsContJson)),
+        name => s"mem://submissions/$name", globalRate = 1e6)
+        .orderBy("accession_number")
     }),
 
     // REST company facts: taxonomy map → tag map → unit facts, 3 explodes.
@@ -489,6 +523,38 @@ object ParseQueries {
         |  r.fy AS fy, r.fp AS fp, r.form AS form, r.filed AS filed,
         |  r."start" AS "start", r."end" AS "end"
         |FROM f ORDER BY unit, accn""".stripMargin.replace("%DOC%", j)
+    },
+
+    "q_rest_continuation" -> {
+      val m = sq(submissionsFilesJson)
+      val c = sq(submissionsContJson)
+      """WITH m(x) AS (VALUES (%MAIN%)), cf(y) AS (VALUES (%CONT%)),
+        |r AS (
+        |  SELECT json_extract_string(x, '$.cik') AS cik,
+        |    json_extract_string(x, '$.name') AS name,
+        |    CAST(json_extract(x, '$.filings.recent.accessionNumber') AS VARCHAR[]) AS accs,
+        |    CAST(json_extract(x, '$.filings.recent.form') AS VARCHAR[]) AS forms,
+        |    CAST(json_extract(x, '$.filings.recent.filingDate') AS VARCHAR[]) AS fdates,
+        |    CAST(json_extract(x, '$.filings.recent.reportDate') AS VARCHAR[]) AS rdates,
+        |    CAST(json_extract(x, '$.filings.recent.primaryDocument') AS VARCHAR[]) AS docs,
+        |    CAST(json_extract(x, '$.filings.recent.isXBRL') AS BIGINT[]) AS xbrl
+        |  FROM m
+        |  UNION ALL
+        |  SELECT (SELECT json_extract_string(x, '$.cik') FROM m),
+        |    (SELECT json_extract_string(x, '$.name') FROM m),
+        |    CAST(json_extract(y, '$.accessionNumber') AS VARCHAR[]),
+        |    CAST(json_extract(y, '$.form') AS VARCHAR[]),
+        |    CAST(json_extract(y, '$.filingDate') AS VARCHAR[]),
+        |    CAST(json_extract(y, '$.reportDate') AS VARCHAR[]),
+        |    CAST(json_extract(y, '$.primaryDocument') AS VARCHAR[]),
+        |    CAST(json_extract(y, '$.isXBRL') AS BIGINT[])
+        |  FROM cf)
+        |SELECT cik, name, accs[i] AS accession_number, forms[i] AS form,
+        |  CAST(fdates[i] AS DATE) AS filing_date, rdates[i] AS report_date,
+        |  docs[i] AS primary_document, xbrl[i] AS is_xbrl
+        |FROM r, unnest(generate_series(1, len(accs))) t(i)
+        |ORDER BY accession_number""".stripMargin
+        .replace("%MAIN%", m).replace("%CONT%", c)
     },
 
     "q_rest_facts" -> {

@@ -36,23 +36,60 @@ object RestReader {
         StructField("name", StringType),
         StructField("filingCount", LongType))))))))))
 
+  /** Zip-explode a recent-shaped struct column (parallel arrays → rows);
+    * shared by the `recent` block and continuation documents.
+    */
+  private def zipRecent(df: DataFrame, recentCol: Column): DataFrame =
+    df.select(col("cik"), col("name"),
+      explode(arrays_zip(
+        recentCol.getField("accessionNumber").as("accession_number"),
+        recentCol.getField("form").as("form"),
+        recentCol.getField("filingDate").as("filing_date"),
+        recentCol.getField("reportDate").as("report_date"),
+        recentCol.getField("primaryDocument").as("primary_document"),
+        recentCol.getField("isXBRL").as("is_xbrl"))).as("f"))
+      .select(col("cik"), col("name"), col("f.*"))
+      .withColumn("filing_date", to_date(col("filing_date"), "yyyy-MM-dd"))
+
   /** The `recent` block's parallel arrays, one row per filing. Continuation
     * documents (`filings.files[]`, fetched separately) share the flat shape
     * of `recent` and union straight in.
     */
   def submissions(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed = raw.select(from_json(col(jsonCol), submissionsType).as("s"))
-    parsed.select(
-      col("s.cik").as("cik"), col("s.name").as("name"),
-      explode(arrays_zip(
-        col("s.filings.recent.accessionNumber").as("accession_number"),
-        col("s.filings.recent.form").as("form"),
-        col("s.filings.recent.filingDate").as("filing_date"),
-        col("s.filings.recent.reportDate").as("report_date"),
-        col("s.filings.recent.primaryDocument").as("primary_document"),
-        col("s.filings.recent.isXBRL").as("is_xbrl"))).as("f"))
-      .select(col("cik"), col("name"), col("f.*"))
-      .withColumn("filing_date", to_date(col("filing_date"), "yyyy-MM-dd"))
+      .select(col("s.cik").as("cik"), col("s.name").as("name"),
+        col("s.filings.recent").as("r"))
+    zipRecent(parsed, col("r"))
+  }
+
+  /** `recent=False` (`rest.py:59-88`): fan out to the continuation files
+    * named in `filings.files[]`, parse each as a bare recent-shaped
+    * document, and union with the recent rows. The reference concatenates
+    * the parallel arrays driver-side (`_combine_dicts`, `rest.py:27-48`);
+    * here every continuation document explodes to rows independently on
+    * executors and the union is order-free — no driver-side merge state.
+    *
+    * @param urlFor continuation file name → URL
+    *               (`rest.py:82`: `url_base + files[i].name`).
+    */
+  def submissionsAll(raw: DataFrame, fetch: graft.fetch.Fetcher.FetchFn,
+      urlFor: String => String, globalRate: Double = 10.0,
+      jsonCol: String = "value"): DataFrame = {
+    val parsed = raw.select(from_json(col(jsonCol), submissionsType).as("s"))
+    val entities = parsed
+      .select(col("s.cik").as("cik"), col("s.name").as("name")).distinct()
+    val toUrl = udf(urlFor)
+    val work = parsed
+      .select(col("s.cik").as("key"), explode(col("s.filings.files")).as("f"))
+      .select(col("key"), toUrl(col("f.name")).as("url"))
+    val cont = graft.fetch.Fetcher.fetchAll(work, fetch, globalRate)
+      .filter(col("error").isNull)
+      .select(col("key").as("cik"),
+        from_json(col("content").cast(StringType), recentType).as("r"))
+      // continuation documents carry no cik/name — re-key from the parent
+      // submissions row (entity dim is small → broadcast)
+      .join(broadcast(entities), Seq("cik"), "left")
+    submissions(raw, jsonCol).unionByName(zipRecent(cont, col("r")))
   }
 
   // --- company concept (`rest.py:91-123`) ----------------------------------
