@@ -212,6 +212,39 @@ object ParseQueries {
       """{"accn":"0000912057-21-000555","cik":1000120,"entityName":"BETA FUND TRUST","loc":"US-NY","start":"2021-01-01","end":"2021-03-31","val":88000.5},""" +
       """{"accn":"0000912057-21-000666","cik":1000200,"entityName":"GAMMA ENERGY INC","loc":"US-TX","start":"2021-01-01","end":"2021-03-31","val":4200000.75}]}"""
 
+  /** Deterministic in-memory `.nc.tar.gz` builder (fixture for the bulk
+    * feed scan; entry mtimes pinned to epoch so bytes are reproducible).
+    */
+  def buildTarGz(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    import org.apache.commons.compress.compressors.gzip.GzipCompressorOutputStream
+    val bos = new java.io.ByteArrayOutputStream()
+    val tar = new TarArchiveOutputStream(new GzipCompressorOutputStream(bos))
+    members.foreach { case (name, bytes) =>
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length)
+      e.setModTime(0L)
+      tar.putArchiveEntry(e)
+      tar.write(bytes)
+      tar.closeArchiveEntry()
+    }
+    tar.close()
+    bos.toByteArray
+  }
+
+  /** Feed-archive fixture (`_index.py:291-303` member-ending semantics):
+    * one accession present as both `.nc` and `.corr01` (the `.nc` must
+    * win), one as `.corr02` only, one stray non-feed member (dropped).
+    */
+  def feedTarMembers: Seq[(String, Array[Byte])] = Seq(
+    "0000950131-94-000021.nc" ->
+      "<SEC-DOCUMENT>doc A nc</SEC-DOCUMENT>".getBytes("UTF-8"),
+    "0000950131-94-000021.corr01" ->
+      "<SEC-DOCUMENT>doc A corr</SEC-DOCUMENT>".getBytes("UTF-8"),
+    "0000912057-94-000123.corr02" ->
+      "<SEC-DOCUMENT>doc B corr02</SEC-DOCUMENT>".getBytes("UTF-8"),
+    "feed-manifest.json" -> "{}".getBytes("UTF-8"))
+
   // --- queries -------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -299,6 +332,31 @@ object ParseQueries {
       import s.implicits._
       RestReader.companyConcept(s.createDataset(Seq(conceptJson)).toDF("value"))
         .orderBy("unit", "accn")
+    }),
+
+    // bulk tar feed scan: binaryFile → streaming untar → member-ending
+    // resolution (.nc over .corr01-04) → re-key to the {cik}/{accession}
+    // tree via the day's entries.
+    "q_tar_feed" -> ((s, _) => {
+      import s.implicits._
+      // materialize the deterministic fixture archive so the real
+      // binaryFile scan path runs end-to-end
+      val dir = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_feed_fixture")
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("19940103.nc.tar.gz"),
+        buildTarGz(feedTarMembers))
+      val members = graft.sources.TarFeedReader.readTarMembers(
+        s, dir.toString + "/*.nc.tar.gz")
+      val entries = Seq(
+        ("29082", "edgar/data/29082/0000950131-94-000021.txt"),
+        ("912057", "edgar/data/912057/0000912057-94-000123.txt"))
+        .toDF("cik", "file_name")
+      graft.sources.TarFeedReader.rekey(
+        graft.sources.TarFeedReader.resolveMembers(members), entries)
+        .select(col("cik"), col("accession_number"), col("ending"),
+          col("content").cast(StringType).as("text"))
+        .orderBy("accession_number")
     }),
 
     // REST continuation fan-out (recent=False): filings.files[] fetched,
@@ -524,6 +582,17 @@ object ParseQueries {
         |  r."start" AS "start", r."end" AS "end"
         |FROM f ORDER BY unit, accn""".stripMargin.replace("%DOC%", j)
     },
+
+    // golden member resolution per `_index.py:291-303`: `.nc` beats
+    // `.corr01` for the same accession; stray non-feed members dropped.
+    "q_tar_feed" ->
+      """SELECT cik, accession_number, ending, text FROM (VALUES
+        |  ('912057', '0000912057-94-000123.txt', 'corr02',
+        |   '<SEC-DOCUMENT>doc B corr02</SEC-DOCUMENT>'),
+        |  ('29082', '0000950131-94-000021.txt', 'nc',
+        |   '<SEC-DOCUMENT>doc A nc</SEC-DOCUMENT>'))
+        |t(cik, accession_number, ending, text)
+        |ORDER BY accession_number""".stripMargin,
 
     "q_rest_continuation" -> {
       val m = sq(submissionsFilesJson)
