@@ -90,6 +90,33 @@ object EntryOps {
       .select(col("lookup"), col("cik"))
   }
 
+  /** [[resolveCiks]] plus the reference's HTML-scrape fallback
+    * (`cik_lookup.py:107-174`): lookups the ticker/title maps miss fetch
+    * their browse-edgar company page through the rate-limited fetch layer
+    * and scrape with [[graft.sources.CikScraper]]. Multiple-candidate
+    * pages warn-and-skip (scrape yields null → dropped), no-result pages
+    * likewise. The unresolved fraction is tiny relative to the lookup
+    * set, so the fetch fan-out stays small; map hits and digit CIKs never
+    * touch the network (`test_cik_lookup.py:119-128` bypass semantics).
+    */
+  def resolveCiksWithFallback(lookups: DataFrame, cikMap: DataFrame,
+      fetch: graft.fetch.Fetcher.FetchFn, urlFor: String => String,
+      globalRate: Double = 10.0): DataFrame = {
+    val resolved = resolveCiks(lookups, cikMap)
+    val unresolved = lookups
+      .join(resolved.select("lookup"), Seq("lookup"), "left_anti")
+    val toUrl = udf(urlFor)
+    val scrapeCik = udf(graft.sources.CikScraper.scrapeCikOrNull _)
+    val scraped = graft.fetch.Fetcher.fetchAll(
+      unresolved.select(col("lookup").as("key"), toUrl(col("lookup")).as("url")),
+      fetch, globalRate)
+      .filter(col("error").isNull)
+      .select(col("key").as("lookup"),
+        scrapeCik(col("content").cast("string")).as("cik"))
+      .filter(col("cik").isNotNull)
+    resolved.unionByName(scraped)
+  }
+
   /** Per-key `count` limit (`core/company.py:287-303`): top-k per group via
     * row_number — NOT a global limit. `order` must be total for
     * deterministic output.
