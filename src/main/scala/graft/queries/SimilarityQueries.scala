@@ -72,7 +72,48 @@ object SimilarityQueries {
         .select(col("doc_id"),
           graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // containment gate for the xxhash64-based MinHash sketch: every exact
+    // n-gram-Jaccard pair >= 0.4 over the FULL corpus must appear in the
+    // LSH candidate set (P(miss) < 1e-18 per pair at k=32, bands=16 —
+    // misses mean a broken sketch, not bad luck). The oracle pins the
+    // exact pairs AND covered=true, turning the rows-only sketch into a
+    // checked guarantee.
+    "q_minhash_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gt = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"), lit(true).as("covered"))
+      gt.join(cand, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("jaccard"),
+          coalesce(col("covered"), lit(false)).as("covered"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // containment gate for SimHash: exact-duplicate docs (constructed by
+    // re-keying a copy of five docs, plus any organic dups) have identical
+    // sketches, so the banded join MUST find them at hamming 0 — the
+    // pigeonhole guarantee the operator is built on, oracle-pinned.
+    "q_simhash_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      val gt = all.select(col("doc_id").as("id_a"), col("text"))
+        .join(all.select(col("doc_id").as("id_b"), col("text")), Seq("text"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val sp = Dedup.simhashPairs(all, "doc_id", "text", hammingMax = 3)
+        .select(col("id_a"), col("id_b"), lit(true).as("covered"),
+          col("hamming").cast(LongType).as("hamming"))
+      gt.join(sp, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("covered"), lit(false)).as("covered"),
+          col("hamming"))
+        .orderBy("id_a", "id_b")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +137,32 @@ object SimilarityQueries {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_inner_product(a.v, b.v) /
         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard, TRUE AS covered
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash_containment" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 5)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS covered,
+        |  CAST(0 AS BIGINT) AS hamming
+        |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
