@@ -174,6 +174,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Relational SimHash (the scale path for
+    * [[graft.functions.TextFunctions.simhash64]]): explode tokens, hash
+    * each string ONCE, then 64 bit-vote sums as map-side partial
+    * aggregations — fully codegen'd, no higher-order functions, shuffle of
+    * 64 counters per doc. The Column HOF form re-evaluates the token hash
+    * per bit (64× the string hashing; HOFs are interpreted and share no
+    * subexpressions across lambdas — the same trap measured in
+    * [[minhashSignatures]]). Values are identical: same per-token
+    * xxhash64 votes, same sign rule, empty docs sketch to 0.
+    */
+  def simhashSketches(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inv = df
+      .select(col(idCol).as("id"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"__v$b"))
+    inv.groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, x) => a.bitwiseOR(x)).as("sketch"))
+  }
+
   /** SimHash near-dup pairs with a hamming bound: split the 64-bit sketch
     * into `hammingMax + 1` bands — pigeonhole guarantees any pair within
     * `hammingMax` agrees on at least one exact band — join per band,
@@ -183,8 +209,7 @@ object Dedup {
       hammingMax: Int = 3): DataFrame = {
     val nBands = hammingMax + 1
     val width = 64 / nBands
-    val withSketch = df.select(col(idCol).as("id"),
-      TextFunctions.simhash64(col(textCol)).as("sketch"))
+    val withSketch = simhashSketches(df, idCol, textCol)
     val banded = withSketch.select(col("id"), col("sketch"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),

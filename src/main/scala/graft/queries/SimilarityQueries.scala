@@ -68,9 +68,8 @@ object SimilarityQueries {
     // SimHash sketches (banded for hamming-bounded joins); rows-only —
     // pair semantics asserted in ScalaTest with constructed near-dups.
     "q_simhash_sketch" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          graft.functions.TextFunctions.simhash64(col("text")).as("simhash"))
+      Dedup.simhashSketches(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("sketch").as("simhash"))
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
@@ -101,8 +100,12 @@ object SimilarityQueries {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val all = docs.unionByName(docs.filter(col("doc_id") < 5)
         .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-      val gt = all.select(col("doc_id").as("id_a"), col("text"))
-        .join(all.select(col("doc_id").as("id_b"), col("text")), Seq("text"))
+      // join on the content hash, not the text — shuffles 16 bytes per
+      // row instead of whole documents (pair set is identical)
+      val hashed = all.select(col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("ch"))
+      val gt = hashed.select(col("doc_id").as("id_a"), col("ch"))
+        .join(hashed.select(col("doc_id").as("id_b"), col("ch")), Seq("ch"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"))
       val sp = Dedup.simhashPairs(all, "doc_id", "text", hammingMax = 3)
