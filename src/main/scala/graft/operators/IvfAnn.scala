@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) approximate-nearest-neighbor — the second scale
+  * path for embedding search beside [[Similarity.lshTopK]]:
+  *
+  *   1. a coarse quantizer partitions the corpus into `nlist` cells
+  *      (k-means trained with deterministic seeding and a few Lloyd
+  *      iterations, each one DataFrame aggregation);
+  *   2. the corpus is assigned map-side against broadcast centroids
+  *      (`nlist × dim` doubles — KBs, never a shuffle);
+  *   3. each query probes its `nprobe` nearest cells and exact-reranks
+  *      inside them via the bounded-heap top-k merge.
+  *
+  * At 100 TB the assigned index is written once, partitioned by `cell`,
+  * so a probe scans `nprobe / nlist` of the corpus (partition pruning on
+  * the cell key); training runs on a sample. Recall lever: `nprobe` up.
+  *
+  * The argmin kernels are Scala UDFs on purpose: an argmin over `nlist`
+  * literal arrays as a Column expression defeats codegen limits, and the
+  * tight primitive loop here is the "genuine per-partition imperative
+  * logic" case — everything around it stays relational.
+  */
+object IvfAnn {
+
+  private def sqDist(c: Array[Double], e: Seq[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < c.length) {
+      val d = c(i) - e(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Index of the nearest centroid. */
+  def nearestCell(cents: Array[Array[Double]], e: Seq[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val d = sqDist(cents(i), e)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Indexes of the `nprobe` nearest centroids (ascending distance). */
+  def nearestCells(cents: Array[Array[Double]], e: Seq[Float],
+      nprobe: Int): Array[Int] =
+    cents.indices.map(i => (sqDist(cents(i), e), i)).sorted
+      .take(nprobe).map(_._2).toArray
+
+  /** Deterministic k-means: seeds are the `nlist` corpus vectors ranked by
+    * `xxhash64(id)` (reproducible pseudo-random, no RNG state), then
+    * `iters` Lloyd steps — assignment map-side vs broadcast centroids, new
+    * means via one (cell, dim) aggregation. Empty cells keep their old
+    * centroid.
+    */
+  def trainCentroids(corpus: DataFrame, nlist: Int,
+      iters: Int = 2): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = corpus
+      .select(col("id"), col("embedding"))
+      .orderBy(xxhash64(col("id").cast("string")), col("id"))
+      .limit(nlist)
+      .select(col("embedding")).as[Array[Float]].collect()
+      .map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
+      val stats = corpus
+        .select(assign(col("embedding")).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      stats.foreach { r =>
+        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
+          r.getAs[Double]("s") / r.getAs[Long]("n")
+      }
+      bc.unpersist()
+      cents = next
+    }
+    cents
+  }
+
+  /** IVF top-k: probe `nprobe` cells per query, exact cosine rerank,
+    * bounded-heap merge. Same output shape as [[Similarity.bruteForceTopK]].
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(trainCentroids(corpus, nlist, iters))
+    val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
+    val probes = udf((e: Seq[Float]) => nearestCells(bc.value, e, nprobe))
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("c_nrm"),
+      assign(col("embedding")).as("cell"))
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_nrm"),
+      explode(probes(col("embedding"))).as("cell")))
+    val cand = c.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+    Similarity.topKMerge(cand, k)
+  }
+}

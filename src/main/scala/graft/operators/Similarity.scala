@@ -29,7 +29,7 @@ object Similarity {
     * Ordering (sim desc, neighbor_id asc) matches the window formulation
     * it replaced, so results are bit-identical.
     */
-  private def topKMerge(cand: DataFrame, k: Int): DataFrame = {
+  private[operators] def topKMerge(cand: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k))
     cand
       .groupBy(col("query_id"))

@@ -47,6 +47,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF ANN (k-means coarse quantizer, nprobe cells, exact rerank) —
+    // the second scale path; no SQL oracle (iterative float means), recall
+    // vs brute force asserted in ScalaTest.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.IvfAnn.ivfTopK(e.filter(col("id") < 5), e, 5,
+        nlist = 16, nprobe = 6)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MinHash+LSH near-dup candidates, exact-Jaccard verified. xxhash64
     // signatures are not SQL-expressible → rows-only; the *verifier*
     // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.

@@ -55,6 +55,25 @@ class SimilaritySpec extends AnyFunSuite {
       .forall { case (a, b, _) => labels(a) == labels(b) && a < b })
   }
 
+  test("IVF ANN recall vs brute force (k-means cells, nprobe probing)") {
+    val q = emb.filter($"id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = IvfAnn.ivfTopK(q, emb, 3, nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // uniform random embeddings are IVF's worst case (neighbors barely
+    // cluster): recall must still clearly beat the ~50% scan fraction of
+    // probing 4 of 8 cells
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("IVF centroid training is deterministic across runs") {
+    val a = IvfAnn.trainCentroids(emb, 8, iters = 2)
+    val b = IvfAnn.trainCentroids(emb, 8, iters = 2)
+    assert(a.length == 8 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
+
   test("cosineDupPairs LSH sub-blocking: precision 1 and recall vs exact " +
     "ground truth when a block exceeds maxBlockSize") {
     // one giant block → maxBlockSize=1 forces every row down the LSH tier
