@@ -15,8 +15,21 @@ import org.apache.spark.sql.types._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns, accumulated in double. */
+  /** Dot product of two float-array columns, accumulated in double.
+    * Backed by the codegen'd [[graft.expressions.FloatDotProduct]] — the
+    * HOF formulation ([[dotHof]]) is CodegenFallback and pays an
+    * interpreted lambda per element; values are bitwise identical.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.FloatDotProduct(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** HOF reference formulation of [[dot]] (kept as the semantic spec the
+    * native expression is tested against).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)

@@ -57,11 +57,30 @@ object IvfAnn {
     cents.indices.map(i => (sqDist(cents(i), e), i)).sorted
       .take(nprobe).map(_._2).toArray
 
+  private def nearestCellArr(cents: Array[Array[Double]], e: Array[Float]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      var s = 0.0
+      var j = 0
+      while (j < c.length) { val d = c(j) - e(j); s += d * d; j += 1 }
+      if (s < bestD) { bestD = s; best = i }
+      i += 1
+    }
+    best
+  }
+
   /** Deterministic k-means: seeds are the `nlist` corpus vectors ranked by
     * `xxhash64(id)` (reproducible pseudo-random, no RNG state), then
-    * `iters` Lloyd steps — assignment map-side vs broadcast centroids, new
-    * means via one (cell, dim) aggregation. Empty cells keep their old
-    * centroid.
+    * `iters` Lloyd steps. Each step is one `mapPartitions` kernel over
+    * primitive arrays — per-partition (cell × dim) running sums, one tiny
+    * row out per partition — the classic case where a fused imperative
+    * kernel beats any relational formulation (a UDF + explode shape
+    * re-evaluates the boxed assignment per exploded element). Empty cells
+    * keep their old centroid. Sum merge order is fixed driver-side, so
+    * training is bit-deterministic.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int,
       iters: Int = 2): Array[Array[Double]] = {
@@ -73,19 +92,36 @@ object IvfAnn {
       .limit(nlist)
       .select(col("embedding")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
+    val vecs = corpus.select(col("embedding")).as[Array[Float]]
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
-      val stats = corpus
-        .select(assign(col("embedding")).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
+      val parts = vecs.mapPartitions { it =>
+        val c = bc.value
+        var sums: Array[Array[Double]] = null
+        val counts = new Array[Long](c.length)
+        it.foreach { e =>
+          if (sums == null) sums = Array.ofDim[Double](c.length, e.length)
+          val cell = nearestCellArr(c, e)
+          counts(cell) += 1
+          var j = 0
+          while (j < e.length) { sums(cell)(j) += e(j); j += 1 }
+        }
+        if (sums == null) Iterator.empty
+        else Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
+      }.collect()
       val next = cents.map(_.clone())
-      stats.foreach { r =>
-        next(r.getAs[Int]("cell"))(r.getAs[Int]("pos")) =
-          r.getAs[Double]("s") / r.getAs[Long]("n")
+      for (cell <- 0 until nlist) {
+        val n = parts.map(_._2(cell)).sum
+        if (n > 0) {
+          val dim = next(cell).length
+          val agg = new Array[Double](dim)
+          parts.foreach { case (sums, _) =>
+            var j = 0
+            while (j < dim) { agg(j) += sums(cell)(j); j += 1 }
+          }
+          var j = 0
+          while (j < dim) { next(cell)(j) = agg(j) / n; j += 1 }
+        }
       }
       bc.unpersist()
       cents = next
