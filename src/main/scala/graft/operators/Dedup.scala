@@ -161,9 +161,19 @@ object Dedup {
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val inv = sh.select(col("id"), explode(col("sh")).as("s"))
-    val common = inv.as("a").join(inv.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // single-branch co-occurrence: group the posting list per shingle
+    // (singletons — the vast majority — generate no pairs and drop before
+    // pair expansion), pairs via double explode within the row. One
+    // shuffle of the inverted index instead of a two-branch self-join.
+    // Still exact and still quadratic per degenerate shingle, as the
+    // operator's bounded-input contract states.
+    val common = inv.groupBy(col("s"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
