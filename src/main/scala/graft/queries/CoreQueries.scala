@@ -97,6 +97,18 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // the scale form of the running count: partitioned by key (here
+    // user_id, standing in for the per-idx-file partitioning real ingest
+    // uses) — the window parallelizes instead of sorting globally on one
+    // reducer.
+    "q_running_count_partitioned" -> ((s, dir) => {
+      val kept = Q.events(s, dir).filter(col("event_type") === "click")
+      EntryOps.withRunningCount(kept, "event_id", partitionCols = Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          asLong(col("num_previously_valid")).as("num_previously_valid"))
+        .orderBy("event_id")
+    }),
+
     // §2.6 CIK lookup join: digit-passthrough ∨ broadcast dim match ∨
     // unresolved, with ordered-coalesce precedence.
     "q_lookup_join" -> ((s, dir) => {
@@ -340,6 +352,13 @@ object CoreQueries {
     "q_running_count" ->
       """SELECT event_id, user_id,
         |  row_number() OVER (ORDER BY event_id) - 1 AS num_previously_valid
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_running_count_partitioned" ->
+      """SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1
+        |    AS num_previously_valid
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
 
