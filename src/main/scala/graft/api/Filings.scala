@@ -69,11 +69,19 @@ object Filings {
             case ComboPlanner.OnOrBefore(e) =>
               base.filter(col("date_filed") <= lit(java.sql.Date.valueOf(e)))
           }
-        } ++ d.days.flatMap { day =>
+        } ++ ComboPlanner.uncoveredDays(d).flatMap { day =>
+          // redundant end-edge daily scan pruned (see uncoveredDays);
           // missing daily idx == no filings that day (`combo.py:234-237`)
           scala.util.Try(DailyQuery(day, None).entries(spark, root)).toOption
         }
       val unioned = EntryOps.unionByKey(parts)
+        // the range bounds as a residual predicate: the reference's
+        // documented contract ("date before which no filings fetched",
+        // `combo.py:110-112`) — its lambda path leaks pre-start days of a
+        // shared start/end quarter (`combo.py:186-192` has no >= start),
+        // which only the filesystem sink masks
+        .filter(col("date_filed").between(
+          lit(java.sql.Date.valueOf(start)), lit(java.sql.Date.valueOf(end))))
       filter.map(unioned.filter).getOrElse(unioned)
     }
   }

@@ -99,4 +99,22 @@ object ComboPlanner {
     }
     Decomposition(quarters.result(), days.result())
   }
+
+  /** Whether a quarterly scan (with its residual filter) covers `day`. */
+  def quarterCovers(q: QuarterScan, day: LocalDate): Boolean =
+    day.getYear == q.year && quarterOf(day) == q.quarter && (q.filter match {
+      case All => true
+      case OnOrAfter(s) => !day.isBefore(s)
+      case OnOrBefore(e) => !day.isAfter(e)
+    })
+
+  /** Daily scans not already covered by a quarterly scan. The reference's
+    * end-edge quirk (`combo.py:186-192`: `current_date = end_date` makes
+    * the loop emit a `<= end` quarterly AND a daily scan for the end day)
+    * double-fetches that day — masked in the reference only because the
+    * filesystem sink overwrites the same path. The union tier prunes the
+    * redundant daily scan instead.
+    */
+  def uncoveredDays(d: Decomposition): Seq[LocalDate] =
+    d.days.filterNot(day => d.quarters.exists(q => quarterCovers(q, day)))
 }

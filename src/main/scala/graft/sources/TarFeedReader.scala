@@ -43,6 +43,15 @@ object TarFeedReader {
       f"${date.getYear}%04d${date.getMonthValue}%02d${date.getDayOfMonth}%02d.nc.tar.gz"
   }
 
+  /** Quarterly feed discovery (`quarterly.py:95-99`): scrape every
+    * `nc.tar.gz` href out of the feed directory-listing page. The
+    * reference soup-finds `<a>` tags; anchors here come from one regex
+    * over the listing HTML.
+    */
+  def quarterlyTarUrls(listingHtml: String): Seq[String] =
+    "<a[^>]*href=[\"']?([^\"'> ]*nc\\.tar\\.gz)[\"']?".r
+      .findAllMatchIn(listingHtml).map(_.group(1)).toSeq
+
   /** Untar one archive's bytes → (member_name, content) rows, streaming:
     * entries are read one at a time off the decompressor, never the whole
     * archive into memory.

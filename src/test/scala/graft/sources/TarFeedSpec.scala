@@ -63,6 +63,19 @@ class TarFeedSpec extends AnyFunSuite {
       Paths.get(out, "912057", "0000912057-94-000123.txt")))
   }
 
+  test("quarterly feed discovery scrapes nc.tar.gz hrefs from the " +
+    "directory listing (quarterly.py:95-99)") {
+    val listing =
+      """<html><body><table>
+        |<tr><td><a href="19940103.nc.tar.gz">19940103.nc.tar.gz</a></td></tr>
+        |<tr><td><a href='19940104.nc.tar.gz'>19940104.nc.tar.gz</a></td></tr>
+        |<tr><td><a href="sitemap.xml">sitemap</a></td></tr>
+        |<tr><td><a href="19940105.idx">19940105.idx</a></td></tr>
+        |</table></body></html>""".stripMargin
+    assert(TarFeedReader.quarterlyTarUrls(listing) ==
+      Seq("19940103.nc.tar.gz", "19940104.nc.tar.gz"))
+  }
+
   test("feed availability floor: before 1995 Q3 raises (daily.py:110-112)") {
     intercept[IllegalArgumentException] {
       TarFeedReader.dailyTarUrl(LocalDate.of(1995, 6, 30))
