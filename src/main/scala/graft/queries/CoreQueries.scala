@@ -192,8 +192,12 @@ object CoreQueries {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
+          // reduce to scale 4 BEFORE the double cast: DuckDB's wide
+          // DECIMAL(38,8)->DOUBLE cast is off by an ulp at sf>=0.1
+          // magnitudes (int128-scaled conversion); a scale-4 decimal is
+          // int64-backed on both engines and converts exactly
           sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-            .cast(DoubleType).as("sum_disc_price"),
+            .cast(DecimalType(18, 4)).cast(DoubleType).as("sum_disc_price"),
           (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
             .as("avg_qty"),
           asLong(count(lit(1))).as("count_order"))
@@ -417,8 +421,9 @@ object CoreQueries {
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS DOUBLE)
+        |    AS sum_disc_price,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         |  count(*) AS count_order
         |FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'

@@ -55,6 +55,16 @@ class SimilaritySpec extends AnyFunSuite {
       .forall { case (a, b, _) => labels(a) == labels(b) && a < b })
   }
 
+  test("top-k plan regression guard: bounded-heap aggregate, no window " +
+    "sort of the candidate set") {
+    val plan = Similarity.bruteForceTopK(emb.filter($"id" < 3), emb, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      "expected partial-aggregating bounded top-k")
+    assert(!plan.contains("Window"),
+      "per-query window sort crept back into the top-k path")
+  }
+
   test("IVF ANN recall vs brute force (k-means cells, nprobe probing)") {
     val q = emb.filter($"id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, 3)
