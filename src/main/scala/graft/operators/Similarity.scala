@@ -75,6 +75,55 @@ object Similarity {
       .select(col("*"), col("tb.table").as("table"), col("tb.bucket").as("bucket"))
       .drop("tb")
 
+  /** Materialize the LSH index as parquet partitioned by (table, bucket) —
+    * the 100 TB story made concrete: the index is written once, and a
+    * probe's (table, bucket) equi-predicates prune to matching partitions
+    * at the SCAN, so a query touches `tables × (1 + nPlanes)` partitions
+    * out of `tables × 2^nPlanes`, never the corpus.
+    */
+  def writeLshIndex(corpus: DataFrame, path: String, nPlanes: Int,
+      nTables: Int = 1): Unit =
+    lshBucketed(corpus, nPlanes, nTables)
+      .withColumn("c_nrm", VectorFunctions.l2Norm(col("embedding")))
+      .write.mode("overwrite")
+      .partitionBy("table", "bucket")
+      .parquet(path)
+
+  /** ANN top-k over a pre-built [[writeLshIndex]] index: same semantics as
+    * [[lshTopK]], but the corpus side is the partitioned index and probes
+    * prune its scan.
+    */
+  def lshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame, k: Int, nPlanes: Int,
+      nTables: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(
+      lshBucketed(
+        queries.withColumn("q_nrm", VectorFunctions.l2Norm(col("embedding"))),
+        nPlanes, nTables)
+        .select(col("id").as("query_id"), col("embedding").as("q_emb"),
+          col("q_nrm"), col("table"),
+          explode(probeKeys(col("bucket"), nPlanes)).as("bucket")))
+    // the probe-key set is tiny by construction (|Q| × tables × (1 +
+    // nPlanes)), so collect it and push a STATIC predicate on the
+    // partition columns — guaranteed partition pruning at the scan, not
+    // dependent on runtime DPP heuristics
+    val probesByTable = q.select(col("table"), col("bucket")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val pruneP = probesByTable.map { case (t, bks) =>
+      col("table") === t && col("bucket").isin(bks: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val bucketed = spark.read.parquet(indexPath)
+      .filter(pruneP)
+      .select(col("id").as("neighbor_id"), col("embedding").as("c_emb"),
+        col("c_nrm"), col("table"), col("bucket"))
+    val cand = bucketed.join(q, Seq("table", "bucket"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+    topKMerge(cand, k)
+  }
+
   /** Multi-probe keys: own bucket + each single-bit flip (hamming-1). */
   private def probeKeys(bucket: org.apache.spark.sql.Column, nPlanes: Int) =
     array((bucket +: (0 until nPlanes).map(p =>

@@ -82,6 +82,25 @@ class CompanyPaginatorSpec extends AnyFunSuite {
         "https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt")))
   }
 
+  test("CompanyQuery.entries end-to-end over a filesystem page mirror " +
+    "(mirrorUrl layout + Fetcher.local)") {
+    val root = java.nio.file.Files.createTempDirectory("edgar").toString
+    ParseQueries.paginatedPages.foreach { case (url, xml) =>
+      // mem://<cik>/start_<n> → $root/browse-edgar/<cik>/start_<n>.xml
+      val rel = url.stripPrefix("mem://")
+      val p = java.nio.file.Paths.get(root, "browse-edgar",
+        rel.split("/")(0), rel.split("/")(1) + ".xml")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, xml.getBytes("UTF-8"))
+    }
+    val q = Filings(cikLookup = Seq("0001000045", "0001000120", "0001000200"),
+      filingType = Some("10-Q"), count = Some(3))
+      .asInstanceOf[Filings.CompanyQuery].copy(batchSize = 2)
+    val rows = q.entries(spark, root)
+      .select("cik", "txt_url").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("0001000045", "0001000045", "0001000120"))
+  }
+
   test("pageUrl builds the browse-edgar request (company.py:96-144)") {
     val u = CompanyPaginator.pageUrl(
       "https://www.sec.gov/cgi-bin/browse-edgar", "0000320193",

