@@ -402,6 +402,23 @@ object ParseQueries {
         .orderBy("cik", "txt_url")
     }),
 
+    // count-shortfall audit (`company.py:297-303`'s warning as data):
+    // companies with fewer usable filings than requested, zero-found
+    // companies included.
+    "q_company_shortfall" -> ((s, _) => {
+      import s.implicits._
+      val cq = graft.api.Filings.CompanyQuery(
+        lookups = Seq("0001000045", "0001000120", "0001000200"),
+        filingType = Some("10-Q"), count = Some(3),
+        startDate = None, endDate = None, batchSize = 2)
+      val pages = graft.fetch.CompanyPaginator.paginate(s, cq.lookups,
+        (cik, start) => s"mem://$cik/start_$start", memFetch(paginatedPages),
+        batchSize = cq.batchSize, count = cq.count, filingType = cq.filingType)
+      CompanyIndexReader.countShortfalls(
+        cq.entriesFromPages(pages), cq.lookups.toDF("lookup"), 3)
+        .orderBy("cik_key")
+    }),
+
     // combo planner decomposition (driver-side planning function; output
     // is O(quarters), the golden values follow `combo.py:137-199`).
     "q_combo_plan" -> ((s, _) => {
@@ -684,6 +701,15 @@ object ParseQueries {
         |   'https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt'))
         |t(cik, company_name, type, date_filed, txt_url)
         |ORDER BY cik, txt_url""".stripMargin,
+
+    // golden: A keeps 2 usable 10-Qs (BAD_LINK dropped), B keeps 1, C
+    // keeps 0 — all short of count=3.
+    "q_company_shortfall" ->
+      """SELECT cik_key, CAST(n_found AS BIGINT) AS n_found,
+        |  CAST(3 AS BIGINT) AS n_requested
+        |FROM (VALUES ('0001000045', 2), ('0001000120', 1), ('0001000200', 0))
+        |t(cik_key, n_found)
+        |ORDER BY cik_key""".stripMargin,
 
     // golden decomposition verified against the reference algorithm
     // (`combo.py:137-199`) for 2020-01-06..2020-11-05, bp=30 — note the

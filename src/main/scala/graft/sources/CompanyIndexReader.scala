@@ -86,6 +86,24 @@ object CompanyIndexReader {
     case _ => lit(true) // ALL
   }
 
+  /** The reference's count-shortfall warning (`company.py:297-303`:
+    * "Only {num} of {count} filings were found for {cik}") as data: one
+    * row per requested company with fewer than `count` usable filings.
+    * `lookups` pins the expected companies so zero-found ones surface
+    * too. (Divergence note: the reference counts junk hrefs toward the
+    * total; here the count reflects usable `.txt` URLs, since bad links
+    * are dropped eagerly.)
+    */
+  def countShortfalls(filings: DataFrame, lookups: DataFrame,
+      count: Int): DataFrame =
+    lookups.select(col("lookup").as("cik_key"))
+      .join(filings.groupBy("cik_key")
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_found")),
+        Seq("cik_key"), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .filter(col("n_found") < count)
+      .withColumn("n_requested", lit(count.toLong))
+
   /** The insider-ownership form family the `ownership` request param
     * (`company.py:229-235`) includes/excludes server-side: forms 3, 4, 5
     * and their amendments.
