@@ -37,7 +37,16 @@ object TextFunctions {
     * as the dominant cost of MinHash at sf0.1). Here every argument is
     * evaluated once per row; the chain is O(n × tokens).
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), n))
+
+  /** HOF reference formulation of [[wordShingles]] (kept as the semantic
+    * spec the native expression is tested against — three interpreted
+    * lambda passes, so not the hot-path form).
+    */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val toks = tokens(text)
     // zip_with pads the shorter side with null; concat propagates the null
     // so incomplete trailing shingles drop in the filter
