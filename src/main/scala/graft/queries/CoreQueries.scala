@@ -97,6 +97,23 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
+    // skew-safe salted join (ops/Skew.scala): lineitem × orders on the
+    // order key with an 8-bucket salt — result must equal the plain join
+    // (the oracle IS the plain join).
+    "q_skew_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_quantity"),
+          col("l_linenumber"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.ops.Skew.saltedJoin(li, ord, "okey",
+        saltSrc = col("l_linenumber"), buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          asLong(count(lit(1))).as("n_rows"))
+        .orderBy("o_orderpriority")
+    }),
+
     // the scale form of the running count: partitioned by key (here
     // user_id, standing in for the per-idx-file partitioning real ingest
     // uses) — the window parallelizes instead of sorting globally on one
@@ -358,6 +375,14 @@ object CoreQueries {
         |  row_number() OVER (ORDER BY event_id) - 1 AS num_previously_valid
         |FROM events WHERE event_type = 'click'
         |ORDER BY event_id""".stripMargin,
+
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_running_count_partitioned" ->
       """SELECT event_id, user_id,

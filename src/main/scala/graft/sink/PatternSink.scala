@@ -84,6 +84,23 @@ object PatternSink {
     }
   }
 
+  /** Bucketed-table sink: persist a fact table hash-bucketed (and
+    * sorted) by its join key so repeated big-to-big joins on that key are
+    * CO-LOCATED — both sides read pre-bucketed files and the join plans
+    * with zero Exchange. This is the storage-layout half of the
+    * shuffle-minimization story (the analytic partitionBy tier covers
+    * pruning; bucketing covers join/agg locality). Requires a session
+    * with a warehouse dir (`saveAsTable`), as bucket metadata lives in
+    * the catalog.
+    */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Metadata-JSON sink (`parser.py:66-72,131-135`): one
     * `{base}_{num}.metadata.json` per SEC-DOCUMENT (or
     * `{base}/{num}.metadata.json` with `createSubdir`), bytes matching the
