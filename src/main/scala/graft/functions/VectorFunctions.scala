@@ -52,9 +52,20 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplane sign for random-projection LSH:
     * the sign of xxhash64 of (plane index, component index) weights each
     * vector component ±1. Gives `nPlanes` sign bits packed into a long —
-    * the ANN bucket key. No RNG state, fully reproducible.
+    * the ANN bucket key. No RNG state, fully reproducible. Backed by the
+    * native [[graft.expressions.RandomHyperplaneKey]], which caches the
+    * data-independent sign matrix per task instead of re-deriving it by
+    * string hashing per row ([[randomHyperplaneKeyHof]] is the semantic
+    * spec it is tested against).
     */
   def randomHyperplaneKey(vec: Column, nPlanes: Int, seed: Int = 0): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.RandomHyperplaneKey(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
+        nPlanes, seed))
+
+  /** HOF reference formulation of [[randomHyperplaneKey]]. */
+  def randomHyperplaneKeyHof(vec: Column, nPlanes: Int, seed: Int = 0): Column =
     (0 until nPlanes).map { p =>
       val proj = aggregate(
         transform(vec, (x, i) => {

@@ -26,6 +26,20 @@ class FloatDotProductSpec extends AnyFunSuite {
     assert(diffs == 0)
   }
 
+  test("native hyperplane key is bitwise identical to the HOF spec " +
+    "formulation across planes and seeds") {
+    for (nPlanes <- Seq(4, 6, 8); seed <- Seq(0, 3)) {
+      val diffs = emb
+        .withColumn("native",
+          VectorFunctions.randomHyperplaneKey(col("embedding"), nPlanes, seed))
+        .withColumn("hof",
+          VectorFunctions.randomHyperplaneKeyHof(col("embedding"), nPlanes, seed))
+        .filter(col("native") =!= col("hof"))
+        .count()
+      assert(diffs == 0, s"nPlanes=$nPlanes seed=$seed mismatch")
+    }
+  }
+
   test("null input yields null; empty arrays dot to 0.0") {
     val df = Seq(
       (Some(Seq(1.0f, 2.0f)), Some(Seq(3.0f, 4.0f))),
