@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.FloatDotProduct
+import graft.expressions.{FloatDotProduct, RandomHyperplaneKey, WordShingles}
 
 /** `SparkSessionExtensions` hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -27,5 +27,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "float_dot takes exactly 2 arguments")
         FloatDotProduct(args(0), args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "word_shingles(text, n)")
+        WordShingles(args(0), foldableInt(args(1), "word_shingles n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_key"),
+      new ExpressionInfo(classOf[RandomHyperplaneKey].getName, "hyperplane_key"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hyperplane_key(vec, nPlanes, seed)")
+        RandomHyperplaneKey(args(0),
+          foldableInt(args(1), "hyperplane_key nPlanes"),
+          foldableInt(args(2), "hyperplane_key seed"))
+      }))
+  }
+
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
   }
 }

@@ -24,6 +24,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
           |""".stripMargin).head().getDouble(0)
       assert(d == 11.0)
+      val sh = spark.sql("SELECT word_shingles('a b c d', 3) AS s")
+        .head().getSeq[String](0)
+      assert(sh == Seq("a b c", "b c d"))
+      val hk = spark.sql(
+        """SELECT hyperplane_key(array(CAST(0.5 AS FLOAT)), 4, 0) AS k""")
+        .head().getLong(0)
+      assert(hk >= 0L && hk < 16L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
