@@ -371,6 +371,19 @@ object ParseQueries {
         .orderBy("accession_number")
     }),
 
+    // XBRL frame period string CY{y}[Qq][I] (`rest.py:159-205`).
+    "q_frame_period" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(
+        (2021L, Some(1L), false), (2021L, Some(4L), true),
+        (2020L, None, false), (1999L, Some(2L), false)))
+        .toDF("year", "quarter", "inst")
+        .select(col("year"), col("quarter"), col("inst"),
+          RestReader.framePeriod(col("year"), col("quarter"), col("inst"))
+            .as("ccp"))
+        .orderBy("year", "quarter")
+    }),
+
     // REST company facts: taxonomy map → tag map → unit facts, 3 explodes.
     "q_rest_facts" -> ((s, _) => {
       import s.implicits._
@@ -642,6 +655,16 @@ object ParseQueries {
         |ORDER BY accession_number""".stripMargin
         .replace("%MAIN%", m).replace("%CONT%", c)
     },
+
+    "q_frame_period" ->
+      """SELECT CAST(year AS BIGINT) AS year, CAST(quarter AS BIGINT) AS quarter,
+        |  inst, ccp FROM (VALUES
+        |  (1999, 2, false, 'CY1999Q2'),
+        |  (2020, CAST(NULL AS BIGINT), false, 'CY2020'),
+        |  (2021, 1, false, 'CY2021Q1'),
+        |  (2021, 4, true, 'CY2021Q4I'))
+        |t(year, quarter, inst, ccp)
+        |ORDER BY year, quarter""".stripMargin,
 
     "q_rest_facts" -> {
       val j = sq(factsJson)
