@@ -16,7 +16,9 @@ object Bench {
     // steady state rather than first-query JVM warmup
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) =>
+    // deterministic name order: map-hash order would hand the codegen/JIT
+    // warmup cost to a different query every run
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.contains(n))
     }
     val results = selected.map { case (name, fn) =>
