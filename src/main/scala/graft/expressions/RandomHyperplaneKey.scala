@@ -39,10 +39,11 @@ case class RandomHyperplaneKey(child: Expression, nPlanes: Int, seed: Int)
 
   override def prettyName: String = "random_hyperplane_key"
 
-  // sign matrix cache, keyed by dim; expression instances are
-  // deserialized per task, so contention is local and transient
-  @transient private var cachedDim: Int = -1
-  @transient private var signs: Array[Array[Double]] = _
+  // sign matrix cache, keyed by dim; expression instances are usually
+  // per-task, but volatile publication keeps a rare shared-instance race
+  // benign (recompute is idempotent; signs is written before cachedDim)
+  @transient @volatile private var cachedDim: Int = -1
+  @transient @volatile private var signs: Array[Array[Double]] = _
 
   private def signMatrix(dim: Int): Array[Array[Double]] = {
     if (cachedDim != dim) {
