@@ -5,7 +5,6 @@ import java.time.LocalDate
 
 import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
 import org.apache.commons.compress.compressors.gzip.GzipCompressorInputStream
-import org.apache.commons.compress.utils.IOUtils
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -62,7 +61,7 @@ object TarFeedReader {
     Iterator.continually(in.getNextEntry)
       .takeWhile(_ != null)
       .filter(e => !e.isDirectory)
-      .map(e => (e.getName, IOUtils.toByteArray(in)))
+      .map(e => (e.getName, in.readAllBytes()))
   }
 
   /** `binaryFile` scan over mirrored feed archives → one row per member:
