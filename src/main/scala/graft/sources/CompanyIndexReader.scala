@@ -48,7 +48,7 @@ object CompanyIndexReader {
     parsed
       .withColumn("f", explode(col("__p.results.filing")))
       .select(
-        parsed.columns.filter(c => c != xmlCol && c != "__p").map(col) ++ Seq(
+        parsed.columns.filter(c => c != xmlCol && c != "__p").map(col).toSeq ++ Seq(
           col("__p.companyinfo.cik").as("cik"),
           col("__p.companyinfo.name").as("company_name"),
           col("f.type").as("type"),
