@@ -82,6 +82,22 @@ class CompanyPaginatorSpec extends AnyFunSuite {
         "https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt")))
   }
 
+  test("filingType=None counts every filing toward count and keeps all " +
+    "usable links (company.py:262-266)") {
+    val cq = Filings.CompanyQuery(
+      lookups = Seq("0001000045"), filingType = None, count = Some(2),
+      startDate = None, endDate = None, batchSize = 2)
+    val pages = CompanyPaginator.paginate(spark, cq.lookups,
+      (cik, start) => s"mem://$cik/start_$start",
+      ParseQueries.memFetch(ParseQueries.paginatedPages),
+      batchSize = 2, count = Some(2), filingType = None, globalRate = 1e6)
+    // page start_0 already has 2 filings (10-Q + 10-K) → early exit
+    assert(pages.count() == 1)
+    val rows = cq.entriesFromPages(pages)
+      .select("type").collect().map(_.getString(0)).sorted.toSeq
+    assert(rows == Seq("10-K", "10-Q"))
+  }
+
   test("CompanyQuery.entries end-to-end over a filesystem page mirror " +
     "(mirrorUrl layout + Fetcher.local)") {
     val root = java.nio.file.Files.createTempDirectory("edgar").toString
