@@ -12,9 +12,19 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footers) so timings reflect
-    // steady state rather than first-query JVM warmup
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm the session so timings reflect steady state rather than
+    // first-query JVM/codegen warmup: scan + agg + join + window + noop
+    // write compile the code paths the suite uses
+    locally {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      li.groupBy("l_returnflag").agg(sum("l_quantity"))
+        .join(li.select("l_returnflag").distinct(), "l_returnflag")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("l_returnflag")))
+        .write.format("noop").mode("overwrite").save()
+    }
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: map-hash order would hand the codegen/JIT
     // warmup cost to a different query every run
