@@ -118,15 +118,20 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, df: DataFrame, idCol: String,
       textCol: String, shingleN: Int = 3): DataFrame = {
+    // the candidate set feeds two consumers (the id semi-join and the
+    // final pair join) whose pruned aggregates don't canonicalize equal,
+    // so exchange reuse can't kick in — lazily localCheckpoint it: one
+    // computation, RDD-level blocks that the ContextCleaner frees on GC
+    // (nothing pinned in the cache manager, unlike persist)
+    val p = pairs.localCheckpoint(false)
     // shingle only the docs that actually appear in a candidate pair — at
-    // scale that's the small fraction surviving LSH, not the corpus, so
-    // no persist is needed and nothing stays pinned in the cache manager
-    val ids = pairs.select(col("id_a").as("__id"))
-      .union(pairs.select(col("id_b").as("__id"))).distinct()
+    // scale that's the small fraction surviving LSH, not the corpus
+    val ids = p.select(col("id_a").as("__id"))
+      .union(p.select(col("id_b").as("__id"))).distinct()
     val sh = df.join(ids, col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__id"),
         TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
-    pairs
+    p
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b")
