@@ -53,6 +53,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the composed training-data-prep flow a 100 TB user runs: exact
+    // dedup (keep lowest id per content) → language gate → length +
+    // stopword-ratio quality gates → per-doc features.
+    "q_corpus_prep" -> ((s, dir) => {
+      val deduped = graft.operators.Dedup.exactDedup(
+        t(s, dir, "documents"), "doc_id", "text")
+      val toks = TextFunctions.tokens(col("text"))
+      deduped
+        .withColumn("n_tokens", size(toks).cast(LongType))
+        .withColumn("stopword_ratio",
+          stopwordHits(col("text"), LangProfiles.head._2).cast(DoubleType)
+            / size(toks).cast(DoubleType))
+        .withColumn("lang", langIdHeuristic(col("text")))
+        .filter(col("lang") === "en" && col("n_tokens") >= 30 &&
+          col("stopword_ratio") >= 0.02)
+        .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // order-sensitive document fingerprint (mod-prime rolling sum).
     "q_doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -124,6 +143,29 @@ object TextQueries {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_prep" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |scored AS (SELECT d.doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('the','and','of','to','in','is','it','that','was','for'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('le','la','les','et','des','un','une','du','est','dans'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('的','了','是','我','不','在','有','人','这','他'))) AS s_zh
+        |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(s_en AS DOUBLE) / n_tokens AS stopword_ratio
+        |FROM scored
+        |WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh
+        |  AND n_tokens >= 30 AND CAST(s_en AS DOUBLE) / n_tokens >= 0.02
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,

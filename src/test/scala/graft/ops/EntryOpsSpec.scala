@@ -66,4 +66,14 @@ class EntryOpsSpec extends AnyFunSuite {
     assert(all.filter($"filinghref" === "BAD_LINK").count() > 0)
     assert(tenQ.filter($"filinghref" === "BAD_LINK").count() == 0)
   }
+
+  test("entry filters reach the parquet scan as PushedFilters " +
+    "(Column predicates stay pushdown-eligible)") {
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"event_type" === "click")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(event_type), " +
+      "EqualTo(event_type,click)]"), s"predicate not pushed:\n$scan")
+  }
 }
