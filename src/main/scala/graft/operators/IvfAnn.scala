@@ -83,16 +83,24 @@ object IvfAnn {
     * training is bit-deterministic.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int,
-      iters: Int = 2): Array[Array[Double]] = {
+      iters: Int = 2, trainFraction: Double = 1.0): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    var cents = corpus
+    // at 100 TB the quantizer trains on a sample (seeded → deterministic);
+    // assignment still covers the full corpus
+    val base =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed = 42L)
+    var cents = base
       .select(col("id"), col("embedding"))
       .orderBy(xxhash64(col("id").cast("string")), col("id"))
       .limit(nlist)
       .select(col("embedding")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
-    val vecs = corpus.select(col("embedding")).as[Array[Float]]
+    // training iterates over these vectors `iters` times — checkpoint so
+    // each Lloyd step replays blocks instead of re-scanning the source
+    val vecs = base.select(col("embedding")).as[Array[Float]]
+      .localCheckpoint(false)
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
       val parts = vecs.mapPartitions { it =>
@@ -134,9 +142,10 @@ object IvfAnn {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      excludeSelf: Boolean = true): DataFrame = {
+      trainFraction: Double = 1.0, excludeSelf: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(trainCentroids(corpus, nlist, iters))
+    val bc = spark.sparkContext.broadcast(
+      trainCentroids(corpus, nlist, iters, trainFraction))
     val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
     val probes = udf((e: Seq[Float]) => nearestCells(bc.value, e, nprobe))
     val c = corpus.select(col("id").as("neighbor_id"),
