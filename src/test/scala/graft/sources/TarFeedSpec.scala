@@ -63,6 +63,24 @@ class TarFeedSpec extends AnyFunSuite {
       Paths.get(out, "912057", "0000912057-94-000123.txt")))
   }
 
+  test("feed members compose with the SGML parser: untarred .nc payloads " +
+    "explode into SEC-DOCUMENT rows") {
+    val container = graft.queries.ParseQueries.containerDoc
+    val dir = Files.createTempDirectory("feedparse")
+    Files.write(dir.resolve("19940104.nc.tar.gz"),
+      graft.queries.ParseQueries.buildTarGz(Seq(
+        "0000912057-94-000001.nc" -> container.getBytes("UTF-8"))))
+    val members = TarFeedReader.readTarMembers(spark,
+      dir.toString + "/*.nc.tar.gz")
+    val parsed = graft.parse.MetaParser.explodeContainers(
+      members.select(col("member_name").as("path"),
+        col("content").cast("string").as("content")))
+    val rows = parsed.collect()
+    assert(rows.map(_.secDocNum).sorted.toSeq == Seq(0, 1))
+    assert(rows.flatMap(_.documents).map(_.docType).sorted.toSeq ==
+      Seq("10-K", "8-K", "EX-10"))
+  }
+
   test("quarterly feed discovery scrapes nc.tar.gz hrefs from the " +
     "directory listing (quarterly.py:95-99)") {
     val listing =
