@@ -28,6 +28,26 @@ object TextFunctions {
   /** Token count via whitespace split. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
+  /** Markup stripping for filing bodies (SEC documents embed HTML/SGML):
+    * drop tags, collapse runs of whitespace, trim — the minimal cleaning
+    * pass before text analysis. Pure codegen'd regex chain.
+    */
+  def stripMarkup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
+
+  /** Distinct character n-gram shingles — the near-dup blocking unit for
+    * short texts where word shingles are too coarse. `sequence` +
+    * `transform`(substring) + `array_distinct`, all built-ins.
+    */
+  def charShingles(text: Column, n: Int): Column =
+    // guard: sequence(1, 0) would DESCEND in Spark, so short texts get an
+    // explicit empty array
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingles (distinct), the dedup unit.
     *
     * Built as a `zip_with` chain over shifted copies of the token array —

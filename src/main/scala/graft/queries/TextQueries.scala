@@ -53,6 +53,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // markup stripping (SEC filings embed HTML/SGML) + char-shingle
+    // near-dup blocking unit for short texts.
+    "q_text_clean" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(
+        (1L, "<html><b>Annual  report</b> for <i>ACME</i>.</html>"),
+        (2L, "plain text, no markup"),
+        (3L, "<p>x</p>"),
+        (4L, "ab")))
+        .toDF("id", "raw")
+        .select(col("id"),
+          TextFunctions.stripMarkup(col("raw")).as("clean"),
+          TextFunctions.charShingles(
+            TextFunctions.stripMarkup(col("raw")), 4).as("shingles"))
+        .select(col("id"), col("clean"),
+          asLong(size(col("shingles"))).as("n_shingles"),
+          try_element_at(col("shingles"), lit(1)).as("first_shingle"))
+        .orderBy("id")
+    }),
+
     // the composed training-data-prep flow a 100 TB user runs: exact
     // dedup (keep lowest id per content) → language gate → length +
     // stopword-ratio quality gates → per-doc features.
@@ -143,6 +163,22 @@ object TextQueries {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_text_clean" ->
+      """WITH d(id, raw) AS (VALUES
+        |  (1, '<html><b>Annual  report</b> for <i>ACME</i>.</html>'),
+        |  (2, 'plain text, no markup'),
+        |  (3, '<p>x</p>'),
+        |  (4, 'ab')),
+        |c AS (SELECT id, trim(regexp_replace(regexp_replace(
+        |    raw, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS clean FROM d)
+        |SELECT CAST(id AS BIGINT) AS id, clean,
+        |  CAST(len(list_distinct(list_transform(
+        |    range(1, greatest(length(clean) - 3, 0) + 1),
+        |    i -> substr(clean, i, 4)))) AS BIGINT) AS n_shingles,
+        |  CASE WHEN length(clean) >= 4 THEN substr(clean, 1, 4) END
+        |    AS first_shingle
+        |FROM c ORDER BY id""".stripMargin,
 
     "q_corpus_prep" ->
       """WITH keepers AS (
