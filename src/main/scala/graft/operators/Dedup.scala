@@ -189,6 +189,60 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected-component resolution over near-dup pairs — the step that
+    * turns pair lists (from [[minhashDedupPairs]], SimHash, or
+    * embedding near-dup) into a dedup DECISION: every document in a
+    * connected cluster adopts the cluster's minimum id as its label.
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' labels; converges in O(cluster
+    * diameter) rounds — shallow in practice for dedup graphs. Each round
+    * eagerly localCheckpoints (iterative lineage must be truncated) and
+    * stops as soon as a round changes nothing.
+    *
+    * Returns (id, label); rows with label != id are the duplicates to
+    * drop ([[dedupByPairs]] applies that to the corpus).
+    */
+  def resolveKeepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(false)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels
+  }
+
+  /** Corpus minus near-dup losers: keep every row whose id is its
+    * cluster's minimum (or is in no pair at all).
+    */
+  def dedupByPairs(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = resolveKeepers(pairs)
+      .filter(col("label") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Relational SimHash (the scale path for
     * [[graft.functions.TextFunctions.simhash64]]): explode tokens, hash
     * each string ONCE, then 64 bit-vote sums as map-side partial

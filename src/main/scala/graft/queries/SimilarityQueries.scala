@@ -85,6 +85,20 @@ object SimilarityQueries {
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
+    // near-dup cluster resolution: pair list → min-id label per connected
+    // component (label propagation; oracle = recursive-CTE transitive
+    // closure over the same inline pair fixture).
+    "q_dedup_clusters" -> ((s, _) => {
+      import s.implicits._
+      val pairs = Seq(
+        (1L, 2L), (2L, 3L), (3L, 4L), // chain → all label 1
+        (10L, 11L), // pair → label 10
+        (20L, 22L), (21L, 22L), // star via 22 → label 20
+        (30L, 31L), (31L, 32L), (30L, 32L)) // triangle → label 30
+        .toDF("id_a", "id_b")
+      Dedup.resolveKeepers(pairs).orderBy("id")
+    }),
+
     // containment gate for the xxhash64-based MinHash sketch: every exact
     // n-gram-Jaccard pair >= 0.4 over the FULL corpus must appear in the
     // LSH candidate set (P(miss) < 1e-18 per pair at k=32, bands=16 —
@@ -153,6 +167,19 @@ object SimilarityQueries {
         |WHERE list_inner_product(a.v, b.v) /
         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE p(a, b) AS (
+        |  SELECT * FROM (VALUES (1, 2), (2, 3), (3, 4), (10, 11),
+        |    (20, 22), (21, 22), (30, 31), (31, 32), (30, 32)) t(a, b)),
+        |edges(src, dst) AS (
+        |  SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_minhash_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

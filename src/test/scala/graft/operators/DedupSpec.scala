@@ -55,6 +55,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((3L, 4L)))
   }
 
+  test("cluster resolution: pairs collapse to min-id components and " +
+    "dedupByPairs keeps one doc per cluster plus unpaired docs") {
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L).toDF("doc_id")
+      .withColumn("text", concat(lit("doc "), col("doc_id")))
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.resolveKeepers(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 10L, 99L)) // keepers + the unpaired doc
+  }
+
   test("LSH bucket guard caps degenerate buckets") {
     val boiler = (0L until 50L).map(i => (i, base.trim)).toDF("doc_id", "text")
     // with maxBucketSize 10, the 50-identical-docs bucket must produce no pairs
