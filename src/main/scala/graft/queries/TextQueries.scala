@@ -119,6 +119,19 @@ object TextQueries {
         md5(bin).as("digest"),
         asLong(floor(length(bin) / lit(1024)) + 1).as("n_chunks"))
         .orderBy("doc_id")
+    }),
+
+    // frame sampling (video-frame shape): one row in → N fixed-size
+    // chunks out, validated per frame against SQL substring arithmetic.
+    "q_multimodal_frames" -> ((s, dir) => {
+      val media = graft.operators.Multimodal.attachBinary(
+        t(s, dir, "documents").filter(col("doc_id") < 50), "doc_id", "text")
+      graft.operators.Multimodal.frameSample(media, chunkBytes = 64)
+        .select(col("id").as("doc_id"),
+          asLong(col("frame_id")).as("frame_id"),
+          asLong(length(col("frame"))).as("frame_len"),
+          col("frame").cast(StringType).as("frame_text"))
+        .orderBy("doc_id", "frame_id")
     })
   )
 
@@ -215,6 +228,16 @@ object TextQueries {
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies,
         |  md5(text) AS content_hash
         |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text,
+        |  greatest(CAST(ceil(length(text) / 64.0) AS INT), 1) AS n
+        |FROM documents WHERE doc_id < 50)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_id,
+        |  CAST(length(substr(text, i * 64 + 1, 64)) AS BIGINT) AS frame_len,
+        |  substr(text, i * 64 + 1, 64) AS frame_text
+        |FROM d, unnest(generate_series(0, n - 1)) t(i)
+        |ORDER BY doc_id, frame_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
