@@ -39,30 +39,31 @@ case class RandomHyperplaneKey(child: Expression, nPlanes: Int, seed: Int)
 
   override def prettyName: String = "random_hyperplane_key"
 
-  // sign matrix cache, keyed by dim; expression instances are usually
-  // per-task, but volatile publication keeps a rare shared-instance race
-  // benign (recompute is idempotent; signs is written before cachedDim)
-  @transient @volatile private var cachedDim: Int = -1
-  @transient @volatile private var signs: Array[Array[Double]] = _
+  // sign matrix cache, keyed by dim. ONE volatile holder pairing the dim
+  // with its matrix: two separate fields could interleave when a shared
+  // expression instance sees arrays of different dims (one thread's dim
+  // published against another thread's matrix). A single immutable tuple
+  // makes any race benign — a reader either sees a matching (dim, matrix)
+  // pair or recomputes idempotently.
+  @transient @volatile private var cache: (Int, Array[Array[Double]]) = _
 
   private def signMatrix(dim: Int): Array[Array[Double]] = {
-    if (cachedDim != dim) {
-      val m = Array.ofDim[Double](nPlanes, dim)
-      var p = 0
-      while (p < nPlanes) {
-        var i = 0
-        while (i < dim) {
-          val key = UTF8String.fromString(s"$seed:$p:$i")
-          val h = XXH64.hashUTF8String(key, 42L)
-          m(p)(i) = if ((h & 1L) == 1L) 1.0 else -1.0
-          i += 1
-        }
-        p += 1
+    val c = cache
+    if (c != null && c._1 == dim) return c._2
+    val m = Array.ofDim[Double](nPlanes, dim)
+    var p = 0
+    while (p < nPlanes) {
+      var i = 0
+      while (i < dim) {
+        val key = UTF8String.fromString(s"$seed:$p:$i")
+        val h = XXH64.hashUTF8String(key, 42L)
+        m(p)(i) = if ((h & 1L) == 1L) 1.0 else -1.0
+        i += 1
       }
-      signs = m
-      cachedDim = dim
+      p += 1
     }
-    signs
+    cache = (dim, m)
+    m
   }
 
   override def nullSafeEval(input: Any): Any = {

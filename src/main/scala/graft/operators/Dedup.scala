@@ -202,6 +202,12 @@ object Dedup {
     *
     * Returns (id, label); rows with label != id are the duplicates to
     * drop ([[dedupByPairs]] applies that to the corpus).
+    *
+    * If `maxIter` rounds pass without convergence (a component whose
+    * diameter exceeds `maxIter`), the labels returned are NOT final —
+    * some clusters would carry multiple keepers. That case throws rather
+    * than silently returning inconsistent labels; raise `maxIter` for
+    * pathologically chain-shaped dup graphs.
     */
   def resolveKeepers(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs
@@ -230,6 +236,11 @@ object Dedup {
       labels = updated
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"resolveKeepers did not converge in $maxIter rounds — a connected " +
+          "component has diameter > maxIter and labels are inconsistent; " +
+          "re-run with a larger maxIter")
     labels
   }
 
@@ -251,13 +262,21 @@ object Dedup {
     * per bit (64× the string hashing; HOFs are interpreted and share no
     * subexpressions across lambdas — the same trap measured in
     * [[minhashSignatures]]). Values are identical: same per-token
-    * xxhash64 votes, same sign rule, empty docs sketch to 0.
+    * xxhash64 votes, same sign rule, null/empty docs sketch to 0.
+    *
+    * Null handling: `explode_outer` keeps a row (with a null token) for
+    * docs whose token array is null, and the hash is null-gated —
+    * `xxhash64(NULL)` would otherwise return its seed (42) and vote, where
+    * the HOF form aggregates a null array to a null vote and sketches 0.
+    * A null hash makes every `sum` vote null, and `when(null > 0, ..)`
+    * takes the 0 branch per bit, so both forms sketch null docs to 0.
     */
   def simhashSketches(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val inv = df
       .select(col(idCol).as("id"),
         explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"),
+        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val votes = (0 until 64).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
         .as(s"__v$b"))
@@ -269,17 +288,16 @@ object Dedup {
           .reduce((a, x) => a.bitwiseOR(x)).as("sketch"))
   }
 
-  /** SimHash near-dup pairs with a hamming bound: split the 64-bit sketch
-    * into `hammingMax + 1` bands — pigeonhole guarantees any pair within
-    * `hammingMax` agrees on at least one exact band — join per band,
-    * verify hamming on the full sketch. Linear index, no all-pairs.
+  /** Banded SimHash inverted index: (id, sketch, band, key) with the
+    * 64-bit sketch split into `hammingMax + 1` bands — pigeonhole
+    * guarantees any pair within `hammingMax` agrees on at least one exact
+    * band key.
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      hammingMax: Int = 3): DataFrame = {
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int): DataFrame = {
     val nBands = hammingMax + 1
     val width = 64 / nBands
-    val withSketch = simhashSketches(df, idCol, textCol)
-    val banded = withSketch.select(col("id"), col("sketch"),
+    simhashSketches(df, idCol, textCol).select(col("id"), col("sketch"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sketch"), b * width)
@@ -287,15 +305,45 @@ object Dedup {
       }: _*)).as("bk"))
       .select(col("id"), col("sketch"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
-      col("sketch").as("sk_a"))
-    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
-      col("sketch").as("sk_b"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        TextFunctions.hamming64(col("sk_a"), col("sk_b")).as("hamming"))
+  }
+
+  /** SimHash near-dup pairs with a hamming bound: band the sketch
+    * ([[simhashBanded]]), join per band key, verify hamming on the full
+    * sketch. Linear index, no all-pairs — and, like
+    * [[minhashCandidates]], band buckets larger than `maxBucketSize` are
+    * excluded from pairing (counted by [[simhashBucketStats]], not
+    * silently lost): a corpus with thousands of identical boilerplate
+    * docs puts them all in the same key in EVERY band, and an unguarded
+    * join would emit O(n²) pairs before any distinct. Same single-branch
+    * shape too: the window's size filter and the bucket collapse reuse
+    * one (band, key) shuffle, pairs come from a double explode within the
+    * row, and nothing is left pinned.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    simhashBanded(df, idCol, textCol, hammingMax)
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+      .filter(col("sz") <= maxBucketSize && col("sz") >= 2)
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("id"), col("sketch"))).as("xs"))
+      .select(explode(col("xs")).as("a"), col("xs"))
+      .select(col("a"), explode(col("xs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        TextFunctions.hamming64(col("a.sketch"), col("b.sketch")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= hammingMax)
   }
+
+  /** SimHash band-bucket distribution (mirror of [[lshBucketStats]]): how
+    * many (band, key) buckets exist, the largest, and how many
+    * [[simhashPairs]] would cap at `maxBucketSize`.
+    */
+  def simhashBucketStats(df: DataFrame, idCol: String, textCol: String,
+      hammingMax: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    simhashBanded(df, idCol, textCol, hammingMax)
+      .groupBy("band", "key").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") > maxBucketSize, 1).otherwise(0)).as("capped_buckets"))
 }

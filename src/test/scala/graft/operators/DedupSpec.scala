@@ -79,4 +79,47 @@ class DedupSpec extends AnyFunSuite {
       .head()
     assert(stats.getAs[Long]("capped_buckets") > 0) // surfaced, not silent
   }
+
+  test("simhash band guard caps degenerate buckets, pairs stay bounded") {
+    // 50 identical docs land on one key in EVERY band — unguarded this is
+    // O(n²) = 1225 pairs; with the cap they are excluded and reported
+    val boiler = (0L until 50L).map(i => (i, base.trim)).toDF("doc_id", "text")
+    assert(Dedup.simhashPairs(boiler, "doc_id", "text",
+      maxBucketSize = 10).count() == 0)
+    val stats = Dedup.simhashBucketStats(boiler, "doc_id", "text",
+      maxBucketSize = 10).head()
+    assert(stats.getAs[Long]("capped_buckets") > 0) // surfaced, not silent
+    // below the cap the same corpus yields exactly the n*(n-1)/2 hamming-0
+    // pairs — the guard does not perturb non-degenerate output
+    val small = (0L until 5L).map(i => (i, base.trim)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(small, "doc_id", "text")
+    assert(pairs.count() == 10)
+    assert(pairs.filter($"hamming" =!= 0).count() == 0)
+  }
+
+  test("relational simhash sketches null and empty docs like the HOF form") {
+    val edge = Seq((0L, Option(base.trim)), (1L, None: Option[String]),
+      (2L, Option("")), (3L, Option("one two three")))
+      .toDF("doc_id", "text")
+    val rel = Dedup.simhashSketches(edge, "doc_id", "text")
+      .select("id", "sketch").as[(Long, Long)].collect().toMap
+    val hof = edge.select($"doc_id",
+        graft.functions.TextFunctions.simhash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(rel == hof)
+    assert(rel(1L) == 0L) // null text sketches to 0, not xxhash64's seed
+  }
+
+  test("resolveKeepers throws on non-convergence instead of returning " +
+    "inconsistent labels") {
+    // a 6-hop chain cannot converge in 2 rounds
+    val chain = (1L to 6L).sliding(2).map(w => (w.head, w.last)).toSeq
+      .toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      Dedup.resolveKeepers(chain, maxIter = 2).collect()
+    }
+    // and with enough rounds the same chain resolves to one keeper
+    val labels = Dedup.resolveKeepers(chain).as[(Long, Long)].collect().toMap
+    assert(labels.values.toSet == Set(1L))
+  }
 }
