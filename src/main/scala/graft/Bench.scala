@@ -25,6 +25,9 @@ object Bench {
           Window.partitionBy("l_returnflag").orderBy("l_returnflag")))
         .write.format("noop").mode("overwrite").save()
     }
+    // harness setup: materialize the feed-archive fixture outside the
+    // timing loop (the q_tar_feed registry entry itself does no I/O)
+    graft.queries.ParseQueries.feedFixtureDir
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: map-hash order would hand the codegen/JIT
     // warmup cost to a different query every run
@@ -36,14 +39,33 @@ object Bench {
       // noop sink forces full evaluation of every output column — a bare
       // count() lets Catalyst prune unreferenced projections, which would
       // time scan+count instead of the operator under test
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}")
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query records err (not a near-zero timing passed off as
+    // success) and is excluded from the total so timings stay comparable
+    val errs = results.map { case (k, _, e) =>
+      jstr(k) + ":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._3.isDefined)
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
+    if (nFailed > 0) sys.exit(1)
   }
 }

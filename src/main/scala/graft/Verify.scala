@@ -16,6 +16,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // harness setup: materialize the feed-archive fixture before any
+    // query runs (the q_tar_feed registry entry itself does no I/O)
+    graft.queries.ParseQueries.feedFixtureDir
     // local-iteration subset (driver leaves this unset → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries

@@ -245,6 +245,20 @@ object ParseQueries {
       "<SEC-DOCUMENT>doc B corr02</SEC-DOCUMENT>".getBytes("UTF-8"),
     "feed-manifest.json" -> "{}".getBytes("UTF-8"))
 
+  /** Feed-archive fixture directory, materialized ONCE per JVM into a
+    * fresh temp dir (lazy val = thread-safe single init; unique dir =
+    * hermetic under concurrent runs). Harness mains (Verify/Bench) force
+    * this during setup so the `q_tar_feed` registry entry itself has no
+    * filesystem side effects at measurement time.
+    */
+  lazy val feedFixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed_fixture")
+    java.nio.file.Files.write(dir.resolve("19940103.nc.tar.gz"),
+      buildTarGz(feedTarMembers))
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   // --- queries -------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -339,15 +353,11 @@ object ParseQueries {
     // tree via the day's entries.
     "q_tar_feed" -> ((s, _) => {
       import s.implicits._
-      // materialize the deterministic fixture archive so the real
-      // binaryFile scan path runs end-to-end
-      val dir = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_feed_fixture")
-      java.nio.file.Files.createDirectories(dir)
-      java.nio.file.Files.write(dir.resolve("19940103.nc.tar.gz"),
-        buildTarGz(feedTarMembers))
-      val members = graft.sources.TarFeedReader.readTarMembers(
-        s, dir.toString + "/*.nc.tar.gz")
+      // fixture dir is materialized once per JVM (harness setup forces
+      // it); directory load + pathGlobFilter instead of a glob-in-path,
+      // which Hadoop's FileStreamSink probe would WARN-log on
+      val members = graft.sources.TarFeedReader.readTarMembersDir(
+        s, feedFixtureDir, "*.nc.tar.gz")
       val entries = Seq(
         ("29082", "edgar/data/29082/0000950131-94-000021.txt"),
         ("912057", "edgar/data/912057/0000912057-94-000123.txt"))

@@ -67,9 +67,22 @@ object TarFeedReader {
   /** `binaryFile` scan over mirrored feed archives → one row per member:
     * (tar_path, member_name, content).
     */
-  def readTarMembers(spark: SparkSession, pathGlob: String): DataFrame = {
+  def readTarMembers(spark: SparkSession, pathGlob: String): DataFrame =
+    membersOf(spark, spark.read.format("binaryFile").load(pathGlob))
+
+  /** Same scan over a directory with a `pathGlobFilter` instead of a glob
+    * baked into the path — avoids Hadoop's literal-path existence probe
+    * (which WARN-logs a FileNotFoundException on glob paths) and keeps
+    * partition discovery on the directory.
+    */
+  def readTarMembersDir(spark: SparkSession, dir: String,
+      globFilter: String): DataFrame =
+    membersOf(spark, spark.read.format("binaryFile")
+      .option("pathGlobFilter", globFilter).load(dir))
+
+  private def membersOf(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(pathGlob)
+    files
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, b) => untar(b).map { case (n, c) => (p, n, c) } }
