@@ -63,20 +63,38 @@ object CompanyPaginator {
   def mirrorUrl(root: String)(cik: String, start: Int): String =
     s"$root/browse-edgar/$cik/start_$start.xml"
 
+  /** Error strings that mean "this page does not exist" — the mirrored
+    * tier's missing file ([[Fetcher.local]] → NoSuchFileException, in-mem
+    * fixtures → FileNotFoundException) or the HTTP tier's 404. These end
+    * pagination for the CIK, matching the reference's empty-page break
+    * (`company.py:292-293`). Every OTHER fetch error (timeout, 5xx, 429
+    * ban) is raised — the reference's client raises too
+    * (`client.py:154-177`), and silently treating a transient failure as
+    * end-of-pages would drop the CIK's remaining filings.
+    */
+  private val notFoundPattern =
+    "FileNotFoundException|NoSuchFileException|HTTP 404"
+
+  final class PageFetchException(msg: String) extends RuntimeException(msg)
+
   /** Drive the page loop; returns raw pages (cik_key, page_start, value).
     *
-    * @param urlFor     (cik, start) → URL for that page.
-    * @param batchSize  filings per page (`client.py:67`, default 10).
-    * @param count      per-CIK cap on type-matched filings; None = exhaust.
-    * @param filingType the type whose matches count toward `count`
-    *                   (`company.py:278-287`); None counts every filing.
+    * @param urlFor        (cik, start) → URL for that page.
+    * @param batchSize     filings per page (`client.py:67`, default 10).
+    * @param count         per-CIK cap on type-matched filings; None = exhaust.
+    * @param filingType    the type whose matches count toward `count`
+    *                      (`company.py:278-287`); None counts every filing.
+    * @param collapseEvery re-checkpoint the accumulated pages every this
+    *                      many rounds so a 10k-page crawl doesn't build a
+    *                      10k-way union tree (plan depth stays O(collapseEvery)).
     */
   def paginate(spark: SparkSession, ciks: Seq[String],
       urlFor: (String, Int) => String, fetch: Fetcher.FetchFn,
       batchSize: Int = 10, count: Option[Int] = None,
       filingType: Option[String] = None, globalRate: Double = 10.0,
-      maxPages: Int = 10000): DataFrame = {
+      maxPages: Int = 10000, collapseEvery: Int = 32): DataFrame = {
     import spark.implicits._
+    require(collapseEvery >= 1, "collapseEvery must be >= 1")
     var acc: DataFrame = Seq.empty[(String, Int, String)]
       .toDF("cik_key", "page_start", "value")
     var active: Seq[String] = ciks.distinct
@@ -85,11 +103,22 @@ object CompanyPaginator {
     var rounds = 0
     while (active.nonEmpty && rounds < maxPages) {
       val work = active.map(c => (c, urlFor(c, start))).toDF("key", "url")
-      val fetched = Fetcher.fetchAll(work, fetch, globalRate)
+      val fetchedAll = Fetcher.fetchAll(work, fetch, globalRate)
+        .localCheckpoint(true)
+      // raise on real fetch failures (already past Fetcher's per-request
+      // retries); only genuine not-found ends pagination for a CIK
+      val hardErrs = fetchedAll
+        .filter(col("error").isNotNull && !col("error").rlike(notFoundPattern))
+        .select("key", "url", "error").limit(5).collect()
+      if (hardErrs.nonEmpty)
+        throw new PageFetchException(
+          "page fetch failed (not a missing page): " + hardErrs.map(r =>
+            s"cik=${r.getString(0)} url=${r.getString(1)}: ${r.getString(2)}")
+            .mkString("; "))
+      val fetched = fetchedAll
         .filter(col("error").isNull)
         .select(col("key").as("cik_key"), lit(start).as("page_start"),
           col("content").cast(StringType).as("value"))
-        .localCheckpoint(true)
       val typeMatch = filingType
         .map(ft => col("type") === lit(ft)).getOrElse(lit(true))
       // one row per active CIK — the only driver-side state is this
@@ -108,6 +137,10 @@ object CompanyPaginator {
       }
       start += batchSize
       rounds += 1
+      // collapse the union tree: each round's pages are already
+      // block-materialized, so this checkpoint only truncates lineage
+      // (plan size), never refetches
+      if (rounds % collapseEvery == 0) acc = acc.localCheckpoint(true)
     }
     acc
   }

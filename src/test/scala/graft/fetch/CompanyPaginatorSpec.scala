@@ -117,6 +117,46 @@ class CompanyPaginatorSpec extends AnyFunSuite {
     assert(rows == Seq("0001000045", "0001000045", "0001000120"))
   }
 
+  test("a non-404 fetch error raises instead of silently ending pagination " +
+    "(client.py:154-177 raises; only missing pages mean exhaustion)") {
+    val flakyFetch: Fetcher.FetchFn = { url =>
+      if (url.endsWith("start_2"))
+        throw new RuntimeException("connection reset by peer")
+      ParseQueries.memFetch(ParseQueries.paginatedPages)(url)
+    }
+    val e = intercept[CompanyPaginator.PageFetchException] {
+      CompanyPaginator.paginate(spark, Seq("0001000045"),
+        (cik, start) => s"mem://$cik/start_$start", flakyFetch,
+        batchSize = 2, count = None, filingType = Some("10-Q"),
+        globalRate = 1e6).count()
+    }
+    assert(e.getMessage.contains("connection reset"))
+    assert(e.getMessage.contains("0001000045"))
+  }
+
+  test("deep pagination keeps plan depth bounded via periodic collapse") {
+    // 40 pages for one CIK, each with one filing; page 40 missing → stop
+    def deepPage(start: Int) =
+      s"<companyfilings><companyinfo><cik>0009</cik><name>DEEP</name>" +
+        "<sic>1</sic></companyinfo><results><filing><type>10-Q</type>" +
+        s"<filinghref>https://x/$start-index.htm</filinghref>" +
+        "<datefiled>2021-01-01</datefiled><formname>x</formname>" +
+        "</filing></results></companyfilings>"
+    val pages = (0 until 40).map(i =>
+      s"mem://0009/start_${i * 2}" -> deepPage(i * 2)).toMap
+    val got = CompanyPaginator.paginate(spark, Seq("0009"),
+      (cik, start) => s"mem://$cik/start_$start",
+      ParseQueries.memFetch(pages), batchSize = 2, count = None,
+      filingType = Some("10-Q"), globalRate = 1e6, collapseEvery = 8)
+    assert(got.count() == 40)
+    // after collapse, lineage since the last checkpoint is at most
+    // collapseEvery unions; without it this plan would hold 40
+    def planSize(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+      1 + p.children.map(planSize).sum
+    assert(planSize(got.queryExecution.optimizedPlan) <= 3 * 8 + 4,
+      s"plan too deep:\n${got.queryExecution.optimizedPlan.treeString}")
+  }
+
   test("pageUrl builds the browse-edgar request (company.py:96-144)") {
     val u = CompanyPaginator.pageUrl(
       "https://www.sec.gov/cgi-bin/browse-edgar", "0000320193",
