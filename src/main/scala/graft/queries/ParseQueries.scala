@@ -135,7 +135,20 @@ object ParseQueries {
         ("10-Q", href("1000120", "000201"), "2021-02-10"))),
       // 0001000120/start_2 missing → pagination exhausted
       "mem://0001000200/start_0" -> page("0001000200", "GAMMA ENERGY",
-        Seq.empty))
+        Seq.empty),
+      // insider-ownership mix (forms 3/4/5 + amendments interleaved with
+      // 10-Ks) for the ownership / match_format residual predicates
+      // (`company.py:226-235,157-166`)
+      "mem://0001000300/start_0" -> page("0001000300", "OWNER CO", Seq(
+        ("4", href("1000300", "000701"), "2021-07-01"),
+        ("10-K", href("1000300", "000602"), "2021-06-01"))),
+      "mem://0001000300/start_2" -> page("0001000300", "OWNER CO", Seq(
+        ("4/A", href("1000300", "000503"), "2021-05-01"),
+        ("3", href("1000300", "000404"), "2021-04-01"))),
+      "mem://0001000300/start_4" -> page("0001000300", "OWNER CO", Seq(
+        ("10-K/A", href("1000300", "000305"), "2021-03-01"),
+        ("5", href("1000300", "000206"), "2021-02-01"))))
+      // 0001000300/start_6 missing → pagination exhausted
   }
 
   /** In-memory FetchFn over [[paginatedPages]] (missing key → fetch error,
@@ -442,6 +455,42 @@ object ParseQueries {
         .orderBy("cik_key")
     }),
 
+    // ownership option (`company.py:226-235`) as a residual predicate on
+    // the mirrored tier: 'exclude' drops insider-ownership forms (3/4/5
+    // + amendments), 'only' keeps nothing else. One pagination pass,
+    // both modes applied relationally.
+    "q_company_ownership" -> ((s, _) => {
+      val pages = graft.fetch.CompanyPaginator.paginate(s, Seq("0001000300"),
+        (cik, start) => s"mem://$cik/start_$start", memFetch(paginatedPages),
+        batchSize = 2, count = None, filingType = None)
+      val modes = Seq("exclude", "only").map { m =>
+        graft.api.Filings.CompanyQuery(
+          lookups = Seq("0001000300"), filingType = None, count = None,
+          startDate = None, endDate = None, ownership = m, batchSize = 2)
+          .entriesFromPages(pages)
+          .select(lit(m).as("mode"), col("cik"), col("type"),
+            col("date_filed"), col("txt_url"))
+      }
+      modes.reduce(_ unionByName _).orderBy("mode", "txt_url")
+    }),
+
+    // match_format option (`company.py:157-166`): EXACT keeps originals,
+    // AMEND keeps only /A amendments.
+    "q_company_amend" -> ((s, _) => {
+      val pages = graft.fetch.CompanyPaginator.paginate(s, Seq("0001000300"),
+        (cik, start) => s"mem://$cik/start_$start", memFetch(paginatedPages),
+        batchSize = 2, count = None, filingType = None)
+      val modes = Seq("EXACT", "AMEND").map { m =>
+        graft.api.Filings.CompanyQuery(
+          lookups = Seq("0001000300"), filingType = None, count = None,
+          startDate = None, endDate = None, matchFormat = m, batchSize = 2)
+          .entriesFromPages(pages)
+          .select(lit(m).as("mode"), col("cik"), col("type"),
+            col("date_filed"), col("txt_url"))
+      }
+      modes.reduce(_ unionByName _).orderBy("mode", "txt_url")
+    }),
+
     // combo planner decomposition (driver-side planning function; output
     // is O(quarters), the golden values follow `combo.py:137-199`).
     "q_combo_plan" -> ((s, _) => {
@@ -743,6 +792,47 @@ object ParseQueries {
         |FROM (VALUES ('0001000045', 2), ('0001000120', 1), ('0001000200', 0))
         |t(cik_key, n_found)
         |ORDER BY cik_key""".stripMargin,
+
+    // golden rows hand-derived from the 0001000300 fixture: 'exclude'
+    // drops forms 3/4/5 and their /A amendments, 'only' keeps nothing else
+    // (`company.py:226-235` ownership param semantics on the mirror tier).
+    "q_company_ownership" ->
+      """SELECT mode, cik, type, CAST(date_filed AS DATE) AS date_filed, txt_url
+        |FROM (VALUES
+        |  ('exclude', '0001000300', '10-K/A', '2021-03-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000305.txt'),
+        |  ('exclude', '0001000300', '10-K', '2021-06-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000602.txt'),
+        |  ('only', '0001000300', '5', '2021-02-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000206.txt'),
+        |  ('only', '0001000300', '3', '2021-04-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000404.txt'),
+        |  ('only', '0001000300', '4/A', '2021-05-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000503.txt'),
+        |  ('only', '0001000300', '4', '2021-07-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000701.txt'))
+        |t(mode, cik, type, date_filed, txt_url)
+        |ORDER BY mode, txt_url""".stripMargin,
+
+    // golden: AMEND keeps only /A forms, EXACT only originals
+    // (`company.py:157-166` match_format semantics).
+    "q_company_amend" ->
+      """SELECT mode, cik, type, CAST(date_filed AS DATE) AS date_filed, txt_url
+        |FROM (VALUES
+        |  ('AMEND', '0001000300', '10-K/A', '2021-03-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000305.txt'),
+        |  ('AMEND', '0001000300', '4/A', '2021-05-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000503.txt'),
+        |  ('EXACT', '0001000300', '5', '2021-02-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000206.txt'),
+        |  ('EXACT', '0001000300', '3', '2021-04-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000404.txt'),
+        |  ('EXACT', '0001000300', '10-K', '2021-06-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000602.txt'),
+        |  ('EXACT', '0001000300', '4', '2021-07-01',
+        |   'https://www.sec.gov/Archives/edgar/data/1000300/0000912057-21-000701.txt'))
+        |t(mode, cik, type, date_filed, txt_url)
+        |ORDER BY mode, txt_url""".stripMargin,
 
     // golden decomposition verified against the reference algorithm
     // (`combo.py:137-199`) for 2020-01-06..2020-11-05, bp=30 — note the
