@@ -58,13 +58,25 @@ object Bench {
     val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
     // a failed query records err (not a near-zero timing passed off as
-    // success) and is excluded from the total so timings stay comparable
-    val errs = results.map { case (k, _, e) =>
-      jstr(k) + ":" + e.map(jstr).getOrElse("null")
+    // success) and is excluded from the total so timings stay comparable;
+    // only failures appear in the map — an all-null map doubled the line
+    // length and overflowed the driver's tail capture in round 3
+    val errs = results.collect { case (k, _, Some(e)) =>
+      jstr(k) + ":" + jstr(e)
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    // stdout is the driver contract (one JSON line), but a capture buffer
+    // can truncate it — persist the same JSON to a file so the record
+    // survives regardless
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench_out.json")
+    try java.nio.file.Files.write(outFile,
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"warn: could not write $outFile: $e") }
+    println(json)
     spark.stop()
     if (nFailed > 0) sys.exit(1)
   }

@@ -63,18 +63,6 @@ object CompanyPaginator {
   def mirrorUrl(root: String)(cik: String, start: Int): String =
     s"$root/browse-edgar/$cik/start_$start.xml"
 
-  /** Error strings that mean "this page does not exist" — the mirrored
-    * tier's missing file ([[Fetcher.local]] → NoSuchFileException, in-mem
-    * fixtures → FileNotFoundException) or the HTTP tier's 404. These end
-    * pagination for the CIK, matching the reference's empty-page break
-    * (`company.py:292-293`). Every OTHER fetch error (timeout, 5xx, 429
-    * ban) is raised — the reference's client raises too
-    * (`client.py:154-177`), and silently treating a transient failure as
-    * end-of-pages would drop the CIK's remaining filings.
-    */
-  private val notFoundPattern =
-    "FileNotFoundException|NoSuchFileException|HTTP 404"
-
   final class PageFetchException(msg: String) extends RuntimeException(msg)
 
   /** Drive the page loop; returns raw pages (cik_key, page_start, value).
@@ -106,9 +94,11 @@ object CompanyPaginator {
       val fetchedAll = Fetcher.fetchAll(work, fetch, globalRate)
         .localCheckpoint(true)
       // raise on real fetch failures (already past Fetcher's per-request
-      // retries); only genuine not-found ends pagination for a CIK
+      // retries); only a structured not-found — classified at the fetch
+      // source, never by message text — ends pagination for a CIK,
+      // matching the reference's empty-page break (`company.py:292-293`)
       val hardErrs = fetchedAll
-        .filter(col("error").isNotNull && !col("error").rlike(notFoundPattern))
+        .filter(col("error").isNotNull && !col("not_found"))
         .select("key", "url", "error").limit(5).collect()
       if (hardErrs.nonEmpty)
         throw new PageFetchException(

@@ -27,8 +27,20 @@ object Fetcher {
 
   type FetchFn = String => Array[Byte]
 
-  /** Local-filesystem fetcher (test tier; also the mirrored-archive tier). */
-  def local: FetchFn = url => Files.readAllBytes(Paths.get(url.stripPrefix("file://")))
+  /** Local-filesystem fetcher (test tier; also the mirrored-archive tier).
+    * A missing file is the local analog of HTTP 404 and throws the same
+    * structured [[NotFoundException]] so downstream classification never
+    * has to pattern-match exception messages.
+    */
+  def local: FetchFn = url => {
+    val p = Paths.get(url.stripPrefix("file://"))
+    try Files.readAllBytes(p)
+    catch {
+      case e @ (_: java.nio.file.NoSuchFileException |
+                _: java.io.FileNotFoundException) =>
+        throw new NotFoundException(s"not found: $p", e)
+    }
+  }
 
   /** HTTP fetcher via `java.net.http` with the SEC-required User-Agent
     * (`client.py` mandates one; SEC fair-access policy).
@@ -47,8 +59,11 @@ object Fetcher {
       if (resp.statusCode() == 429)
         throw new RateBannedException(
           "Request rate exceeded SEC limit; IP banned ~10 minutes")
+      if (resp.statusCode() == 404)
+        throw new NotFoundException(s"HTTP 404 for $url")
       if (resp.statusCode() >= 400)
-        throw new FetchException(s"HTTP ${resp.statusCode()} for $url")
+        throw new FetchException(s"HTTP ${resp.statusCode()} for $url",
+          resp.statusCode())
       resp.body()
   }
 
@@ -60,19 +75,32 @@ object Fetcher {
         .build()
   }
 
-  final class FetchException(msg: String) extends RuntimeException(msg)
+  final class FetchException(msg: String, val status: Int = -1)
+    extends RuntimeException(msg)
   final class RateBannedException(msg: String) extends RuntimeException(msg)
+  /** The resource deterministically does not exist (HTTP 404 / missing
+    * local file). Not retried — 404 is the pagination terminator
+    * (`company.py:292-293`), and retrying it only burns rate budget.
+    */
+  final class NotFoundException(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
 
   val resultSchema: StructType = StructType(Seq(
     StructField("key", StringType),
     StructField("url", StringType),
     StructField("content", BinaryType),
-    StructField("error", StringType)))
+    StructField("error", StringType),
+    StructField("not_found", BooleanType)))
 
   /** Rate-limited distributed fan-out: `workList(key, url)` → rows of
-    * (key, url, content, error). Failed URLs are quarantined into the
-    * `error` column instead of failing the job (`client.py:154-177`'s
-    * validation as data, not exceptions).
+    * (key, url, content, error, not_found). Failed URLs are quarantined
+    * into the `error` column instead of failing the job
+    * (`client.py:154-177`'s validation as data, not exceptions); the
+    * structured `not_found` flag classifies the error AT THE SOURCE (a
+    * [[NotFoundException]] from the fetcher) rather than by message
+    * pattern, so a transient failure whose text happens to mention
+    * "FileNotFoundException" can never masquerade as end-of-pages.
+    * Not-found is deterministic and skips the retry loop entirely.
     *
     * @param globalRate total requests/second budget across ALL partitions.
     * @param retries    per-request retry count (`client.py:24-29`).
@@ -94,19 +122,21 @@ object Fetcher {
           while (out == null) {
             limiter.acquire()
             try {
-              out = Row(key, url, fetch(url), null)
+              out = Row(key, url, fetch(url), null, false)
             } catch {
+              case e: NotFoundException =>
+                out = Row(key, url, null, e.toString, true)
               case e: Exception if attempt < retries =>
                 attempt += 1
                 // urllib3-style backoff: factor * 2^(attempt-1)
                 Thread.sleep((backoffSec * math.pow(2, attempt - 1) * 1000).toLong)
               case e: Exception =>
-                out = Row(key, url, null, e.toString)
+                out = Row(key, url, null, e.toString, false)
             }
           }
           out
         }
       }(enc)
-      .toDF("key", "url", "content", "error")
+      .toDF("key", "url", "content", "error", "not_found")
   }
 }

@@ -22,6 +22,39 @@ import graft.functions.TextFunctions
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
+  /** Attach a `CollectMetrics` node counting index rows that fall in
+    * over-cap buckets, and WARN from the pair generator ITSELF (on a
+    * daemon observer thread, as soon as the caller's first action on the
+    * result completes) whenever any bucket was excluded. The cap changes
+    * results, so it must be loud at the point of use — mirroring how Bench
+    * surfaces per-query errors — not only visible to callers who know to
+    * run the separate `*BucketStats` diagnostic. Accumulator-backed: adds
+    * no shuffle and no extra job.
+    */
+  private def observeCaps(indexed: DataFrame, szCol: String,
+      maxBucketSize: Int, opName: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation()
+    val out = indexed.observe(obs,
+      sum(when(col(szCol) > maxBucketSize, 1L).otherwise(0L))
+        .as("rows_in_capped_buckets"))
+    val t = new Thread(() => {
+      val capped = obs.get.get("rows_in_capped_buckets") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      if (capped > 0)
+        log.warn(s"$opName: $capped index rows fell in (band, key) buckets " +
+          s"larger than maxBucketSize=$maxBucketSize and were EXCLUDED from " +
+          s"pairing; true near-dup pairs inside those buckets are not " +
+          s"emitted. Run the matching bucket-stats function to size the cap.")
+    }, s"graft-$opName-cap-observer")
+    t.setDaemon(true)
+    t.start()
+    out
+  }
+
   /** Exact dedup groups: one row per distinct content, lowest id kept.
     * (`md5` over utf-8 bytes; switch to `xxhash64` for cheaper 100 TB runs
     * when a 64-bit fingerprint is acceptable.)
@@ -91,9 +124,9 @@ object Dedup {
     // reuse the window's (band, bucket) partitioning, so the whole
     // candidate step is ONE shuffle of the index and nothing is left
     // pinned in the cache manager afterwards.
-    idx
-      .withColumn("sz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+    val sized = idx.withColumn("sz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+    observeCaps(sized, "sz", maxBucketSize, "minhashCandidates")
       .filter(col("sz") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
@@ -295,13 +328,19 @@ object Dedup {
     */
   private def simhashBanded(df: DataFrame, idCol: String, textCol: String,
       hammingMax: Int): DataFrame = {
+    require(hammingMax >= 0 && hammingMax < 64,
+      s"hammingMax must be in [0, 63], got $hammingMax")
     val nBands = hammingMax + 1
     val width = 64 / nBands
+    // full-width band (hammingMax=0 → width=64): (1L << 64) - 1 is 0 on
+    // the JVM (shifts are mod 64), which would key every sketch to bucket
+    // 0 — the mask must be all-ones there, i.e. exact-sketch match
+    val bandMask = if (width == 64) -1L else (1L << width) - 1
     simhashSketches(df, idCol, textCol).select(col("id"), col("sketch"),
       explode(array((0 until nBands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sketch"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))
+            .bitwiseAND(lit(bandMask)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sketch"),
         col("bk.band").as("band"), col("bk.key").as("key"))
@@ -321,9 +360,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       hammingMax: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    simhashBanded(df, idCol, textCol, hammingMax)
+    val sized = simhashBanded(df, idCol, textCol, hammingMax)
       .withColumn("sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "key")))
+    observeCaps(sized, "sz", maxBucketSize, "simhashPairs")
       .filter(col("sz") <= maxBucketSize && col("sz") >= 2)
       .groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("id"), col("sketch"))).as("xs"))

@@ -151,13 +151,13 @@ object ParseQueries {
       // 0001000300/start_6 missing → pagination exhausted
   }
 
-  /** In-memory FetchFn over [[paginatedPages]] (missing key → fetch error,
-    * the local-mirror analog of an absent page).
+  /** In-memory FetchFn over [[paginatedPages]] (missing key → structured
+    * not-found, the local-mirror analog of an absent page).
     */
   def memFetch(pages: Map[String, String]): graft.fetch.Fetcher.FetchFn =
     url => pages.get(url) match {
       case Some(x) => x.getBytes("UTF-8")
-      case None => throw new java.io.FileNotFoundException(url)
+      case None => throw new graft.fetch.Fetcher.NotFoundException(url)
     }
 
   /** company_tickers.json shape (`cik_lookup.py:10-37`). */
@@ -266,9 +266,13 @@ object ParseQueries {
     */
   lazy val feedFixtureDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft_feed_fixture")
-    java.nio.file.Files.write(dir.resolve("19940103.nc.tar.gz"),
-      buildTarGz(feedTarMembers))
+    // deleteOnExit runs LIFO and File.delete refuses non-empty dirs, so
+    // register the dir FIRST, then every file inside it — otherwise each
+    // JVM run leaks the dir plus the archive
     dir.toFile.deleteOnExit()
+    val archive = dir.resolve("19940103.nc.tar.gz")
+    archive.toFile.deleteOnExit()
+    java.nio.file.Files.write(archive, buildTarGz(feedTarMembers))
     dir.toString
   }
 

@@ -134,6 +134,23 @@ class CompanyPaginatorSpec extends AnyFunSuite {
     assert(e.getMessage.contains("0001000045"))
   }
 
+  test("a transient error whose message embeds 'FileNotFoundException' " +
+    "raises instead of being misread as end-of-pages") {
+    val spoofFetch: Fetcher.FetchFn = { url =>
+      if (url.endsWith("start_2"))
+        throw new RuntimeException(
+          "wrapped: caused by java.io.FileNotFoundException (transient mount)")
+      ParseQueries.memFetch(ParseQueries.paginatedPages)(url)
+    }
+    val e = intercept[CompanyPaginator.PageFetchException] {
+      CompanyPaginator.paginate(spark, Seq("0001000045"),
+        (cik, start) => s"mem://$cik/start_$start", spoofFetch,
+        batchSize = 2, count = None, filingType = Some("10-Q"),
+        globalRate = 1e6).count()
+    }
+    assert(e.getMessage.contains("FileNotFoundException"))
+  }
+
   test("deep pagination keeps plan depth bounded via periodic collapse") {
     // 40 pages for one CIK, each with one filing; page 40 missing → stop
     def deepPage(start: Int) =

@@ -97,6 +97,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.filter($"hamming" =!= 0).count() == 0)
   }
 
+  test("simhashPairs hammingMax=0 keys on the full sketch (width-64 band " +
+    "mask), not bucket 0") {
+    // (1L << 64) - 1 is 0 on the JVM (shifts are mod 64): before the
+    // full-width special case, EVERY sketch keyed to bucket 0, so >cap
+    // docs meant zero pairs. 1100 distinct docs + 1 duplicate must yield
+    // exactly the one exact-sketch pair under the default cap of 1000.
+    // per-doc token vocabulary → per-doc shingle sets are disjoint, so
+    // sketches are distinct (up to a 64-bit hash collision) except for
+    // the planted duplicate
+    val docs = (0L until 1100L)
+      .map(i => (i, Seq.tabulate(6)(j => s"w${i}x$j").mkString(" "))) :+
+      (2000L, Seq.tabulate(6)(j => s"w7x$j").mkString(" "))
+    val pairs = Dedup.simhashPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", hammingMax = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((7L, 2000L)))
+  }
+
   test("relational simhash sketches null and empty docs like the HOF form") {
     val edge = Seq((0L, Option(base.trim)), (1L, None: Option[String]),
       (2L, Option("")), (3L, Option("one two three")))

@@ -58,7 +58,7 @@ class CikScraperSpec extends AnyFunSuite {
     val fetch: graft.fetch.Fetcher.FetchFn = url =>
       pages.get(url) match {
         case Some(p) => p.getBytes("UTF-8")
-        case None => throw new java.io.FileNotFoundException(url)
+        case None => throw new graft.fetch.Fetcher.NotFoundException(url)
       }
     val got = EntryOps.resolveCiksWithFallback(lookups, cikMap, fetch,
       l => s"mem://cik/$l", globalRate = 1e6)
