@@ -25,9 +25,10 @@ object Bench {
           Window.partitionBy("l_returnflag").orderBy("l_returnflag")))
         .write.format("noop").mode("overwrite").save()
     }
-    // harness setup: materialize the feed-archive fixture outside the
-    // timing loop (the q_tar_feed registry entry itself does no I/O)
+    // harness setup: materialize the feed-archive and company-mirror
+    // fixtures outside the timing loop (the registry entries do no I/O)
     graft.queries.ParseQueries.feedFixtureDir
+    graft.queries.ParseQueries.companyMirrorDir
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: map-hash order would hand the codegen/JIT
     // warmup cost to a different query every run

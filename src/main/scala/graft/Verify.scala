@@ -16,9 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // harness setup: materialize the feed-archive fixture before any
-    // query runs (the q_tar_feed registry entry itself does no I/O)
+    // harness setup: materialize the feed-archive and company-mirror
+    // fixtures before any query runs (the registry entries do no I/O)
     graft.queries.ParseQueries.feedFixtureDir
+    graft.queries.ParseQueries.companyMirrorDir
     // local-iteration subset (driver leaves this unset → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     SparkEntry.queries

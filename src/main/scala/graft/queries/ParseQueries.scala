@@ -276,6 +276,30 @@ object ParseQueries {
     dir.toString
   }
 
+  /** Mirrored browse-edgar page tree ([[paginatedPages]] in the
+    * `$root/browse-edgar/<cik>/start_<n>.xml` layout), materialized ONCE
+    * per JVM — the filesystem fixture behind the DSv2 company source.
+    * Same hermeticity contract as [[feedFixtureDir]]: harness mains force
+    * it during setup; deleteOnExit registered parents-first (LIFO).
+    */
+  lazy val companyMirrorDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_company_mirror")
+    dir.toFile.deleteOnExit()
+    val be = dir.resolve("browse-edgar")
+    java.nio.file.Files.createDirectories(be)
+    be.toFile.deleteOnExit()
+    paginatedPages.foreach { case (url, xml) =>
+      val rel = url.stripPrefix("mem://").split("/")
+      val cikDir = be.resolve(rel(0))
+      java.nio.file.Files.createDirectories(cikDir)
+      cikDir.toFile.deleteOnExit()
+      val f = cikDir.resolve(rel(1) + ".xml")
+      f.toFile.deleteOnExit()
+      java.nio.file.Files.write(f, xml.getBytes("UTF-8"))
+    }
+    dir.toString
+  }
+
   // --- queries -------------------------------------------------------------
 
   val queries: Map[String, QueryFn] = Map(
@@ -429,14 +453,16 @@ object ParseQueries {
     // exit (count pushdown + exhaustion), then parse → type filter →
     // residual predicates → per-CIK count truncation.
     "q_company_paginate" -> ((s, _) => {
-      val cq = graft.api.Filings.CompanyQuery(
-        lookups = Seq("0001000045", "0001000120", "0001000200"),
-        filingType = Some("10-Q"), count = Some(3),
-        startDate = None, endDate = None, batchSize = 2)
-      val pages = graft.fetch.CompanyPaginator.paginate(s, cq.lookups,
-        (cik, start) => s"mem://$cik/start_$start", memFetch(paginatedPages),
-        batchSize = cq.batchSize, count = cq.count, filingType = cq.filingType)
-      cq.entriesFromPages(pages)
+      // engine-grade path: the DSv2 source drives the page loop (one
+      // partition per CIK, count early-exit inside the scan); the per-CIK
+      // top-k truncation is the only residual the scan can't express
+      val df = s.read.format("edgar-company")
+        .option("root", companyMirrorDir)
+        .option("ciks", "0001000045,0001000120,0001000200")
+        .option("type", "10-Q").option("count", "3").option("batchSize", "2")
+        .option("rate", "1000000")
+        .load()
+      CompanyIndexReader.limitPerCompany(df, 3)
         .select(col("cik"), col("company_name"), col("type"),
           col("date_filed"), col("txt_url"))
         .orderBy("cik", "txt_url")
