@@ -75,12 +75,14 @@ object IvfAnn {
   /** Deterministic k-means: seeds are the `nlist` corpus vectors ranked by
     * `xxhash64(id)` (reproducible pseudo-random, no RNG state), then
     * `iters` Lloyd steps. Each step is one `mapPartitions` kernel over
-    * primitive arrays — per-partition (cell × dim) running sums, one tiny
-    * row out per partition — the classic case where a fused imperative
-    * kernel beats any relational formulation (a UDF + explode shape
-    * re-evaluates the boxed assignment per exploded element). Empty cells
-    * keep their old centroid. Sum merge order is fixed driver-side, so
-    * training is bit-deterministic.
+    * primitive arrays — per-partition (cell × dim) running sums — merged
+    * with `treeReduce`, so the driver only ever sees ONE (nlist × dim)
+    * matrix regardless of partition count (the old driver-side loop was
+    * O(partitions × nlist × dim) doubles through `collect()`). The tree
+    * merge's fp-addition order can vary across runs by an ulp; seeds and
+    * assignments are exact, and a sub-ulp centroid wobble only moves a
+    * vector between cells on an exact distance tie (measure-zero), so
+    * query output is stable. Empty cells keep their old centroid.
     */
   def trainCentroids(corpus: DataFrame, nlist: Int,
       iters: Int = 2, trainFraction: Double = 1.0): Array[Array[Double]] = {
@@ -97,55 +99,72 @@ object IvfAnn {
       .limit(nlist)
       .select(col("embedding")).as[Array[Float]].collect()
       .map(_.map(_.toDouble))
-    // training iterates over these vectors `iters` times — checkpoint so
-    // each Lloyd step replays blocks instead of re-scanning the source
-    val vecs = base.select(col("embedding")).as[Array[Float]]
-      .localCheckpoint(false)
-    for (_ <- 0 until iters) {
-      val bc = spark.sparkContext.broadcast(cents)
-      val parts = vecs.mapPartitions { it =>
-        val c = bc.value
-        var sums: Array[Array[Double]] = null
-        val counts = new Array[Long](c.length)
-        it.foreach { e =>
-          if (sums == null) sums = Array.ofDim[Double](c.length, e.length)
-          val cell = nearestCellArr(c, e)
-          counts(cell) += 1
-          var j = 0
-          while (j < e.length) { sums(cell)(j) += e(j); j += 1 }
-        }
-        if (sums == null) Iterator.empty
-        else Iterator.single((sums.map(_.toSeq).toSeq, counts.toSeq))
-      }.collect()
-      val next = cents.map(_.clone())
-      for (cell <- 0 until nlist) {
-        val n = parts.map(_._2(cell)).sum
-        if (n > 0) {
-          val dim = next(cell).length
-          val agg = new Array[Double](dim)
-          parts.foreach { case (sums, _) =>
-            var j = 0
-            while (j < dim) { agg(j) += sums(cell)(j); j += 1 }
+    if (cents.isEmpty) return cents
+    // training iterates over these vectors `iters` times — persist so each
+    // Lloyd step replays blocks instead of re-scanning the source, and
+    // release the blocks explicitly once training converges
+    val vecs = base.select(col("embedding")).as[Array[Float]].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 0 until iters) {
+        val bc = spark.sparkContext.broadcast(cents)
+        val (sums, counts) = vecs.mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val c = bc.value
+            val s = Array.ofDim[Double](c.length, c(0).length)
+            val n = new Array[Long](c.length)
+            it.foreach { e =>
+              val cell = nearestCellArr(c, e)
+              n(cell) += 1
+              var j = 0
+              while (j < e.length) { s(cell)(j) += e(j); j += 1 }
+            }
+            Iterator.single((s, n))
           }
-          var j = 0
-          while (j < dim) { next(cell)(j) = agg(j) / n; j += 1 }
+        }.treeReduce { (a, b) =>
+          // executor-side pairwise merge; mutating the left side is safe
+          // (each partition's element is consumed exactly once)
+          var i = 0
+          while (i < a._1.length) {
+            val sa = a._1(i)
+            val sb = b._1(i)
+            var j = 0
+            while (j < sa.length) { sa(j) += sb(j); j += 1 }
+            a._2(i) += b._2(i)
+            i += 1
+          }
+          a
         }
+        val next = cents.map(_.clone())
+        for (cell <- 0 until nlist if counts(cell) > 0) {
+          var j = 0
+          while (j < next(cell).length) {
+            next(cell)(j) = sums(cell)(j) / counts(cell)
+            j += 1
+          }
+        }
+        bc.unpersist()
+        cents = next
       }
-      bc.unpersist()
-      cents = next
-    }
-    cents
+      cents
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** IVF top-k: probe `nprobe` cells per query, exact cosine rerank,
     * bounded-heap merge. Same output shape as [[Similarity.bruteForceTopK]].
+    * Pass `centroids` to reuse a trained quantizer across query batches
+    * (train once, probe many — the production shape); given fixed
+    * centroids, the probed cell set only GROWS with `nprobe`, so recall
+    * is provably monotone in it.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      trainFraction: Double = 1.0, excludeSelf: Boolean = true): DataFrame = {
+      trainFraction: Double = 1.0, excludeSelf: Boolean = true,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(
-      trainCentroids(corpus, nlist, iters, trainFraction))
+      centroids.getOrElse(trainCentroids(corpus, nlist, iters, trainFraction)))
     val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
     val probes = udf((e: Seq[Float]) => nearestCells(bc.value, e, nprobe))
     val c = corpus.select(col("id").as("neighbor_id"),

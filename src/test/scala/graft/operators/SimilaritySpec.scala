@@ -102,10 +102,79 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
-  test("IVF centroid training is deterministic across runs") {
+  test("IVF centroid training is stable across runs (seeds exact; Lloyd " +
+    "sums merge executor-side, so coordinates may wobble sub-ulp)") {
     val a = IvfAnn.trainCentroids(emb, 8, iters = 2)
     val b = IvfAnn.trainCentroids(emb, 8, iters = 2)
-    assert(a.length == 8 && a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 8)
+    a.zip(b).foreach { case (ca, cb) =>
+      ca.zip(cb).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"centroid coordinate drifted: $x vs $y")
+      }
+    }
+  }
+
+  /** Calibrated clustered corpus: 20 well-separated Gaussian clusters of
+    * 25 points in 16-d, noise sigma 0.1 vs center scale 5 — every point's
+    * true top-3 cosine neighbors sit in its own cluster, so an ANN index
+    * that deserves the name must reach high recall here. (The uniform
+    * sf0.001 embeddings above stay as the worst-case floor gates.)
+    */
+  private lazy val clustered = {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val centers = Array.fill(20)(Array.fill(dim)(rnd.nextGaussian() * 5.0))
+    val rows = for (c <- 0 until 20; i <- 0 until 25) yield
+      (c.toLong * 25 + i,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq,
+        c)
+    rows.toDF("id", "embedding", "label")
+  }
+
+  private def recallOf(approx: org.apache.spark.sql.DataFrame,
+      exact: Set[(Long, Long)]): Double = {
+    val a = approx.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    (exact intersect a).size.toDouble / exact.size
+  }
+
+  test("LSH ANN recall >= 0.9 on the calibrated clustered corpus") {
+    val q = clustered.filter($"id" % 25 === 0) // one query per cluster
+    val exact = Similarity.bruteForceTopK(q, clustered, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r = recallOf(
+      Similarity.lshTopK(q, clustered, 3, nPlanes = 8, nTables = 8), exact)
+    assert(r >= 0.9, s"recall $r below 0.9 on clustered corpus")
+  }
+
+  test("IVF ANN recall >= 0.9 on the calibrated clustered corpus, and " +
+    "recall is monotone in nprobe (same trained quantizer)") {
+    val q = clustered.filter($"id" % 25 === 0)
+    val exact = Similarity.bruteForceTopK(q, clustered, 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val cents = IvfAnn.trainCentroids(clustered, nlist = 20, iters = 3)
+    val recalls = Seq(1, 2, 4, 8).map { np =>
+      recallOf(IvfAnn.ivfTopK(q, clustered, 3, nlist = 20, nprobe = np,
+        centroids = Some(cents)), exact)
+    }
+    // fixed centroids → probed cell set grows with nprobe → monotone
+    assert(recalls == recalls.sorted, s"recall not monotone: $recalls")
+    assert(recalls.last >= 0.9, s"recall ${recalls.last} below 0.9")
+  }
+
+  test("cosineDupPairs LSH tier recall >= 0.9 on the calibrated " +
+    "clustered corpus") {
+    val oneBlock = clustered.withColumn("blk", lit(0))
+    val exact = Similarity.cosineDupPairs(oneBlock, "blk", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.cosineDupPairs(oneBlock, "blk", 0.9,
+      maxBlockSize = 1, nPlanes = 8, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "LSH tier produced a non-pair")
+    val r = (exact intersect lsh).size.toDouble / exact.size
+    assert(r >= 0.9, s"recall $r below 0.9 on clustered corpus")
   }
 
   test("cosineDupPairs LSH sub-blocking: precision 1 and recall vs exact " +

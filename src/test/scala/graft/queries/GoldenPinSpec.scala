@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, TestSpark}
+
+/** Golden pins for the four queries the SQL oracle cannot reach
+  * (`no_oracle` in CORRECTNESS): their pipelines are deterministic
+  * (hash-seeded signatures, seeded k-means, fixed tie-breakers), so the
+  * full output is frozen as a canonical SHA-256 over sorted rows. A pin
+  * moving means the operator's OUTPUT changed — a semantic change that
+  * must be deliberate, not drift. Containment/recall gates elsewhere
+  * prove the outputs are RIGHT; these prove they are STABLE.
+  *
+  * Regenerate after a deliberate change with:
+  * {{{ sbt "Test/runMain graft.queries.GoldenPinGen /root/testdata/sf0.01" }}}
+  */
+object GoldenPin {
+  val sfDir = "/root/testdata/sf0.01"
+  val pinned: Seq[String] =
+    Seq("q_ann_ivf", "q_ann_lsh", "q_dedup_minhash", "q_simhash_sketch")
+
+  /** Order-free canonical digest: rows rendered with fixed float
+    * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
+    * exact for these pipelines (sims/jaccards are short dot products and
+    * small-integer ratios), while not flaking on a sub-ulp re-association
+    * if an upstream reduce tree ever changes shape.
+    */
+  def canonicalHash(df: DataFrame): (Long, String) = {
+    val rows = df.collect().map(_.toSeq.map {
+      case null => "∅"
+      case d: Double => f"$d%.12e"
+      case f: Float => f"$f%.7e"
+      case x => x.toString
+    }.mkString("|")).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(rows.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    (rows.length.toLong, hex)
+  }
+}
+
+/** Prints `name rows hash` for each pinned query — paste into the spec. */
+object GoldenPinGen {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(GoldenPin.sfDir)
+    val spark = TestSpark.spark
+    GoldenPin.pinned.foreach { name =>
+      val (n, h) = GoldenPin.canonicalHash(SparkEntry.queries(name)(spark, dir))
+      println(s"GOLDENPIN $name $n $h")
+    }
+    spark.stop()
+  }
+}
+
+class GoldenPinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // sf0.01 pins (the driver's correctness tier)
+  private val expected = Map(
+    "q_ann_ivf" -> (25L,
+      "2ddcd3a4550cc27aab1fd6f5e81fe690834ce6a9c2822667eea94f21ba636a50"),
+    "q_ann_lsh" -> (25L,
+      "7b4632c658c851a3e6628ee71bb93c74a35dd652f4add06491a835e135ac8c04"),
+    "q_dedup_minhash" -> (30L,
+      "dcb7bea2b7f79769b78ce9be743abc108d2bd21ac5e0760864364fb94a5e4649"),
+    "q_simhash_sketch" -> (500L,
+      "38fce3cfa21a32646077d0fcfcba305d70468b6447e55e0ae65c220c4b5bd7b8"))
+
+  GoldenPin.pinned.foreach { name =>
+    test(s"$name output is byte-stable vs its golden pin") {
+      val (n, h) = GoldenPin.canonicalHash(
+        SparkEntry.queries(name)(spark, GoldenPin.sfDir))
+      val (en, eh) = expected(name)
+      assert(n == en, s"$name row count moved: $n vs pinned $en")
+      assert(h == eh, s"$name output hash moved: $h vs pinned $eh")
+    }
+  }
+}
