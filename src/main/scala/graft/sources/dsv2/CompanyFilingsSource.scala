@@ -49,11 +49,16 @@ import graft.fetch.{Fetcher, RateLimiter}
   * is the SQL-facing face: `spark.read.format("edgar-company")` with
   * pushdown that SQL users get for free.
   *
-  * Options: `root` (mirrored archive root; pages at
-  * `$root/browse-edgar/<cik>/start_<n>.xml`), `ciks` (comma-separated),
-  * `type`, `count`, `batchSize` (default 10), `ownership`
-  * (include|exclude|only), `matchFormat` (EXACT|AMEND|ALL), `rate`
-  * (global req/s, default 10), `maxPages` (default 10000).
+  * Options: `root` (archive root — a mirrored page tree at
+  * `$root/browse-edgar/<cik>/start_<n>.xml`, or an `http(s)://` base in
+  * which case pages are requested live as
+  * `$root?action=getcompany&CIK=...&start=...&output=atom` with the
+  * pushed type/date bounds as request params and `userAgent` required,
+  * per the SEC fair-access policy the reference client mandates),
+  * `ciks` (comma-separated), `type`, `count`, `batchSize` (default 10),
+  * `ownership` (include|exclude|only), `matchFormat` (EXACT|AMEND|ALL),
+  * `rate` (global req/s, default 10), `maxPages` (default 10000),
+  * `userAgent` (http tier only).
   */
 class CompanyFilingsSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "edgar-company"
@@ -98,7 +103,10 @@ class CompanyFilingsTable(options: CaseInsensitiveStringMap)
 /** Validated scan-time configuration (serialized to executors). */
 final case class CompanyScanConfig(root: String, ciks: Seq[String],
     filingType: Option[String], count: Option[Int], batchSize: Int,
-    ownership: String, matchFormat: String, rate: Double, maxPages: Int)
+    ownership: String, matchFormat: String, rate: Double, maxPages: Int,
+    userAgent: Option[String]) {
+  def isHttp: Boolean = root.startsWith("http://") || root.startsWith("https://")
+}
 
 object CompanyScanConfig {
   def fromOptions(o: CaseInsensitiveStringMap): CompanyScanConfig = {
@@ -116,7 +124,7 @@ object CompanyScanConfig {
     val matchFormat = o.getOrDefault("matchFormat", "ALL")
     require(Seq("EXACT", "AMEND", "ALL").contains(matchFormat),
       "match_format must be 'EXACT', 'AMEND', or 'ALL'")
-    CompanyScanConfig(
+    val conf = CompanyScanConfig(
       root = o.get("root"),
       ciks = o.get("ciks").split(",").map(_.trim).filter(_.nonEmpty).distinct.toSeq,
       filingType = ft,
@@ -125,7 +133,13 @@ object CompanyScanConfig {
       ownership = ownership,
       matchFormat = matchFormat,
       rate = o.getDouble("rate", 10.0),
-      maxPages = o.getInt("maxPages", 10000))
+      maxPages = o.getInt("maxPages", 10000),
+      userAgent = Option(o.get("userAgent")))
+    // the reference client refuses to run without a User-Agent
+    // (`client.py` mandates one; SEC fair-access policy)
+    require(!conf.isHttp || conf.userAgent.exists(_.nonEmpty),
+      "option 'userAgent' is required for an http(s) root")
+    conf
   }
 }
 
@@ -233,6 +247,22 @@ class CikPageReader(conf: CompanyScanConfig, cik: String,
     extends PartitionReader[InternalRow] {
 
   private val limiter = new RateLimiter(perTaskRate)
+  // http tier: the pushed bounds become the datea/dateb/type request
+  // params the server filters by (`company.py:132-145`); the mirror tier
+  // applies the same bounds residually in [[keep]] — both paths filter,
+  // the check is idempotent
+  private val fetch: Fetcher.FetchFn =
+    if (conf.isHttp) Fetcher.http(conf.userAgent.get) else Fetcher.local
+  private def yyyymmdd(epochDay: Int): String =
+    java.time.LocalDate.ofEpochDay(epochDay)
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+  private def pageUrl(start: Int): String =
+    if (conf.isHttp)
+      graft.fetch.CompanyPaginator.pageUrl(conf.root, cik,
+        conf.filingType.orElse(typeEq), start, conf.batchSize,
+        conf.ownership, dateLo.map(yyyymmdd), dateHi.map(yyyymmdd))
+    else s"${conf.root}/browse-edgar/$cik/start_$start.xml"
+
   private var start = 0
   private var pagesFetched = 0
   private var matched = 0L
@@ -276,10 +306,10 @@ class CikPageReader(conf: CompanyScanConfig, cik: String,
     if (pagesFetched >= conf.maxPages || limit.exists(emitted >= _)) {
       exhausted = true; return
     }
-    val url = s"${conf.root}/browse-edgar/$cik/start_$start.xml"
+    val url = pageUrl(start)
     limiter.acquire()
     val bytes =
-      try Fetcher.local(url)
+      try fetch(url)
       catch { case _: Fetcher.NotFoundException => exhausted = true; return }
     pagesFetched += 1
     val page = CompanyPageXml.parse(new String(bytes, "UTF-8"))

@@ -136,6 +136,16 @@ class CompanyFilingsSourceSpec extends AnyFunSuite {
     assert(exact == Set("4/A", "10-K/A"))
   }
 
+  test("an http root without a userAgent is refused (SEC fair-access " +
+    "policy, client.py mandates one)") {
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("edgar-company")
+        .option("root", "https://www.sec.gov/cgi-bin/browse-edgar")
+        .option("ciks", "0000320193").load().collect()
+    }
+    assert(e.getMessage.contains("userAgent"))
+  }
+
   test("invalid filing type raises at table resolution, like CompanyQuery") {
     assertThrows[IllegalArgumentException] {
       read("type" -> "NOT-A-TYPE").collect()
