@@ -468,6 +468,22 @@ object ParseQueries {
         .orderBy("cik", "txt_url")
     }),
 
+    // DSv2 date/type pushdown end-to-end: WHERE clauses become the
+    // datea/dateb/type request params inside the scan's page loop
+    // (`company.py:132-145`), no count cap → pagination exhausts.
+    "q_company_dsv2_dates" -> ((s, _) => {
+      s.read.format("edgar-company")
+        .option("root", companyMirrorDir)
+        .option("ciks", "0001000045,0001000120,0001000200")
+        .option("batchSize", "2").option("rate", "1000000")
+        .load()
+        .filter(col("type") === lit("10-Q") &&
+          col("date_filed") >= lit(java.sql.Date.valueOf("2021-02-01")) &&
+          col("date_filed") <= lit(java.sql.Date.valueOf("2021-05-31")))
+        .select(col("cik"), col("type"), col("date_filed"), col("txt_url"))
+        .orderBy("cik")
+    }),
+
     // count-shortfall audit (`company.py:297-303`'s warning as data):
     // companies with fewer usable filings than requested, zero-found
     // companies included.
@@ -813,6 +829,20 @@ object ParseQueries {
         |   'https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt'))
         |t(cik, company_name, type, date_filed, txt_url)
         |ORDER BY cik, txt_url""".stripMargin,
+
+    // golden rows hand-derived from paginatedPages under the pushed
+    // bounds: 10-Qs in [2021-02-01, 2021-05-31] with usable hrefs are
+    // A's 000303 (2021-04-29; 000601 too late, 000101 too early,
+    // BAD_LINK dropped) and B's 000201 (2021-02-10).
+    "q_company_dsv2_dates" ->
+      """SELECT cik, type, CAST(date_filed AS DATE) AS date_filed, txt_url
+        |FROM (VALUES
+        |  ('0001000045', '10-Q', '2021-04-29',
+        |   'https://www.sec.gov/Archives/edgar/data/1000045/0000912057-21-000303.txt'),
+        |  ('0001000120', '10-Q', '2021-02-10',
+        |   'https://www.sec.gov/Archives/edgar/data/1000120/0000912057-21-000201.txt'))
+        |t(cik, type, date_filed, txt_url)
+        |ORDER BY cik""".stripMargin,
 
     // golden: A keeps 2 usable 10-Qs (BAD_LINK dropped), B keeps 1, C
     // keeps 0 — all short of count=3.

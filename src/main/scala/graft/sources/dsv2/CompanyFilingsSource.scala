@@ -200,10 +200,33 @@ class CompanyFilingsScanBuilder(conf: CompanyScanConfig) extends ScanBuilder
 
 class CompanyFilingsScan(conf: CompanyScanConfig, pushed: Array[Filter],
     typeEq: Option[String], dateLo: Option[Int], dateHi: Option[Int],
-    limit: Option[Int], required: StructType) extends Scan with Batch {
+    limit: Option[Int], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Row/size estimate from the source's own bounds: a per-CIK `count`
+    * (or pushed limit) caps output at |ciks| × count, which is tiny —
+    * reporting it lets Catalyst auto-broadcast company scans in joins
+    * instead of assuming an unknown-size relation.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val perCik: Option[Long] =
+      (conf.count.map(_.toLong), limit.map(_.toLong)) match {
+        case (Some(c), Some(l)) => Some(math.min(c, l))
+        case (c, l) => c.orElse(l)
+      }
+    private val rows: java.util.OptionalLong = perCik
+      .map(c => java.util.OptionalLong.of(c * conf.ciks.size))
+      .getOrElse(java.util.OptionalLong.empty())
+    override def numRows(): java.util.OptionalLong = rows
+    override def sizeInBytes(): java.util.OptionalLong =
+      if (rows.isPresent)
+        // ~256B/row: short strings + one date over the 9 columns
+        java.util.OptionalLong.of(rows.getAsLong * 256L)
+      else java.util.OptionalLong.empty()
+  }
 
   /** Shown in `.explain` on the BatchScan node — the pushdown must be
     * visible in the plan, like a parquet scan's PushedFilters.

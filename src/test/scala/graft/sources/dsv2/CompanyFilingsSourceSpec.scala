@@ -136,6 +136,19 @@ class CompanyFilingsSourceSpec extends AnyFunSuite {
     assert(exact == Set("4/A", "10-K/A"))
   }
 
+  test("a count-bounded scan reports its tiny size to the optimizer " +
+    "(SupportsReportStatistics -> broadcastable in joins)") {
+    val bounded = read("type" -> "10-Q", "count" -> "3")
+    val stats = bounded.queryExecution.optimizedPlan.stats
+    // 3 ciks x count 3 x ~256B — far under any broadcast threshold
+    assert(stats.sizeInBytes <= BigInt(3 * 3 * 256),
+      s"expected count-derived size, got ${stats.sizeInBytes}")
+    // unbounded scans must NOT claim to be small
+    val unbounded = read("type" -> "10-Q")
+    assert(unbounded.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(1L << 20))
+  }
+
   test("an http root without a userAgent is refused (SEC fair-access " +
     "policy, client.py mandates one)") {
     val e = intercept[IllegalArgumentException] {
