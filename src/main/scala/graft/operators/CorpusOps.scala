@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Corpus-management operators for the training-data tier: deterministic
+  * split assignment, token-budget shard packing, vocabulary building.
+  * All arithmetic is exact (integer buckets, integer running sums), so
+  * every operator is oracle-checkable bitwise.
+  */
+object CorpusOps {
+
+  /** Deterministic train/val/test assignment by content-hash bucket:
+    * `bucket = md5(key)[lower 60 bits] mod Σweights`, walked through the
+    * cumulative weights. Hash-based splits are the production standard
+    * because they are stable under reruns, cluster resizing, row order,
+    * and incremental corpus growth — a doc keeps its split forever,
+    * which `sample()`/`randomSplit()` cannot promise. Pure codegen'd
+    * column expressions, shuffle-free.
+    *
+    * @param splits (name, weight) pairs, e.g. ("train",90),("val",5),("test",5).
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "splits must be non-empty with positive weights")
+    val total = splits.map(_._2).sum
+    // 15 hex chars = 60 bits: fits a signed long exactly, and matches
+    // the oracle's ('0x' || substr(md5, 18, 15))::BIGINT
+    val bucket = pmod(
+      conv(substring(md5(to_binary(col(keyCol).cast("string"), lit("utf-8"))),
+        18, 15), 16, 10).cast(LongType),
+      lit(total.toLong))
+    val assigned = splits.scanLeft(("", 0)) { case ((_, cum), (name, w)) =>
+      (name, cum + w)
+    }.tail.foldRight(lit(splits.last._1)) { case ((name, cumHi), rest) =>
+      when(bucket < cumHi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
+  /** Pack docs (in `orderCol` order) into shards of ~`budget` tokens:
+    * `shard_id = tokens_before_this_doc DIV budget` — the standard way to
+    * cut a corpus into approximately-equal training shards while keeping
+    * a deterministic document order.
+    *
+    * A naive global-ORDER window is a single-partition sort — dead at
+    * 100 TB. This is the two-phase form: range-partition on `orderCol`,
+    * one tiny per-partition total aggregation (O(partitions) rows to the
+    * driver, same justified pattern as the paginator's stats), broadcast
+    * the prefix offsets back, then a per-partition window does the local
+    * running sum. The shuffle is the range partition; the sort is
+    * per-partition.
+    *
+    * @param orderCol unique ordering column (doc id).
+    * @param tokenCol per-doc token count (long-castable).
+    */
+  def packShards(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ranged = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    // O(partitions) rows: partition id → token total
+    val totals = ranged.groupBy("__pid")
+      .agg(sum(col(tokenCol).cast(LongType)).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, cum), (pid, t)) =>
+      (pid, cum + t)
+    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
+    val offDf = offsets.toSeq.toDF("__pid", "__offset")
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__before",
+        coalesce(sum(col(tokenCol).cast(LongType)).over(w), lit(0L)) +
+          col("__offset"))
+      .withColumn("shard_id", expr(s"__before DIV ${budget}L"))
+      .drop("__pid", "__offset", "__before")
+  }
+
+  /** Corpus vocabulary: lowercase alpha tokens → (term frequency, doc
+    * frequency), top `topN` by tf with token tiebreak. Two-level
+    * aggregation — per (token, doc) first — so doc frequency needs no
+    * `countDistinct` shuffle of raw postings.
+    */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String,
+      topN: Int): DataFrame =
+    df.select(col(idCol).as("__doc"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= lit(""))).as("token"))
+      .groupBy(col("token"), col("__doc"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col("token"))
+      .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(topN)
+}

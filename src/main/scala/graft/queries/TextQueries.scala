@@ -132,10 +132,72 @@ object TextQueries {
           asLong(length(col("frame"))).as("frame_len"),
           col("frame").cast(StringType).as("frame_text"))
         .orderBy("doc_id", "frame_id")
-    })
+    }),
+
+    // deterministic content-hash train/val/test split — stable under
+    // reruns, cluster resizing, and corpus growth (randomSplit is none
+    // of those); exact integer buckets, shuffle-free.
+    "q_split_assign" -> ((s, dir) =>
+      graft.operators.CorpusOps.splitAssign(t(s, dir, "documents"),
+        "doc_id", Seq(("train", 90), ("val", 5), ("test", 5)))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")),
+
+    // token-budget shard packing: two-phase range-partitioned running
+    // sum (no global-window single-partition sort), shard = tokens
+    // before the doc DIV budget.
+    "q_pack_shards" -> ((s, dir) =>
+      graft.operators.CorpusOps.packShards(
+        t(s, dir, "documents").select(col("doc_id"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 5000L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy("doc_id")),
+
+    // corpus vocabulary: (term frequency, doc frequency) via two-level
+    // aggregation, top-100 under a total order.
+    "q_vocab_top" -> ((s, dir) =>
+      graft.operators.CorpusOps.vocabulary(
+        t(s, dir, "documents"), "doc_id", "text", 100)
+        .select(col("token"), asLong(col("tf")).as("tf"),
+          asLong(col("df")).as("df")))
   )
 
   val oracles: Map[String, String] = Map(
+    // bucket = lower 60 bits of md5(doc_id-as-string) mod 100, walked
+    // through cumulative weights 90/5/5 — byte-identical split labels.
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT
+        |      % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_shards" ->
+      """SELECT doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 5000 AS shard_id
+        |FROM (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vocab_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x != '')) AS token
+        |  FROM documents
+        |), td AS (
+        |  SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2
+        |)
+        |SELECT token, CAST(SUM(tf) AS BIGINT) AS tf,
+        |  CAST(COUNT(*) AS BIGINT) AS df
+        |FROM td GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_actual,
