@@ -35,6 +35,23 @@ object TextFunctions {
   def stripMarkup(text: Column): Column =
     trim(regexp_replace(regexp_replace(text, "<[^>]*>", " "), "\\s+", " "))
 
+  /** PII scrubbing: replace emails, NANP-style phone numbers, and IPv4
+    * addresses with typed placeholder tokens — the minimal redaction
+    * pass a training-data pipeline runs before sharing a corpus. Regexes
+    * stay in the Java∩RE2 common dialect so the DuckDB oracle replays
+    * them verbatim; pure codegen'd `regexp_replace` chain.
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRegex = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+  val Ipv4Regex = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRegex, "<EMAIL>"),
+        PhoneRegex, "<PHONE>"),
+      Ipv4Regex, "<IP>")
+
   /** Distinct character n-gram shingles — the near-dup blocking unit for
     * short texts where word shingles are too coarse. `sequence` +
     * `transform`(substring) + `array_distinct`, all built-ins.

@@ -84,6 +84,64 @@ object CorpusOps {
       .drop("__pid", "__offset", "__before")
   }
 
+  /** Benchmark decontamination: for every (corpus doc, eval doc) pair
+    * sharing word shingles, the distinct-shingle overlap and the
+    * containment ratio `overlap / |eval shingles|` — the standard
+    * decontamination score (containment, not Jaccard: a benchmark item
+    * embedded in a long document should still flag).
+    *
+    * Scale shape: eval benchmarks are tiny next to a 100 TB corpus, so
+    * the eval shingle index is `broadcast()` — the corpus is never
+    * shuffled on shingle, only the per-(corpus, eval) overlap counts
+    * aggregate (map-side partial). Returns pairs at or above
+    * `minContainment`.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3,
+      minContainment: Double = 0.5): DataFrame = {
+    import graft.functions.TextFunctions
+    def shingles(df: DataFrame, as: String) = df.select(
+      col(idCol).as(as),
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("__s"))
+    val eSh = shingles(evalSet, "eval_id")
+    val eSizes = eSh.groupBy("eval_id").agg(count(lit(1)).as("__n_eval"))
+    shingles(corpus, "corpus_id")
+      .join(broadcast(eSh), Seq("__s"))
+      .groupBy("corpus_id", "eval_id")
+      .agg(count(lit(1)).as("overlap"))
+      .join(broadcast(eSizes), Seq("eval_id"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("__n_eval").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("corpus_id"), col("eval_id"), col("overlap"),
+        col("containment"))
+  }
+
+  /** Gopher-style quality gates over exact-integer text statistics:
+    * word count bounds, mean word length bounds, alpha-word fraction.
+    * Emits the per-rule flags (so a pipeline can audit WHY a doc
+    * dropped) plus the conjunction. Pure codegen'd expressions.
+    */
+  def qualityGates(df: DataFrame, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minAlphaWordFrac: Double = 0.8): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nWords = size(words).cast(LongType)
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWords.cast("double")
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords.cast("double")
+    df.withColumn("n_words", nWords)
+      .withColumn("gate_n_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("gate_mean_word_len",
+        meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen)
+      .withColumn("gate_alpha_frac", alphaFrac >= minAlphaWordFrac)
+      .withColumn("keep", col("gate_n_words") &&
+        col("gate_mean_word_len") && col("gate_alpha_frac"))
+  }
+
   /** Corpus vocabulary: lowercase alpha tokens → (term frequency, doc
     * frequency), top `topN` by tf with token tiebreak. Two-level
     * aggregation — per (token, doc) first — so doc frequency needs no

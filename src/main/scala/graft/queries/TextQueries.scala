@@ -160,7 +160,47 @@ object TextQueries {
       graft.operators.CorpusOps.vocabulary(
         t(s, dir, "documents"), "doc_id", "text", 100)
         .select(col("token"), asLong(col("tf")).as("tf"),
-          asLong(col("df")).as("df")))
+          asLong(col("df")).as("df"))),
+
+    // benchmark decontamination: corpus docs sharing >= 5% of an "eval"
+    // doc's distinct 3-shingles (containment, broadcast eval index).
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusOps.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", shingleN = 3, minContainment = 0.05)
+        .select(col("corpus_id"), col("eval_id"),
+          asLong(col("overlap")).as("overlap"), col("containment"))
+        .orderBy("corpus_id", "eval_id")
+    }),
+
+    // Gopher-style quality gates: per-rule flags + keep conjunction,
+    // exact-integer stats so the booleans compare bitwise.
+    "q_quality_gates" -> ((s, dir) =>
+      graft.operators.CorpusOps.qualityGates(
+        t(s, dir, "documents"), "text",
+        minWords = 50, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minAlphaWordFrac = 0.8)
+        .select(col("doc_id"), col("n_words"), col("gate_n_words"),
+          col("gate_mean_word_len"), col("gate_alpha_frac"), col("keep"))
+        .orderBy("doc_id")),
+
+    // PII scrub: emails/phones/IPv4 → typed placeholders (regexes in the
+    // Java∩RE2 dialect so the oracle replays them verbatim).
+    "q_pii_scrub" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(
+        (1L, "contact us at support@example.com or sales@firm.co.uk today"),
+        (2L, "call 555-123-4567 or 555.987.6543 x89"),
+        (3L, "server at 192.168.1.1 and 10.0.0.255 responded"),
+        (4L, "no pii here, just text"),
+        (5L, "mixed: a@b.io from 127.0.0.1 dialed 800-555-0199")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.scrubPii(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -198,6 +238,59 @@ object TextQueries {
         |SELECT token, CAST(SUM(tf) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df
         |FROM td GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // same distinct-3-shingle CTE as q_ngram_jaccard's oracle, scored by
+    // containment against the eval side.
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id < 10),
+        |co AS (SELECT doc_id AS corpus_id, s FROM sh WHERE doc_id >= 10),
+        |esz AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        |ov AS (SELECT corpus_id, eval_id, count(*) AS overlap
+        |  FROM co JOIN ev USING (s) GROUP BY 1, 2)
+        |SELECT corpus_id, eval_id, CAST(overlap AS BIGINT) AS overlap,
+        |  CAST(overlap AS DOUBLE) / n_eval AS containment
+        |FROM ov JOIN esz USING (eval_id)
+        |WHERE CAST(overlap AS DOUBLE) / n_eval >= 0.05
+        |ORDER BY corpus_id, eval_id""".stripMargin,
+
+    "q_quality_gates" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+        |      AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_frac
+        |  FROM s)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS gate_n_words,
+        |  mean_len >= 3.0 AND mean_len <= 10.0 AS gate_mean_word_len,
+        |  alpha_frac >= 0.8 AS gate_alpha_frac,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND alpha_frac >= 0.8 AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_pii_scrub" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b', '<IP>', 'g') AS scrubbed
+        |FROM (VALUES
+        |  (1, 'contact us at support@example.com or sales@firm.co.uk today'),
+        |  (2, 'call 555-123-4567 or 555.987.6543 x89'),
+        |  (3, 'server at 192.168.1.1 and 10.0.0.255 responded'),
+        |  (4, 'no pii here, just text'),
+        |  (5, 'mixed: a@b.io from 127.0.0.1 dialed 800-555-0199'))
+        |t(doc_id, text)
+        |ORDER BY doc_id""".stripMargin,
     "q_token_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_actual,

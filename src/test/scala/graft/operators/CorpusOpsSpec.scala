@@ -52,6 +52,59 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byShard.size > 1)
   }
 
+  test("decontaminate: an embedded benchmark item flags with containment " +
+    "1.0; unrelated docs stay clean; eval side is broadcast") {
+    val evalSet = Seq((100L, "the quick brown fox jumps over the dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro text then the quick brown fox jumps over the dog and more"),
+      (2L, "completely different content about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.decontaminate(corpus, evalSet, "doc_id", "text",
+      shingleN = 3, minContainment = 0.5)
+    val rows = got.select("corpus_id", "eval_id", "containment")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.toSeq == Seq((1L, 100L, 1.0))) // fully contained, doc 2 clean
+    assert(got.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "eval shingle index must broadcast")
+  }
+
+  test("qualityGates: each rule flags independently and keep is the " +
+    "conjunction") {
+    val docs = Seq(
+      (1L, Seq.fill(60)("hello").mkString(" ")), // passes all
+      (2L, "too short"), // fails n_words
+      (3L, Seq.fill(60)("a").mkString(" ")), // fails mean word length
+      (4L, Seq.fill(60)("1234").mkString(" "))) // fails alpha fraction
+      .toDF("doc_id", "text")
+    val got = CorpusOps.qualityGates(docs, "text")
+      .select("doc_id", "gate_n_words", "gate_mean_word_len",
+        "gate_alpha_frac", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got.sortBy(_._1) == Seq(
+      (1L, true, true, true, true),
+      (2L, false, true, true, false),
+      (3L, true, false, true, false),
+      (4L, true, true, false, false)))
+  }
+
+  test("scrubPii replaces emails, phones, and IPv4s but leaves " +
+    "look-alikes alone") {
+    val got = Seq(
+      "mail a.b+c@x-y.org now",
+      "phone 555-123-4567 and 555.987.6543",
+      "ip 10.0.0.1 but version 1.2.3 stays",
+      "not an email: a@b, not a phone: 12-34-56")
+      .toDF("text")
+      .select(graft.functions.TextFunctions.scrubPii($"text"))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "phone <PHONE> and <PHONE>",
+      "ip <IP> but version 1.2.3 stays",
+      "not an email: a@b, not a phone: 12-34-56"))
+  }
+
   test("vocabulary: tf counts every occurrence, df counts documents, " +
     "top-n is a total order") {
     val docs = Seq(
