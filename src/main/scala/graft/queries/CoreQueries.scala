@@ -323,7 +323,29 @@ object CoreQueries {
             "yyyy-MM-dd HH:00").as("hour"),
           col("event_type"))
         .agg(asLong(count(lit(1))).as("n"), dsum(col("value")).as("v"))
-        .orderBy("hour", "event_type"))
+        .orderBy("hour", "event_type")),
+
+    // as-of join (event attribution): each purchase matched to the same
+    // user's latest view at or before it — union-window formulation, one
+    // key shuffle, no range join; oracle is DuckDB's native ASOF JOIN.
+    // ts compares in µs on both engines (DuckDB reads TIMESTAMP(NANOS)
+    // at µs precision, so ns would diverge in the trailing digits).
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === lit("purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === lit("view"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.AsOfJoin.asOfJoin(purchases, views,
+        Seq("user_id"), "ts", rightPrefix = "view_")
+        .select(asLong(col("user_id")).as("user_id"),
+          asLong(col("ts")).as("ts"),
+          asLong(col("event_id")).as("event_id"),
+          asLong(col("view_event_id")).as("view_event_id"),
+          asLong(col("view_ts")).as("view_ts"))
+        .orderBy("user_id", "ts")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -527,6 +549,17 @@ object CoreQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.ts, p.event_id,
+        |  v.event_id AS view_event_id, v.ts AS view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id, p.ts""".stripMargin
   )
 }
