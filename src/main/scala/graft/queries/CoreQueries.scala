@@ -345,6 +345,40 @@ object CoreQueries {
           asLong(col("view_event_id")).as("view_event_id"),
           asLong(col("view_ts")).as("view_ts"))
         .orderBy("user_id", "ts")
+    }),
+
+    // sessionization: 6h-gap sessions per user (µs), lag + running sum
+    // over one key shuffle.
+    "q_sessionize" -> ((s, dir) =>
+      graft.operators.Sessionize.sessionize(
+        t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+          .select(col("user_id"), col("ts"), col("event_id")),
+        Seq("user_id"), "ts", gap = 21600000000L)
+        .select(asLong(col("user_id")).as("user_id"),
+          asLong(col("ts")).as("ts"),
+          asLong(col("event_id")).as("event_id"),
+          asLong(col("session_seq")).as("session_seq"))
+        .orderBy("user_id", "ts")),
+
+    // interval join: views within the hour before each purchase —
+    // bucketized (width = span) so it is an equi-join + filter, never a
+    // per-key nested loop; oracle is the naive BETWEEN join.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === lit("purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === lit("view"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.Sessionize.rangeJoin(purchases, views,
+        Seq("user_id"), "ts", lo = -3600000000L, hi = -1L,
+        rightPrefix = "view_")
+        .select(asLong(col("user_id")).as("user_id"),
+          asLong(col("ts")).as("ts"),
+          asLong(col("event_id")).as("event_id"),
+          asLong(col("view_ts")).as("view_ts"),
+          asLong(col("view_event_id")).as("view_event_id"))
+        .orderBy("user_id", "ts", "view_ts")
     })
   )
 
@@ -560,6 +594,31 @@ object CoreQueries {
         |  v.event_id AS view_event_id, v.ts AS view_ts
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
-        |ORDER BY p.user_id, p.ts""".stripMargin
+        |ORDER BY p.user_id, p.ts""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e)
+        |SELECT user_id, ts, event_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |FROM m ORDER BY user_id, ts""".stripMargin,
+
+    "q_range_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.ts, p.event_id,
+        |  v.ts AS view_ts, v.event_id AS view_event_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts BETWEEN p.ts - 3600000000 AND p.ts - 1
+        |ORDER BY p.user_id, p.ts, view_ts""".stripMargin
   )
 }
