@@ -142,6 +142,49 @@ object CorpusOps {
         col("gate_mean_word_len") && col("gate_alpha_frac"))
   }
 
+  /** Gopher/FineWeb-style repetition statistics per document:
+    * duplicate-word fraction (`1 - distinct/total`) and top-bigram
+    * fraction (occurrences of the most frequent word 2-gram over all
+    * 2-grams), plus the repetition gate (`top_bigram_frac <= maxTopBigram`,
+    * the published heuristic for machine-generated boilerplate). The
+    * word-level stats are per-row codegen'd expressions; the bigram mode
+    * is one explode + two aggregations keyed by doc — map-side partial,
+    * one shuffle on the doc id.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      maxTopBigram: Double = 0.18): DataFrame = {
+    val words = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("__doc"),
+      size(words).cast(LongType).as("n_words"),
+      size(array_distinct(words)).cast(LongType).as("n_distinct_words"),
+      words.as("__w"))
+    // guard: sequence(1, 0) DESCENDS in Spark, so single-word docs need
+    // an explicit empty list (same trap as TextFunctions.charShingles)
+    val idxs = when(size(col("__w")) >= 2,
+      sequence(lit(1), size(col("__w")) - 1))
+      .otherwise(array().cast("array<int>"))
+    val bigrams = base.select(col("__doc"),
+      explode(transform(idxs,
+        i => concat_ws(" ", element_at(col("__w"), i),
+          element_at(col("__w"), i + 1)))).as("bg"))
+    val perDoc = bigrams.groupBy(col("__doc"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("__doc"))
+      .agg(max(col("c")).as("__top"), sum(col("c")).as("__tot"))
+    base.drop("__w")
+      .join(perDoc, Seq("__doc"), "left")
+      .withColumn("dup_word_frac",
+        lit(1.0) - col("n_distinct_words").cast("double") /
+          col("n_words").cast("double"))
+      .withColumn("top_bigram_frac",
+        coalesce(col("__top").cast("double") / col("__tot").cast("double"),
+          lit(0.0)))
+      .withColumn("gate_repetition", col("top_bigram_frac") <= maxTopBigram)
+      .select(col("__doc").as(idCol), col("n_words"),
+        col("n_distinct_words"), col("dup_word_frac"),
+        col("top_bigram_frac"), col("gate_repetition"))
+  }
+
   /** Corpus vocabulary: lowercase alpha tokens → (term frequency, doc
     * frequency), top `topN` by tf with token tiebreak. Two-level
     * aggregation — per (token, doc) first — so doc frequency needs no

@@ -186,6 +186,17 @@ object TextQueries {
           col("gate_mean_word_len"), col("gate_alpha_frac"), col("keep"))
         .orderBy("doc_id")),
 
+    // Gopher repetition stats: duplicate-word and top-bigram fractions
+    // plus the repetition gate; exact integer ratios.
+    "q_repetition" -> ((s, dir) =>
+      graft.operators.CorpusOps.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), asLong(col("n_words")).as("n_words"),
+          asLong(col("n_distinct_words")).as("n_distinct_words"),
+          col("dup_word_frac"), col("top_bigram_frac"),
+          col("gate_repetition"))
+        .orderBy("doc_id")),
+
     // PII scrub: emails/phones/IPv4 → typed placeholders (regexes in the
     // Java∩RE2 dialect so the oracle replays them verbatim).
     "q_pii_scrub" -> ((s, _) => {
@@ -276,6 +287,24 @@ object TextQueries {
         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
         |    AND alpha_frac >= 0.8 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM s WHERE len(w) >= 2),
+        |pd AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
+        |  FROM pd GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words,
+        |  1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+        |    AS dup_word_frac,
+        |  COALESCE(CAST(top AS DOUBLE) / tot, 0.0) AS top_bigram_frac,
+        |  COALESCE(CAST(top AS DOUBLE) / tot, 0.0) <= 0.18
+        |    AS gate_repetition
+        |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -105,6 +105,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       "not an email: a@b, not a phone: 12-34-56"))
   }
 
+  test("repetitionStats: degenerate repetition maxes the fractions, " +
+    "varied text passes the gate, single-word docs don't blow up") {
+    val docs = Seq(
+      (1L, "a a a a"), // one bigram repeated: top_bigram_frac 1.0
+      (2L, Seq.tabulate(100)(i => s"w$i").mkString(" ")), // all distinct
+      (3L, "solo")) // no bigrams at all
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(docs, "doc_id", "text")
+      .select("doc_id", "n_words", "dup_word_frac", "top_bigram_frac",
+        "gate_repetition")
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 4 && got(1L)._3 == 0.75 && got(1L)._4 == 1.0)
+    assert(!got(1L)._5) // boilerplate fails the gate
+    assert(got(2L)._3 == 0.0 && got(2L)._4 < 0.02 && got(2L)._5)
+    assert(got(3L)._4 == 0.0 && got(3L)._5) // no bigrams → frac 0
+  }
+
   test("vocabulary: tf counts every occurrence, df counts documents, " +
     "top-n is a total order") {
     val docs = Seq(
