@@ -185,6 +185,33 @@ object CorpusOps {
         col("top_bigram_frac"), col("gate_repetition"))
   }
 
+  /** Per-document keyword extraction: top `k` tokens per doc by
+    * tf·(N/df) — the tf-idf ranking with the exact rational idf
+    * (`N/df` instead of `log(N/df)`: the log is monotone, so the
+    * RANKING is identical, and the score stays an exact
+    * integer-over-integer double that compares bitwise against any
+    * engine). One shuffle for the (token, doc) counts, a broadcast of
+    * the df table (vocab-sized, tiny next to postings), and the
+    * bounded per-key top-k window.
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+      explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+        t => t =!= lit(""))).as("token"))
+    val td = tok.groupBy(col("token"), col("doc"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = df.count()
+    val scored = td.join(broadcast(dfreq), Seq("token"))
+      .withColumn("score",
+        col("tf").cast("double") * n / col("df").cast("double"))
+    graft.functions.EdgarFunctions.perKeyTopK(scored, k, Seq("doc"),
+      Seq(col("score").desc, col("token")))
+      .select(col("doc").as(idCol), col("token"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Corpus vocabulary: lowercase alpha tokens → (term frequency, doc
     * frequency), top `topN` by tf with token tiebreak. Two-level
     * aggregation — per (token, doc) first — so doc frequency needs no

@@ -186,6 +186,17 @@ object TextQueries {
           col("gate_mean_word_len"), col("gate_alpha_frac"), col("keep"))
         .orderBy("doc_id")),
 
+    // per-doc keyword extraction: top-3 tokens by tf·(N/df) — rational
+    // idf keeps the score an exact integer ratio (same ranking as log
+    // idf), broadcast df table, bounded per-key top-k.
+    "q_tfidf_keywords" -> ((s, dir) =>
+      graft.operators.CorpusOps.tfidfKeywords(
+        t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("token"),
+          asLong(col("tf")).as("tf"), asLong(col("df")).as("df"),
+          col("score"))
+        .orderBy("doc_id", "token")),
+
     // Gopher repetition stats: duplicate-word and top-bigram fractions
     // plus the repetition gate; exact integer ratios.
     "q_repetition" -> ((s, dir) =>
@@ -287,6 +298,24 @@ object TextQueries {
         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
         |    AND alpha_frac >= 0.8 AS keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x != '')) AS token
+        |  FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+        |sc AS (SELECT doc_id, token, tf, df,
+        |    CAST(tf AS DOUBLE) * (SELECT count(*) FROM documents) / df
+        |      AS score
+        |  FROM td JOIN dfq USING (token)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS rn FROM sc)
+        |SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM rk WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
 
     "q_repetition" ->
       """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
