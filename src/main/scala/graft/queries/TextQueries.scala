@@ -240,9 +240,9 @@ object TextQueries {
 
     "q_pack_shards" ->
       """SELECT doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 5000 AS shard_id
+        |    // 5000 AS BIGINT) AS shard_id
         |FROM (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
