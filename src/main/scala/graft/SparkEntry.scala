@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
-      graft.queries.ParseQueries.queries
+      graft.queries.ParseQueries.queries ++
+      graft.queries.LmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
-      graft.queries.ParseQueries.oracles
+      graft.queries.ParseQueries.oracles ++
+      graft.queries.LmQueries.oracles
 }

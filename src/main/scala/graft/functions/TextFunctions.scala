@@ -94,6 +94,21 @@ object TextFunctions {
     array_distinct(filter(chained, x => x.isNotNull))
   }
 
+  /** Word n-gram shingles with positions preserved (NOT deduplicated):
+    * one element per starting token, `len(tokens) - n + 1` of them. The
+    * unit for duplicate-SPAN accounting ([[graft.operators.CorpusOps.dupSpans]]),
+    * where a gram repeated inside one document must count once per
+    * occurrence. Same O(n × tokens) zip_with chain as [[wordShinglesHof]].
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val chained = (2 to n).foldLeft(toks) { (acc, j) =>
+      zip_with(acc, slice(toks, lit(j), size(toks)),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    filter(chained, x => x.isNotNull)
+  }
+
   /** Deterministic per-token value used by the SQL-expressible fingerprint:
     * mixes length with first/last character codes. Chosen to be exactly
     * reproducible in any ANSI engine (for the DuckDB oracle).

@@ -228,4 +228,89 @@ object CorpusOps {
       .agg(sum(col("__tf")).as("tf"), count(lit(1)).as("df"))
       .orderBy(col("tf").desc, col("token"))
       .limit(topN)
+
+  /** Deterministic per-stratum downsampling: keep a row iff its md5
+    * key-bucket (parts-per-million, same 60-bit construction as
+    * [[splitAssign]]) falls under the stratum's rate. This is the
+    * domain-reweighting primitive of LLM corpus curation ("web at 30%,
+    * books at 100%, …"): a pure map-side codegen'd filter — no shuffle,
+    * no sort, no RNG — so it is stable under reruns, row order, cluster
+    * resizing, and incremental corpus growth, and it composes with any
+    * downstream pipeline at 100 TB for free.
+    *
+    * @param ratesPpm stratum value → keep-rate in parts per million
+    *                 (integer, so engines cannot disagree on a float
+    *                 threshold). Strata absent from the map are dropped.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      ratesPpm: Map[String, Long]): DataFrame = {
+    require(ratesPpm.nonEmpty && ratesPpm.values.forall(r => r >= 0 && r <= 1000000L),
+      "rates must be 0..1000000 ppm")
+    val bucket = pmod(
+      conv(substring(md5(to_binary(col(keyCol).cast("string"), lit("utf-8"))),
+        18, 15), 16, 10).cast(LongType),
+      lit(1000000L))
+    val threshold = ratesPpm.foldLeft(lit(-1L)) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(r)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Solve per-stratum keep-rates that hit a target mixture while keeping
+    * as much data as possible: the binding stratum (smallest
+    * `have/want`) is kept whole and every other stratum downsamples to
+    * proportion. Driver-side pure arithmetic over the (tiny) stratum
+    * histogram — feed it `df.groupBy(stratum).count()` results.
+    * Returns parts-per-million rates for [[stratifiedSample]].
+    */
+  def solveMixtureRates(counts: Map[String, Long],
+      targets: Map[String, Double]): Map[String, Long] = {
+    require(targets.values.forall(_ > 0) &&
+      targets.keySet.subsetOf(counts.keySet),
+      "targets must be positive and present in counts")
+    // binding stratum: the one that runs out first at the target mixture
+    val totalAtFull = targets.map { case (k, w) => counts(k) / w }.min
+    targets.map { case (k, w) =>
+      val keep = w * totalAtFull / counts(k) // ≤ 1 by construction
+      k -> math.min(1000000L, math.round(keep * 1000000L))
+    }
+  }
+
+  /** Cross-document duplicate-span statistics (the relational form of
+    * exact substring deduplication à la "Deduplicating Training Data
+    * Makes Language Models Better"): for every document, how many of its
+    * word `n`-gram positions are covered by an n-gram that also appears
+    * in at least one OTHER document, plus the covered fraction — the
+    * signal used to strip boilerplate/licence spans before training.
+    *
+    * Shape for 100 TB: positions explode to one row per n-gram
+    * occurrence, the cross-doc test is a distinct (gram, doc) pair count
+    * — two-level aggregation, no `countDistinct` of raw postings — and
+    * the postings re-join keys on `xxhash64(gram)` (8-byte keys instead
+    * of full n-gram strings through the exchange). Map-side partial
+    * aggregation applies at every level; nothing is quadratic in
+    * documents.
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    val grams = df.select(col(idCol).as("__doc"),
+      explode(TextFunctions.wordShinglesAll(col(textCol), n)).as("__g"))
+      .select(col("__doc"), xxhash64(col("__g")).as("__h"))
+    // grams shared by >=2 distinct docs (distinct pairs first, so the
+    // doc-count agg is over pre-deduped rows — no countDistinct shuffle)
+    val shared = grams.distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__h"), lit(true).as("__dup"))
+    grams
+      .join(shared, Seq("__h"), "left")
+      .groupBy("__doc")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+      .select(col("__doc").as(idCol), col("n_grams"), col("n_dup_grams"),
+        col("dup_frac"))
+  }
 }

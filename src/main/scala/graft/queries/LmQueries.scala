@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusOps, LanguageModel}
+import graft.queries.Q._
+
+/** Oracle-checked queries for the round-5 corpus tier: deterministic
+  * domain-mixture sampling, duplicate-span accounting, Bloom-pruned
+  * joins, and the stupid-backoff n-gram LM (counts + integer scoring
+  * evidence; the floating perplexity itself is spec-gated in
+  * LanguageModelSpec, not hash-compared).
+  */
+object LmQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // domain reweighting: deterministic per-language keep rates
+    // (en 100%, de/es 50%, fr 25%, zh 10%), pure map-side hash filter.
+    "q_sample_mixture" -> ((s, dir) =>
+      CorpusOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 1000000L, "de" -> 500000L, "es" -> 500000L,
+          "fr" -> 250000L, "zh" -> 100000L))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
+    // exact duplicate-span accounting: per doc, how many word-trigram
+    // positions are shared with at least one other document.
+    "q_dup_spans" -> ((s, dir) =>
+      CorpusOps.dupSpans(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .select(col("doc_id"), asLong(col("n_grams")).as("n_grams"),
+          asLong(col("n_dup_grams")).as("n_dup_grams"), col("dup_frac"))
+        .orderBy("doc_id")),
+
+    // Bloom-pruned fact⋈dim join: identical rows to the plain join (the
+    // pruning is a pre-shuffle superset filter), so the plain join IS the
+    // oracle; the pruning effectiveness is asserted in BloomPruneSpec.
+    "q_bloom_join" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").filter(col("o_totalprice") > 150000.0)
+      graft.ops.BloomPrune.bloomPrunedJoin(
+        t(s, dir, "lineitem"), orders, "l_orderkey", "o_orderkey",
+        expectedItems = 100000L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("revenue"))
+        .select(col("o_orderkey"), asLong(col("n_items")).as("n_items"),
+          col("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    // bigram LM counts (top-50 under a total order) — the trained model
+    // artifact itself, oracle-checked.
+    "q_lm_counts" -> ((s, dir) =>
+      LanguageModel.bigramCounts(t(s, dir, "documents"), "text")
+        .orderBy(col("c").desc, col("bigram")).limit(50)
+        .select(col("bigram"), asLong(col("c")).as("c"))),
+
+    // stupid-backoff scoring evidence: train on doc_id < 250, score the
+    // rest; integer hit/oov evidence plus single-division rates are
+    // engine-exact (avg_logprob/ppl stay spec-gated).
+    "q_lm_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("doc_id") < 250)
+      val uni = LanguageModel.unigramCounts(train, "text")
+      val bi = LanguageModel.bigramCounts(train, "text")
+      LanguageModel.scoreDocs(d.filter(col("doc_id") >= 250), "doc_id", "text",
+        uni, bi)
+        .select(col("doc_id"), asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("oov_tokens")).as("oov_tokens"), col("oov_rate"),
+          asLong(col("n_bigrams")).as("n_bigrams"),
+          asLong(col("hit_bigrams")).as("hit_bigrams"),
+          col("bigram_hit_rate"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // same 60-bit md5 bucket construction as q_split_assign's oracle.
+    "q_sample_mixture" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT
+        |      % 1000000 AS b
+        |  FROM documents)
+        |WHERE (lang = 'en' AND b < 1000000)
+        |   OR (lang = 'de' AND b < 500000)
+        |   OR (lang = 'es' AND b < 500000)
+        |   OR (lang = 'fr' AND b < 250000)
+        |   OR (lang = 'zh' AND b < 100000)
+        |ORDER BY doc_id""".stripMargin,
+
+    // position-preserving trigram CTE (NO list_distinct — spans count
+    // once per occurrence), duplicated = seen in >= 2 distinct docs.
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM toks),
+        |dup AS (SELECT s, TRUE AS d FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS nd FROM sh GROUP BY s)
+        |  WHERE nd > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(SUM(CASE WHEN d THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_dup_grams,
+        |  CAST(COALESCE(SUM(CASE WHEN d THEN 1 ELSE 0 END), 0) AS DOUBLE)
+        |    / count(*) AS dup_frac
+        |FROM sh LEFT JOIN dup USING (s)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bloom_join" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 150000
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_lm_counts" ->
+      """WITH toks AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bigram
+        |  FROM toks)
+        |SELECT bigram, CAST(count(*) AS BIGINT) AS c
+        |FROM bg GROUP BY bigram
+        |ORDER BY c DESC, bigram LIMIT 50""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH tr AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id < 250),
+        |sc AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id >= 250),
+        |unic AS (SELECT token, count(*) AS cu FROM (
+        |    SELECT unnest(w) AS token FROM tr) GROUP BY 1),
+        |bic AS (SELECT g, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g FROM tr) GROUP BY 1),
+        |tstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS oov_tokens
+        |  FROM (SELECT doc_id, unnest(w) AS token FROM sc)
+        |  LEFT JOIN unic USING (token) GROUP BY doc_id),
+        |bstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(SUM(CASE WHEN cb IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS hit_bigrams
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      range(1, greatest(len(w), 1)), i -> w[i] || ' ' || w[i+1])) AS g
+        |    FROM sc)
+        |  LEFT JOIN bic USING (g) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, oov_tokens,
+        |  CAST(oov_tokens AS DOUBLE) / n_tokens AS oov_rate,
+        |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(hit_bigrams, 0) AS BIGINT) AS hit_bigrams,
+        |  CASE WHEN n_bigrams > 0
+        |    THEN CAST(hit_bigrams AS DOUBLE) / n_bigrams END
+        |    AS bigram_hit_rate
+        |FROM tstats LEFT JOIN bstats USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

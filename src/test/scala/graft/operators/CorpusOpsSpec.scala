@@ -134,4 +134,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     // banana tf=3 df=2; apple tf=3 df=2 — tie broken by token asc
     assert(got == Seq(("apple", 3L, 2L), ("banana", 3L, 2L)))
   }
+
+  test("stratifiedSample: deterministic under row order/partitioning, " +
+    "rates tracked per stratum, unmapped strata dropped") {
+    val docs = (0L until 3000L).map(i => (i, if (i % 3 == 0) "a"
+      else if (i % 3 == 1) "b" else "c")).toDF("doc_id", "dom")
+    val rates = Map("a" -> 1000000L, "b" -> 300000L) // c absent → dropped
+    val x = CorpusOps.stratifiedSample(docs, "doc_id", "dom", rates)
+      .as[(Long, String)].collect().toSet
+    val y = CorpusOps.stratifiedSample(docs.orderBy(rand(7)).repartition(5),
+      "doc_id", "dom", rates).as[(Long, String)].collect().toSet
+    assert(x == y)
+    val byDom = x.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byDom("a") == 1000) // rate 1.0 keeps the whole stratum
+    assert(math.abs(byDom("b") / 1000.0 - 0.3) < 0.05)
+    assert(!byDom.contains("c"))
+  }
+
+  test("solveMixtureRates: binding stratum kept whole, achieved mixture " +
+    "matches the target") {
+    val counts = Map("web" -> 8000L, "books" -> 1000L, "code" -> 3000L)
+    val targets = Map("web" -> 0.5, "books" -> 0.25, "code" -> 0.25)
+    val rates = CorpusOps.solveMixtureRates(counts, targets)
+    // books is binding: 1000/0.25 = 4000 total → books kept 100%
+    assert(rates("books") == 1000000L)
+    val kept = rates.map { case (k, r) => k -> counts(k) * r / 1000000.0 }
+    val tot = kept.values.sum
+    targets.foreach { case (k, w) =>
+      assert(math.abs(kept(k) / tot - w) < 0.01, s"$k mixture off")
+    }
+  }
+
+  test("dupSpans: shared trigrams count once per OCCURRENCE, " +
+    "unique docs score zero, short docs emit no row") {
+    val boiler = "all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler"),       // 4 grams, 1 dup
+      (2L, s"$boiler $boiler delta"),           // repeated span in one doc
+      (3L, "totally unique text with no overlap at all"),
+      (4L, "hi there")                          // < 3 tokens → absent
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(4L))
+    assert(got(3L)._3 == 0L && got(3L)._4 == 0.0)
+    // doc1: tokens=6 → 4 grams; "all rights reserved" shared with doc2
+    assert(got(1L)._2 == 4L && got(1L)._3 == 1L && got(1L)._4 == 0.25)
+    // doc2: 7 tokens → 5 grams; BOTH occurrences of the shared gram count
+    // ("all rights reserved" at positions 1 and 4)
+    assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
+  }
 }

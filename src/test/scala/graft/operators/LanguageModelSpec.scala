@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class LanguageModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the rug"),
+    (3L, "the cat ate the fish")).toDF("doc_id", "text")
+
+  test("unigram and bigram counts are exact, minCount prunes the tail") {
+    val uni = LanguageModel.unigramCounts(corpus, "text")
+      .as[(String, Long)].collect().toMap
+    assert(uni("the") == 6L && uni("cat") == 2L && uni("fish") == 1L)
+    val bi = LanguageModel.bigramCounts(corpus, "text")
+      .as[(String, Long)].collect().toMap
+    assert(bi("the cat") == 2L && bi("sat on") == 2L && bi("cat ate") == 1L)
+    val pruned = LanguageModel.bigramCounts(corpus, "text", minCount = 2L)
+      .as[(String, Long)].collect().toMap
+    assert(pruned.values.forall(_ >= 2L) && pruned.contains("sat on")
+      && !pruned.contains("cat ate"))
+  }
+
+  test("scoreDocs: in-domain text scores higher than gibberish, " +
+    "ppl = exp(-avg_logprob), evidence columns are exact") {
+    val uni = LanguageModel.unigramCounts(corpus, "text")
+    val bi = LanguageModel.bigramCounts(corpus, "text")
+    val docs = Seq(
+      (10L, "the cat sat on the mat"), // pure training text
+      (11L, "the dog ate the fish"),   // in-vocab, mixed bigrams
+      (12L, "zx qv wk jj pp"),         // all OOV
+      (13L, "single")                  // 1 token → no bigram evidence
+    ).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocs(docs, "doc_id", "text", uni, bi)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val clean = got(10L)
+    assert(clean.getLong(1) == 6L && clean.getLong(2) == 0L) // n_tokens, oov
+    assert(clean.getLong(4) == 5L && clean.getLong(5) == 5L) // all bigrams hit
+    assert(clean.getDouble(6) == 1.0)
+
+    val oov = got(12L)
+    assert(oov.getLong(2) == 5L && oov.getDouble(3) == 1.0) // fully OOV
+    assert(oov.getLong(5) == 0L)
+
+    // likelihood orders as expected: trained ≫ mixed ≫ gibberish
+    val lp = (id: Long) => got(id).getDouble(7)
+    assert(lp(10L) > lp(11L) && lp(11L) > lp(12L))
+    // ppl is the exp(-avg_logprob) image
+    assert(math.abs(got(11L).getDouble(8) - math.exp(-lp(11L))) < 1e-12)
+    // no bigram evidence → null rate/logprob/ppl, but token stats present
+    assert(got(13L).getLong(1) == 1L && got(13L).isNullAt(6)
+      && got(13L).isNullAt(7) && got(13L).isNullAt(8))
+  }
+
+  test("perplexityFilter keeps in-domain docs and drops gibberish") {
+    val docs = Seq(
+      (10L, "the cat sat on the mat"),
+      (12L, "zx qv wk jj pp qq rr")).toDF("doc_id", "text")
+    // threshold between the two: clean text sits near ppl 2, gibberish
+    // backs off to alpha/total per position → ppl = total/alpha ≈ 42
+    val kept = LanguageModel.perplexityFilter(corpus, docs, "doc_id", "text",
+      maxPpl = 10.0).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L))
+  }
+
+  test("scoreDocs is deterministic across partitioning (broadcast joins, " +
+    "map-side aggregation only)") {
+    val uni = LanguageModel.unigramCounts(corpus, "text")
+    val bi = LanguageModel.bigramCounts(corpus, "text")
+    val docs = Seq((10L, "the cat sat on the mat"),
+      (11L, "the dog ate the fish")).toDF("doc_id", "text")
+    val a = LanguageModel.scoreDocs(docs, "doc_id", "text", uni, bi)
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.scoreDocs(docs.repartition(7), "doc_id", "text",
+      uni, bi).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
