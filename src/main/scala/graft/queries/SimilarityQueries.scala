@@ -59,6 +59,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ ANN (product-quantized codes, ADC scan, exact rerank) — the
+    // compressed-index scale path; no SQL oracle (iterative float
+    // k-means), recall + monotonicity asserted in ProductQuantizerSpec.
+    "q_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.ProductQuantizer.pqTopK(e.filter(col("id") < 5), e, 5,
+        m = 4, ksub = 16, rerankFactor = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MinHash+LSH near-dup candidates, exact-Jaccard verified. xxhash64
     // signatures are not SQL-expressible → rows-only; the *verifier*
     // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.

@@ -19,7 +19,8 @@ import graft.{SparkEntry, TestSpark}
 object GoldenPin {
   val sfDir = "/root/testdata/sf0.01"
   val pinned: Seq[String] =
-    Seq("q_ann_ivf", "q_ann_lsh", "q_dedup_minhash", "q_simhash_sketch")
+    Seq("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_dedup_minhash",
+      "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -63,6 +64,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "2ddcd3a4550cc27aab1fd6f5e81fe690834ce6a9c2822667eea94f21ba636a50"),
     "q_ann_lsh" -> (25L,
       "7b4632c658c851a3e6628ee71bb93c74a35dd652f4add06491a835e135ac8c04"),
+    "q_ann_pq" -> (25L,
+      "5065922ff5a70e5e5cc3d5b2d5d81a7bc773d2daf4e01fad21fbe07d09a93f34"),
     "q_dedup_minhash" -> (30L,
       "dcb7bea2b7f79769b78ce9be743abc108d2bd21ac5e0760864364fb94a5e4649"),
     "q_simhash_sketch" -> (500L,
