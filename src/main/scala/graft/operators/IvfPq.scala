@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** IVF-PQ — the composed 100 TB ANN architecture (FAISS's `IVFx,PQy`
+  * shape; Jégou et al. 2011 §V): [[IvfAnn]]'s coarse cells route the
+  * search, [[ProductQuantizer]] codes compress what each cell stores.
+  *
+  *   1. a coarse quantizer (k-means, [[IvfAnn.trainCentroids]]) splits
+  *      the corpus into `nlist` cells;
+  *   2. each vector is stored as its cell id + an `m`-byte PQ code of its
+  *      RESIDUAL (vector − cell centroid) + its exact float norm.
+  *      Residual coding is what makes the composition better than either
+  *      part alone: residuals concentrate near 0, so the same `ksub`
+  *      codebook spends its precision on a much smaller volume than raw
+  *      vectors would need;
+  *   3. a query probes its `nprobe` nearest cells and scores ONLY those
+  *      cells' codes by asymmetric distance — `dot(q, x) ≈ dot(q, cent) +
+  *      ADCtable[code]`, O(m) lookups per candidate. The stored exact
+  *      norm keeps the cosine denominator exact, so the only
+  *      approximation is the residual dot;
+  *   4. the top `k × rerankFactor` shortlist reranks against raw
+  *      embeddings exactly.
+  *
+  * At 100 TB: the index is `(cell, code[m], nrm)` — written once
+  * partitioned by `cell`, a probe reads `nprobe/nlist` of the partitions
+  * (partition pruning) and each scanned row costs m byte-lookups, not a
+  * dim-float dot. The residual codebooks are global (shared across
+  * cells), so one `m × ksub` ADC table per query serves every probed
+  * cell. Recall levers: `nprobe` (cells searched) and `rerankFactor`
+  * (shortlist depth), both monotone.
+  */
+object IvfPq {
+
+  /** Trained index model: coarse centroids + global residual codebooks. */
+  final case class Model(centroids: Array[Array[Double]],
+      codebooks: ProductQuantizer.Codebooks)
+
+  /** Residual of `e` against centroid `cell` as floats (PQ trains/encodes
+    * on these).
+    */
+  private def residual(cents: Array[Array[Double]], cell: Int,
+      e: Seq[Float]): Array[Float] = {
+    val c = cents(cell)
+    val out = new Array[Float](c.length)
+    var i = 0
+    while (i < c.length) { out(i) = (e(i) - c(i)).toFloat; i += 1 }
+    out
+  }
+
+  /** Train coarse quantizer + residual codebooks. Training data for the
+    * PQ stage is the residual stream of the (sampled) corpus — both
+    * stages deterministic (xxhash64-ranked seeds, no RNG).
+    */
+  def train(corpus: DataFrame, nlist: Int, m: Int, ksub: Int,
+      iters: Int = 2, pqIters: Int = 3,
+      trainFraction: Double = 1.0): Model = {
+    val spark = corpus.sparkSession
+    val cents = IvfAnn.trainCentroids(corpus, nlist, iters, trainFraction)
+    val bc = spark.sparkContext.broadcast(cents)
+    val res = udf((e: Seq[Float]) =>
+      residual(bc.value, IvfAnn.nearestCell(bc.value, e), e))
+    val residuals = corpus.select(col("id"), res(col("embedding")).as("embedding"))
+    val cb = ProductQuantizer.trainCodebooks(residuals, m, ksub, pqIters,
+      trainFraction)
+    Model(cents, cb)
+  }
+
+  /** The compressed index: `(id, cell, code binary, nrm)`. Write it
+    * `partitionBy("cell")` for pruned probes at scale; `nrm` is the exact
+    * vector norm (4 bytes) so cosine denominators never degrade.
+    */
+  def encode(corpus: DataFrame, model: Model): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
+    val enc = udf((e: Seq[Float]) => {
+      val mdl = bc.value
+      val cell = IvfAnn.nearestCell(mdl.centroids, e)
+      (cell, ProductQuantizer.encodeVec(mdl.codebooks,
+        residual(mdl.centroids, cell, e)))
+    })
+    corpus.select(col("id"), enc(col("embedding")).as("cc"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+      .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("code"),
+        col("nrm"))
+  }
+
+  /** IVF-PQ top-k with exact rerank. Pass `model`/`codes` to reuse a
+    * built index across query batches (encode once, probe many — the
+    * production shape).
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, ksub: Int = 32,
+      rerankFactor: Int = 4, iters: Int = 2, pqIters: Int = 3,
+      excludeSelf: Boolean = true,
+      model: Option[Model] = None,
+      codes: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val mdl = model.getOrElse(train(corpus, nlist, m, ksub, iters, pqIters))
+    val bc = spark.sparkContext.broadcast(mdl)
+    val codeDf = codes.getOrElse(encode(corpus, mdl))
+      .select(col("id").as("neighbor_id"), col("cell"), col("code"),
+        col("nrm").as("c_nrm"))
+
+    // per-query probe list with the centroid dot folded in: the numerator
+    // decomposes as dot(q, cent_cell) + dot(q, residual); the first term
+    // is per (query, cell), the second is O(m) ADC lookups per candidate
+    val kk = mdl.codebooks(0).length
+    val probeTab = udf((e: Seq[Float], np: Int) => {
+      val md = bc.value
+      val cells = IvfAnn.nearestCells(md.centroids, e, np)
+      cells.map { cell =>
+        val c = md.centroids(cell)
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += c(i) * e(i); i += 1 }
+        (cell, s)
+      }
+    })
+    val adcTab = udf((e: Seq[Float]) => {
+      val cb = bc.value.codebooks
+      val dsub = cb(0)(0).length
+      val t = new Array[Double](cb.length * kk)
+      for (sub <- cb.indices; cc <- 0 until kk) {
+        var s = 0.0
+        var j = 0
+        while (j < dsub) { s += cb(sub)(cc)(j) * e(sub * dsub + j); j += 1 }
+        t(sub * kk + cc) = s
+      }
+      t
+    })
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_nrm"),
+      adcTab(col("embedding")).as("q_tab"),
+      explode(probeTab(col("embedding"), lit(nprobe))).as("probe"))
+      .select(col("query_id"), col("q_nrm"), col("q_tab"),
+        col("probe._1").as("cell"), col("probe._2").as("qc_dot")))
+
+    val score = udf((code: Array[Byte], tab: Seq[Double], qcDot: Double,
+        qnrm: Double, cnrm: Double) => {
+      var dot = qcDot
+      var sub = 0
+      while (sub < code.length) {
+        dot += tab(sub * kk + (code(sub) & 0xff))
+        sub += 1
+      }
+      val den = qnrm * cnrm
+      if (den > 0) dot / den else 0.0
+    })
+    // the join key is the cell — over a partitionBy("cell") index this is
+    // the partition-pruned probe; only nprobe/nlist of the codes scan
+    val approx = codeDf.join(q, Seq("cell"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", score(col("code"), col("q_tab"), col("qc_dot"),
+        col("q_nrm"), col("c_nrm")))
+    val shortlist = Similarity.topKMerge(approx, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact rerank (shortlist is |Q|·k·rerankFactor rows — broadcast side)
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("c_nrm"))
+    val qe = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_nrm")))
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .withColumn("sim", VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+    Similarity.topKMerge(exact, k)
+  }
+}

@@ -71,6 +71,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ ANN (coarse cells route, PQ residual codes compress, exact
+    // rerank) — the composed 100 TB index shape; no SQL oracle (iterative
+    // float k-means at both stages), recall + monotonicity asserted in
+    // IvfPqSpec, output golden-pinned.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.IvfPq.ivfPqTopK(e.filter(col("id") < 5), e, 5,
+        nlist = 16, nprobe = 6, m = 4, ksub = 16, rerankFactor = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MinHash+LSH near-dup candidates, exact-Jaccard verified. xxhash64
     // signatures are not SQL-expressible → rows-only; the *verifier*
     // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.

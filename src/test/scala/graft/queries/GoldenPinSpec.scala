@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.{SparkEntry, TestSpark}
 
-/** Golden pins for the four queries the SQL oracle cannot reach
+/** Golden pins for the queries the SQL oracle cannot reach
   * (`no_oracle` in CORRECTNESS): their pipelines are deterministic
   * (hash-seeded signatures, seeded k-means, fixed tie-breakers), so the
   * full output is frozen as a canonical SHA-256 over sorted rows. A pin
@@ -19,8 +19,8 @@ import graft.{SparkEntry, TestSpark}
 object GoldenPin {
   val sfDir = "/root/testdata/sf0.01"
   val pinned: Seq[String] =
-    Seq("q_ann_ivf", "q_ann_lsh", "q_ann_pq", "q_dedup_minhash",
-      "q_simhash_sketch")
+    Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
+      "q_dedup_minhash", "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -62,6 +62,8 @@ class GoldenPinSpec extends AnyFunSuite {
   private val expected = Map(
     "q_ann_ivf" -> (25L,
       "2ddcd3a4550cc27aab1fd6f5e81fe690834ce6a9c2822667eea94f21ba636a50"),
+    "q_ann_ivfpq" -> (25L,
+      "28a516033ed252edf2348f7d646823907f1a4f10932255da06ae2d79e074ad4b"),
     "q_ann_lsh" -> (25L,
       "7b4632c658c851a3e6628ee71bb93c74a35dd652f4add06491a835e135ac8c04"),
     "q_ann_pq" -> (25L,
