@@ -222,6 +222,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Materialized MinHash LSH index of a corpus: `(id, band, bucket,
+    * bucket_sz)`. `bucket_sz` is frozen at build time so later
+    * incremental probes apply the `maxBucketSize` guard as a plain scan
+    * filter (parquet predicate pushdown) instead of re-aggregating the
+    * corpus. Write it `partitionBy("band")` and the probe join prunes
+    * per band at scale.
+    */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16): DataFrame =
+    lshIndex(df, idCol, textCol, shingleN, k, bands)
+      .withColumn("bucket_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+
+  /** Incremental near-dup dedup: a NEW batch of documents against an
+    * EXISTING corpus whose [[minhashIndex]] was built once — the daily
+    * shape of a 100 TB pipeline, where re-running [[minhashDedupPairs]]
+    * over corpus+batch would re-shingle and re-shuffle the whole corpus
+    * for a 0.1% increment.
+    *
+    * What touches what:
+    *   - the corpus INDEX is only scanned (filtered by its frozen
+    *     `bucket_sz`, then hash-joined against the BROADCAST batch index)
+    *     — the corpus is never re-signed and never shuffled;
+    *   - corpus TEXTS are read only for ids that survive candidate
+    *     generation (the left-semi join inside [[verifyJaccard]]);
+    *   - batch-internal pairs come from the standard
+    *     [[minhashCandidates]] over the batch alone.
+    *
+    * Returns verified pairs `(id_a, id_b, n_bands_matched, jaccard)`
+    * with `jaccard >= threshold`, `id_a < id_b`, covering every pair
+    * that involves at least one batch document. Requires batch and
+    * corpus id spaces to be disjoint. Same miss model as the batch
+    * pipeline (a true pair at jaccard ≥ 0.4 escapes k=32/bands=16 with
+    * P < 1e-18); over-cap corpus buckets are excluded and WARNed exactly
+    * like [[minhashCandidates]].
+    */
+  def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val bIdx = lshIndex(batch, idCol, textCol, shingleN, k, bands)
+      .withColumn("sz", count(lit(1)).over(w))
+      .filter(col("sz") <= maxBucketSize)
+      .select(col("id").as("id_new"), col("band"), col("bucket"))
+    val cIdx = observeCaps(corpusIndex, "bucket_sz", maxBucketSize,
+        "incrementalMinhashPairs")
+      .filter(col("bucket_sz") <= maxBucketSize)
+      .select(col("id").as("id_old"), col("band"), col("bucket"))
+    // broadcast the (small) batch index: the corpus index streams through
+    // a map-side join — no corpus shuffle; output is bounded by batch
+    // bucket membership, and the pair-count shuffle that follows carries
+    // only matches
+    val cross = cIdx.join(broadcast(bIdx), Seq("band", "bucket"))
+      .select(least(col("id_old"), col("id_new")).as("id_a"),
+        greatest(col("id_old"), col("id_new")).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands_matched"))
+    val internal = minhashCandidates(batch, idCol, textCol, shingleN, k,
+      bands, maxBucketSize)
+    val docs = batch.select(col(idCol), col(textCol))
+      .unionByName(corpus.select(col(idCol), col(textCol)))
+    verifyJaccard(cross.unionByName(internal), docs, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected-component resolution over near-dup pairs — the step that
     * turns pair lists (from [[minhashDedupPairs]], SimHash, or
     * embedding near-dup) into a dedup DECISION: every document in a

@@ -94,6 +94,23 @@ object SimilarityQueries {
           .as("n_bands_matched"), col("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // incremental dedup: a new batch (every 10th doc) against the
+    // pre-built MinHash index of the rest of the corpus. FULL-equality
+    // oracle, not containment: candidates cover every true pair at
+    // jaccard >= 0.4 (P(miss) < 1e-18 at k=32/bands=16) and verification
+    // is exact integer arithmetic, so the output IS the set of
+    // batch-involving near-dup pairs.
+    "q_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+      Dedup.incrementalMinhashPairs(batch, corpus, idx, "doc_id", "text",
+          threshold = 0.4, maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact n-gram Jaccard pairs on a bounded slice (inverted-index join,
     // no cross join) — the oracle-checked ground truth for MinHash.
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -230,6 +247,25 @@ object SimilarityQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS covered,
         |  CAST(0 AS BIGINT) AS hamming
         |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_incremental" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
+        |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ngram_jaccard" ->

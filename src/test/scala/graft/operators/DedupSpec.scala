@@ -140,4 +140,49 @@ class DedupSpec extends AnyFunSuite {
     val labels = Dedup.resolveKeepers(chain).as[(Long, Long)].collect().toMap
     assert(labels.values.toSet == Set(1L))
   }
+
+  test("incremental dedup vs a prebuilt index equals the full pipeline " +
+    "restricted to batch-involving pairs") {
+    // corpus 0-4, batch 10-12: 10 duplicates 0, 11 near-dups 2, 12 is
+    // novel; 11-12 unrelated inside the batch
+    val batch = Seq(
+      (10L, base.trim),
+      (11L, base.trim.replace("lazy dog", "sleepy dog")
+        .replace("quick brown", "fast brown")),
+      (12L, "a fresh document with entirely novel content and no overlap")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val inc = Dedup.incrementalMinhashPairs(batch, corpus, idx,
+        "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashDedupPairs(corpus.unionByName(batch),
+        "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 >= 10L || p._2 >= 10L)
+    assert(inc == full, s"incremental $inc != full-restricted $full")
+    assert(inc.exists(p => (p._1, p._2) == (0L, 10L) && p._3 == 1.0))
+    assert(!inc.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("incremental dedup works against an index round-tripped through " +
+    "a band-partitioned parquet table (the materialized shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("idx").toString
+    Dedup.minhashIndex(corpus, "doc_id", "text")
+      .write.partitionBy("band").mode("overwrite").parquet(path)
+    val batch = Seq((10L, base.trim)).toDF("doc_id", "text")
+    val live = Dedup.incrementalMinhashPairs(batch, corpus,
+        Dedup.minhashIndex(corpus, "doc_id", "text"),
+        "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val loaded = Dedup.incrementalMinhashPairs(batch, corpus,
+        spark.read.parquet(path), "doc_id", "text", threshold = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(live == loaded && live.nonEmpty)
+  }
 }
