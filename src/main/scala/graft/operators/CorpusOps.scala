@@ -313,4 +313,40 @@ object CorpusOps {
       .select(col("__doc").as(idCol), col("n_grams"), col("n_dup_grams"),
         col("dup_frac"))
   }
+
+  /** Overlapping token-window chunks — the context-window packing step of
+    * a training/RAG pipeline: each document becomes windows of
+    * `chunkTokens` whitespace tokens starting every
+    * `stride = chunkTokens − overlap` tokens, so consecutive chunks share
+    * `overlap` tokens. A start past 0 must contribute at least one token
+    * the previous chunk did not cover (`start + overlap < n_tokens`),
+    * so the tail never emits a chunk fully contained in its predecessor.
+    *
+    * Chunk ids are `start / stride` — stable, order-free, derivable from
+    * the chunk itself (a re-chunk of a grown corpus reproduces old ids).
+    * Pure codegen'd column expressions, shuffle-free, embarrassingly
+    * parallel: exactly the shape that survives 100 TB.
+    *
+    * Returns `(idCol, chunk_id, start, n_tokens, chunk_text)`.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got overlap=$overlap chunk=$chunkTokens")
+    val stride = chunkTokens - overlap
+    val n = size(col("__toks"))
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)),
+      s => (s === 0) || (s + lit(overlap) < n))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(starts).as("start"))
+      .select(col(idCol),
+        (col("start").cast(LongType) / stride).cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start"),
+        least(lit(chunkTokens), size(col("__toks")) - col("start"))
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
 }

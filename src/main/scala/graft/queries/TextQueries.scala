@@ -154,6 +154,14 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy("doc_id")),
 
+    // overlapping token-window chunking (context-window packing): 64-token
+    // chunks every 48 tokens (16-token overlap); map-side only, no shuffle.
+    "q_chunk_docs" -> ((s, dir) =>
+      graft.operators.CorpusOps.chunkDocuments(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", chunkTokens = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_id")),
+
     // corpus vocabulary: (term frequency, doc frequency) via two-level
     // aggregation, top-100 under a total order.
     "q_vocab_top" -> ((s, dir) =>
@@ -247,6 +255,21 @@ object TextQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // starts = 0, 48, 96, … < n_tokens, keeping a tail start only if it
+    // contributes tokens beyond the previous chunk (start + 16 < n).
+    "q_chunk_docs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |st AS (SELECT doc_id, w, unnest(list_filter(
+        |    range(0, greatest(len(w), 1), 48),
+        |    s -> s = 0 OR s + 16 < len(w))) AS start
+        |  FROM toks)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
+        |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_vocab_top" ->
       """WITH tok AS (

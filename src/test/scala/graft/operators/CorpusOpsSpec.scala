@@ -184,4 +184,45 @@ class CorpusOpsSpec extends AnyFunSuite {
     // ("all rights reserved" at positions 1 and 4)
     assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
   }
+
+  test("chunkDocuments: full token coverage, exact overlap, no chunk " +
+    "contained in its predecessor, stable ids") {
+    val words = (1 to 107).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),                 // 107 tokens
+      (2L, (1 to 10).map(i => s"x$i").mkString(" ")), // shorter than a chunk
+      (3L, "solo")                               // single token
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 32, overlap = 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // doc1: starts 0,24,48,72,96 — last kept because 96+8 < 107
+    val c1 = got(1L)
+    assert(c1.map(_._3).toSeq == Seq(0L, 24L, 48L, 72L, 96L))
+    assert(c1.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(c1.init.forall(_._4 == 32L) && c1.last._4 == 11L)
+    // consecutive chunks share exactly `overlap` tokens; concatenation
+    // covers every token in order
+    val toks1 = c1.map(_._5.split(" ").toSeq).toSeq
+    toks1.sliding(2).foreach { w =>
+      assert(w(0).takeRight(8) == w(1).take(8))
+    }
+    assert((toks1.head ++ toks1.tail.flatMap(_.drop(8))) == words)
+
+    // short doc → one chunk, whole text; singleton likewise
+    assert(got(2L).toSeq == Seq((2L, 0L, 0L, 10L,
+      (1 to 10).map(i => s"x$i").mkString(" "))))
+    assert(got(3L).toSeq == Seq((3L, 0L, 0L, 1L, "solo")))
+
+    // a doc whose tail start would add nothing new emits no tail chunk:
+    // 40 tokens at chunk 32 / stride 24 → start 24 kept (24+8 = 32 < 40);
+    // 30 tokens → start 24 dropped (24+8 >= 30)
+    val edge = Seq((9L, (1 to 30).map(i => s"e$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ce = CorpusOps.chunkDocuments(edge, "doc_id", "text", 32, 8)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(ce.length == 1 && ce.head._4 == 30L)
+  }
 }
