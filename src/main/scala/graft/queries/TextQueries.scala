@@ -162,6 +162,26 @@ object TextQueries {
         "doc_id", "text", chunkTokens = 64, overlap = 16)
         .orderBy("doc_id", "chunk_id")),
 
+    // per-source token-count distribution: exact interpolated percentiles
+    // (one partial-agg shuffle; the approx_percentile scale path is
+    // spec-gated against these exact values in QuantileSpec).
+    "q_quantile_stats" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("source"),
+        asLong(tokenCountWs(col("text"))).as("n_tokens"))
+      base.groupBy("source").agg(
+          asLong(count(lit(1))).as("n_docs"),
+          asLong(sum(col("n_tokens"))).as("sum_tokens"),
+          expr("percentile(n_tokens, array(0.25, 0.5, 0.75, 0.95))").as("__p"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          (col("sum_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("avg_tokens"),
+          element_at(col("__p"), 1).as("p25"),
+          element_at(col("__p"), 2).as("p50"),
+          element_at(col("__p"), 3).as("p75"),
+          element_at(col("__p"), 4).as("p95"))
+        .orderBy("source")
+    }),
+
     // corpus vocabulary: (term frequency, doc frequency) via two-level
     // aggregation, top-100 under a total order.
     "q_vocab_top" -> ((s, dir) =>
@@ -270,6 +290,19 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_quantile_stats" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_tokens,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.50) AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75,
+        |  quantile_cont(n_tokens, 0.95) AS p95
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     "q_vocab_top" ->
       """WITH tok AS (
