@@ -182,6 +182,16 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // BM25 keyword retrieval (Lucene +1-idf variant): top-20 docs for a
+    // 3-term query; per-doc score folds term contributions in ascending
+    // token order so the double is bitwise-deterministic vs the oracle.
+    "q_bm25" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25(t(s, dir, "documents"),
+        "doc_id", "text", Seq("spark", "shuffle", "partition"),
+        k1 = 1.2, b = 0.75, topN = 20)
+        .select(col("doc_id"), asLong(col("n_terms")).as("n_terms"),
+          col("score"))),
+
     // corpus vocabulary: (term frequency, doc frequency) via two-level
     // aggregation, top-100 under a total order.
     "q_vocab_top" -> ((s, dir) =>
@@ -290,6 +300,39 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // expression trees mirror Retrieval.bm25 node for node (left-assoc
+    // arithmetic, (b·dl)/avgdl grouping, ordered list fold) for bitwise
+    // double parity.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |avg_dl AS (SELECT CAST((SELECT COALESCE(sum(dl), 0) FROM dl) AS DOUBLE)
+        |    / (SELECT n FROM n) AS avgdl),
+        |td AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok WHERE token IN ('spark', 'shuffle', 'partition')
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfr,
+        |    ln((CAST(((SELECT n FROM n) - count(*)) AS DOUBLE) + 0.5) /
+        |       (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+        |  FROM td GROUP BY token),
+        |contrib AS (SELECT d.doc_id, d.token,
+        |    f.idf * (CAST(d.tf AS DOUBLE) * 2.2) /
+        |      (CAST(d.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)) AS c
+        |  FROM td d
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl l USING (doc_id), avg_dl s),
+        |agg AS (SELECT doc_id,
+        |    list_aggregate(list(c ORDER BY token), 'sum') AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM contrib GROUP BY doc_id)
+        |SELECT doc_id, n_terms, score FROM agg
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_quantile_stats" ->
       """WITH d AS (SELECT source,
