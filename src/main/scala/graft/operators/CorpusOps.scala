@@ -314,6 +314,45 @@ object CorpusOps {
         col("dup_frac"))
   }
 
+  /** Cap each group at `k` rows chosen by content-hash order — domain
+    * capping ("no more than k documents per source/domain"), the standard
+    * guard against a handful of giant domains dominating a pretraining
+    * mix. Hash order makes the selection deterministic and stable: a doc
+    * that survives the cap today still survives after the corpus grows
+    * unless k genuinely fills up with lower-hash arrivals, and reruns /
+    * repartitioning never change the sample.
+    *
+    * Scale shape: the per-group selection runs through the bounded-heap
+    * [[TopKAggregator]] — map-side partial aggregation keeps ≤2k entries
+    * per group per task and ships only per-partition survivors, so the
+    * shuffle is O(partitions × groups × k) regardless of group size. A
+    * `row_number()` window would shuffle and SORT every row of every
+    * giant domain instead.
+    *
+    * The rank key is the lower 52 bits of `md5(id)` (13 hex chars — fits
+    * a double exactly, so the heap's `(score desc, id asc)` order is an
+    * exact `(bucket asc, id asc)` order).
+    *
+    * Returns `(groupCol, sample_rank, idCol)` — semi-join on `idCol` to
+    * apply the cap to the corpus.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = udaf(new TopKAggregator(k))
+    val bucket = conv(substring(
+      md5(to_binary(col(idCol).cast("string"), lit("utf-8"))), 20, 13),
+      16, 10).cast(LongType)
+    df.select(col(groupCol).as("__g"), col(idCol).cast(LongType).as("__id"),
+        (-bucket.cast("double")).as("__s"))
+      .groupBy(col("__g"))
+      .agg(topk(col("__id"), col("__s")).as("tk"))
+      .select(col("__g"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("__g").as(groupCol),
+        (col("pos") + 1).cast(LongType).as("sample_rank"),
+        col("e._2").as(idCol))
+  }
+
   /** Overlapping token-window chunks — the context-window packing step of
     * a training/RAG pipeline: each document becomes windows of
     * `chunkTokens` whitespace tokens starting every

