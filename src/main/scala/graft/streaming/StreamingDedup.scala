@@ -25,6 +25,28 @@ object StreamingDedup {
   case class DedupOut(id: Long, contentHash: String, isFirst: Boolean,
       nSeenSoFar: Long)
 
+  /** Bounded-horizon streaming dedup via the engine-native
+    * `dropDuplicatesWithinWatermark`: keeps the FIRST arrival per content
+    * hash and drops later copies whose event time lands within the
+    * watermark horizon; state for a content key is evicted once the
+    * watermark passes it, so state size is O(distinct contents per
+    * horizon), not O(all history) — the "dedup within 30 days" contract
+    * [[dedupStream]]'s Scaladoc gestures at, as a declarative operator
+    * the state-store (RocksDB at scale) manages by itself.
+    *
+    * The trade against [[dedupStream]]: no audit rows (drops are silent)
+    * and re-arrivals AFTER the horizon are admitted again — which is the
+    * point: an unbounded-state exact dedup cannot run forever.
+    */
+  def dedupWithinHorizon(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, horizon: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("event_time"),
+        md5(to_binary(col(textCol), lit("utf-8"))).as("ch"))
+      .withWatermark("event_time", horizon)
+      .dropDuplicatesWithinWatermark("ch")
+
   /** docs(idCol: long-castable, textCol: string) → append stream of
     * [[DedupOut]] rows, one per input doc.
     */

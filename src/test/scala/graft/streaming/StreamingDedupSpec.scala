@@ -36,6 +36,39 @@ class StreamingDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupWithinHorizon: in-horizon copies drop, state evicts past " +
+    "the watermark so late re-arrivals are admitted again") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    val q = StreamingDedup.dedupWithinHorizon(
+      in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      horizon = "10 minutes")
+      .writeStream.format("memory").queryName("horizon_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 'a' kept, in-batch copy dropped
+      in.addData((1L, ts(0), "a"), (2L, ts(1), "a"), (3L, ts(1), "b"))
+      q.processAllAvailable()
+      // batch 2: copy of 'a' inside the horizon → dropped; watermark
+      // advances to 5-10=never mind, max event time 5 − 10min < 0
+      in.addData((4L, ts(5), "a"))
+      q.processAllAvailable()
+      // batch 3: push watermark far past the 'a' entry (t=40 − 10min =
+      // t=30 > t=0..5), evicting its state...
+      in.addData((5L, ts(40), "c"))
+      q.processAllAvailable()
+      // ...so batch 4's re-arrival of 'a' is admitted as new
+      in.addData((6L, ts(41), "a"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM horizon_out ORDER BY id")
+        .as[Long].collect().toSeq
+      assert(ids == Seq(1L, 3L, 5L, 6L),
+        s"expected first-arrivals 1,3,5 plus post-eviction re-arrival 6, got $ids")
+    } finally q.stop()
+  }
+
   test("dedup state survives a stop/restart from checkpoint: a post-" +
     "restart copy of pre-restart content is flagged as a dup, not a keeper") {
     import spark.implicits._
