@@ -276,6 +276,38 @@ object CorpusOps {
     }
   }
 
+  /** Deterministic mixture UPsampling — epoch reweighting ("books at 2.5
+    * epochs, web at 1"): each row of stratum `s` with rate `r` emits
+    * `floor(r)` copies, plus one more iff its hash bucket falls under
+    * `frac(r)` (in ppm, the SAME 60-bit md5 bucket as
+    * [[stratifiedSample]] — so `upsampleMixture(rates ≤ 1)` keeps exactly
+    * the rows `stratifiedSample` keeps). Output carries an `epoch`
+    * column (0-based copy index) so downstream shuffles/dedup can tell
+    * copies apart.
+    *
+    * Map-side only (`explode` of a per-row `sequence`), no RNG, stable
+    * under reruns / partitioning / corpus growth. Rates in ppm:
+    * 2_500_000 = 2.5 epochs.
+    */
+  def upsampleMixture(df: DataFrame, keyCol: String, stratumCol: String,
+      ratesPpm: Map[String, Long]): DataFrame = {
+    require(ratesPpm.nonEmpty && ratesPpm.values.forall(_ >= 0),
+      "rates must be >= 0 ppm")
+    val bucket = pmod(
+      conv(substring(md5(to_binary(col(keyCol).cast("string"), lit("utf-8"))),
+        18, 15), 16, 10).cast(LongType),
+      lit(1000000L))
+    val rate = ratesPpm.foldLeft(lit(0L)) { case (acc, (v, r)) =>
+      when(col(stratumCol) === v, lit(r)).otherwise(acc)
+    }
+    val copies = (rate / 1000000L).cast(LongType) +
+      when(bucket < pmod(rate, lit(1000000L)), 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__n") - 1L)))
+      .drop("__n")
+  }
+
   /** Cross-document duplicate-span statistics (the relational form of
     * exact substring deduplication à la "Deduplicating Training Data
     * Makes Language Models Better"): for every document, how many of its

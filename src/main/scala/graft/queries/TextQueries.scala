@@ -182,6 +182,17 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // mixture upsampling (epoch reweighting): src0 at 2.5 epochs, src1 at
+    // 1.0, src2 at 0.4, everything else dropped — deterministic hash
+    // fractions, map-side explode, no RNG.
+    "q_sample_epochs" -> ((s, dir) =>
+      graft.operators.CorpusOps.upsampleMixture(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source",
+        Map("src0" -> 2500000L, "src1" -> 1000000L, "src2" -> 400000L))
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy("doc_id", "epoch")),
+
     // domain capping: at most 20 docs per source, selected by md5-hash
     // order through the bounded-heap aggregator (no per-group window
     // sort) — deterministic and stable under corpus growth.
@@ -321,6 +332,20 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // same 60-bit md5 ppm bucket as stratifiedSample's oracle.
+    "q_sample_epochs" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT
+        |      % 1000000 AS b,
+        |    CASE source WHEN 'src0' THEN 2500000 WHEN 'src1' THEN 1000000
+        |      WHEN 'src2' THEN 400000 ELSE 0 END AS r
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    r // 1000000 + CASE WHEN b < r % 1000000 THEN 1 ELSE 0 END AS n
+        |  FROM d)
+        |SELECT doc_id, source, CAST(unnest(range(0, n)) AS BIGINT) AS epoch
+        |FROM c WHERE n > 0 ORDER BY doc_id, epoch""".stripMargin,
 
     // same 52-bit md5 bucket as the operator; rank = (bucket, doc_id).
     "q_domain_cap" ->

@@ -185,6 +185,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
   }
 
+  test("upsampleMixture: 2.5 epochs → every row 2 or 3 copies with ~half " +
+    "getting the third; rates <= 1 reproduce stratifiedSample exactly") {
+    val rows = (1L to 2000L).map(i => (i, "books")).toDF("doc_id", "source")
+    val up = CorpusOps.upsampleMixture(rows, "doc_id", "source",
+        Map("books" -> 2500000L))
+      .as[(Long, String, Long)].collect()
+    val counts = up.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(counts.size == 2000 && counts.values.forall(n => n == 2 || n == 3))
+    val frac3 = counts.values.count(_ == 3).toDouble / counts.size
+    assert(math.abs(frac3 - 0.5) < 0.05, s"third-copy fraction $frac3")
+    // epochs dense 0..n-1 per doc
+    up.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length).toSeq)
+    }
+    // sub-1 rates: the epoch-0 survivors ARE stratifiedSample's output
+    val down = CorpusOps.upsampleMixture(rows, "doc_id", "source",
+        Map("books" -> 300000L)).select("doc_id")
+      .as[Long].collect().toSet
+    val strat = CorpusOps.stratifiedSample(rows, "doc_id", "source",
+        Map("books" -> 300000L)).select("doc_id")
+      .as[Long].collect().toSet
+    assert(down == strat && down.nonEmpty)
+  }
+
   test("capPerGroup: exactly k survivors per big group, all rows kept in " +
     "small groups, selection stable under growth and partitioning") {
     val rows = (1L to 300L).map(i =>
