@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -14,39 +14,36 @@ import org.apache.spark.sql.types.DoubleType
   *   score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1) ·
   *              tf · (k1 + 1) / (tf + k1 · (1 − b + b · dl/avgdl))
   *
-  * Scale shape: the token stream is scanned once; the per-(doc, term)
-  * tf table only contains QUERY terms (the isin filter is codegen'd and
-  * pushes ahead of the aggregation), the df table is per-term (broadcast),
-  * doc lengths join on the doc key, and the final top-N is a
-  * TakeOrderedAndProject — no global sort materialization. The only
-  * all-corpus aggregates are N and Σdl (one tiny driver-side job, the
-  * corpus statistic a production index stores).
+  * Two shapes:
+  *   - [[bm25]] scans the corpus once per query batch (ad-hoc);
+  *   - [[writeBm25Index]] + [[bm25FromIndex]] materialize the inverted
+  *     index ONCE — postings partitioned by a term-hash bucket so a
+  *     query's terms prune the scan to their buckets (static partition
+  *     filter, like the LSH/MinHash indexes), doc lengths and the
+  *     (N, Σdl) corpus stats stored beside them. At 100 TB this is the
+  *     production shape: query cost is proportional to the matched
+  *     postings, never the corpus.
   *
   * The per-doc score sums term contributions in ascending-term order via
   * a sorted-array fold, so the double result is deterministic and
-  * bitwise-reproducible across partitionings (and against the oracle).
+  * bitwise-reproducible across partitionings (and against the oracle);
+  * both shapes share one scoring routine, so index-served scores are
+  * bitwise-identical to the ad-hoc ones.
   */
 object Retrieval {
 
-  def bm25(df: DataFrame, idCol: String, textCol: String,
-      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topN: Int = 20): DataFrame = {
-    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val tok = df.select(col(idCol).as("doc"),
+  private def tokenize(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("doc"),
       explode(filter(split(lower(col(textCol)), "[^a-z]+"),
         t => t =!= lit(""))).as("token"))
-    val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
-    val stats = df.agg(count(lit(1)).as("n")).collect().head
-    val n = stats.getLong(0)
-    val sumDl = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect().head.getLong(0)
-    val avgdl = sumDl.toDouble / n
 
-    val td = tok.filter(col("token").isin(queryTerms: _*))
-      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+  /** idf = ln(((N - df) + 0.5) / (df + 0.5) + 1) — the oracle carries the
+    * same expression tree node for node so the doubles agree bitwise.
+    */
+  private def scoreAndTop(td: DataFrame, dl: DataFrame, n: Long,
+      avgdl: Double, k1: Double, b: Double, topN: Int,
+      idCol: String): DataFrame = {
     val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("dfr"))
-
-    // idf = ln(((N - df) + 0.5) / (df + 0.5) + 1) — the oracle carries the
-    // same expression tree node for node so the doubles agree bitwise
     val contrib = td
       .join(broadcast(dfreq.withColumn("idf",
         log(((lit(n) - col("dfr")).cast(DoubleType) + lit(0.5)) /
@@ -66,5 +63,77 @@ object Retrieval {
       .select(col("doc").as(idCol), col("n_terms"), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(topN)
+  }
+
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val tok = tokenize(df, idCol, textCol)
+    val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val n = df.agg(count(lit(1))).collect().head.getLong(0)
+    val sumDl = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect().head.getLong(0)
+    val td = tok.filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    scoreAndTop(td, dl, n, sumDl.toDouble / n, k1, b, topN, idCol)
+  }
+
+  /** Term-hash partition key: `nBuckets` directories regardless of
+    * vocabulary size (partitioning directly by token would mint one
+    * directory per distinct term).
+    */
+  private def termBucket(token: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(token), lit(nBuckets.toLong))
+
+  /** Materialize the inverted index at `path`:
+    * `postings/` (token, doc, tf) partitioned by `tb` (term bucket),
+    * `doclen/` (doc, dl), `stats/` one row (n, sum_dl).
+    */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val tok = tokenize(df, idCol, textCol)
+    tok.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+      .withColumn("tb", termBucket(col("token"), nBuckets))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    val n = df.agg(count(lit(1))).collect().head.getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sumDl = tok.agg(count(lit(1))).collect().head.getLong(0)
+    Seq((n, sumDl)).toDF("n", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 over a pre-built [[writeBm25Index]] index: the postings scan
+    * carries a STATIC partition filter on the query terms' buckets (plus
+    * the token equality within them), so it reads `|terms|/nBuckets` of
+    * the index, never the corpus. Scores are bitwise-identical to
+    * [[bm25]] on the same corpus.
+    */
+  def bm25FromIndex(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      topN: Int = 20, nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val stats = spark.read.parquet(s"$path/stats").collect().head
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val td = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(
+        queryTerms.map(t => termBucketValue(t, nBuckets)): _*) &&
+        col("token").isin(queryTerms: _*))
+      .select(col("doc"), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    scoreAndTop(td, dl, n, avgdl, k1, b, topN, idCol)
+  }
+
+  /** Driver-side mirror of [[termBucket]] (Spark's xxhash64 with seed 42). */
+  private def termBucketValue(token: String, nBuckets: Int): Long = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(token),
+      org.apache.spark.sql.types.StringType, 42L)
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
   }
 }

@@ -41,6 +41,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("materialized index serves bitwise-identical scores through a " +
+    "partition-pruned postings scan") {
+    val corpus = (1L to 200L).map { i =>
+      val extra = if (i % 7 == 0) " spark shuffle" else ""
+      val pad = Seq.fill((i % 13).toInt)("filler").mkString(" ")
+      (i, s"document number about data processing $pad$extra")
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/idx"
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, nBuckets = 16)
+    val adhoc = Retrieval.bm25(corpus, "doc_id", "text",
+      Seq("spark", "shuffle", "filler"), topN = 50)
+      .as[(Long, Long, Double)].collect().toSeq
+    val served = Retrieval.bm25FromIndex(spark, dir,
+      Seq("spark", "shuffle", "filler"), topN = 50, nBuckets = 16)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(adhoc == served) // bitwise, including the double scores
+    // the postings scan must carry a static partition filter on tb
+    val plan = Retrieval.bm25FromIndex(spark, dir,
+      Seq("spark", "shuffle", "filler"), topN = 50, nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      "no partition filters reached the postings scan")
+    assert(plan.contains("tb#") || plan.contains("tb IN"),
+      s"tb pruning filter missing from plan")
+  }
+
   test("length normalization: same tf in a longer doc scores lower " +
     "(b > 0), and b = 0 removes the length effect") {
     val pair = Seq(
