@@ -276,6 +276,48 @@ object CorpusOps {
     }
   }
 
+  /** Snapshot diff between two corpus versions, by content hash: one row
+    * per doc id present in either side with a status —
+    * `added` (only in `next`), `removed` (only in `prev`), `changed`
+    * (both, different content), `unchanged`. The full-outer join keys on
+    * the id; content compares by md5, so the shuffle carries 16-byte
+    * digests, never document bodies. The everyday op behind corpus
+    * versioning: "what moved between crawl 42 and crawl 43, and how much
+    * do we re-process?" — feed `added ∪ changed` to
+    * [[graft.operators.Dedup.incrementalMinhashPairs]] and the rest of
+    * the pipeline never re-reads the unchanged 99%.
+    */
+  def corpusDiff(prev: DataFrame, next: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def hashed(df: DataFrame, side: String) = df.select(
+      col(idCol),
+      md5(to_binary(col(textCol), lit("utf-8"))).as(s"__h_$side"))
+    hashed(prev, "prev").join(hashed(next, "next"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__h_prev").isNull, lit("added"))
+          .when(col("__h_next").isNull, lit("removed"))
+          .when(col("__h_prev") === col("__h_next"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
+  /** Per-shard manifest over [[packShards]] output: doc count, token sum,
+    * id range, and an order-insensitive content checksum (a SUM of
+    * per-doc digests — associative and commutative, so the aggregation
+    * stays map-side partial). The artifact a training job reads to plan
+    * epochs and to detect shard corruption/drift without rescanning
+    * documents. Pass `xxhash64(text)` (fastest) or an oracle-friendly
+    * md5-derived digest; the sum runs in DECIMAL(38,0) so full-range
+    * 64-bit digests cannot overflow ANSI arithmetic.
+    */
+  def shardManifest(packed: DataFrame, idCol: String, tokenCol: String,
+      checksum: org.apache.spark.sql.Column): DataFrame =
+    packed.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"),
+        min(col(idCol)).as("first_id"),
+        max(col(idCol)).as("last_id"),
+        sum(checksum.cast("decimal(38,0)")).as("content_checksum"))
+
   /** Deterministic mixture UPsampling — epoch reweighting ("books at 2.5
     * epochs, web at 1"): each row of stratum `s` with rate `r` emits
     * `floor(r)` copies, plus one more iff its hash bucket falls under

@@ -182,6 +182,37 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // corpus snapshot diff by content hash: prev = ids < 480, next = ids
+    // >= 20 with every 50th doc's text perturbed → added/removed/changed/
+    // unchanged; the join shuffles 16-byte digests, not bodies.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val prev = docs.filter(col("doc_id") < 480)
+      val next = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"),
+          when(col("doc_id") % 50 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.CorpusOps.corpusDiff(prev, next, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // per-shard manifest over the packed corpus: counts, token sums, id
+    // range, and an order-insensitive md5-derived content checksum
+    // (decimal sum — exact in both engines).
+    "q_shard_manifest" -> ((s, dir) => {
+      val packed = graft.operators.CorpusOps.packShards(
+        t(s, dir, "documents").select(col("doc_id"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens"), col("text")),
+        "doc_id", "n_tokens", budget = 5000L)
+      graft.operators.CorpusOps.shardManifest(packed, "doc_id", "n_tokens",
+          conv(substring(md5(to_binary(col("text"), lit("utf-8"))), 20, 13),
+            16, 10).cast("decimal(38,0)"))
+        .select(col("shard_id"), asLong(col("n_docs")).as("n_docs"),
+          asLong(col("n_tokens")).as("n_tokens"),
+          col("first_id"), col("last_id"), col("content_checksum"))
+        .orderBy("shard_id")
+    }),
+
     // mixture upsampling (epoch reweighting): src0 at 2.5 epochs, src1 at
     // 1.0, src2 at 0.4, everything else dropped — deterministic hash
     // fractions, map-side explode, no RNG.
@@ -332,6 +363,36 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_corpus_diff" ->
+      """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id < 480),
+        |nxt AS (SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 50 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id >= 20)
+        |SELECT COALESCE(p.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN p.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN p.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN nxt n ON p.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // same shard assignment as q_pack_shards' oracle; checksum = decimal
+    // sum of the 52-bit md5 bucket (exact in both engines).
+    "q_shard_manifest" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(text), 20, 13))::BIGINT AS ck
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tokens, ck,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 5000 AS BIGINT) AS shard_id FROM d)
+        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id,
+        |  CAST(sum(ck) AS DECIMAL(38,0)) AS content_checksum
+        |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // same 60-bit md5 ppm bucket as stratifiedSample's oracle.
     "q_sample_epochs" ->

@@ -185,6 +185,40 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged correctly") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val got = CorpusOps.corpusDiff(prev, next, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("shardManifest totals reconcile with the packed corpus and the " +
+    "checksum detects a single-doc content change") {
+    val docs = (1L to 100L).map(i => (i, 10L, s"doc $i body")).toSeq
+      .toDF("doc_id", "n_tokens", "text")
+    val packed = CorpusOps.packShards(docs, "doc_id", "n_tokens", budget = 300L)
+    val m = CorpusOps.shardManifest(packed, "doc_id", "n_tokens",
+      xxhash64(col("text")))
+    val rows = m.orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, BigDecimal)].collect()
+    assert(rows.map(_._2).sum == 100L && rows.map(_._3).sum == 1000L)
+    // contiguous id ranges in shard order
+    rows.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._5 + 1 == w(1)._4)
+    }
+    val tweaked = docs.withColumn("text",
+      when($"doc_id" === 57L, lit("doc 57 BODY")).otherwise($"text"))
+    val m2 = CorpusOps.shardManifest(
+      CorpusOps.packShards(tweaked, "doc_id", "n_tokens", budget = 300L),
+      "doc_id", "n_tokens", xxhash64(col("text")))
+      .orderBy("shard_id")
+      .as[(Long, Long, Long, Long, Long, BigDecimal)].collect()
+    val diff = rows.zip(m2).filter { case (a, b) => a._6 != b._6 }
+    assert(diff.length == 1 && diff.head._1._4 <= 57L && 57L <= diff.head._1._5)
+  }
+
   test("upsampleMixture: 2.5 epochs → every row 2 or 3 copies with ~half " +
     "getting the third; rates <= 1 reproduce stratifiedSample exactly") {
     val rows = (1L to 2000L).map(i => (i, "books")).toDF("doc_id", "source")
