@@ -182,6 +182,20 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // BPE tokenizer: train 100 merges on the corpus word table (the one
+    // corpus-scale pass is the word-frequency agg; the merge loop runs on
+    // the Zipf-bounded table), then encode every doc. Deterministic, no
+    // SQL oracle (iterative merges) → golden-pinned.
+    "q_bpe_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 100)
+      graft.operators.Bpe.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), asLong(col("n_words")).as("n_words"),
+          asLong(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // corpus snapshot diff by content hash: prev = ids < 480, next = ids
     // >= 20 with every 50th doc's text perturbed → added/removed/changed/
     // unchanged; the join shuffles 16-byte digests, not bodies.

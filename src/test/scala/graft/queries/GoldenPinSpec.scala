@@ -20,7 +20,7 @@ object GoldenPin {
   val sfDir = "/root/testdata/sf0.01"
   val pinned: Seq[String] =
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq",
-      "q_dedup_minhash", "q_simhash_sketch")
+      "q_bpe_tokens", "q_dedup_minhash", "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -66,6 +66,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "28a516033ed252edf2348f7d646823907f1a4f10932255da06ae2d79e074ad4b"),
     "q_ann_lsh" -> (25L,
       "7b4632c658c851a3e6628ee71bb93c74a35dd652f4add06491a835e135ac8c04"),
+    "q_bpe_tokens" -> (500L,
+      "8c6087702c98f6605558d15ae9c2f325f11bd52fb27a2828444ee7cdfcaca583"),
     "q_ann_pq" -> (25L,
       "5065922ff5a70e5e5cc3d5b2d5d81a7bc773d2daf4e01fad21fbe07d09a93f34"),
     "q_dedup_minhash" -> (30L,
