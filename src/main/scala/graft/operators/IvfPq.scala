@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -85,6 +85,67 @@ object IvfPq {
         VectorFunctions.l2Norm(col("embedding")).as("nrm"))
       .select(col("id"), col("cc._1").as("cell"), col("cc._2").as("code"),
         col("nrm"))
+  }
+
+  /** Materialize the index at `path`: codes partitioned by `cell` (so
+    * probes prune to `nprobe/nlist` of the files) plus the model
+    * (centroids + codebooks) serialized beside them for self-contained
+    * reloads.
+    */
+  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit = {
+    encode(corpus, model).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/codes")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = model.centroids.zipWithIndex
+      .map { case (c, i) => (0, i, c.toSeq) }.toSeq
+    val books = for {
+      (sub, si) <- model.codebooks.zipWithIndex.toSeq
+      (cent, ci) <- sub.zipWithIndex
+    } yield (1, si * 65536 + ci, cent.toSeq)
+    (cents ++ books).toDF("kind", "idx", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Reload a [[writeIndex]] model. */
+  def readModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cents = rows.filter(_._1 == 0).sortBy(_._2).map(_._3.toArray)
+    val bookRows = rows.filter(_._1 == 1)
+    val nSub = bookRows.map(_._2 / 65536).max + 1
+    val books = Array.tabulate(nSub) { si =>
+      bookRows.filter(_._2 / 65536 == si).sortBy(_._2 % 65536)
+        .map(_._3.toArray)
+    }
+    Model(cents, books)
+  }
+
+  /** IVF-PQ top-k over a materialized [[writeIndex]] index: the probe
+    * cell set (|Q| × nprobe, tiny) is computed driver-side against the
+    * reloaded model and pushed as a STATIC partition filter on the codes
+    * scan — guaranteed pruning, like the LSH and BM25 indexes. `corpus`
+    * supplies raw embeddings ONLY for the exact rerank of the shortlist
+    * (a broadcast-semi-join-shaped read of |Q|·k·rerankFactor rows).
+    * Results are identical to [[ivfPqTopK]] with the same model.
+    */
+  def ivfPqTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 4,
+      rerankFactor: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val mdl = readModel(spark, path)
+    import spark.implicits._
+    val qVecs = queries.select(col("id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val probeCells = qVecs
+      .flatMap { case (_, e) => IvfAnn.nearestCells(mdl.centroids, e, nprobe) }
+      .distinct.toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col("id"), col("cell"), col("code"), col("nrm"))
+    ivfPqTopK(queries, corpus, k, nprobe = nprobe,
+      rerankFactor = rerankFactor, excludeSelf = excludeSelf,
+      model = Some(mdl), codes = Some(codes))
   }
 
   /** IVF-PQ top-k with exact rerank. Pass `model`/`codes` to reuse a

@@ -74,6 +74,32 @@ class IvfPqSpec extends AnyFunSuite {
     assert(recalls.last >= 0.9, s"recall ${recalls.last} below 0.9")
   }
 
+  test("materialized index: model round-trips exactly, served results " +
+    "match in-memory, probes carry a static partition filter") {
+    val mdl = IvfPq.train(clustered, nlist = 16, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString + "/idx"
+    IvfPq.writeIndex(clustered, mdl, dir)
+    val loaded = IvfPq.readModel(spark, dir)
+    assert(loaded.centroids.map(_.toSeq).toSeq ==
+      mdl.centroids.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      mdl.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val q = clustered.filter($"id" % 100 === 0)
+    val inMem = IvfPq.ivfPqTopK(q, clustered, 5, nlist = 16, nprobe = 4,
+      m = 4, ksub = 16, model = Some(mdl))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val served = IvfPq.ivfPqTopKFromIndex(spark, dir, q, clustered, 5,
+      nprobe = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(inMem == served)
+    val plan = IvfPq.ivfPqTopKFromIndex(spark, dir, q, clustered, 5,
+      nprobe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      "no partition filters reached the codes scan")
+  }
+
   test("deterministic across input partitioning; ranks dense, sims " +
     "sorted, self excluded; pre-encoded codes match on-the-fly") {
     val q = clustered.filter($"id" % 100 === 0)
