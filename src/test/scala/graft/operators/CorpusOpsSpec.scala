@@ -185,6 +185,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._2 == 5L && got(2L)._3 == 2L)
   }
 
+  test("chunkDocuments property: over seeded random (doc, chunk, overlap) " +
+    "configs, dropping each chunk's overlap prefix reconstructs the doc " +
+    "exactly and no chunk is contained in its predecessor") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 1 to 8) {
+      val chunk = 2 + rnd.nextInt(40)
+      val overlap = rnd.nextInt(chunk)
+      val docs = (1L to 40L).map { i =>
+        val n = 1 + rnd.nextInt(120)
+        (i, (1 to n).map(j => s"t${i}_$j").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val got = CorpusOps.chunkDocuments(df, "doc_id", "text", chunk, overlap)
+        .as[(Long, Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ").toSeq
+        val chunks = got(id).map(_._5.split(" ").toSeq).toSeq
+        val rebuilt = chunks.head ++ chunks.tail.flatMap(_.drop(overlap))
+        assert(rebuilt == toks,
+          s"chunk=$chunk overlap=$overlap doc=$id reconstruction failed")
+        // every chunk past the first contributes tokens beyond the
+        // overlap — i.e. is never fully contained in its predecessor
+        chunks.tail.foreach(c => assert(c.size > overlap,
+          s"redundant tail chunk at chunk=$chunk overlap=$overlap doc=$id"))
+      }
+    }
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged correctly") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
