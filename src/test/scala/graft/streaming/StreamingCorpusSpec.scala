@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.operators.CorpusOps
+
+/** The corpus operators that matter for a continuously-landing corpus
+  * are pure column/generate transforms, so the SAME code runs under
+  * Structured Streaming with no porting — this spec pins that property
+  * for the chunker and the quality gates (a micro-batch pipeline:
+  * arriving docs → gates → chunks), and that the stream output matches
+  * the batch run of the same input.
+  */
+class StreamingCorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("chunkDocuments + qualityGates run unchanged on a stream and " +
+    "match their batch output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 120).map(i => s"alpha$i").mkString(" ")),
+      (2L, "too short"),
+      (3L, (1 to 75).map(i => s"beta$i").mkString(" ")))
+    val in = MemoryStream[(Long, String)]
+    val streamed = CorpusOps.chunkDocuments(
+      CorpusOps.qualityGates(in.toDF().toDF("doc_id", "text"), "text",
+          minWords = 50, maxWords = 100000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          minAlphaWordFrac = 0.8)
+        .filter($"keep"),
+      "doc_id", "text", chunkTokens = 32, overlap = 8)
+    val q = streamed.writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, chunk_id, chunk_text FROM corpus_stream")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = CorpusOps.chunkDocuments(
+        CorpusOps.qualityGates(docs.toDF("doc_id", "text"), "text",
+            minWords = 50, maxWords = 100000,
+            minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+            minAlphaWordFrac = 0.8)
+          .filter($"keep"),
+        "doc_id", "text", chunkTokens = 32, overlap = 8)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == batch && got.nonEmpty)
+      assert(!got.exists(_._1 == 2L)) // gated out in-stream
+    } finally q.stop()
+  }
+}
