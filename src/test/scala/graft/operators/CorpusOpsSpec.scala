@@ -290,6 +290,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val repart = CorpusOps.capPerGroup(df.repartition(13), "doc_id",
       "source", k = 30).as[(String, Long, Long)].collect().toSet
     assert(repart == capped.toSet)
+    // plan regression: the selection is the bounded-heap aggregator with
+    // a map-side partial, never a per-group window sort
+    val plan = CorpusOps.capPerGroup(df, "doc_id", "source", k = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkaggregator"),
+      "bounded-heap partial aggregation missing from plan")
+    assert(!plan.contains("Window"), "capPerGroup fell back to a window sort")
     // growth stability: adding docs only evicts from the tail — every doc
     // selected from the grown corpus at rank r was either selected before
     // or is a new arrival with a smaller hash
