@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (per-dimension int8) embedding quantization — the third
+  * compression point on the ANN storage curve: raw float32 (4·dim) →
+  * SQ8 (dim bytes, this file) → PQ (m bytes, [[ProductQuantizer]]).
+  * SQ8 keeps one byte PER DIMENSION with a per-dim affine map
+  * `x ≈ min + scale · b`, so approximate dots stay O(dim) byte
+  * multiply-adds with far lower distortion than PQ at 4× compression —
+  * the FAISS `SQ8` / HNSW-SQ tradeoff.
+  *
+  * Fit is ONE aggregation pass (per-dim min/max in a primitive-array
+  * `mapPartitions` kernel merged with `treeReduce`) and is exactly
+  * deterministic — min/max have no float-associativity wobble, unlike
+  * k-means — so SQ8 outputs golden-pin cleanly.
+  *
+  * Query scoring decomposes `dot(q, x̂) = Σᵢ qᵢ·minᵢ + Σᵢ (qᵢ·scaleᵢ)·bᵢ`:
+  * the first term and the scaled query fold once per query; each
+  * candidate then costs dim byte lookups. Stored exact norms keep the
+  * cosine denominator exact; top `k × rerankFactor` rerank against raw
+  * embeddings, so recall is monotone in `rerankFactor`.
+  */
+object ScalarQuantizer {
+
+  /** Per-dimension affine codebook: `x ≈ min + scale · byte`. */
+  final case class Model(mins: Array[Double], scales: Array[Double])
+
+  /** One-pass per-dim min/max fit. */
+  def fit(df: DataFrame, embCol: String): Model = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (mins, maxs) = df.select(col(embCol)).as[Array[Float]].rdd
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val first = it.next()
+          val lo = first.map(_.toDouble)
+          val hi = first.map(_.toDouble)
+          it.foreach { e =>
+            var i = 0
+            while (i < lo.length) {
+              val x = e(i).toDouble
+              if (x < lo(i)) lo(i) = x
+              if (x > hi(i)) hi(i) = x
+              i += 1
+            }
+          }
+          Iterator.single((lo, hi))
+        }
+      }.treeReduce { (a, b) =>
+        var i = 0
+        while (i < a._1.length) {
+          if (b._1(i) < a._1(i)) a._1(i) = b._1(i)
+          if (b._2(i) > a._2(i)) a._2(i) = b._2(i)
+          i += 1
+        }
+        a
+      }
+    Model(mins, mins.indices.map { i =>
+      val r = maxs(i) - mins(i)
+      if (r > 0) r / 255.0 else 1.0
+    }.toArray)
+  }
+
+  /** Quantize one vector to dim bytes (unsigned, rounded to nearest). */
+  def encodeVec(m: Model, e: Seq[Float]): Array[Byte] = {
+    val out = new Array[Byte](m.mins.length)
+    var i = 0
+    while (i < out.length) {
+      val q = math.round((e(i) - m.mins(i)) / m.scales(i)).toInt
+      out(i) = (math.min(255, math.max(0, q)) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def decodeVec(m: Model, code: Array[Byte]): Array[Double] =
+    Array.tabulate(m.mins.length)(i =>
+      m.mins(i) + m.scales(i) * (code(i) & 0xff))
+
+  /** The compressed index: `(id, code binary, nrm)` — dim bytes + one
+    * exact norm per vector.
+    */
+  def encode(corpus: DataFrame, m: Model): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(m)
+    val enc = udf((e: Seq[Float]) => encodeVec(bc.value, e))
+    corpus.select(col("id"), enc(col("embedding")).as("code"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+  }
+
+  /** SQ8 top-k with exact rerank; pass `model`/`codes` to reuse a built
+    * index across query batches.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      rerankFactor: Int = 4, excludeSelf: Boolean = true,
+      model: Option[Model] = None, codes: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val mdl = model.getOrElse(fit(corpus, "embedding"))
+    val bc = spark.sparkContext.broadcast(mdl)
+    val codeDf = codes.getOrElse(encode(corpus, mdl))
+      .select(col("id").as("neighbor_id"), col("code"), col("nrm").as("c_nrm"))
+
+    // per-query fold: base = Σ qᵢ·minᵢ, qs = (qᵢ·scaleᵢ) vector
+    val qFold = udf((e: Seq[Float]) => {
+      val m = bc.value
+      var base = 0.0
+      val qs = new Array[Double](m.mins.length)
+      var i = 0
+      while (i < qs.length) {
+        base += e(i) * m.mins(i)
+        qs(i) = e(i) * m.scales(i)
+        i += 1
+      }
+      (base, qs)
+    })
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("q_nrm"),
+      qFold(col("embedding")).as("qf"))
+      .select(col("query_id"), col("q_nrm"),
+        col("qf._1").as("q_base"), col("qf._2").as("q_scaled")))
+
+    val score = udf((code: Array[Byte], base: Double, qs: Seq[Double],
+        qnrm: Double, cnrm: Double) => {
+      var dot = base
+      var i = 0
+      while (i < code.length) { dot += qs(i) * (code(i) & 0xff); i += 1 }
+      val den = qnrm * cnrm
+      if (den > 0) dot / den else 0.0
+    })
+    val approx = codeDf.crossJoin(q)
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", score(col("code"), col("q_base"), col("q_scaled"),
+        col("q_nrm"), col("c_nrm")))
+    val shortlist = Similarity.topKMerge(approx, k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("c_nrm"))
+    val qe = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("q_nrm")))
+    val exact = c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .withColumn("sim",
+        graft.functions.VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+          (col("q_nrm") * col("c_nrm")))
+    Similarity.topKMerge(exact, k)
+  }
+}

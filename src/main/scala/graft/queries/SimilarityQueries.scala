@@ -71,6 +71,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // SQ8 ANN (per-dim int8 affine codes, exact rerank) — the third
+    // compression point (float32 → dim bytes); min/max fit is exactly
+    // deterministic, golden-pinned; recall spec-gated.
+    "q_ann_sq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.ScalarQuantizer.sqTopK(e.filter(col("id") < 5), e, 5,
+        rerankFactor = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-PQ ANN (coarse cells route, PQ residual codes compress, exact
     // rerank) — the composed 100 TB index shape; no SQL oracle (iterative
     // float k-means at both stages), recall + monotonicity asserted in
