@@ -288,6 +288,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The incremental dedup DECISION: which batch documents survive
+    * against the standing corpus. Composes [[incrementalMinhashPairs]]
+    * with [[dedupByPairs]] applied to the batch only — corpus documents
+    * are never dropped (they are the standing keepers), and since batch
+    * ids are REQUIRED to be larger than corpus ids (the natural
+    * monotonically-assigned shape), min-id component resolution can
+    * never crown a batch doc over a corpus doc it duplicates.
+    */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val pairs = incrementalMinhashPairs(batch, corpus, corpusIndex, idCol,
+      textCol, threshold, shingleN, k, bands, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    dedupByPairs(batch, idCol, pairs)
+  }
+
   /** Connected-component resolution over near-dup pairs — the step that
     * turns pair lists (from [[minhashDedupPairs]], SimHash, or
     * embedding near-dup) into a dedup DECISION: every document in a

@@ -166,6 +166,19 @@ class DedupSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("incrementalDedup keeps only novel batch docs; corpus untouched") {
+    val batch = Seq(
+      (10L, base.trim), // duplicates corpus doc 0 → dropped
+      (11L, "a genuinely new document with original content here"),
+      (12L, base.trim)  // duplicates 0 AND 10 → dropped
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, idx, "doc_id", "text",
+        threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L), s"expected only the novel doc, got $kept")
+  }
+
   test("incremental dedup works against an index round-tripped through " +
     "a band-partitioned parquet table (the materialized shape)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx")
