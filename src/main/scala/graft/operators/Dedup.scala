@@ -222,6 +222,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch):
+    * per document, the DISTINCT window-minimum hashes over consecutive
+    * word n-grams — any two documents sharing a run of at least
+    * `window + n − 1` tokens are guaranteed to share a fingerprint, and
+    * the expected fingerprint density is ~2/(window+1), so the sketch is
+    * a tunable-size LOCALIZED near-dup signal (unlike MinHash, which
+    * sketches whole-document similarity).
+    *
+    * Relational all-min variant: every position achieving its window's
+    * minimum is selected (the classic rightmost-tie rule needs argmin
+    * state; selecting all minima keeps the guarantee and stays a pure
+    * window aggregate). Gram hash = lower 52 bits of md5 — deterministic
+    * and oracle-expressible. Per-doc windows partition by doc id: one
+    * shuffle of (id, pos, 8-byte hash), sorts bounded by document
+    * length.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.wordShinglesAll(col(textCol), shingleN))
+          .as(Seq("pos", "g")))
+      .select(col("id"), col("pos"),
+        conv(substring(md5(to_binary(col("g"), lit("utf-8"))), 20, 13),
+          16, 10).cast(LongType).as("h"))
+      .withColumn("__c", count(lit(1)).over(w))
+      .withColumn("__m", min(col("h")).over(w))
+      .filter(col("__c") === window)
+      .select(col("id").as(idCol), col("__m").as("fingerprint"))
+      .distinct()
+  }
+
   /** Materialized MinHash LSH index of a corpus: `(id, band, bucket,
     * bucket_sz)`. `bucket_sz` is frozen at build time so later
     * incremental probes apply the `maxBucketSize` guard as a plain scan

@@ -139,6 +139,14 @@ object SimilarityQueries {
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
+    // winnowing fingerprints (MOSS): distinct window-min gram hashes per
+    // doc — localized near-dup sketch, md5-hash oracle-exact.
+    "q_winnow" -> ((s, dir) =>
+      Dedup.winnowFingerprints(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 3, window = 4)
+        .orderBy("doc_id", "fingerprint")),
+
     // near-dup cluster resolution: pair list → min-id label per connected
     // component (label propagation; oracle = recursive-CTE transitive
     // closure over the same inline pair fixture).
@@ -234,6 +242,25 @@ object SimilarityQueries {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(pos := i,
+        |      h := ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |        20, 13))::BIGINT))) AS s
+        |  FROM toks),
+        |flat AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sh),
+        |win AS (SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flat)
+        |SELECT DISTINCT doc_id, m AS fingerprint FROM win WHERE c = 4
+        |ORDER BY doc_id, fingerprint""".stripMargin,
 
     "q_minhash_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

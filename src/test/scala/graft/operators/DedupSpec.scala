@@ -166,6 +166,31 @@ class DedupSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 == 12L || p._2 == 12L))
   }
 
+  test("winnowing: docs sharing a long token run share a fingerprint; " +
+    "unrelated docs share none; short docs emit none; density is sparse") {
+    val shared = "the licensed boilerplate notice appears verbatim in " +
+      "both documents exactly"
+    val docs = Seq(
+      (1L, s"first document unique preamble words here $shared tail one"),
+      (2L, s"totally different opening sentence material $shared other end"),
+      (3L, "no overlap with anything else at all in this entire text body"),
+      (4L, "too few")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text",
+        shingleN = 3, window = 4)
+      .as[(Long, Long)].collect()
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // shared run of 10 tokens >= window + n - 1 = 6 → guaranteed overlap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert(!byDoc.contains(4L)) // 2 tokens → no complete window
+    // all-min winnowing stays sparse: well under one fingerprint per gram
+    val grams1 = docs.filter($"doc_id" === 1L).select($"text").as[String]
+      .head().split(" ").length - 2
+    assert(byDoc(1L).size < grams1,
+      s"${byDoc(1L).size} fingerprints for $grams1 grams is not a sketch")
+  }
+
   test("incrementalDedup keeps only novel batch docs; corpus untouched") {
     val batch = Seq(
       (10L, base.trim), // duplicates corpus doc 0 → dropped
