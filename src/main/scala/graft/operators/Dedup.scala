@@ -256,6 +256,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Candidate near-dup pairs from shared winnowing fingerprints: docs
+    * sharing at least `minShared` window-min hashes. Same
+    * single-branch, capped-bucket pair generation as
+    * [[minhashCandidates]] — a fingerprint shared by thousands of docs
+    * (boilerplate) is excluded and counted, never exploded.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, window: Int = 4, minShared: Int = 2,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val fp = winnowFingerprints(df, idCol, textCol, shingleN, window)
+    val sized = fp.withColumn("sz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")))
+    observeCaps(sized, "sz", maxBucketSize, "winnowPairs")
+      .filter(col("sz") <= maxBucketSize && col("sz") >= 2)
+      .groupBy(col("fingerprint"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Materialized MinHash LSH index of a corpus: `(id, band, bucket,
     * bucket_sz)`. `bucket_sz` is frozen at build time so later
     * incremental probes apply the `maxBucketSize` guard as a plain scan

@@ -147,6 +147,15 @@ object SimilarityQueries {
         "doc_id", "text", shingleN = 3, window = 4)
         .orderBy("doc_id", "fingerprint")),
 
+    // winnowing candidate pairs: docs sharing >= 2 window-min hashes
+    // (localized overlap, boilerplate buckets capped).
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", shingleN = 3, window = 4, minShared = 2)
+        .select(col("id_a"), col("id_b"), asLong(col("n_shared")).as("n_shared"))
+        .orderBy("id_a", "id_b")),
+
     // near-dup cluster resolution: pair list → min-id label per connected
     // component (label propagation; oracle = recursive-CTE transitive
     // closure over the same inline pair fixture).
@@ -261,6 +270,29 @@ object SimilarityQueries {
         |  FROM flat)
         |SELECT DISTINCT doc_id, m AS fingerprint FROM win WHERE c = 4
         |ORDER BY doc_id, fingerprint""".stripMargin,
+
+    "q_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(pos := i,
+        |      h := ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |        20, 13))::BIGINT))) AS s
+        |  FROM toks),
+        |flat AS (SELECT doc_id, s.pos AS pos, s.h AS h FROM sh),
+        |win AS (SELECT doc_id,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+        |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS c
+        |  FROM flat),
+        |fp AS (SELECT DISTINCT doc_id, m FROM win WHERE c = 4)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_minhash_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
