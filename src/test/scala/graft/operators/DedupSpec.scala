@@ -191,6 +191,30 @@ class DedupSpec extends AnyFunSuite {
       s"${byDoc(1L).size} fingerprints for $grams1 grams is not a sketch")
   }
 
+  test("winnowPairs finds locally-overlapping docs and caps degenerate " +
+    "fingerprint buckets (boilerplate corpus emits zero pairs at low cap)") {
+    val shared = "the licensed boilerplate notice appears verbatim in " +
+      "both documents exactly"
+    val docs = Seq(
+      (1L, s"first document unique preamble words here $shared tail one"),
+      (2L, s"totally different opening sentence material $shared other end"),
+      (3L, "no overlap with anything else at all in this entire text body")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", minShared = 1)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    // 50 identical docs share every fingerprint → every bucket holds 50
+    // members; at cap 10 no pairs may be emitted
+    val boiler = (1L to 50L).map((_, "all rights reserved copy " * 6))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, "doc_id", "text",
+      minShared = 1, maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // and uncapped the same corpus emits all n(n-1)/2 pairs
+    val full = Dedup.winnowPairs(boiler, "doc_id", "text", minShared = 1)
+    assert(full.count() == 50L * 49 / 2)
+  }
+
   test("incrementalDedup keeps only novel batch docs; corpus untouched") {
     val batch = Seq(
       (10L, base.trim), // duplicates corpus doc 0 → dropped
