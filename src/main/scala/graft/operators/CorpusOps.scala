@@ -427,6 +427,51 @@ object CorpusOps {
         col("e._2").as(idCol))
   }
 
+  /** The ACTION [[dupSpans]] only measures: rebuild each document with
+    * every token covered by a cross-document duplicate n-gram removed
+    * (license blocks, navigation chrome, shared boilerplate vanish; the
+    * unique prose stays). A duplicate gram starting at token `p` covers
+    * positions `p … p+n−1`; covered positions union per doc, surviving
+    * tokens rejoin in original order.
+    *
+    * Scale shape: the cross-doc test is the same two-level distinct
+    * (gram, doc) aggregation as [[dupSpans]] (8-byte `xxhash64` keys
+    * through the exchange), coverage expands each dup OCCURRENCE by a
+    * `sequence` explode, the kept-token anti-join keys on (doc, pos),
+    * and the rebuild's per-doc sort is bounded by document length.
+    * Returns `(idCol, n_tokens, n_kept, clean_text)`.
+    */
+  def stripDupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = df.select(col(idCol).as("__doc"),
+      posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val grams = df.select(col(idCol).as("__doc"),
+      posexplode(TextFunctions.wordShinglesAll(col(textCol), n))
+        .as(Seq("__gpos", "__g")))
+      .select(col("__doc"), col("__gpos"), xxhash64(col("__g")).as("__h"))
+    val shared = grams.select(col("__doc"), col("__h")).distinct()
+      .groupBy("__h").agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("__h"))
+    val covered = grams.join(shared, Seq("__h"))
+      .select(col("__doc"),
+        explode(sequence(col("__gpos"), col("__gpos") + (n - 1))).as("__pos"))
+      .distinct()
+    toks.join(covered, Seq("__doc", "__pos"), "left_anti")
+      .groupBy(col("__doc"))
+      .agg(count(lit(1)).as("__nk"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          e => e.getField("__tok")), " ").as("clean_text"))
+      .join(df.select(col(idCol).as("__doc"),
+        size(split(col(textCol), " ")).cast(LongType).as("n_tokens")),
+        Seq("__doc"), "right")
+      .select(col("__doc").as(idCol), col("n_tokens"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Overlapping token-window chunks — the context-window packing step of
     * a training/RAG pipeline: each document becomes windows of
     * `chunkTokens` whitespace tokens starting every

@@ -196,6 +196,15 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // duplicate-span STRIPPING (the action dupSpans measures): tokens
+    // covered by a cross-doc duplicate trigram removed, unique prose
+    // rebuilt in order.
+    "q_strip_spans" -> ((s, dir) =>
+      graft.operators.CorpusOps.stripDupSpans(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")),
+
     // corpus snapshot diff by content hash: prev = ids < 480, next = ids
     // >= 20 with every 50th doc's text perturbed → added/removed/changed/
     // unchanged; the join shuffles 16-byte digests, not bodies.
@@ -377,6 +386,35 @@ object TextQueries {
         |  CAST(least(64, len(w) - start) AS BIGINT) AS n_tokens,
         |  array_to_string(w[start+1:start+64], ' ') AS chunk_text
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_strip_spans" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+        |tok AS (SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(pos := i - 1, tok := w[i]))) AS t FROM toks),
+        |flat AS (SELECT doc_id, t.pos AS pos, t.tok AS tok FROM tok),
+        |grams AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(gpos := i - 1,
+        |      g := w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |gflat AS (SELECT doc_id, s.gpos AS gpos, s.g AS g FROM grams),
+        |shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+        |    FROM gflat GROUP BY g) WHERE nd > 1),
+        |covered AS (SELECT DISTINCT doc_id, gpos + u AS pos
+        |  FROM gflat JOIN shared USING (g), unnest(range(0, 3)) AS t(u)),
+        |kept AS (SELECT f.doc_id, f.pos, f.tok FROM flat f
+        |  LEFT JOIN covered c ON c.doc_id = f.doc_id AND c.pos = f.pos
+        |  WHERE c.doc_id IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH prev AS (SELECT doc_id, md5(text) AS h FROM documents

@@ -214,6 +214,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stripDupSpans removes exactly the tokens covered by cross-doc " +
+    "duplicate trigrams; unique docs unchanged; fully-shared docs empty") {
+    val boiler = "all rights reserved worldwide"
+    val docs = Seq(
+      (1L, s"unique alpha prose here $boiler closing words"),
+      (2L, s"different beta content $boiler trailing bits"),
+      (3L, "completely original text with no duplication at all"),
+      (4L, boiler), // fully covered by the shared gram run
+      (5L, boiler)
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.stripDupSpans(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // docs 1/2: the 4 boilerplate tokens are covered by shared trigrams
+    // ("all rights reserved" and "rights reserved worldwide" only — the
+    // grams spanning into the distinct surroundings are unique per doc)
+    assert(got(1L)._4 == "unique alpha prose here closing words")
+    assert(got(2L)._4 == "different beta content trailing bits")
+    assert(got(1L)._2 - got(1L)._3 == 4) // exactly the boilerplate dropped
+    assert(got(3L)._4 == "completely original text with no duplication at all")
+    assert(got(3L)._2 == got(3L)._3)
+    assert(got(4L)._3 == 0 && got(4L)._4 == "")
+  }
+
   test("corpusDiff labels added/removed/changed/unchanged correctly") {
     val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
     val next = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
