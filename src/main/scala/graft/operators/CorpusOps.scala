@@ -47,14 +47,24 @@ object CorpusOps {
     * a deterministic document order.
     *
     * A naive global-ORDER window is a single-partition sort — dead at
-    * 100 TB. This is the two-phase form: range-partition on `orderCol`,
-    * one tiny per-partition total aggregation (O(partitions) rows to the
-    * driver, same justified pattern as the paginator's stats), broadcast
-    * the prefix offsets back, then a per-partition window does the local
-    * running sum. The shuffle is the range partition; the sort is
-    * per-partition.
+    * 100 TB. This is the two-phase form: cut `orderCol` into contiguous
+    * buckets, one tiny per-bucket total aggregation (O(buckets) rows to
+    * the driver, same justified pattern as the paginator's stats),
+    * broadcast the prefix offsets back, then a per-bucket window does the
+    * local running sum.
     *
-    * @param orderCol unique ordering column (doc id).
+    * Bucket membership MUST be a pure function of the row's own value:
+    * the totals job and the final window job are separate query
+    * executions, and anything physical — `spark_partition_id()` after a
+    * `repartitionByRange`, say — can disagree between them (range
+    * boundaries are re-sampled per execution with an RDD-id-derived seed,
+    * and AQE coalesces each plan independently), silently corrupting the
+    * offsets near partition edges. So the boundaries are computed ONCE
+    * driver-side (quantiles of `orderCol`; only balance, never
+    * correctness, depends on their accuracy) and baked into the plan as
+    * literals.
+    *
+    * @param orderCol unique non-null NUMERIC ordering column (doc id).
     * @param tokenCol per-doc token count (long-castable).
     */
   def packShards(df: DataFrame, orderCol: String, tokenCol: String,
@@ -62,26 +72,36 @@ object CorpusOps {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val ranged = df
-      .repartitionByRange(col(orderCol))
-      .withColumn("__pid", spark_partition_id())
-    // O(partitions) rows: partition id → token total
-    val totals = ranged.groupBy("__pid")
+    val nBuckets = spark.sessionState.conf.numShufflePartitions
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val boundaries =
+      if (probs.isEmpty) Array.empty[Double]
+      else df.stat.approxQuantile(orderCol, probs, 0.001).distinct.sorted
+    // bucket = #boundaries strictly below the value; ties at a boundary
+    // land low consistently. Double collapse past 2^53 only merges
+    // buckets (balance), never reorders them.
+    val bucket =
+      if (boundaries.isEmpty) lit(0)
+      else aggregate(lit(boundaries), lit(0), (acc, bd) =>
+        acc + when(col(orderCol).cast("double") > bd, 1).otherwise(0))
+    val bucketed = df.withColumn("__b", bucket)
+    // O(buckets) rows: bucket id → token total
+    val totals = bucketed.groupBy("__b")
       .agg(sum(col(tokenCol).cast(LongType)).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = totals.scanLeft((0, 0L)) { case ((_, cum), (pid, t)) =>
-      (pid, cum + t)
-    }.init.zip(totals).map { case ((_, off), (pid, _)) => (pid, off) }
-    val offDf = offsets.toSeq.toDF("__pid", "__offset")
-    val w = Window.partitionBy("__pid").orderBy(orderCol)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, cum), (b, t)) =>
+      (b, cum + t)
+    }.init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
+    val offDf = offsets.toSeq.toDF("__b", "__offset")
+    val w = Window.partitionBy("__b").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    ranged
-      .join(broadcast(offDf), Seq("__pid"))
+    bucketed
+      .join(broadcast(offDf), Seq("__b"))
       .withColumn("__before",
         coalesce(sum(col(tokenCol).cast(LongType)).over(w), lit(0L)) +
           col("__offset"))
       .withColumn("shard_id", expr(s"__before DIV ${budget}L"))
-      .drop("__pid", "__offset", "__before")
+      .drop("__b", "__offset", "__before")
   }
 
   /** Benchmark decontamination: for every (corpus doc, eval doc) pair

@@ -52,6 +52,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(byShard.size > 1)
   }
 
+  test("packShards: shard assignment is a pure function of the data — " +
+    "identical across invocations, input partitionings, and shuffle " +
+    "partition counts (regression: physical partition ids must never " +
+    "leak into the offsets)") {
+    // skewed ids: quantile boundaries land unevenly, exercising the
+    // bucket edges where the old spark_partition_id() form could let the
+    // totals job and the window job disagree
+    val docs = ((0L until 300L) ++ (100000L until 100200L))
+      .map(i => (i, 1L + (i * 131) % 700)).toDF("doc_id", "n_tokens")
+    val naive = docs.withColumn("before", coalesce(sum("n_tokens").over(
+        Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard_id", expr("before DIV 2500L"))
+      .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (shuffleParts <- Seq("3", "17", "32"); inputParts <- Seq(1, 13)) {
+        spark.conf.set("spark.sql.shuffle.partitions", shuffleParts)
+        val fast = CorpusOps.packShards(docs.repartition(inputParts),
+          "doc_id", "n_tokens", budget = 2500L)
+          .select("doc_id", "shard_id").as[(Long, Long)].collect().toMap
+        assert(fast == naive,
+          s"diverged at shuffleParts=$shuffleParts inputParts=$inputParts")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("decontaminate: an embedded benchmark item flags with containment " +
     "1.0; unrelated docs stay clean; eval side is broadcast") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the dog"))
