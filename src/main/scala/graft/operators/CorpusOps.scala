@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -47,11 +47,36 @@ object CorpusOps {
     * a deterministic document order.
     *
     * A naive global-ORDER window is a single-partition sort — dead at
-    * 100 TB. This is the two-phase form: cut `orderCol` into contiguous
-    * buckets, one tiny per-bucket total aggregation (O(buckets) rows to
-    * the driver, same justified pattern as the paginator's stats),
-    * broadcast the prefix offsets back, then a per-bucket window does the
-    * local running sum.
+    * 100 TB. This is the two-phase form ([[prefixBefore]]): cut
+    * `orderCol` into contiguous buckets, one tiny per-bucket total
+    * aggregation (O(buckets) rows to the driver, same justified pattern
+    * as the paginator's stats), broadcast the prefix offsets back, then
+    * a per-bucket window does the local running sum.
+    *
+    * @param orderCol unique non-null NUMERIC ordering column (doc id).
+    * @param tokenCol per-doc token count (long-castable).
+    */
+  def packShards(df: DataFrame, orderCol: String, tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    prefixBefore(df, orderCol, col(tokenCol).cast(LongType), "__before")
+      .withColumn("shard_id", expr(s"__before DIV ${budget}L"))
+      .drop("__before")
+  }
+
+  /** Contiguous 0-based global order index ("rank") over `orderCol`
+    * without a global sort — `row_number() OVER (ORDER BY x) - 1` is a
+    * single-partition sort at 100 TB; this is the same deterministic
+    * two-phase prefix machinery as [[packShards]] with a count of 1 per
+    * row: the training-order position a shard writer stamps on each doc.
+    *
+    * @param orderCol unique non-null NUMERIC ordering column.
+    */
+  def globalOrderIndex(df: DataFrame, orderCol: String,
+      outCol: String = "rank"): DataFrame =
+    prefixBefore(df, orderCol, lit(1L), outCol)
+
+  /** Exclusive running sum of `value` in `orderCol` order, as `outCol`.
     *
     * Bucket membership MUST be a pure function of the row's own value:
     * the totals job and the final window job are separate query
@@ -63,13 +88,9 @@ object CorpusOps {
     * driver-side (quantiles of `orderCol`; only balance, never
     * correctness, depends on their accuracy) and baked into the plan as
     * literals.
-    *
-    * @param orderCol unique non-null NUMERIC ordering column (doc id).
-    * @param tokenCol per-doc token count (long-castable).
     */
-  def packShards(df: DataFrame, orderCol: String, tokenCol: String,
-      budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
+  private def prefixBefore(df: DataFrame, orderCol: String, value: Column,
+      outCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBuckets = spark.sessionState.conf.numShufflePartitions
@@ -85,9 +106,10 @@ object CorpusOps {
       else aggregate(lit(boundaries), lit(0), (acc, bd) =>
         acc + when(col(orderCol).cast("double") > bd, 1).otherwise(0))
     val bucketed = df.withColumn("__b", bucket)
-    // O(buckets) rows: bucket id → token total
+      .withColumn("__v", value)
+    // O(buckets) rows: bucket id → value total
     val totals = bucketed.groupBy("__b")
-      .agg(sum(col(tokenCol).cast(LongType)).as("__t"))
+      .agg(sum(col("__v")).as("__t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = totals.scanLeft((0, 0L)) { case ((_, cum), (b, t)) =>
       (b, cum + t)
@@ -97,11 +119,9 @@ object CorpusOps {
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .join(broadcast(offDf), Seq("__b"))
-      .withColumn("__before",
-        coalesce(sum(col(tokenCol).cast(LongType)).over(w), lit(0L)) +
-          col("__offset"))
-      .withColumn("shard_id", expr(s"__before DIV ${budget}L"))
-      .drop("__b", "__offset", "__before")
+      .withColumn(outCol,
+        coalesce(sum(col("__v")).over(w), lit(0L)) + col("__offset"))
+      .drop("__b", "__v", "__offset")
   }
 
   /** Benchmark decontamination: for every (corpus doc, eval doc) pair

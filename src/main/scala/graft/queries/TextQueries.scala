@@ -346,7 +346,43 @@ object TextQueries {
         .select(col("doc_id"),
           TextFunctions.scrubPii(col("text")).as("scrubbed"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // contiguous 0-based training-order index without a global sort:
+    // same deterministic two-phase prefix machinery as q_pack_shards
+    // with a count of 1 per row.
+    "q_global_rank" -> ((s, dir) =>
+      graft.operators.CorpusOps.globalOrderIndex(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("rank"))
+        .orderBy("doc_id")),
+
+    // skip-gram PMI collocations (window 2, pair count >= 30): map-side
+    // pair generation, one (a, b) count shuffle, broadcast unigrams.
+    // the oracle gate compares the exact IEEE pmi_ratio; pmi = ln(ratio)
+    // is spec-gated (Java and DuckDB ln disagree in the last ulp).
+    "q_pmi_pairs" -> ((s, dir) =>
+      graft.operators.Cooccur.pmiPairs(
+        t(s, dir, "documents"), "text", window = 2, minCount = 30L)
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          col("pmi_ratio"))
+        .orderBy("a", "b")),
+
+    // token frequency spectrum (count-of-counts, the Zipf diagnostic):
+    // two cascaded hash aggs, both map-side partial.
+    "q_freq_spectrum" -> ((s, dir) =>
+      graft.operators.Cooccur.frequencySpectrum(
+        t(s, dir, "documents"), "text")
+        .orderBy("freq")),
+
+    // exact heavy hitters (tokens >= 0.5% of all occurrences) — the
+    // oracle-checkable formulation; the Misra-Gries bounded-memory scale
+    // path is spec-gated against it (FrequentItemsSpec), mirroring the
+    // HLL and approx_percentile gates.
+    "q_heavy_hitters" -> ((s, dir) =>
+      graft.operators.FrequentItems.heavyHitters(
+        t(s, dir, "documents"), "text", minFrac = 0.005)
+        .orderBy("tok"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -737,6 +773,51 @@ object TextQueries {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS digest,
         |  octet_length(encode(text)) // 1024 + 1 AS n_chunks
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_global_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // pmi_ratio = (c_ab·n_tok·n_tok) / (n_pairs·c_a·c_b) with the exact
+    // multiplication order of the Spark side — pure IEEE multiply/divide
+    // over exact integers, so the doubles match bitwise (ln would not:
+    // Java and DuckDB disagree in the last ulp).
+    "q_pmi_pairs" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |pairs AS (SELECT unnest(flatten(list_transform(
+        |    range(1, len(w) + 1), i ->
+        |    list_transform(list_filter([1, 2], d -> i + d <= len(w)),
+        |      d -> struct_pack(a := w[i], b := w[i + d]))))) AS p
+        |  FROM toks),
+        |pc AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM pairs GROUP BY 1, 2),
+        |uc AS (SELECT unnest(w) AS tok FROM toks),
+        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY tok),
+        |nt AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_tok FROM u),
+        |np AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS n_pairs FROM pc)
+        |SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST(c_ab AS DOUBLE) * n_tok * n_tok /
+        |     (CAST(n_pairs AS DOUBLE) * ua.c * ub.c) AS pmi_ratio
+        |FROM pc JOIN u ua ON ua.tok = a JOIN u ub ON ub.tok = b, nt, np
+        |WHERE c_ab >= 30 ORDER BY a, b""".stripMargin,
+
+    "q_freq_spectrum" ->
+      """WITH uc AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |u AS (SELECT tok, count(*) AS freq FROM uc GROUP BY tok)
+        |SELECT CAST(freq AS BIGINT) AS freq,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM u GROUP BY freq ORDER BY freq""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH uc AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM uc GROUP BY tok),
+        |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM u)
+        |SELECT tok, cnt, n_total FROM u, nt
+        |WHERE CAST(cnt AS DOUBLE) >= n_total * 0.005
+        |ORDER BY tok""".stripMargin
   )
 }
