@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{FloatDotProduct, RandomHyperplaneKey, WordShingles}
+import graft.expressions.{DeflateRatio, FloatDotProduct, RandomHyperplaneKey, WordShingles}
 
 /** `SparkSessionExtensions` hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "word_shingles(text, n)")
         WordShingles(args(0), foldableInt(args(1), "word_shingles n"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_ratio takes exactly 1 argument")
+        DeflateRatio(args(0))
       }))
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_key"),

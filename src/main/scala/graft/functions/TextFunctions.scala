@@ -28,6 +28,16 @@ object TextFunctions {
   /** Token count via whitespace split. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
+  /** Deflate compression ratio of the UTF-8 text — the codec-based
+    * repetitiveness gate (boilerplate/spam compresses far below prose).
+    * Backed by the codegen'd [[graft.expressions.DeflateRatio]]; a UDF
+    * would leave whole-stage codegen and allocate a Deflater per call.
+    */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.DeflateRatio(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Markup stripping for filing bodies (SEC documents embed HTML/SGML):
     * drop tags, collapse runs of whitespace, trim — the minimal cleaning
     * pass before text analysis. Pure codegen'd regex chain.

@@ -382,7 +382,17 @@ object TextQueries {
     "q_heavy_hitters" -> ((s, dir) =>
       graft.operators.FrequentItems.heavyHitters(
         t(s, dir, "documents"), "text", minFrac = 0.005)
-        .orderBy("tok"))
+        .orderBy("tok")),
+
+    // deflate compression ratio (codec-based repetitiveness gate):
+    // native codegen'd expression; DuckDB has no deflate → golden-pinned
+    // (GoldenPinSpec), properties spec-gated (DeflateRatioSpec).
+    "q_compress_ratio" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.compressionRatio(col("text"))
+            .as("deflate_ratio"))
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(

@@ -31,6 +31,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT hyperplane_key(array(CAST(0.5 AS FLOAT)), 4, 0) AS k""")
         .head().getLong(0)
       assert(hk >= 0L && hk < 16L)
+      val dr = spark.sql(
+        "SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS r")
+        .head().getDouble(0)
+      assert(dr > 0.0 && dr < 0.5)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

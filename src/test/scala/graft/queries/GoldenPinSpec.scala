@@ -20,7 +20,8 @@ object GoldenPin {
   val sfDir = "/root/testdata/sf0.01"
   val pinned: Seq[String] =
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq", "q_ann_sq",
-      "q_bpe_tokens", "q_dedup_minhash", "q_simhash_sketch")
+      "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
+      "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -70,6 +71,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "fc540933a79faf255a4512e2a01c2507b1091bf7f556101ab08c1fdb06060599"),
     "q_bpe_tokens" -> (500L,
       "8c6087702c98f6605558d15ae9c2f325f11bd52fb27a2828444ee7cdfcaca583"),
+    "q_compress_ratio" -> (500L,
+      "804d9cf36627b05895efffb79fa651f5fd37f7ac57de85280000b1e613fe795c"),
     "q_ann_pq" -> (25L,
       "5065922ff5a70e5e5cc3d5b2d5d81a7bc773d2daf4e01fad21fbe07d09a93f34"),
     "q_dedup_minhash" -> (30L,
