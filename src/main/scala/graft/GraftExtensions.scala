@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DeflateRatio, FloatDotProduct, RandomHyperplaneKey, WordShingles}
+import graft.expressions.{DeflateRatio, FloatDotProduct, RandomHyperplaneKey, UnicodeNormalize, WordShingles}
 
 /** `SparkSessionExtensions` hook: registers the engine's native
   * expressions as SQL functions, so `spark.sql` users get them without
@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeflateRatio(args(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "unicode_norm(text, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        UnicodeNormalize(args(0), foldableString(args(1), "unicode_norm form"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("hyperplane_key"),
       new ExpressionInfo(classOf[RandomHyperplaneKey].getName, "hyperplane_key"),
       (args: Seq[Expression]) => {
@@ -50,6 +57,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(args(1), "hyperplane_key nPlanes"),
           foldableInt(args(2), "hyperplane_key seed"))
       }))
+  }
+
+  private def foldableString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
   }
 
   private def foldableInt(e: Expression, what: String): Int = {

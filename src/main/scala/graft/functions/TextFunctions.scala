@@ -28,6 +28,18 @@ object TextFunctions {
   /** Token count via whitespace split. */
   def tokenCountWs(text: Column): Column = size(tokens(text))
 
+  /** Unicode normalization (default NFC) — the first cleaning pass of a
+    * multilingual corpus: byte-variant spellings (decomposed marks,
+    * ligatures, fullwidth forms) must collapse BEFORE any content hash
+    * (exact dedup, shingles, split buckets) sees the text. Backed by the
+    * codegen'd [[graft.expressions.UnicodeNormalize]] with a zero-alloc
+    * already-normalized fast path.
+    */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.UnicodeNormalize(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text), form))
+
   /** Deflate compression ratio of the UTF-8 text — the codec-based
     * repetitiveness gate (boilerplate/spam compresses far below prose).
     * Backed by the codegen'd [[graft.expressions.DeflateRatio]]; a UDF

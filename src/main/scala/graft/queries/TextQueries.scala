@@ -392,7 +392,31 @@ object TextQueries {
         .select(col("doc_id"),
           graft.functions.TextFunctions.compressionRatio(col("text"))
             .as("deflate_ratio"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Unicode NFC normalization over an inline fixture of byte-variant
+    // spellings (combining marks, Hangul jamo, singleton Ω, canonical
+    // reordering) — the same rows the oracle rebuilds with chr() so
+    // DuckDB's utf8proc NFC checks the JDK's (q_pii_scrub pattern:
+    // literal fixture where the parquet tier has no interesting input).
+    "q_unicode_norm" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(
+        (1L, "café combining"),
+        (2L, "café precomposed"),
+        (3L, "Å ring"),
+        (4L, "각 jamo"),
+        (5L, "plain ascii"),
+        (6L, "Ω ohm"),
+        (7L, "ẹ́ reorder")))
+        .toDF("doc_id", "txt")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.normalizeUnicode(col("txt"))
+            .as("nfc"),
+          length(graft.functions.TextFunctions.normalizeUnicode(col("txt")))
+            .cast(LongType).as("nfc_len"))
+        .orderBy("doc_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -828,6 +852,22 @@ object TextQueries {
         |nt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM u)
         |SELECT tok, cnt, n_total FROM u, nt
         |WHERE CAST(cnt AS DOUBLE) >= n_total * 0.005
-        |ORDER BY tok""".stripMargin
+        |ORDER BY tok""".stripMargin,
+
+    // same byte-variant rows rebuilt with chr(): utf8proc NFC must agree
+    // with the JDK normalizer codepoint-for-codepoint.
+    "q_unicode_norm" ->
+      """WITH f(doc_id, txt) AS (VALUES
+        |  (1, 'cafe' || chr(769) || ' combining'),
+        |  (2, 'caf' || chr(233) || ' precomposed'),
+        |  (3, 'A' || chr(778) || ' ring'),
+        |  (4, chr(4352) || chr(4449) || chr(4520) || ' jamo'),
+        |  (5, 'plain ascii'),
+        |  (6, chr(8486) || ' ohm'),
+        |  (7, 'e' || chr(803) || chr(769) || ' reorder'))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  nfc_normalize(txt) AS nfc,
+        |  CAST(length(nfc_normalize(txt)) AS BIGINT) AS nfc_len
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }
