@@ -547,4 +547,43 @@ object CorpusOps {
         array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)),
           " ").as("chunk_text"))
   }
+
+  /** Per-column data profile — the pipeline health check run before and
+    * after every corpus transformation (row/null/distinct counts, lexical
+    * min/max): one row per column of the input schema.
+    *
+    * Shape: ONE aggregation pass; the per-column stats come back as a
+    * single wide row of structs that explodes into rows driver-free. The
+    * exact distinct counts expand the scan #columns-fold (Spark's
+    * multi-distinct Expand) — viable through the shuffle at any width;
+    * [[profileApprox]] swaps them for one-pass HLL sketches (no Expand)
+    * when exactness stops mattering at 100 TB.
+    */
+  def profile(df: DataFrame): DataFrame =
+    profileWith(df, c => countDistinct(c))
+
+  /** [[profile]] with `approx_count_distinct` (HLL++, rsd): single pass,
+    * no Expand — distinct estimates within the rsd contract (spec-gated
+    * against [[profile]], the same gating as CardinalitySpec).
+    */
+  def profileApprox(df: DataFrame, rsd: Double = 0.02): DataFrame =
+    profileWith(df, c => approx_count_distinct(c, rsd))
+
+  private def profileWith(df: DataFrame,
+      distinctAgg: Column => Column): DataFrame = {
+    val stats = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      val c = col(f.name)
+      struct(lit(f.name).as("col_name"),
+        count(lit(1)).cast(LongType).as("n_rows"),
+        coalesce(sum(when(c.isNull, 1L).otherwise(0L)), lit(0L))
+          .cast(LongType).as("n_nulls"),
+        distinctAgg(c).cast(LongType).as("n_distinct"),
+        min(c).cast("string").as("min_val"),
+        max(c).cast("string").as("max_val")).as(s"s$i")
+    }
+    df.agg(stats.head, stats.tail: _*)
+      .select(explode(array(df.schema.fields.indices
+        .map(i => col(s"s$i")): _*)).as("s"))
+      .select(col("s.*"))
+  }
 }

@@ -416,7 +416,14 @@ object TextQueries {
           length(graft.functions.TextFunctions.normalizeUnicode(col("txt")))
             .cast(LongType).as("nfc_len"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // per-column data profile (row/null/distinct counts, lexical
+    // min/max) in ONE aggregation pass; the HLL no-Expand scale variant
+    // is spec-gated against this exact form (CorpusOpsSpec).
+    "q_profile" -> ((s, dir) =>
+      graft.operators.CorpusOps.profile(t(s, dir, "documents"))
+        .orderBy("col_name"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -868,6 +875,32 @@ object TextQueries {
         |SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  nfc_normalize(txt) AS nfc,
         |  CAST(length(nfc_normalize(txt)) AS BIGINT) AS nfc_len
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q_profile" ->
+      """WITH p AS (
+        |  SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+        |    sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_val,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_val FROM documents
+        |  UNION ALL SELECT 'text', count(*),
+        |    sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT text), min(text), max(text) FROM documents
+        |  UNION ALL SELECT 'lang', count(*),
+        |    sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT lang), min(lang), max(lang) FROM documents
+        |  UNION ALL SELECT 'source', count(*),
+        |    sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT source), min(source), max(source) FROM documents
+        |  UNION ALL SELECT 'n_chars', count(*),
+        |    sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END),
+        |    count(DISTINCT n_chars),
+        |    CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+        |  FROM documents)
+        |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(n_nulls AS BIGINT) AS n_nulls,
+        |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
+        |FROM p ORDER BY col_name""".stripMargin
   )
 }

@@ -79,6 +79,39 @@ class CorpusOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("profile: exact per-column stats including nulls and lexical " +
+    "min/max; approx variant honors the HLL rsd contract with no Expand") {
+    val docs = Seq(
+      (1L, "alpha", null: String), (2L, "beta", "en"),
+      (3L, null: String, "de"), (4L, "alpha", "en"))
+      .toDF("id", "word", "lang")
+    val got = CorpusOps.profile(docs)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 0L, 4L, "1", "4")))
+    assert(got("word") == (("word", 4L, 1L, 2L, "alpha", "beta")))
+    assert(got("lang") == (("lang", 4L, 1L, 2L, "de", "en")))
+    // approx: same row/null/min/max, distinct within rsd on a wide column
+    val wide = (0L until 5000L).map(i => (i, s"v${i % 1234}"))
+      .toDF("id", "v")
+    val exact = CorpusOps.profile(wide)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val approx = CorpusOps.profileApprox(wide, rsd = 0.02)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    for (c <- Seq("id", "v")) {
+      assert(approx(c)._2 == exact(c)._2 && approx(c)._3 == exact(c)._3)
+      assert(approx(c)._5 == exact(c)._5 && approx(c)._6 == exact(c)._6)
+      val (e, a) = (exact(c)._4.toDouble, approx(c)._4.toDouble)
+      assert(math.abs(a - e) / e < 0.08, s"$c: approx $a vs exact $e")
+    }
+    // the approx plan must not contain the multi-distinct Expand
+    val plan = CorpusOps.profileApprox(wide).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Expand"), "HLL profile should be Expand-free")
+  }
+
   test("decontaminate: an embedded benchmark item flags with containment " +
     "1.0; unrelated docs stay clean; eval side is broadcast") {
     val evalSet = Seq((100L, "the quick brown fox jumps over the dog"))
