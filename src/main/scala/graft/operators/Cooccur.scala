@@ -36,19 +36,31 @@ object Cooccur {
     require(window >= 1, "window must be >= 1")
     require(minCount >= 1, "minCount must be >= 1")
     val toks = df.select(split(col(textCol), " ").as("w"))
-    // ordered pairs map-side: for each 0-based position i and each
-    // forward offset d in [1, window] still inside the doc
-    val pairs = toks.select(explode(expr(
-      s"""flatten(transform(w, (t, i) ->
-         |  transform(filter(sequence(1, $window), d -> i + d < size(w)),
-         |    d -> struct(t as a, w[i + d] as b))))""".stripMargin)).as("p"))
+    // ONE corpus pass emits both streams from each doc's array: a
+    // unigram sentinel (b = NULL) per token plus the ordered pairs (each
+    // 0-based position i with forward offsets d in [1, window] inside
+    // the doc). A naive formulation reads the corpus once per derived
+    // table (pairs, two unigram joins, two totals — five scans and five
+    // explodes; AQE exchange reuse MAY collapse some at runtime, but the
+    // plan shouldn't gamble on it at 100 TB).
+    val exploded = toks.select(explode(expr(
+      s"""concat(
+         |  transform(w, t -> struct(t as a, cast(null as string) as b)),
+         |  flatten(transform(w, (t, i) ->
+         |    transform(filter(sequence(1, $window), d -> i + d < size(w)),
+         |      d -> struct(t as a, w[i + d] as b)))))""".stripMargin)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-    val pairCounts = pairs.groupBy("a", "b")
-      .agg(count(lit(1)).cast(LongType).as("c_ab"))
-    val uni = toks.select(explode(col("w")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).cast(LongType).as("c"))
-    // scalar totals: n_tok from the unigram table, n_pairs from the pair
-    // counts — both tiny (vocabulary-sized inputs), broadcast cross joins
+    // one shuffle → vocabulary²-bounded table, eagerly materialized so
+    // the five consumers below never re-run the corpus pass (explicit,
+    // unlike AQE reuse; same justified pattern as Dedup.resolveKeepers)
+    val counts = exploded.groupBy("a", "b")
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint(true)
+    val pairCounts = counts.filter(col("b").isNotNull)
+      .select(col("a"), col("b"), col("cnt").as("c_ab"))
+    val uni = counts.filter(col("b").isNull)
+      .select(col("a").as("tok"), col("cnt").as("c"))
+    // scalar totals from the small table, broadcast cross joins
     val nTok = uni.agg(sum("c").as("n_tok"))
     val nPairs = pairCounts.agg(sum("c_ab").as("n_pairs"))
     pairCounts.filter(col("c_ab") >= minCount)
