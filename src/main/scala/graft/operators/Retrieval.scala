@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Keyword retrieval over the corpus — the data-selection / targeted-
   * decontamination face of the training-data tier (find the documents
@@ -129,6 +129,44 @@ object Retrieval {
   }
 
   /** Driver-side mirror of [[termBucket]] (Spark's xxhash64 with seed 42). */
+  /** Exact phrase search over whitespace tokens: docs containing the
+    * phrase's tokens consecutively, with occurrence counts and the first
+    * 0-based start position.
+    *
+    * Shape: no k-way positional self-join. Each posting matching the
+    * phrase's term `i` votes for candidate start `pos - i`; a start with
+    * all k votes is an occurrence (a posting contributes at most one row
+    * per (start, i), so `count == k` ⟺ every slot matched — correct even
+    * when the phrase repeats a term, and overlapping occurrences count
+    * separately). The token stream is pruned to the phrase's terms
+    * BEFORE the one (doc, start) shuffle, so the exchange is bounded by
+    * the terms' corpus frequency, not corpus size. (A positional-index
+    * variant would persist (term, doc, pos) partitioned by term bucket
+    * like [[writeBm25Index]]; the scan form here is the ad-hoc path.)
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    val k = terms.length
+    val spark = df.sparkSession
+    import spark.implicits._
+    val termsDf = terms.zipWithIndex.toDF("tok", "i")
+    df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(terms.distinct: _*))
+      .join(broadcast(termsDf), Seq("tok"))
+      .select(col("doc"), (col("pos") - col("i")).as("start"))
+      .filter(col("start") >= 0)
+      .groupBy("doc", "start")
+      .agg(count(lit(1)).as("nmatch"))
+      .filter(col("nmatch") === k)
+      .groupBy("doc")
+      .agg(count(lit(1)).cast(LongType).as("n_occurrences"),
+        min(col("start")).cast(LongType).as("first_pos"))
+      .select(col("doc").as(idCol), col("n_occurrences"), col("first_pos"))
+  }
+
   private def termBucketValue(token: String, nBuckets: Int): Long = {
     val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(token),

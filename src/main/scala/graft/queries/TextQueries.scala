@@ -423,7 +423,32 @@ object TextQueries {
     // is spec-gated against this exact form (CorpusOpsSpec).
     "q_profile" -> ((s, dir) =>
       graft.operators.CorpusOps.profile(t(s, dir, "documents"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // exact phrase search: start-marker voting (posting for term i votes
+    // start = pos - i; all-k votes = occurrence) — one term-pruned
+    // shuffle, no k-way positional self-join, overlap-correct.
+    "q_phrase_search" -> ((s, dir) =>
+      graft.operators.Retrieval.phraseSearch(
+        t(s, dir, "documents"), "doc_id", "text", "slow hash batch")
+        .orderBy("doc_id")),
+
+    // relational pivot: per-source token totals spread across the five
+    // (SF-stable) language columns — explicit value list keeps the
+    // schema deterministic; one partial-agg shuffle, no transpose op.
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens"))
+        .groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(sum(col("n_tokens")))
+        // single-agg pivot names columns by the pivot value; absent
+        // (source, lang) cells bypass the agg entirely → null, so
+        // zero-fill AFTER the pivot to match the oracle's COALESCE
+        .select(col("source") +: Seq("de", "en", "es", "fr", "zh")
+          .map(l => coalesce(col(l), lit(0L)).as(s"${l}_tokens")): _*)
+        .orderBy("source"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -901,6 +926,29 @@ object TextQueries {
         |SELECT col_name, CAST(n_rows AS BIGINT) AS n_rows,
         |  CAST(n_nulls AS BIGINT) AS n_nulls,
         |  CAST(n_distinct AS BIGINT) AS n_distinct, min_val, max_val
-        |FROM p ORDER BY col_name""".stripMargin
+        |FROM p ORDER BY col_name""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |st AS (SELECT doc_id, unnest(list_filter(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    p -> w[p] = 'slow' AND w[p+1] = 'hash' AND w[p+2] = 'batch'))
+        |  AS p FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(p) - 1 AS BIGINT) AS first_pos
+        |FROM st GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_pivot" ->
+      """WITH d AS (SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source,
+        |  COALESCE(SUM(CASE WHEN lang = 'de' THEN n_tokens END), 0) AS de_tokens,
+        |  COALESCE(SUM(CASE WHEN lang = 'en' THEN n_tokens END), 0) AS en_tokens,
+        |  COALESCE(SUM(CASE WHEN lang = 'es' THEN n_tokens END), 0) AS es_tokens,
+        |  COALESCE(SUM(CASE WHEN lang = 'fr' THEN n_tokens END), 0) AS fr_tokens,
+        |  COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_tokens END), 0) AS zh_tokens
+        |FROM d GROUP BY source ORDER BY source""".stripMargin
   )
 }
