@@ -146,15 +146,60 @@ object Retrieval {
     */
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
       phrase: String): DataFrame = {
-    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
-    require(terms.nonEmpty, "phrase must contain at least one token")
-    val k = terms.length
-    val spark = df.sparkSession
-    import spark.implicits._
-    val termsDf = terms.zipWithIndex.toDF("tok", "i")
-    df.select(col(idCol).as("doc"),
+    val terms = splitPhrase(phrase)
+    val postings = df.select(col(idCol).as("doc"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .filter(col("tok").isin(terms.distinct: _*))
+    phraseMatch(postings, terms, idCol)
+  }
+
+  /** Materialize the positional index at `path`: `positions/`
+    * (doc, pos, tok) partitioned by term-hash bucket — the persistent
+    * form phrase/proximity queries prune to their terms' buckets, like
+    * [[writeBm25Index]]'s postings. Tokenization is the whitespace model
+    * of [[phraseSearch]] (NOT the lowercased letter-run model of BM25),
+    * so served results are identical to the ad-hoc path.
+    */
+  def writePositionalIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit =
+    df.select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+      .withColumn("tb", termBucket(col("tok"), nBuckets))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/positions")
+
+  /** [[phraseSearch]] over a pre-built [[writePositionalIndex]]: same
+    * start-marker voting, but the scan carries a STATIC partition filter
+    * on the phrase terms' buckets — it reads ≤ |terms|/nBuckets of the
+    * index and never the corpus. Row-identical to the ad-hoc path.
+    */
+  def phraseFromIndex(spark: SparkSession, path: String, phrase: String,
+      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    val terms = splitPhrase(phrase)
+    val postings = spark.read.parquet(s"$path/positions")
+      .filter(col("tb").isin(
+        terms.distinct.map(t => termBucketValue(t, nBuckets)): _*) &&
+        col("tok").isin(terms.distinct: _*))
+      .select(col("doc"), col("pos"), col("tok"))
+    phraseMatch(postings, terms, idCol)
+  }
+
+  private def splitPhrase(phrase: String): Seq[String] = {
+    val terms = phrase.split(" ").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phrase must contain at least one token")
+    terms
+  }
+
+  /** The voting pipeline shared by the scan and index paths: postings
+    * are (doc, pos, tok) already restricted to the phrase's terms.
+    */
+  private def phraseMatch(postings: DataFrame, terms: Seq[String],
+      idCol: String): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val k = terms.length
+    val termsDf = terms.zipWithIndex.toDF("tok", "i")
+    postings
       .join(broadcast(termsDf), Seq("tok"))
       .select(col("doc"), (col("pos") - col("i")).as("start"))
       .filter(col("start") >= 0)

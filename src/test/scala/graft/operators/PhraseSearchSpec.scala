@@ -37,6 +37,27 @@ class PhraseSearchSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 0L))))
   }
 
+  test("positional index serves row-identical results through a " +
+    "partition-pruned positions scan") {
+    val docs = (0L until 150L).map(i =>
+      (i, (0 until 25).map(j => s"w${(i * 3 + j) % 11}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("positx")
+      .toString + "/idx"
+    Retrieval.writePositionalIndex(docs, "doc_id", "text", dir, nBuckets = 8)
+    val adhoc = Retrieval.phraseSearch(docs, "doc_id", "text", "w2 w3 w4")
+      .as[(Long, Long, Long)].collect().toSet
+    val served = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4",
+      nBuckets = 8).as[(Long, Long, Long)].collect().toSet
+    assert(adhoc == served && adhoc.nonEmpty)
+    val plan = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4",
+      nBuckets = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      "no partition filters reached the positions scan")
+    assert(plan.contains("tb#") || plan.contains("tb IN"),
+      "tb pruning filter missing from plan")
+  }
+
   test("results are partitioning-invariant") {
     val docs = (0L until 100L).map(i =>
       (i, (0 until 30).map(j => s"w${(i + j) % 7}").mkString(" ")))
