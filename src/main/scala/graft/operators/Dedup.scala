@@ -419,6 +419,93 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star — the
+    * SCALE path beside [[resolveKeepers]] (Kiveris et al. 2014, "Connected
+    * Components in MapReduce and Beyond", the algorithm behind GraphFrames'
+    * production CC). Same contract: pairs in, (id, label = component min)
+    * out.
+    *
+    * Why a second algorithm: min-label propagation runs O(component
+    * diameter) rounds, shuffling the FULL edge list each round — a
+    * chain-shaped dup cluster of depth 10k (boilerplate pages that mutate
+    * gradually) needs 10k shuffles and [[resolveKeepers]] rightly throws.
+    * Large-star/small-star converges in O(log n) rounds regardless of
+    * topology, and each step REWRITES edges toward the component minimum
+    * instead of carrying labels beside a static edge set, so the edge count
+    * shrinks geometrically toward one star per component.
+    *
+    *   - large-star: every node connects its strictly-LARGER neighbors to
+    *     the minimum of its neighborhood — long tails collapse toward small
+    *     ids without growing any adjacency;
+    *   - small-star: every node connects its smaller-or-equal neighbors to
+    *     that side's minimum — hubs hand their followers to the true min.
+    *
+    * Both steps are one groupBy(min) + one equi-join on the node id —
+    * map-side partial aggs, no collect, no per-node state. Convergence is
+    * detected EXACTLY (set equality of the canonicalized edge lists via
+    * `except`, not a hash/count heuristic), and each round eagerly
+    * localCheckpoints to truncate iterative lineage.
+    *
+    * At the fixpoint the edge set is one star per component centered at
+    * its min, so labels read off directly; isolated convergence in
+    * O(log n) is spec-pinned against a 64-deep chain that min-label
+    * propagation at the same round budget cannot finish.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical orientation (big, small), self-loops dropped
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      canon(sym.filter(col("v") > col("u"))
+        .join(mins, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonically oriented: u > v everywhere
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val rewired = e.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      canon(rewired.union(mins.select(col("u"), col("m").as("v"))))
+    }
+
+    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
+      .localCheckpoint(true)
+    if (edges.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
+    }
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter alternation " +
+          "rounds — raise maxIter (O(log n) rounds suffice; hitting this " +
+          "bound suggests ids that do not total-order consistently)")
+    // fixpoint = one star per component: (member, min); centers label themselves
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+      .distinct()
+  }
+
   /** Corpus minus near-dup losers: keep every row whose id is its
     * cluster's minimum (or is in no pair at all).
     */

@@ -170,6 +170,22 @@ object SimilarityQueries {
       Dedup.resolveKeepers(pairs).orderBy("id")
     }),
 
+    // the SCALE path for cluster resolution: alternating large-star /
+    // small-star (O(log n) rounds vs min-label's O(diameter)) on a graph
+    // whose 17-deep chain makes the difference observable; same
+    // (id, label=component min) contract, same recursive-CTE oracle shape.
+    "q_cc_components" -> ((s, _) => {
+      import s.implicits._
+      val chain = (100L until 117L).map(i => (i, i + 1))
+      val pairs = (Seq(
+        (1L, 2L), (2L, 3L), // path → 1
+        (10L, 11L), // pair → 10
+        (20L, 22L), (21L, 22L), (23L, 22L), (24L, 22L), // hub star → 20
+        (30L, 31L), (31L, 32L), (30L, 32L)) ++ chain) // chain → 100
+        .toDF("id_a", "id_b")
+      Dedup.connectedComponents(pairs).orderBy("id")
+    }),
+
     // containment gate for the xxhash64-based MinHash sketch: every exact
     // n-gram-Jaccard pair >= 0.4 over the FULL corpus must appear in the
     // LSH candidate set (P(miss) < 1e-18 per pair at k=32, bands=16 —
@@ -238,6 +254,22 @@ object SimilarityQueries {
         |WHERE list_inner_product(a.v, b.v) /
         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cc_components" ->
+      """WITH RECURSIVE p(a, b) AS (
+        |  SELECT * FROM (VALUES (1, 2), (2, 3), (10, 11),
+        |    (20, 22), (21, 22), (23, 22), (24, 22),
+        |    (30, 31), (31, 32), (30, 32)) t(a, b)
+        |  UNION ALL
+        |  SELECT i, i + 1 FROM range(100, 117) r(i)),
+        |edges(src, dst) AS (
+        |  SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE p(a, b) AS (
