@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document quality classification — the fastText-style filter step of a
+  * production LLM data pipeline (GPT-3 / LLaMA / CCNet all gate web text
+  * with a linear classifier over bag-of-ngram features trained "reference
+  * corpus vs raw crawl").
+  *
+  * Two models, matching how the pipelines actually deploy them:
+  *
+  *   - '''Naive Bayes log-odds''' ([[classCounts]] / [[nbEvidence]] /
+  *     [[nbScore]]): closed-form — the model IS a count table, training is
+  *     one aggregation pass. The integer evidence (per-doc class-count
+  *     sums, OOV counts) is engine-exact and oracle-checked
+  *     (`q_quality_nb`); the log-space score is spec-gated.
+  *   - '''Logistic regression over hashed features''' ([[trainLogistic]] /
+  *     [[scoreLogistic]]): the hashing trick bounds the feature space to
+  *     `dim` regardless of corpus vocabulary, full-batch gradient descent
+  *     runs as relational aggregations whose sums go through
+  *     DECIMAL(38,18) — exact and order-independent, so training is
+  *     bitwise-deterministic under any partitioning (spec-pinned). The
+  *     scored output is golden-pinned (`q_quality_logistic`).
+  *
+  * Scale shape for 100 TB: features are one explode + one (id, fid)
+  * count agg; each training epoch is one broadcast join (weights are
+  * ≤ dim rows — a 2^18-dim model is 2 MB), one shuffle on the doc id for
+  * residuals, and one fid-keyed agg whose output is bounded by `dim`;
+  * the only collects are the ≤ dim-row gradient and the feature-id set,
+  * both bounded by construction. At 100 TB one trains on a sampled
+  * slice (a classifier needs ~1M docs, not the corpus) and SCORES the
+  * full corpus — scoring is explode → broadcast join → per-doc agg,
+  * shuffle of one (id, margin) row per document.
+  *
+  * Tokenization matches [[LanguageModel]] / [[CorpusOps.vocabulary]]
+  * (lowercase alpha runs), so oracle SQL mirrors it exactly.
+  */
+object QualityClassifier {
+
+  private def toks(textCol: String): Column =
+    filter(split(lower(col(textCol)), "[^a-z]+"), t => t =!= lit(""))
+
+  private def bigramsOf(t: Column): Column =
+    filter(
+      zip_with(t, slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)),
+      g => g.isNotNull)
+
+  // ------------------------------------------------------------------
+  // Naive Bayes
+  // ------------------------------------------------------------------
+
+  /** Per-token class counts — the whole NB model in one aggregation pass:
+    * (token, c_pos, c_neg), occurrence counts within the positive /
+    * negative class. `labelCol` must be boolean.
+    */
+  def classCounts(labeled: DataFrame, textCol: String,
+      labelCol: String): DataFrame =
+    labeled
+      .select(col(labelCol).cast(BooleanType).as("__y"),
+        explode(toks(textCol)).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("c_neg"))
+
+  /** Engine-exact classification evidence per document: for each token
+    * occurrence, how often the training corpus saw it in each class.
+    *
+    *   - `n_tokens`, `oov_tokens` — counts;
+    *   - `pos_evidence` / `neg_evidence` — Σ over occurrences of the
+    *     token's class count (exact longs);
+    *   - `pos_share` — pos_evidence / (pos_evidence + neg_evidence), one
+    *     division of exact longs (null when the doc is all-OOV).
+    *
+    * All columns compare bitwise across engines (the oracle for
+    * `q_quality_nb`); the log-space score lives in [[nbScore]]. Documents
+    * with no alpha tokens emit (0, 0, 0, 0, null).
+    */
+  def nbEvidence(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame): DataFrame = {
+    val stream = docs.select(col(idCol).as("__id"),
+      explode(toks(textCol)).as("token"))
+      .join(broadcast(counts), Seq("token"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c_pos").isNull, 1L).otherwise(0L)).as("oov_tokens"),
+        coalesce(sum(col("c_pos")), lit(0L)).as("pos_evidence"),
+        coalesce(sum(col("c_neg")), lit(0L)).as("neg_evidence"))
+    docs.select(col(idCol).as("__id"))
+      .join(stream, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("oov_tokens"), lit(0L)).as("oov_tokens"),
+        coalesce(col("pos_evidence"), lit(0L)).as("pos_evidence"),
+        coalesce(col("neg_evidence"), lit(0L)).as("neg_evidence"))
+      .withColumn("pos_share",
+        when(col("pos_evidence") + col("neg_evidence") > 0,
+          col("pos_evidence").cast(DoubleType) /
+            (col("pos_evidence") + col("neg_evidence")).cast(DoubleType)))
+  }
+
+  /** Multinomial NB log-odds score (Laplace-smoothed):
+    * `score = ln(P(pos)/P(neg)) + Σ_tok ln((c_pos+1)/(N_pos+V)) −
+    * ln((c_neg+1)/(N_neg+V))`; `prob > 0.5 ⇔ score > 0`. Floats are
+    * order-summed → spec-gated ([[graft]] QualityClassifierSpec), not
+    * oracle-hashed; the exact-integer face is [[nbEvidence]].
+    */
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, priorPos: Double = 0.5): DataFrame = {
+    val totals = counts.agg(
+      coalesce(sum(col("c_pos")), lit(0L)).as("np"),
+      coalesce(sum(col("c_neg")), lit(0L)).as("nn"),
+      count(lit(1)).as("v")).head
+    val (np, nn, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    require(np > 0 && nn > 0,
+      "both classes need at least one training token")
+    val w = broadcast(counts.select(col("token"),
+      (log((coalesce(col("c_pos"), lit(0L)) + 1).cast(DoubleType) / (np + v))
+        - log((coalesce(col("c_neg"), lit(0L)) + 1).cast(DoubleType) / (nn + v)))
+        .as("__w")))
+    val oovW = math.log(1.0 / (np + v)) - math.log(1.0 / (nn + v))
+    val prior = math.log(priorPos) - math.log(1.0 - priorPos)
+    docs.select(col(idCol).as(idCol), explode(toks(textCol)).as("token"))
+      .join(w, Seq("token"), "left")
+      .groupBy(idCol)
+      .agg((sum(coalesce(col("__w"), lit(oovW))) + prior).as("score"))
+      .withColumn("predicted_pos", col("score") > 0)
+  }
+
+  // ------------------------------------------------------------------
+  // Logistic regression over hashed features
+  // ------------------------------------------------------------------
+
+  /** Trained model: dense weights indexed by feature hash. */
+  final case class LogisticModel(dim: Int, bias: Double,
+      weights: Array[Double]) {
+    require(weights.length == dim)
+  }
+
+  /** (id, fid, cnt) hashed bag-of-features stream: unigrams + bigrams,
+    * `fid = xxhash64(gram) mod dim`. The hashing trick (Weinberger et al.
+    * 2009) — feature space bounded by `dim` no matter the vocabulary, no
+    * dictionary to build or ship.
+    */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val t = toks(textCol)
+    docs.select(col(idCol).as("id"),
+      explode(concat(t, bigramsOf(t))).as("__g"))
+      .select(col("id"), pmod(xxhash64(col("__g")), lit(dim.toLong))
+        .cast(IntegerType).as("fid"))
+      .groupBy("id", "fid")
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+  }
+
+  /** Exact, order-independent sum of double products via DECIMAL(38,18):
+    * products here are bounded (|w| and residuals are O(10), counts
+    * O(doc length)), far inside the 10^20 integral capacity.
+    */
+  private def dsumExact(c: Column): Column =
+    sum(c.cast(DecimalType(38, 18))).cast(DoubleType)
+
+  /** Full-batch gradient descent, bitwise-deterministic: every cross-row
+    * sum (margins, gradients) goes through DECIMAL(38,18) — exact, so no
+    * partitioning or reduce-tree shape can move a ulp — and the driver
+    * update is plain array arithmetic. `labelCol` boolean.
+    *
+    * Per epoch: one broadcast join of the ≤dim-row weight table against
+    * the (checkpointed) feature stream, one doc-id agg for margins, one
+    * doc-id join for residuals, one fid agg for the gradient. Collects
+    * are bounded by `dim`.
+    */
+  def trainLogistic(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 1 << 15, epochs: Int = 10,
+      lr: Double = 0.5, l2: Double = 0.0): LogisticModel = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = hashedFeatures(labeled, idCol, textCol, dim)
+      .localCheckpoint(true)
+    val labels = labeled.select(col(idCol).as("id"),
+      col(labelCol).cast(BooleanType).cast(DoubleType).as("y"))
+      .localCheckpoint(true)
+    val n = labels.count()
+    require(n > 0, "empty training set")
+    val fids = feats.select("fid").distinct().as[Int].collect().sorted
+    val w = new Array[Double](dim)
+    var b = 0.0
+    for (_ <- 0 until epochs) {
+      val wDF = fids.map(f => (f, w(f))).toSeq.toDF("fid", "__w")
+      val resid = feats.join(broadcast(wDF), Seq("fid"))
+        .groupBy("id")
+        .agg(dsumExact(col("cnt") * col("__w")).as("__m"))
+        .join(labels, Seq("id"), "right")
+        .select(col("id"),
+          (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__m"), lit(0.0)) + b)))
+            - col("y")).as("__r"))
+      val grad = feats.join(resid, Seq("id"))
+        .groupBy("fid")
+        .agg(dsumExact(col("__r") * col("cnt")).as("g"))
+        .as[(Int, Double)].collect()
+      val gb = resid.agg(dsumExact(col("__r"))).head.getDouble(0)
+      grad.foreach { case (f, g) =>
+        w(f) -= lr * (g / n + l2 * w(f))
+      }
+      b -= lr * gb / n
+    }
+    LogisticModel(dim, b, w)
+  }
+
+  /** Score documents under a trained model: (id, margin, prob).
+    * Margins fold through the same exact decimal sum as training, so
+    * scores are bitwise-deterministic under any partitioning — the
+    * property that lets `q_quality_logistic` be golden-pinned. Docs with
+    * no features score the bare bias.
+    */
+  def scoreLogistic(docs: DataFrame, idCol: String, textCol: String,
+      model: LogisticModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wDF = model.weights.toSeq.zipWithIndex
+      .collect { case (wt, f) if wt != 0.0 => (f, wt) }
+      .toDF("fid", "__w")
+    val margins = hashedFeatures(docs, idCol, textCol, model.dim)
+      .join(broadcast(wDF), Seq("fid"))
+      .groupBy("id")
+      .agg(dsumExact(col("cnt") * col("__w")).as("__m"))
+    docs.select(col(idCol).as("id"))
+      .join(margins, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        (coalesce(col("__m"), lit(0.0)) + model.bias).as("margin"))
+      .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+  }
+
+  /** Train-then-gate composition: keep documents the classifier scores
+    * at or above `minProb` (the CCNet shape: train on "reference vs
+    * crawl", drop the crawl-looking tail).
+    */
+  def qualityFilter(corpus: DataFrame, idCol: String, textCol: String,
+      labeled: DataFrame, labelCol: String, minProb: Double = 0.5,
+      dim: Int = 1 << 15, epochs: Int = 10, lr: Double = 0.5): DataFrame = {
+    val model = trainLogistic(labeled, idCol, textCol, labelCol, dim,
+      epochs, lr)
+    corpus.join(
+      scoreLogistic(corpus, idCol, textCol, model)
+        .filter(col("prob") >= minProb).select(col(idCol)),
+      Seq(idCol), "left_semi")
+  }
+}

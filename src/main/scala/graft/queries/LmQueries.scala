@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusOps, LanguageModel}
+import graft.operators.{CorpusOps, LanguageModel, QualityClassifier}
 import graft.queries.Q._
 
 /** Oracle-checked queries for the round-5 corpus tier: deterministic
@@ -68,6 +68,33 @@ object LmQueries {
           asLong(col("n_bigrams")).as("n_bigrams"),
           asLong(col("hit_bigrams")).as("hit_bigrams"),
           col("bigram_hit_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // NB quality classifier, engine-exact face: class counts trained on
+    // doc_id < 250 (positive = English), integer evidence + one-division
+    // share for the rest; the log-odds score is spec-gated.
+    "q_quality_nb" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val counts = QualityClassifier.classCounts(
+        d.filter(col("doc_id") < 250).withColumn("y", col("lang") === "en"),
+        "text", "y")
+      QualityClassifier.nbEvidence(d.filter(col("doc_id") >= 250), "doc_id",
+        "text", counts)
+        .orderBy("doc_id")
+    }),
+
+    // hashed-feature logistic regression (the fastText-style filter):
+    // bitwise-deterministic decimal-summed training (spec-pinned), so the
+    // scored output golden-pins; no SQL oracle can express the training
+    // loop.
+    "q_quality_logistic" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val model = QualityClassifier.trainLogistic(
+        d.filter(col("doc_id") < 250).withColumn("y", col("lang") === "en"),
+        "doc_id", "text", "y", dim = 1 << 12, epochs = 6, lr = 0.5)
+      QualityClassifier.scoreLogistic(d.filter(col("doc_id") >= 250),
+        "doc_id", "text", model)
         .orderBy("doc_id")
     })
   )
@@ -158,6 +185,36 @@ object LmQueries {
         |    THEN CAST(hit_bigrams AS DOUBLE) / n_bigrams END
         |    AS bigram_hit_rate
         |FROM tstats LEFT JOIN bstats USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_quality_nb" ->
+      """WITH tr AS (SELECT (lang = 'en') AS y, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS token
+        |  FROM documents WHERE doc_id < 250),
+        |counts AS (SELECT token,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM tr GROUP BY token),
+        |st AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS token
+        |  FROM documents WHERE doc_id >= 250),
+        |ev AS (SELECT s.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS oov_tokens,
+        |    CAST(COALESCE(sum(c.c_pos), 0) AS BIGINT) AS pos_evidence,
+        |    CAST(COALESCE(sum(c.c_neg), 0) AS BIGINT) AS neg_evidence
+        |  FROM st s LEFT JOIN counts c USING (token) GROUP BY s.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(e.n_tokens, 0) AS n_tokens,
+        |  COALESCE(e.oov_tokens, 0) AS oov_tokens,
+        |  COALESCE(e.pos_evidence, 0) AS pos_evidence,
+        |  COALESCE(e.neg_evidence, 0) AS neg_evidence,
+        |  CASE WHEN COALESCE(e.pos_evidence, 0) + COALESCE(e.neg_evidence, 0) > 0
+        |    THEN CAST(e.pos_evidence AS DOUBLE)
+        |      / CAST(e.pos_evidence + e.neg_evidence AS DOUBLE) END AS pos_share
+        |FROM documents d LEFT JOIN ev e USING (doc_id)
+        |WHERE d.doc_id >= 250
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -21,7 +21,7 @@ object GoldenPin {
   val pinned: Seq[String] =
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq", "q_ann_sq",
       "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
-      "q_simhash_sketch")
+      "q_quality_logistic", "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -77,6 +77,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "5065922ff5a70e5e5cc3d5b2d5d81a7bc773d2daf4e01fad21fbe07d09a93f34"),
     "q_dedup_minhash" -> (30L,
       "dcb7bea2b7f79769b78ce9be743abc108d2bd21ac5e0760864364fb94a5e4649"),
+    "q_quality_logistic" -> (250L,
+      "28714ec450e69aab07738950d23b7bc9e68b4e284df608fc2dc84f307ae576dc"),
     "q_simhash_sketch" -> (500L,
       "38fce3cfa21a32646077d0fcfcba305d70468b6447e55e0ae65c220c4b5bd7b8"))
 
