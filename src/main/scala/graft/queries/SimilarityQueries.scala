@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, SemanticDedup, Similarity}
 import graft.queries.Q._
 
 /** Oracle-checked + rows-only queries for the similarity-search and
@@ -30,6 +30,16 @@ object SimilarityQueries {
           asLong(col("rank")).as("rank"), col("sim"))
         .orderBy("query_id", "rank")
     }),
+
+    // SemDeDup: k-means semantic clusters → within-cluster cosine pairs →
+    // one keeper per semantic group. Seeded k-means + exact verification
+    // + large-star/small-star resolution: deterministic → golden-pinned
+    // (the k-means step has no SQL oracle).
+    "q_semantic_dedup" -> ((s, dir) =>
+      SemanticDedup.semDedup(emb(s, dir), "id", "embedding",
+        nClusters = 16, threshold = 0.3)
+        .select(col("id"), asLong(col("label")).as("label"))
+        .orderBy("id")),
 
     // embedding-cosine near-dup pairs, blocked by label.
     "q_embedding_dedup" -> ((s, dir) =>

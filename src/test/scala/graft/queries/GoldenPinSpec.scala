@@ -21,7 +21,7 @@ object GoldenPin {
   val pinned: Seq[String] =
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq", "q_ann_sq",
       "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
-      "q_quality_logistic", "q_simhash_sketch")
+      "q_quality_logistic", "q_semantic_dedup", "q_simhash_sketch")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -79,6 +79,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "dcb7bea2b7f79769b78ce9be743abc108d2bd21ac5e0760864364fb94a5e4649"),
     "q_quality_logistic" -> (250L,
       "28714ec450e69aab07738950d23b7bc9e68b4e284df608fc2dc84f307ae576dc"),
+    "q_semantic_dedup" -> (259L,
+      "6c13bda95686f4cdb73f1d8a81326ef9d6ce8949722b80e34a5c2590da2defc5"),
     "q_simhash_sketch" -> (500L,
       "38fce3cfa21a32646077d0fcfcba305d70468b6447e55e0ae65c220c4b5bd7b8"))
 
