@@ -340,6 +340,48 @@ object CorpusOps {
           .otherwise(lit("changed")).as("status"))
   }
 
+  /** Pairwise n-gram overlap between corpus slices (sources, languages,
+    * snapshots) — the redundancy / cross-contamination diagnostic run
+    * before mixing corpora: a source pair with high containment is
+    * double-counting its material (or one is a scrape of the other), and
+    * an eval slice with nonzero containment in a train slice is
+    * contaminated. Emits the COMPLETE pair matrix (grp_a < grp_b),
+    * including zero-overlap pairs: n-gram set sizes, intersection size,
+    * per-side containment, and Jaccard — all exact integers plus
+    * single-division doubles, so the whole thing is oracle-checkable.
+    *
+    * Scale shape: one distinct over (group, gram) — a single shuffle
+    * keyed by the pair; the intersection join keys on the gram, so a
+    * gram shared by g groups contributes g² rows — bounded by the number
+    * of slices squared, never by corpus size. Slice sizes broadcast.
+    */
+  def sourceOverlap(df: DataFrame, textCol: String, groupCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = df.select(col(groupCol).as("grp"),
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+        .as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("grp").agg(count(lit(1)).as("n_grams"))
+    val pairs = broadcast(sizes.select(col("grp").as("grp_a"),
+        col("n_grams").as("n_a")))
+      .join(broadcast(sizes.select(col("grp").as("grp_b"),
+        col("n_grams").as("n_b"))), col("grp_a") < col("grp_b"))
+    val common = grams.select(col("grp").as("grp_a"), col("gram"))
+      .join(grams.select(col("grp").as("grp_b"), col("gram")), Seq("gram"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b")
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(common, Seq("grp_a", "grp_b"), "left")
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("containment_a",
+        col("n_common").cast("double") / col("n_a").cast("double"))
+      .withColumn("containment_b",
+        col("n_common").cast("double") / col("n_b").cast("double"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+  }
+
   /** Per-shard manifest over [[packShards]] output: doc count, token sum,
     * id range, and an order-insensitive content checksum (a SUM of
     * per-doc digests — associative and commutative, so the aggregation

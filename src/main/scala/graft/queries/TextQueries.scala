@@ -268,6 +268,18 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // pairwise n-gram overlap matrix between languages: exact set sizes,
+    // intersections, containment and Jaccard — the pre-mixing redundancy
+    // / contamination diagnostic, complete matrix incl. zero pairs.
+    "q_source_overlap" -> ((s, dir) =>
+      graft.operators.CorpusOps.sourceOverlap(
+        t(s, dir, "documents"), "text", "lang", n = 3)
+        .select(col("grp_a"), col("grp_b"), asLong(col("n_a")).as("n_a"),
+          asLong(col("n_b")).as("n_b"),
+          asLong(col("n_common")).as("n_common"),
+          col("containment_a"), col("containment_b"), col("jaccard"))
+        .orderBy("grp_a", "grp_b")),
+
     // BM25 keyword retrieval (Lucene +1-idf variant): top-20 docs for a
     // 3-term query; per-doc score folds term contributions in ascending
     // token order so the double is bitwise-deterministic vs the oracle.
@@ -583,6 +595,32 @@ object TextQueries {
         |  CAST(count(DISTINCT s) AS BIGINT) AS distinct_trigrams,
         |  CAST(count(*) AS BIGINT) AS doc_trigram_rows
         |FROM sh GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH g AS (SELECT DISTINCT lang AS grp, gram FROM (
+        |    SELECT lang, unnest(list_transform(
+        |      range(1, greatest(len(w) - 1, 1)),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        |    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents))),
+        |sizes AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM g GROUP BY grp),
+        |pairs AS (SELECT s1.grp AS grp_a, s2.grp AS grp_b,
+        |    s1.n AS n_a, s2.n AS n_b
+        |  FROM sizes s1 JOIN sizes s2 ON s1.grp < s2.grp),
+        |common AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.grp < b.grp
+        |  GROUP BY a.grp, b.grp)
+        |SELECT p.grp_a, p.grp_b, p.n_a, p.n_b,
+        |  CAST(COALESCE(c.c, 0) AS BIGINT) AS n_common,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(p.n_a AS DOUBLE)
+        |    AS containment_a,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(p.n_b AS DOUBLE)
+        |    AS containment_b,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE)
+        |    / CAST(p.n_a + p.n_b - COALESCE(c.c, 0) AS DOUBLE) AS jaccard
+        |FROM pairs p LEFT JOIN common c USING (grp_a, grp_b)
+        |ORDER BY grp_a, grp_b""".stripMargin,
 
     // expression trees mirror Retrieval.bm25 node for node (left-assoc
     // arithmetic, (b·dl)/avgdl grouping, ordered list fold) for bitwise

@@ -435,4 +435,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, String)].collect()
     assert(ce.length == 1 && ce.head._4 == 30L)
   }
+
+  test("sourceOverlap: exact intersection arithmetic, complete matrix " +
+    "including zero-overlap pairs") {
+    // bigrams (n=2): A = {a b, b c, c d}; B shares {b c, c d} plus {d e};
+    // C is disjoint
+    val docs = Seq(
+      ("A", "a b c d"),
+      ("B", "b c d e"),
+      ("C", "x y z")).toDF("src", "text")
+    val m = CorpusOps.sourceOverlap(docs, "text", "src", n = 2)
+      .orderBy("grp_a", "grp_b")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(m == Seq(
+      ("A", "B", 3L, 3L, 2L, 2.0 / 3, 2.0 / 3, 0.5),
+      ("A", "C", 3L, 2L, 0L, 0.0, 0.0, 0.0),
+      ("B", "C", 3L, 2L, 0L, 0.0, 0.0, 0.0)))
+  }
 }
