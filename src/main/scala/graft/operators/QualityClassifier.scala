@@ -234,6 +234,32 @@ object QualityClassifier {
       .withColumn("prob", lit(1.0) / (lit(1.0) + exp(-col("margin"))))
   }
 
+  /** Persist a trained model as parquet: row 0 carries (dim, bias), the
+    * rest the non-zero weights — train once on the curated slice, reload
+    * in every scoring job (the classifier the pipeline ships is an
+    * artifact, not a closure). Round-trip is exact: doubles pass through
+    * untouched, so reloaded scores are bitwise-identical (spec-pinned).
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: LogisticModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = (-1, model.dim.toDouble) +: (0, model.bias) +:
+      model.weights.toSeq.zipWithIndex
+        .collect { case (wt, f) if wt != 0.0 => (f + 1, wt) }
+    rows.toDF("k", "v").repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a [[saveModel]] artifact. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LogisticModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).as[(Int, Double)].collect().toMap
+    val dim = rows(-1).toInt
+    val w = new Array[Double](dim)
+    rows.foreach { case (k, v) => if (k > 0) w(k - 1) = v }
+    LogisticModel(dim, rows(0), w)
+  }
+
   /** Train-then-gate composition: keep documents the classifier scores
     * at or above `minProb` (the CCNet shape: train on "reference vs
     * crawl", drop the crawl-looking tail).

@@ -104,6 +104,23 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(w1 == w7, "weights must match bitwise")
   }
 
+  test("model save/load round-trips bitwise: identical scores") {
+    val m = QualityClassifier.trainLogistic(labeled, "doc_id", "text",
+      "label", dim = 1 << 10, epochs = 8, lr = 0.7)
+    val dir = java.nio.file.Files.createTempDirectory("qc-model")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("m").toString
+    QualityClassifier.saveModel(spark, m, path)
+    val m2 = QualityClassifier.loadModel(spark, path)
+    assert(m2.dim == m.dim && m2.bias == m.bias)
+    assert(m2.weights.toSeq == m.weights.toSeq)
+    val a = QualityClassifier.scoreLogistic(holdout, "doc_id", "text", m)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val b = QualityClassifier.scoreLogistic(holdout, "doc_id", "text", m2)
+      .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
   test("qualityFilter keeps reference-like docs, drops spam-like docs") {
     val corpus = holdout.select("doc_id", "text")
     val kept = QualityClassifier.qualityFilter(corpus, "doc_id", "text",

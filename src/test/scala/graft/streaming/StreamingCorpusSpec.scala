@@ -55,4 +55,45 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(!got.exists(_._1 == 2L)) // gated out in-stream
     } finally q.stop()
   }
+
+  test("quality-classifier scoring runs per micro-batch (foreachBatch, " +
+    "the model-artifact deployment shape) and matches batch scores") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.QualityClassifier
+    val labeled = Seq(
+      (1L, "the committee reviewed the annual report", true),
+      (2L, "researchers published results after peer review", true),
+      (3L, "buy cheap pills now click here offer", false),
+      (4L, "win money fast casino bonus click now", false))
+      .toDF("doc_id", "text", "y")
+    val model = QualityClassifier.trainLogistic(labeled, "doc_id", "text",
+      "y", dim = 1 << 10, epochs = 10, lr = 1.0)
+    val arriving = Seq((10L, "the annual report was reviewed"),
+      (11L, "click now cheap casino offer"),
+      (12L, "peer review results published"))
+    val in = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink ++= QualityClassifier
+          .scoreLogistic(batch, "doc_id", "text", model)
+          .select("doc_id", "prob").as[(Long, Double)].collect()
+        (): Unit
+      }
+      .start()
+    try {
+      in.addData(arriving.take(1): _*)
+      q.processAllAvailable()
+      in.addData(arriving.drop(1): _*)
+      q.processAllAvailable()
+      val batchScores = QualityClassifier
+        .scoreLogistic(arriving.toDF("doc_id", "text"), "doc_id", "text",
+          model)
+        .select("doc_id", "prob").as[(Long, Double)].collect().toSet
+      assert(sink.toSet == batchScores)
+      val byId = sink.toMap
+      assert(byId(10L) > 0.5 && byId(12L) > 0.5 && byId(11L) < 0.5)
+    } finally q.stop()
+  }
 }
