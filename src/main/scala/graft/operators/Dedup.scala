@@ -33,7 +33,7 @@ object Dedup {
     * run the separate `*BucketStats` diagnostic. Accumulator-backed: adds
     * no shuffle and no extra job.
     */
-  private def observeCaps(indexed: DataFrame, szCol: String,
+  private[operators] def observeCaps(indexed: DataFrame, szCol: String,
       maxBucketSize: Int, opName: String): DataFrame = {
     val obs = org.apache.spark.sql.Observation()
     val out = indexed.observe(obs,

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions
+
 /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
   * web-scale through semantic deduplication") — near-duplicate removal in
   * EMBEDDING space: k-means partitions the corpus into semantic clusters,
@@ -47,6 +49,90 @@ object SemanticDedup {
     Similarity.cosineDupPairs(
       corpus.withColumn("cell", assign(col("embedding"))),
       "cell", threshold, maxBlockSize)
+  }
+
+  /** Materialize the semantic index — the daily-pipeline shape at 100 TB:
+    * the corpus is clustered ONCE; each new batch dedups against the
+    * index without re-clustering or re-shuffling the corpus.
+    *
+    * Layout mirrors the LSH / IVF-PQ / BM25 indexes:
+    * `path/cells` = (id, embedding, nrm, cell_n) `partitionBy("cell")`,
+    * with each cell's size FROZEN at build so the block-size guard is a
+    * parquet scan filter; `path/model` = the k-means centroids.
+    */
+  def writeIndex(embs: DataFrame, idCol: String, embCol: String,
+      nClusters: Int, path: String, iters: Int = 2,
+      trainFraction: Double = 1.0): Unit = {
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val corpus = embs.select(col(idCol).as("id"), col(embCol).as("embedding"))
+    val cents = IvfAnn.trainCentroids(corpus, nClusters, iters, trainFraction)
+    require(cents.nonEmpty, "empty corpus — nothing to index")
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = udf((e: Seq[Float]) => IvfAnn.nearestCell(bc.value, e))
+    corpus.withColumn("cell", assign(col("embedding")))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      .withColumn("cell_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cell")))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("idx", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Reload a [[writeIndex]] quantizer. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/model").as[(Int, Seq[Double])]
+      .collect().sortBy(_._1).map(_._2.toArray)
+  }
+
+  /** Incremental semantic near-dup pairs: the new batch against a
+    * materialized [[writeIndex]] corpus, plus batch-internal pairs —
+    * every semantic-dup pair involving at least one batch row (batch and
+    * corpus ids must be disjoint, as in
+    * [[Dedup.incrementalMinhashPairs]]).
+    *
+    * The batch's cell set (≤ nClusters values) collects driver-side and
+    * pushes as a STATIC partition filter on the cells scan — the corpus
+    * is never re-clustered, re-shuffled, or scanned outside the probed
+    * cells (spec asserts PartitionFilters). Cells whose FROZEN size
+    * exceeds `maxCellSize` are excluded from cross pairing and counted
+    * loudly ([[Dedup.observeCaps]]), mirroring every other bucketed
+    * candidate generator; batch-internal pairs go through
+    * [[Similarity.cosineDupPairs]]'s own guarded tiers.
+    */
+  def incrementalSemPairs(batch: DataFrame, idCol: String, embCol: String,
+      indexPath: String, threshold: Double,
+      maxCellSize: Int = 10000): DataFrame = {
+    val spark = batch.sparkSession
+    val cents = readCentroids(spark, indexPath)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assign = udf((e: Seq[Float]) => IvfAnn.nearestCell(bc.value, e))
+    val b = batch.select(col(idCol).as("id"), col(embCol).as("embedding"))
+      .withColumn("cell", assign(col("embedding")))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint(true)
+    val probeCells = b.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = Dedup.observeCaps(
+      spark.read.parquet(s"$indexPath/cells")
+        .filter(col("cell").isin(probeCells: _*)),
+      "cell_n", maxCellSize, "incrementalSemPairs")
+      .filter(col("cell_n") <= maxCellSize)
+    val cross = b.select(col("cell"), col("id").as("id_a"),
+        col("embedding").as("e_a"), col("nrm").as("nrm_a"))
+      .join(corpus.select(col("cell"), col("id").as("id_b"),
+        col("embedding").as("e_b"), col("nrm").as("nrm_b")), Seq("cell"))
+      .withColumn("sim", VectorFunctions.dot(col("e_a"), col("e_b")) /
+        (col("nrm_a") * col("nrm_b")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
+    val internal = Similarity.cosineDupPairs(b, "cell", threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+    cross.unionByName(internal)
   }
 
   /** The dedup decision: every row whose id is NOT its semantic group's

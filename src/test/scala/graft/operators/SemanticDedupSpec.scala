@@ -56,6 +56,36 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(run(1) == run(5))
   }
 
+  test("materialized index + incremental batch: cross and internal pairs " +
+    "exact, corpus scan partition-prunes to the batch's cells") {
+    val dir = java.nio.file.Files.createTempDirectory("sem-idx")
+    dir.toFile.deleteOnExit()
+    val path = dir.resolve("idx").toString
+    SemanticDedup.writeIndex(embs, "vec_id", "embedding", nClusters = 3,
+      path = path)
+    // batch: near-dup of corpus 0 (cos≈1), near-dup PAIR inside the batch
+    // on axis 1 (also dups of corpus 10), and a novel direction
+    val batch = Seq(
+      (100L, vec(0, 0.01f)),
+      (110L, vec(1, 0.01f)), (111L, vec(1, 0.05f)),
+      (120L, unit(Array(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+    ).toDF("vec_id", "embedding")
+    val pairs = SemanticDedup.incrementalSemPairs(batch, "vec_id",
+      "embedding", path, threshold = 0.9)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = Set(
+      (0L, 100L), (1L, 100L), (2L, 100L), // batch dup of group A
+      (10L, 110L), (11L, 110L), (10L, 111L), (11L, 111L), // of group B
+      (110L, 111L)) // batch-internal
+    assert(got == want)
+    assert(!got.exists(p => p._1 == 120L || p._2 == 120L))
+    // static partition pruning reaches the cells scan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      !plan.contains("PartitionFilters: []"),
+      "cells scan must carry a non-empty partition filter")
+  }
+
   test("threshold=1+ε removes nothing; tiny corpus with one cluster works") {
     val all = SemanticDedup.semDedup(embs, "vec_id", "embedding",
       nClusters = 1, threshold = 1.01)
