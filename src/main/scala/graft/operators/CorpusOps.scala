@@ -76,6 +76,27 @@ object CorpusOps {
       outCol: String = "rank"): DataFrame =
     prefixBefore(df, orderCol, lit(1L), outCol)
 
+  /** Deterministic corpus shuffle: a contiguous 0-based training-order
+    * permutation, ranked by the md5 image of `(key, seed)` — the order a
+    * shard writer consumes. Hash-ranked shuffles are the production
+    * standard for the same reason hash splits are ([[splitAssign]]):
+    * stable under reruns, partitioning, and engine, while `orderBy(rand)`
+    * is none of those. A different `seed` gives an independent
+    * permutation — one per training epoch. The key string appends as a
+    * tiebreaker so equal-content rows with distinct keys still get
+    * distinct ranks; ranks come from [[globalOrderIndex]]'s two-phase
+    * prefix sum — no global single-partition sort.
+    */
+  def shuffleOrder(df: DataFrame, keyCol: String, seed: String = "",
+      outCol: String = "shuffle_rank"): DataFrame =
+    prefixBefore(
+      df.withColumn("__shuf", conv(
+        substring(md5(to_binary(
+          concat(col(keyCol).cast("string"), lit(":" + seed)),
+          lit("utf-8"))), 18, 15), 16, 10).cast(LongType)),
+      "__shuf", lit(1L), outCol, tiebreak = Some(keyCol))
+      .drop("__shuf")
+
   /** Exclusive running sum of `value` in `orderCol` order, as `outCol`.
     *
     * Bucket membership MUST be a pure function of the row's own value:
@@ -89,8 +110,14 @@ object CorpusOps {
     * correctness, depends on their accuracy) and baked into the plan as
     * literals.
     */
+  /** `tiebreak` orders rows that share an `orderCol` value (required for
+    * determinism whenever `orderCol` alone is not unique — e.g. the
+    * 60-bit shuffle hash). Equal `orderCol` values always land in the
+    * same bucket (the bucket predicate is strict), so only the
+    * within-bucket window needs the extra key.
+    */
   private def prefixBefore(df: DataFrame, orderCol: String, value: Column,
-      outCol: String): DataFrame = {
+      outCol: String, tiebreak: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nBuckets = spark.sessionState.conf.numShufflePartitions
@@ -115,7 +142,8 @@ object CorpusOps {
       (b, cum + t)
     }.init.zip(totals).map { case ((_, off), (b, _)) => (b, off) }
     val offDf = offsets.toSeq.toDF("__b", "__offset")
-    val w = Window.partitionBy("__b").orderBy(orderCol)
+    val w = Window.partitionBy("__b")
+      .orderBy(col(orderCol) +: tiebreak.map(col).toSeq: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     bucketed
       .join(broadcast(offDf), Seq("__b"))

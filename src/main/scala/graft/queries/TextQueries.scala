@@ -369,6 +369,16 @@ object TextQueries {
         .select(col("doc_id"), col("rank"))
         .orderBy("doc_id")),
 
+    // deterministic per-epoch corpus shuffle: contiguous rank under the
+    // md5(key, seed) order — stable across reruns/partitionings, a fresh
+    // permutation per seed; no global sort (two-phase prefix sum).
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.operators.CorpusOps.shuffleOrder(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id",
+        seed = "epoch1")
+        .select(col("doc_id"), col("shuffle_rank"))
+        .orderBy("doc_id")),
+
     // skip-gram PMI collocations (window 2, pair count >= 30): map-side
     // pair generation, one (a, b) count shuffle, broadcast unigrams.
     // the oracle gate compares the exact IEEE pmi_ratio; pmi = ln(ratio)
@@ -882,6 +892,12 @@ object TextQueries {
     "q_global_rank" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
+        |      18, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS shuffle_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // pmi_ratio = (c_ab·n_tok·n_tok) / (n_pairs·c_a·c_b) with the exact

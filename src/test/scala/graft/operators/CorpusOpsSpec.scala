@@ -436,6 +436,21 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ce.length == 1 && ce.head._4 == 30L)
   }
 
+  test("shuffleOrder: contiguous ranks, seed-independent permutations, " +
+    "stable across partitionings") {
+    val docs = (0L until 50L).toDF("doc_id")
+    def ranks(seed: String, parts: Int): Map[Long, Long] =
+      CorpusOps.shuffleOrder(docs.repartition(parts), "doc_id", seed)
+        .as[(Long, Long)].collect().toMap
+    val e1 = ranks("epoch1", 3)
+    assert(e1.values.toSeq.sorted == (0L until 50L))
+    assert(e1 != ranks("epoch2", 3), "different seeds must permute differently")
+    assert(e1 == ranks("epoch1", 7), "rank must not depend on partitioning")
+    // not the identity: a hash order that degenerated to sorted ids
+    // would mean the md5 never entered the key
+    assert(e1.toSeq.sortBy(_._1).map(_._2) != (0L until 50L).toSeq)
+  }
+
   test("sourceOverlap: exact intersection arithmetic, complete matrix " +
     "including zero-overlap pairs") {
     // bigrams (n=2): A = {a b, b c, c d}; B shares {b c, c d} plus {d e};
