@@ -96,4 +96,52 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(byId(10L) > 0.5 && byId(12L) > 0.5 && byId(11L) < 0.5)
     } finally q.stop()
   }
+
+  test("incremental MinHash dedup runs per micro-batch against the " +
+    "frozen corpus index (foreachBatch) and matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val corpus = Seq(
+      (0L, base.trim),
+      (1L, base.trim.replace("lazy dog", "sleepy dog")),
+      (2L, "completely different text about spark engines and columnar data"))
+      .toDF("doc_id", "text")
+    // index built ONCE; micro-batches only probe it
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+      .localCheckpoint(true)
+    // micro-batches are disjoint dup groups: each batch dedups against
+    // the frozen index plus ITSELF; catching dups BETWEEN micro-batches
+    // requires appending each batch to the index (the production append
+    // step), which is deliberately out of scope for this parity check
+    val arriving = Seq(
+      (100L, base.trim), // dup of corpus 0/1
+      (101L, "fresh unrelated prose mentioning parquet and shuffles"),
+      (102L, ("completely different text about spark engines and " +
+        "columnar info"))) // near-dup of corpus 2
+    val in = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink ++= Dedup.incrementalMinhashPairs(b, corpus, idx, "doc_id",
+          "text", threshold = 0.5)
+          .select("id_a", "id_b").as[(Long, Long)].collect()
+        (): Unit
+      }
+      .start()
+    try {
+      in.addData(arriving.take(2): _*)
+      q.processAllAvailable()
+      in.addData(arriving.drop(2): _*)
+      q.processAllAvailable()
+      val batchRun = Dedup.incrementalMinhashPairs(
+        arriving.toDF("doc_id", "text"), corpus, idx, "doc_id", "text",
+        threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(sink.toSet == batchRun && sink.nonEmpty)
+      assert(sink.toSet.contains((0L, 100L)))
+      assert(!sink.exists(p => p._1 == 101L || p._2 == 101L))
+    } finally q.stop()
+  }
 }
