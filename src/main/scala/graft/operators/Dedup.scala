@@ -486,13 +486,26 @@ object Dedup {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
     }
+    // cheap per-round fingerprint (count, order-free hash sum); the exact
+    // set-equality check (`except`) runs ONCE, when the fingerprint first
+    // repeats — so convergence is still decided exactly, without paying a
+    // full anti-join shuffle every round
+    // DECIMAL(38,0) sum: ANSI-overflow-proof for full-range 64-bit hashes
+    def fingerprint(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+          lit(0).cast(DecimalType(38, 0)))).head
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
     var converged = false
     var i = 0
+    var fp = fingerprint(edges)
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
+      val nfp = fingerprint(next)
+      converged = nfp == fp && next.except(edges).isEmpty
       edges = next
+      fp = nfp
       i += 1
     }
     if (!converged)

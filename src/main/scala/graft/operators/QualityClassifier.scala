@@ -168,44 +168,46 @@ object QualityClassifier {
     * partitioning or reduce-tree shape can move a ulp — and the driver
     * update is plain array arithmetic. `labelCol` boolean.
     *
-    * Per epoch: one broadcast join of the ≤dim-row weight table against
-    * the (checkpointed) feature stream, one doc-id agg for margins, one
-    * doc-id join for residuals, one fid agg for the gradient. Collects
-    * are bounded by `dim`.
+    * The intercept rides as a synthetic feature (`fid = -1`, count 1 on
+    * every doc), so one epoch is ONE action: broadcast-join the ≤dim-row
+    * weight table against the (checkpointed) feature stream, aggregate
+    * margins per doc, join labels, aggregate the gradient per fid,
+    * collect — the bias gradient falls out as the `-1` row instead of
+    * costing a second job. Collects are bounded by `dim + 1`.
     */
   def trainLogistic(labeled: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 1 << 15, epochs: Int = 10,
       lr: Double = 0.5, l2: Double = 0.0): LogisticModel = {
     val spark = labeled.sparkSession
     import spark.implicits._
-    val feats = hashedFeatures(labeled, idCol, textCol, dim)
-      .localCheckpoint(true)
-    val labels = labeled.select(col(idCol).as("id"),
+    val base = labeled.select(col(idCol).as("id"),
       col(labelCol).cast(BooleanType).cast(DoubleType).as("y"))
+    val feats = hashedFeatures(labeled, idCol, textCol, dim)
+      .unionByName(base.select(col("id"), lit(-1).as("fid"),
+        lit(1.0).as("cnt")))
+      .join(base.select("id", "y"), Seq("id"))
       .localCheckpoint(true)
-    val n = labels.count()
+    val n = feats.filter(col("fid") === -1).count()
     require(n > 0, "empty training set")
     val fids = feats.select("fid").distinct().as[Int].collect().sorted
     val w = new Array[Double](dim)
     var b = 0.0
     for (_ <- 0 until epochs) {
-      val wDF = fids.map(f => (f, w(f))).toSeq.toDF("fid", "__w")
+      val wDF = fids.map(f => (f, if (f < 0) b else w(f))).toSeq
+        .toDF("fid", "__w")
       val resid = feats.join(broadcast(wDF), Seq("fid"))
-        .groupBy("id")
+        .groupBy("id", "y")
         .agg(dsumExact(col("cnt") * col("__w")).as("__m"))
-        .join(labels, Seq("id"), "right")
         .select(col("id"),
-          (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__m"), lit(0.0)) + b)))
-            - col("y")).as("__r"))
+          (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("y")).as("__r"))
       val grad = feats.join(resid, Seq("id"))
         .groupBy("fid")
         .agg(dsumExact(col("__r") * col("cnt")).as("g"))
         .as[(Int, Double)].collect()
-      val gb = resid.agg(dsumExact(col("__r"))).head.getDouble(0)
       grad.foreach { case (f, g) =>
-        w(f) -= lr * (g / n + l2 * w(f))
+        if (f < 0) b -= lr * g / n
+        else w(f) -= lr * (g / n + l2 * w(f))
       }
-      b -= lr * gb / n
     }
     LogisticModel(dim, b, w)
   }
