@@ -115,6 +115,93 @@ object LanguageModel {
           exp(-(col("__sum_lp") / col("n_bigrams").cast("double")))).as("ppl"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities, per position — the
+    * stronger smoothing beside stupid backoff (Kneser & Ney 1995; Chen &
+    * Goodman 1999 empirically crown interpolated KN among count LMs):
+    *
+    * `P(w2|w1) = max(c12 − d, 0)/c1 + (d·n_succ(w1)/c1) · Pcont(w2)`
+    *
+    * where the CONTINUATION probability `Pcont(w2) = (n_pred(w2)+1)/(B+V)`
+    * counts in how many distinct contexts w2 was seen (n_pred), not how
+    * often — "Francisco" is frequent but only ever follows "San", so its
+    * continuation mass is tiny. The +1/(B+V) add-one on continuation
+    * counts is the OOV floor (an unseen w2 gets 1/(B+V), never zero) and
+    * preserves exact normalization: Σ_vocab P(w2|w1) = 1 for any context
+    * with observed successors (spec-pinned numerically). An unseen
+    * context — or one observed only sentence-finally, which has no
+    * discounted mass to redistribute — backs off to Pcont alone.
+    *
+    * Every model quantity is a one-pass relational aggregate of the
+    * bigram table — counts (c12, c1), distinct-successor (n_succ) and
+    * distinct-predecessor (n_pred) counts, B = distinct bigrams, V =
+    * vocabulary — and `p` is a fixed-association chain of IEEE ops over
+    * those exact integers and the literal discount, so the stream is
+    * oracle-checkable BITWISE (the `pmi_ratio` precedent); log-space
+    * aggregation lives in [[scoreDocsKn]] behind spec gates.
+    *
+    * Scale shape: identical to [[scoreDocs]] — the document side explodes
+    * to its bigram stream and joins `broadcast()` model tables; no
+    * corpus-side shuffle at scoring time.
+    *
+    * Emits per position: (doc, pos, w1, w2, c12, c1, n_succ, n_pred, p).
+    */
+  def knProbStream(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"discount must be in (0,1), got $d")
+    val b = bi.count()
+    require(b > 0, "bigram table is empty — train on a non-empty corpus")
+    val v = uni.count()
+    val nSucc = bi.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(count(lit(1)).as("n_succ"))
+    val nPred = bi.groupBy(substring_index(col("bigram"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("n_pred"))
+    val stream = docs.select(col(idCol).as("doc"),
+      posexplode(bigramsOf(toks(textCol))).as(Seq("pos", "bigram")))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(bi.withColumnRenamed("c", "c12")), Seq("bigram"), "left")
+      .join(broadcast(uni.select(col("token").as("w1"), col("c").as("c1"))),
+        Seq("w1"), "left")
+      .join(broadcast(nSucc), Seq("w1"), "left")
+      .join(broadcast(nPred), Seq("w2"), "left")
+    // fixed association order, mirrored token for token in the oracle SQL.
+    // Gate on n_succ (not c1): a context observed only sentence-finally
+    // has a unigram count but NO successors, so it carries no discounted
+    // mass to redistribute — it backs off to the continuation
+    // distribution exactly like an unseen context. c12 coalesces to 0
+    // explicitly so both engines' `greatest` see a non-null argument.
+    val pcont = (coalesce(col("n_pred"), lit(0L)).cast("double") + lit(1.0)) /
+      lit((b + v).toDouble)
+    val p = when(col("n_succ").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(d),
+        lit(0.0)) / col("c1").cast("double") +
+        lit(d) * col("n_succ").cast("double") / col("c1").cast("double") *
+          pcont)
+      .otherwise(pcont)
+    stream.select(col("doc"), col("pos").cast(LongType).as("pos"),
+      col("w1"), col("w2"),
+      coalesce(col("c12"), lit(0L)).as("c12"),
+      coalesce(col("c1"), lit(0L)).as("c1"),
+      coalesce(col("n_succ"), lit(0L)).as("n_succ"),
+      coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+      p.as("p"))
+  }
+
+  /** Per-doc interpolated-KN scores over [[knProbStream]]: bigram
+    * positions, the summed ln P (order-dependent floats → spec-gated,
+    * like [[scoreDocs]]'s avg_logprob), and `ppl = exp(−mean ln P)`.
+    */
+  def scoreDocsKn(docs: DataFrame, idCol: String, textCol: String,
+      uni: DataFrame, bi: DataFrame, d: Double = 0.75): DataFrame =
+    knProbStream(docs, idCol, textCol, uni, bi, d)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12") > 0, 1L).otherwise(0L)).as("hit_bigrams"),
+        sum(log(col("p"))).as("__slp"))
+      .select(col("doc").as(idCol), col("n_bigrams"), col("hit_bigrams"),
+        (col("__slp") / col("n_bigrams").cast("double")).as("avg_logprob"),
+        exp(-(col("__slp") / col("n_bigrams").cast("double"))).as("ppl"))
+
   /** Train on `corpus`, score `docs`, keep documents whose stupid-backoff
     * perplexity is at most `maxPpl` (docs with no bigram evidence drop —
     * the quality gates catch degenerate texts separately).

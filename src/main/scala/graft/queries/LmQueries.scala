@@ -71,6 +71,25 @@ object LmQueries {
         .orderBy("doc_id")
     }),
 
+    // interpolated Kneser-Ney bigram probabilities, per position: every
+    // model quantity is an exact relational aggregate and p is a
+    // fixed-association rational chain (no ln) → oracle-checked BITWISE;
+    // the log-space ppl roll-up stays spec-gated (LanguageModelSpec).
+    "q_lm_kn" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val train = d.filter(col("doc_id") < 250)
+      val uni = LanguageModel.unigramCounts(train, "text")
+      val bi = LanguageModel.bigramCounts(train, "text")
+      LanguageModel.knProbStream(
+        d.filter(col("doc_id") >= 250 && col("doc_id") < 260),
+        "doc_id", "text", uni, bi)
+        .select(col("doc").as("doc_id"), col("pos"), col("w1"), col("w2"),
+          asLong(col("c12")).as("c12"), asLong(col("c1")).as("c1"),
+          asLong(col("n_succ")).as("n_succ"),
+          asLong(col("n_pred")).as("n_pred"), col("p"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // NB quality classifier, engine-exact face: class counts trained on
     // doc_id < 250 (positive = English), integer evidence + one-division
     // share for the rest; the log-odds score is spec-gated.
@@ -186,6 +205,53 @@ object LmQueries {
         |    AS bigram_hit_rate
         |FROM tstats LEFT JOIN bstats USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // expression chain mirrors LanguageModel.knProbStream node for node
+    // (greatest over coalesced c12, left-assoc d·n_succ/c1·pcont) for
+    // bitwise double parity, the pmi_ratio/bm25 pattern.
+    "q_lm_kn" ->
+      """WITH tr AS (SELECT list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id < 250),
+        |uni AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(w) AS token FROM tr) GROUP BY 1),
+        |bi AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(list_transform(range(1, greatest(len(w), 1)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g FROM tr) GROUP BY 1),
+        |scal AS (SELECT (SELECT count(*) FROM bi) AS b,
+        |    (SELECT count(*) FROM uni) AS v),
+        |nsucc AS (SELECT string_split(g, ' ')[1] AS w1,
+        |    CAST(count(*) AS BIGINT) AS n_succ FROM bi GROUP BY 1),
+        |npred AS (SELECT string_split(g, ' ')[2] AS w2,
+        |    CAST(count(*) AS BIGINT) AS n_pred FROM bi GROUP BY 1),
+        |sc AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 260),
+        |st AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w), 1)), i -> struct_pack(pos := i - 1,
+        |      g := w[i] || ' ' || w[i+1]))) AS s FROM sc),
+        |flat AS (SELECT doc_id, s.pos AS pos, s.g AS bigram,
+        |    string_split(s.g, ' ')[1] AS w1, string_split(s.g, ' ')[2] AS w2
+        |  FROM st)
+        |SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, f.w1, f.w2,
+        |  CAST(COALESCE(b2.c, 0) AS BIGINT) AS c12,
+        |  CAST(COALESCE(u.c, 0) AS BIGINT) AS c1,
+        |  CAST(COALESCE(ns.n_succ, 0) AS BIGINT) AS n_succ,
+        |  CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+        |  CASE WHEN ns.n_succ IS NOT NULL THEN
+        |    greatest(CAST(COALESCE(b2.c, 0) AS DOUBLE) - 0.75, 0.0)
+        |        / CAST(u.c AS DOUBLE)
+        |      + 0.75 * CAST(ns.n_succ AS DOUBLE) / CAST(u.c AS DOUBLE)
+        |        * ((CAST(COALESCE(np.n_pred, 0) AS DOUBLE) + 1.0)
+        |          / CAST(s.b + s.v AS DOUBLE))
+        |  ELSE (CAST(COALESCE(np.n_pred, 0) AS DOUBLE) + 1.0)
+        |    / CAST(s.b + s.v AS DOUBLE) END AS p
+        |FROM flat f
+        |LEFT JOIN bi b2 ON f.bigram = b2.g
+        |LEFT JOIN uni u ON f.w1 = u.token
+        |LEFT JOIN nsucc ns ON f.w1 = ns.w1
+        |LEFT JOIN npred np ON f.w2 = np.w2, scal s
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q_quality_nb" ->
       """WITH tr AS (SELECT (lang = 'en') AS y, unnest(list_filter(

@@ -82,4 +82,71 @@ class LanguageModelSpec extends AnyFunSuite {
       uni, bi).orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("interpolated KN normalizes exactly over the vocabulary for any " +
+    "seen context") {
+    val uni = LanguageModel.unigramCounts(corpus, "text")
+    val bi = LanguageModel.bigramCounts(corpus, "text")
+    val vocab = uni.as[(String, Long)].collect().map(_._1)
+    // one probe doc per (context, vocab word) — P(w2|w1) summed over the
+    // whole vocab must be exactly 1 (the +1/(B+V) continuation floor is
+    // constructed to preserve normalization, not just avoid zeros)
+    for (w1 <- Seq("the", "sat", "cat")) {
+      val probes = vocab.zipWithIndex.map { case (w2, i) =>
+        (i.toLong, s"$w1 $w2")
+      }.toSeq.toDF("doc_id", "text")
+      val total = LanguageModel.knProbStream(probes, "doc_id", "text",
+        uni, bi).agg(org.apache.spark.sql.functions.sum($"p"))
+        .head.getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9,
+        s"sum_vocab P(.|$w1) = $total, want 1.0")
+    }
+  }
+
+  test("KN continuation beats raw frequency: a word seen in many " +
+    "contexts outscores an equally-frequent single-context word after " +
+    "an unseen context") {
+    // "mat" and "rug" each appear once but follow only "the"; after an
+    // UNSEEN context the continuation distribution decides, and a word
+    // with more distinct predecessors gets more mass
+    val kCorpus = Seq(
+      (1L, "a cat sat"), (2L, "b cat sat"), (3L, "c cat sat"),
+      (4L, "san francisco"), (5L, "san francisco"), (6L, "san francisco"))
+      .toDF("doc_id", "text")
+    val uni = LanguageModel.unigramCounts(kCorpus, "text")
+    val bi = LanguageModel.bigramCounts(kCorpus, "text")
+    val probe = Seq((1L, "zzz cat"), (2L, "zzz francisco"))
+      .toDF("doc_id", "text")
+    val p = LanguageModel.knProbStream(probe, "doc_id", "text", uni, bi)
+      .select($"w2", $"p", $"n_pred").as[(String, Double, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // unigram counts equal (3 each), but cat follows {a,b,c}, francisco
+    // only {san}
+    assert(p("cat")._2 == 3L && p("francisco")._2 == 1L)
+    assert(p("cat")._1 > p("francisco")._1,
+      "multi-context word must get more continuation mass")
+  }
+
+  test("KN OOV floor: unseen continuation gets 1/(B+V), never zero; " +
+    "stream is deterministic across partitioning") {
+    val uni = LanguageModel.unigramCounts(corpus, "text")
+    val bi = LanguageModel.bigramCounts(corpus, "text")
+    val b = bi.count(); val v = uni.count()
+    val probe = Seq((1L, "the qqq zzz www")).toDF("doc_id", "text")
+    val rows = LanguageModel.knProbStream(probe, "doc_id", "text", uni, bi)
+      .orderBy("pos").as[(Long, Long, String, String, Long, Long, Long,
+        Long, Double)].collect()
+    assert(rows.forall(_._9 > 0.0), "no position may score zero")
+    // "the qqq": seen w1, unseen w2 → d·n_succ/c1 · 1/(B+V)
+    // "qqq zzz": unseen w1, unseen w2 → bare floor 1/(B+V)
+    assert(rows(1)._9 == 1.0 / (b + v))
+    val again = LanguageModel.knProbStream(probe.repartition(3), "doc_id",
+      "text", uni, bi).orderBy("pos").as[(Long, Long, String, String,
+        Long, Long, Long, Long, Double)].collect()
+    assert(rows.toSeq == again.toSeq)
+    // per-doc roll-up exposes ppl for the filter contract
+    val scored = LanguageModel.scoreDocsKn(probe, "doc_id", "text", uni, bi)
+      .select("n_bigrams", "hit_bigrams").as[(Long, Long)].head()
+    assert(scored == ((3L, 0L)))
+  }
 }
