@@ -83,9 +83,12 @@ object CorpusOps {
     * stable under reruns, partitioning, and engine, while `orderBy(rand)`
     * is none of those. A different `seed` gives an independent
     * permutation — one per training epoch. The key string appends as a
-    * tiebreaker so equal-content rows with distinct keys still get
-    * distinct ranks; ranks come from [[globalOrderIndex]]'s two-phase
-    * prefix sum — no global single-partition sort.
+    * tiebreaker so hash-colliding DISTINCT keys still get distinct,
+    * deterministic ranks; like [[splitAssign]], `keyCol` must be unique
+    * (rows sharing a key would tie on the full sort key and their
+    * relative order would be partition-dependent). Ranks come from
+    * [[globalOrderIndex]]'s two-phase prefix sum — no global
+    * single-partition sort.
     */
   def shuffleOrder(df: DataFrame, keyCol: String, seed: String = "",
       outCol: String = "shuffle_rank"): DataFrame =

@@ -130,7 +130,8 @@ object SemanticDedup {
       .filter(col("sim") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
         greatest(col("id_a"), col("id_b")).as("id_b"), col("sim"))
-    val internal = Similarity.cosineDupPairs(b, "cell", threshold)
+    val internal = Similarity.cosineDupPairs(b, "cell", threshold,
+      maxBlockSize = maxCellSize)
       .select(col("id_a"), col("id_b"), col("sim"))
     cross.unionByName(internal)
   }
