@@ -106,6 +106,20 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // OPQ: eigenvalue-allocated rotation (balances variance across the
+    // PQ sub-spaces) + the standard ADC scan/rerank — deterministic
+    // seeded pipeline, golden-pinned (iterative float eigen + k-means
+    // have no SQL oracle); isometry, MSE-improvement, and recall gates
+    // live in OpqSpec.
+    "q_ann_opq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Opq.opqTopK(e.filter(col("id") < 5), e, 5,
+        m = 4, ksub = 32, rerankFactor = 8)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // MinHash+LSH near-dup candidates, exact-Jaccard verified. xxhash64
     // signatures are not SQL-expressible → rows-only; the *verifier*
     // (exact Jaccard) is oracle-checked via q_ngram_jaccard below.

@@ -19,7 +19,8 @@ import graft.{SparkEntry, TestSpark}
 object GoldenPin {
   val sfDir = "/root/testdata/sf0.01"
   val pinned: Seq[String] =
-    Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_pq", "q_ann_sq",
+    Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_opq", "q_ann_pq",
+      "q_ann_sq",
       "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
       "q_quality_logistic", "q_semantic_dedup", "q_simhash_sketch")
 
@@ -67,6 +68,8 @@ class GoldenPinSpec extends AnyFunSuite {
       "28a516033ed252edf2348f7d646823907f1a4f10932255da06ae2d79e074ad4b"),
     "q_ann_lsh" -> (25L,
       "7b4632c658c851a3e6628ee71bb93c74a35dd652f4add06491a835e135ac8c04"),
+    "q_ann_opq" -> (25L,
+      "0ca525296d4ca4bae3dee07fd8885a7229bf354dabe5b86d5ba371940d640e5d"),
     "q_ann_sq" -> (25L,
       "fc540933a79faf255a4512e2a01c2507b1091bf7f556101ab08c1fdb06060599"),
     "q_bpe_tokens" -> (500L,
