@@ -214,4 +214,17 @@ object LanguageModel {
     scoreDocs(docs, idCol, textCol, uni, bi, alpha)
       .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
   }
+
+  /** [[perplexityFilter]] under interpolated Kneser-Ney ([[scoreDocsKn]])
+    * — the same train→score→threshold contract with the stronger
+    * smoothing.
+    */
+  def perplexityFilterKn(corpus: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxPpl: Double, minCount: Long = 1L,
+      d: Double = 0.75): DataFrame = {
+    val uni = unigramCounts(corpus, textCol, minCount)
+    val bi = bigramCounts(corpus, textCol, minCount)
+    scoreDocsKn(docs, idCol, textCol, uni, bi, d)
+      .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
+  }
 }

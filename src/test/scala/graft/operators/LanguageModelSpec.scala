@@ -148,5 +148,11 @@ class LanguageModelSpec extends AnyFunSuite {
     val scored = LanguageModel.scoreDocsKn(probe, "doc_id", "text", uni, bi)
       .select("n_bigrams", "hit_bigrams").as[(Long, Long)].head()
     assert(scored == ((3L, 0L)))
+    // the composed KN filter separates in-domain text from gibberish
+    val docs = Seq((10L, "the cat sat on the mat"),
+      (12L, "zx qv wk jj pp qq rr")).toDF("doc_id", "text")
+    val kept = LanguageModel.perplexityFilterKn(corpus, docs, "doc_id",
+      "text", maxPpl = 10.0).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L))
   }
 }
