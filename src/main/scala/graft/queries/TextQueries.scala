@@ -998,11 +998,11 @@ object TextQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT source,
-        |  COALESCE(SUM(CASE WHEN lang = 'de' THEN n_tokens END), 0) AS de_tokens,
-        |  COALESCE(SUM(CASE WHEN lang = 'en' THEN n_tokens END), 0) AS en_tokens,
-        |  COALESCE(SUM(CASE WHEN lang = 'es' THEN n_tokens END), 0) AS es_tokens,
-        |  COALESCE(SUM(CASE WHEN lang = 'fr' THEN n_tokens END), 0) AS fr_tokens,
-        |  COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_tokens END), 0) AS zh_tokens
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'de' THEN n_tokens END), 0) AS BIGINT) AS de_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN n_tokens END), 0) AS BIGINT) AS en_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN n_tokens END), 0) AS BIGINT) AS es_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN n_tokens END), 0) AS BIGINT) AS fr_tokens,
+        |  CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_tokens END), 0) AS BIGINT) AS zh_tokens
         |FROM d GROUP BY source ORDER BY source""".stripMargin
   )
 }
