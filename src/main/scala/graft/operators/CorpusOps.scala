@@ -420,7 +420,11 @@ object CorpusOps {
     * epochs and to detect shard corruption/drift without rescanning
     * documents. Pass `xxhash64(text)` (fastest) or an oracle-friendly
     * md5-derived digest; the sum runs in DECIMAL(38,0) so full-range
-    * 64-bit digests cannot overflow ANSI arithmetic.
+    * 64-bit digests cannot overflow ANSI arithmetic, then folds to a
+    * BIGINT residue (mod Long.MaxValue) so the emitted checksum is a
+    * plain 64-bit integer — identical canonical form in every engine
+    * (Spark decimal vs DuckDB HUGEINT render differently; a BIGINT
+    * doesn't). Collision odds are unchanged for drift detection.
     */
   def shardManifest(packed: DataFrame, idCol: String, tokenCol: String,
       checksum: org.apache.spark.sql.Column): DataFrame =
@@ -429,7 +433,8 @@ object CorpusOps {
         sum(col(tokenCol)).as("n_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"),
-        sum(checksum.cast("decimal(38,0)")).as("content_checksum"))
+        (sum(checksum.cast("decimal(38,0)")) % lit(Long.MaxValue))
+          .cast("long").as("content_checksum"))
 
   /** Deterministic mixture UPsampling — epoch reweighting ("books at 2.5
     * epochs, web at 1"): each row of stratum `s` with rate `r` emits

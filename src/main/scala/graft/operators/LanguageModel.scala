@@ -119,9 +119,14 @@ object LanguageModel {
     * stronger smoothing beside stupid backoff (Kneser & Ney 1995; Chen &
     * Goodman 1999 empirically crown interpolated KN among count LMs):
     *
-    * `P(w2|w1) = max(c12 − d, 0)/c1 + (d·n_succ(w1)/c1) · Pcont(w2)`
+    * `P(w2|w1) = max(c12 − d, 0)/ctot + (d·n_succ(w1)/ctot) · Pcont(w2)`
     *
-    * where the CONTINUATION probability `Pcont(w2) = (n_pred(w2)+1)/(B+V)`
+    * where `ctot(w1) = Σ_w2 c(w1 w2)` is the CONTEXT TOTAL — the number
+    * of times w1 was actually followed by anything. This is NOT the
+    * unigram count c1: a w1 that ends a document is counted in c1 but
+    * starts no bigram, and dividing by c1 there would leave
+    * Σ_vocab P(·|w1) < 1 (the normalization spec probes exactly that
+    * case). The CONTINUATION probability `Pcont(w2) = (n_pred(w2)+1)/(B+V)`
     * counts in how many distinct contexts w2 was seen (n_pred), not how
     * often — "Francisco" is frequent but only ever follows "San", so its
     * continuation mass is tiny. The +1/(B+V) add-one on continuation
@@ -143,7 +148,8 @@ object LanguageModel {
     * to its bigram stream and joins `broadcast()` model tables; no
     * corpus-side shuffle at scoring time.
     *
-    * Emits per position: (doc, pos, w1, w2, c12, c1, n_succ, n_pred, p).
+    * Emits per position:
+    * (doc, pos, w1, w2, c12, c1, ctot, n_succ, n_pred, p).
     */
   def knProbStream(docs: DataFrame, idCol: String, textCol: String,
       uni: DataFrame, bi: DataFrame, d: Double = 0.75): DataFrame = {
@@ -151,8 +157,11 @@ object LanguageModel {
     val b = bi.count()
     require(b > 0, "bigram table is empty — train on a non-empty corpus")
     val v = uni.count()
+    // one pass over the bigram table yields both per-context quantities:
+    // the distinct-successor count AND the context total (the KN
+    // denominator — see the normalization note above).
     val nSucc = bi.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
-      .agg(count(lit(1)).as("n_succ"))
+      .agg(count(lit(1)).as("n_succ"), sum(col("c")).as("ctot"))
     val nPred = bi.groupBy(substring_index(col("bigram"), " ", -1).as("w2"))
       .agg(count(lit(1)).as("n_pred"))
     val stream = docs.select(col(idCol).as("doc"),
@@ -174,14 +183,15 @@ object LanguageModel {
       lit((b + v).toDouble)
     val p = when(col("n_succ").isNotNull,
       greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(d),
-        lit(0.0)) / col("c1").cast("double") +
-        lit(d) * col("n_succ").cast("double") / col("c1").cast("double") *
+        lit(0.0)) / col("ctot").cast("double") +
+        lit(d) * col("n_succ").cast("double") / col("ctot").cast("double") *
           pcont)
       .otherwise(pcont)
     stream.select(col("doc"), col("pos").cast(LongType).as("pos"),
       col("w1"), col("w2"),
       coalesce(col("c12"), lit(0L)).as("c12"),
       coalesce(col("c1"), lit(0L)).as("c1"),
+      coalesce(col("ctot"), lit(0L)).as("ctot"),
       coalesce(col("n_succ"), lit(0L)).as("n_succ"),
       coalesce(col("n_pred"), lit(0L)).as("n_pred"),
       p.as("p"))

@@ -85,6 +85,7 @@ object LmQueries {
         "doc_id", "text", uni, bi)
         .select(col("doc").as("doc_id"), col("pos"), col("w1"), col("w2"),
           asLong(col("c12")).as("c12"), asLong(col("c1")).as("c1"),
+          asLong(col("ctot")).as("ctot"),
           asLong(col("n_succ")).as("n_succ"),
           asLong(col("n_pred")).as("n_pred"), col("p"))
         .orderBy("doc_id", "pos")
@@ -207,8 +208,9 @@ object LmQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // expression chain mirrors LanguageModel.knProbStream node for node
-    // (greatest over coalesced c12, left-assoc d·n_succ/c1·pcont) for
-    // bitwise double parity, the pmi_ratio/bm25 pattern.
+    // (greatest over coalesced c12, left-assoc d·n_succ/ctot·pcont — the
+    // denominator is the CONTEXT TOTAL sum_w2 c(w1 w2), not the unigram
+    // count) for bitwise double parity, the pmi_ratio/bm25 pattern.
     "q_lm_kn" ->
       """WITH tr AS (SELECT list_filter(
         |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
@@ -221,7 +223,8 @@ object LmQueries {
         |scal AS (SELECT (SELECT count(*) FROM bi) AS b,
         |    (SELECT count(*) FROM uni) AS v),
         |nsucc AS (SELECT string_split(g, ' ')[1] AS w1,
-        |    CAST(count(*) AS BIGINT) AS n_succ FROM bi GROUP BY 1),
+        |    CAST(count(*) AS BIGINT) AS n_succ,
+        |    CAST(sum(c) AS BIGINT) AS ctot FROM bi GROUP BY 1),
         |npred AS (SELECT string_split(g, ' ')[2] AS w2,
         |    CAST(count(*) AS BIGINT) AS n_pred FROM bi GROUP BY 1),
         |sc AS (SELECT doc_id, list_filter(
@@ -236,12 +239,13 @@ object LmQueries {
         |SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, f.w1, f.w2,
         |  CAST(COALESCE(b2.c, 0) AS BIGINT) AS c12,
         |  CAST(COALESCE(u.c, 0) AS BIGINT) AS c1,
+        |  CAST(COALESCE(ns.ctot, 0) AS BIGINT) AS ctot,
         |  CAST(COALESCE(ns.n_succ, 0) AS BIGINT) AS n_succ,
         |  CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
         |  CASE WHEN ns.n_succ IS NOT NULL THEN
         |    greatest(CAST(COALESCE(b2.c, 0) AS DOUBLE) - 0.75, 0.0)
-        |        / CAST(u.c AS DOUBLE)
-        |      + 0.75 * CAST(ns.n_succ AS DOUBLE) / CAST(u.c AS DOUBLE)
+        |        / CAST(ns.ctot AS DOUBLE)
+        |      + 0.75 * CAST(ns.n_succ AS DOUBLE) / CAST(ns.ctot AS DOUBLE)
         |        * ((CAST(COALESCE(np.n_pred, 0) AS DOUBLE) + 1.0)
         |          / CAST(s.b + s.v AS DOUBLE))
         |  ELSE (CAST(COALESCE(np.n_pred, 0) AS DOUBLE) + 1.0)

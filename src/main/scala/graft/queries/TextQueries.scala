@@ -221,7 +221,8 @@ object TextQueries {
 
     // per-shard manifest over the packed corpus: counts, token sums, id
     // range, and an order-insensitive md5-derived content checksum
-    // (decimal sum — exact in both engines).
+    // (decimal sum folded mod 2^63-1 to a BIGINT — exact and
+    // identically canonicalized in both engines).
     "q_shard_manifest" -> ((s, dir) => {
       val packed = graft.operators.CorpusOps.packShards(
         t(s, dir, "documents").select(col("doc_id"),
@@ -554,7 +555,9 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     // same shard assignment as q_pack_shards' oracle; checksum = decimal
-    // sum of the 52-bit md5 bucket (exact in both engines).
+    // sum of the 52-bit md5 bucket folded mod 2^63-1 to BIGINT (exact,
+    // and BIGINT canonicalizes identically in both engines — DuckDB's
+    // HUGEINT-backed decimal and Spark's decimal do not).
     "q_shard_manifest" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -567,7 +570,7 @@ object TextQueries {
         |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_id, max(doc_id) AS last_id,
-        |  CAST(sum(ck) AS DECIMAL(38,0)) AS content_checksum
+        |  CAST(sum(ck) % 9223372036854775807 AS BIGINT) AS content_checksum
         |FROM p GROUP BY shard_id ORDER BY shard_id""".stripMargin,
 
     // same 60-bit md5 ppm bucket as stratifiedSample's oracle.

@@ -314,7 +314,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val m = CorpusOps.shardManifest(packed, "doc_id", "n_tokens",
       xxhash64(col("text")))
     val rows = m.orderBy("shard_id")
-      .as[(Long, Long, Long, Long, Long, BigDecimal)].collect()
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     assert(rows.map(_._2).sum == 100L && rows.map(_._3).sum == 1000L)
     // contiguous id ranges in shard order
     rows.sliding(2).foreach { w =>
@@ -326,7 +326,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       CorpusOps.packShards(tweaked, "doc_id", "n_tokens", budget = 300L),
       "doc_id", "n_tokens", xxhash64(col("text")))
       .orderBy("shard_id")
-      .as[(Long, Long, Long, Long, Long, BigDecimal)].collect()
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     val diff = rows.zip(m2).filter { case (a, b) => a._6 != b._6 }
     assert(diff.length == 1 && diff.head._1._4 <= 57L && 57L <= diff.head._1._5)
   }

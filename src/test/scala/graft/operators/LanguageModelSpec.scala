@@ -103,6 +103,28 @@ class LanguageModelSpec extends AnyFunSuite {
     }
   }
 
+  test("KN normalizes for a context that also occurs document-finally " +
+    "(denominator is the context total, not the unigram count)") {
+    // "a" ends doc 2, so c1(a)=2 but ctot(a)=1 — dividing by c1 would
+    // leave sum_vocab P(.|a) = 0.5 (the round-6 ADVICE bug).
+    val kCorpus = Seq((1L, "a b"), (2L, "c a")).toDF("doc_id", "text")
+    val uni = LanguageModel.unigramCounts(kCorpus, "text")
+    val bi = LanguageModel.bigramCounts(kCorpus, "text")
+    val vocab = uni.as[(String, Long)].collect().map(_._1)
+    val probes = vocab.zipWithIndex.map { case (w2, i) =>
+      (i.toLong, s"a $w2")
+    }.toSeq.toDF("doc_id", "text")
+    val stream = LanguageModel.knProbStream(probes, "doc_id", "text", uni, bi)
+    val total = stream.agg(org.apache.spark.sql.functions.sum($"p"))
+      .head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"sum_vocab P(.|a) = $total, want 1.0")
+    // the evidence columns expose both quantities distinctly
+    val row = stream.filter($"w2" === "b")
+      .select($"c1", $"ctot").as[(Long, Long)].head()
+    assert(row == ((2L, 1L)))
+  }
+
   test("KN continuation beats raw frequency: a word seen in many " +
     "contexts outscores an equally-frequent single-context word after " +
     "an unseen context") {
@@ -135,14 +157,14 @@ class LanguageModelSpec extends AnyFunSuite {
     val probe = Seq((1L, "the qqq zzz www")).toDF("doc_id", "text")
     val rows = LanguageModel.knProbStream(probe, "doc_id", "text", uni, bi)
       .orderBy("pos").as[(Long, Long, String, String, Long, Long, Long,
-        Long, Double)].collect()
-    assert(rows.forall(_._9 > 0.0), "no position may score zero")
-    // "the qqq": seen w1, unseen w2 → d·n_succ/c1 · 1/(B+V)
+        Long, Long, Double)].collect()
+    assert(rows.forall(_._10 > 0.0), "no position may score zero")
+    // "the qqq": seen w1, unseen w2 → d·n_succ/ctot · 1/(B+V)
     // "qqq zzz": unseen w1, unseen w2 → bare floor 1/(B+V)
-    assert(rows(1)._9 == 1.0 / (b + v))
+    assert(rows(1)._10 == 1.0 / (b + v))
     val again = LanguageModel.knProbStream(probe.repartition(3), "doc_id",
       "text", uni, bi).orderBy("pos").as[(Long, Long, String, String,
-        Long, Long, Long, Long, Double)].collect()
+        Long, Long, Long, Long, Long, Double)].collect()
     assert(rows.toSeq == again.toSeq)
     // per-doc roll-up exposes ppl for the filter contract
     val scored = LanguageModel.scoreDocsKn(probe, "doc_id", "text", uni, bi)
