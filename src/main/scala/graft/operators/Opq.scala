@@ -79,7 +79,15 @@ object Opq {
       components = perm.map(pca.components),
       eigenvalues = perm.map(pca.eigenvalues)))
     val rotated = EmbeddingPca.transform(corpus, embCol, rot)
-    Model(rot, ProductQuantizer.trainCodebooks(rotated, m, ksub, iters))
+    // trainCodebooks reads the conventional ("id", "embedding") columns;
+    // surface a non-default embCol under that name (dropping any
+    // same-named bystander) so the codebooks always train on the ROTATED
+    // vectors — previously a custom embCol either crashed or silently
+    // trained on an unrotated "embedding" column.
+    val conformed =
+      if (embCol == "embedding") rotated
+      else rotated.drop("embedding").withColumnRenamed(embCol, "embedding")
+    Model(rot, ProductQuantizer.trainCodebooks(conformed, m, ksub, iters))
   }
 
   /** Rotate a frame's embedding column into the model's basis. */

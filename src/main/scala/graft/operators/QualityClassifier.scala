@@ -122,10 +122,17 @@ object QualityClassifier {
         .as("__w")))
     val oovW = math.log(1.0 / (np + v)) - math.log(1.0 / (nn + v))
     val prior = math.log(priorPos) - math.log(1.0 - priorPos)
-    docs.select(col(idCol).as(idCol), explode(toks(textCol)).as("token"))
+    val evidence = docs
+      .select(col(idCol).as(idCol), explode(toks(textCol)).as("token"))
       .join(w, Seq("token"), "left")
       .groupBy(idCol)
       .agg((sum(coalesce(col("__w"), lit(oovW))) + prior).as("score"))
+    // explode() emits no rows for a zero-token doc, which would silently
+    // drop it from the output; left-join back and score such docs at the
+    // bare prior log-odds (same contract as nbEvidence/scoreLogistic).
+    docs.select(col(idCol))
+      .join(evidence, Seq(idCol), "left")
+      .withColumn("score", coalesce(col("score"), lit(prior)))
       .withColumn("predicted_pos", col("score") > 0)
   }
 

@@ -52,6 +52,19 @@ class OpqSpec extends AnyFunSuite {
     assert(raw == rot)
   }
 
+  test("train honors a non-default embedding column, even beside a " +
+    "decoy column named 'embedding'") {
+    val base = Opq.train(correlated, "embedding", m = 2, ksub = 8, iters = 2)
+    val decoyed = correlated.withColumnRenamed("embedding", "emb")
+      .withColumn("embedding",
+        array((0 until 8).map(_ => lit(0.0f)): _*))
+    val viaEmb = Opq.train(decoyed, "emb", m = 2, ksub = 8, iters = 2)
+    // identical codebooks ⇔ it trained on the rotated custom column, not
+    // the zero-vector decoy (training is bitwise-deterministic)
+    assert(base.codebooks.flatten.flatten.toSeq ==
+      viaEmb.codebooks.flatten.flatten.toSeq)
+  }
+
   test("rotation reduces PQ reconstruction error on cross-subspace-" +
     "correlated data at equal bytes") {
     val m = 2; val ksub = 16

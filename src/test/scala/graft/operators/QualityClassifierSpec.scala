@@ -72,6 +72,19 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(s == Map(200L -> true, 201L -> true, 202L -> false, 203L -> false))
   }
 
+  test("nbScore keeps zero-token docs, scoring them at the prior " +
+    "log-odds (same row contract as nbEvidence)") {
+    val counts = QualityClassifier.classCounts(labeled, "text", "label")
+    val docs = Seq((1L, "the committee review"), (2L, ""), (3L, "zzz qqq"))
+      .toDF("doc_id", "text")
+    val s = QualityClassifier.nbScore(docs, "doc_id", "text", counts,
+        priorPos = 0.7)
+      .orderBy("doc_id").as[(Long, Double, Boolean)].collect()
+    assert(s.map(_._1).toSeq == Seq(1L, 2L, 3L), "no doc may drop")
+    val prior = math.log(0.7) - math.log(1.0 - 0.7)
+    assert(s(1)._2 == prior && s(1)._3 == (prior > 0))
+  }
+
   test("logistic training reaches holdout accuracy and loss decreases") {
     val m5 = QualityClassifier.trainLogistic(labeled, "doc_id", "text",
       "label", dim = 1 << 10, epochs = 5, lr = 1.0)
