@@ -154,14 +154,86 @@ object QualityClassifier {
   def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
+    featureStream(docs, idCol, textCol,
+      g => pmod(xxhash64(g), lit(dim.toLong)).cast(IntegerType))
+      .withColumn("cnt", col("cnt").cast(DoubleType))
+  }
+
+  /** (id, fid, cnt) stream under an arbitrary gram→feature-id column —
+    * the shared explode/count plumbing behind [[hashedFeatures]] (xxhash)
+    * and [[logisticEvidence]] (md5 bucket, which HAS an exact SQL twin).
+    */
+  private def featureStream(docs: DataFrame, idCol: String,
+      textCol: String, fidOf: Column => Column): DataFrame = {
     val t = toks(textCol)
     docs.select(col(idCol).as("id"),
       explode(concat(t, bigramsOf(t))).as("__g"))
-      .select(col("id"), pmod(xxhash64(col("__g")), lit(dim.toLong))
-        .cast(IntegerType).as("fid"))
+      .select(col("id"), fidOf(col("__g")).as("fid"))
       .groupBy("id", "fid")
-      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Engine-exact evidence face of the logistic pipeline — the
+    * `q_quality_nb` / `q_lm_kn` pattern applied to hashed-feature GD.
+    *
+    * The multi-epoch float weights cannot be recomputed in SQL, but the
+    * FIRST full-batch gradient step from zero init is pure integer
+    * arithmetic: `σ(0) = 1/2`, so the per-doc residual is `(1/2 − y) =
+    * −s/2` with `s = 2y−1 ∈ {−1,+1}`, and after one step the margin of a
+    * held-out doc q is `lr/(2n) · Σ_j G_j·x_qj` with the integer gradient
+    * `G_j = Σ_train s_d·x_dj`. The positive scale `lr/(2n)` never flips a
+    * sign, so the emitted UNSCALED margin `grad_margin = Σ_j G_j·x_qj`
+    * carries the first-epoch prediction (`predicted_pos ⇔ grad_margin >
+    * 0`) as an exact BIGINT the oracle checks bitwise — exercising the
+    * whole hashing/explode/count/gradient-aggregate/score-join plumbing
+    * the float path runs. Per doc: feature and gram counts, grams whose
+    * feature saw no training mass (`oov_grams`), `grad_margin`,
+    * `predicted_pos`; featureless docs emit zeros (prior = undecided).
+    *
+    * `fidOf` defaults to the production xxhash bucket; pass
+    * [[md5FeatureId]] when an engine-independent oracle must replicate
+    * the fid (xxhash64 has no SQL twin; the 52-bit md5 bucket does).
+    *
+    * Scale shape: the gradient table is ≤ dim rows (broadcast); the
+    * corpus side is one explode + two id-keyed aggregations — identical
+    * to scoring, no corpus-side shuffle beyond the per-doc agg.
+    */
+  def logisticEvidence(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, labelCol: String, dim: Int,
+      fidOf: Option[Column => Column] = None): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val f = fidOf.getOrElse(
+      (g: Column) => pmod(xxhash64(g), lit(dim.toLong)).cast(IntegerType))
+    val labels = train.select(col(idCol).as("id"),
+      when(col(labelCol).cast(BooleanType), 1L).otherwise(-1L).as("__s"))
+    val grad = featureStream(train, idCol, textCol, f)
+      .join(labels, Seq("id"))
+      .groupBy("fid")
+      .agg(sum(col("__s") * col("cnt")).as("__g"))
+    val ev = featureStream(docs, idCol, textCol, f)
+      .join(broadcast(grad), Seq("fid"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("cnt")).as("n_grams"),
+        sum(when(col("__g").isNull, col("cnt")).otherwise(0L))
+          .as("oov_grams"),
+        coalesce(sum(col("__g") * col("cnt")), lit(0L)).as("grad_margin"))
+    docs.select(col(idCol).as("id"))
+      .join(ev, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("oov_grams"), lit(0L)).as("oov_grams"),
+        coalesce(col("grad_margin"), lit(0L)).as("grad_margin"))
+      .withColumn("predicted_pos", col("grad_margin") > 0)
+  }
+
+  /** The oracle-expressible feature id: the 52-bit md5 bucket mod `dim`
+    * (DuckDB: `('0x' || substr(md5(g), 20, 13))::BIGINT % dim`).
+    */
+  def md5FeatureId(dim: Int): Column => Column =
+    g => (conv(substring(md5(to_binary(g, lit("utf-8"))), 20, 13), 16, 10)
+      .cast(LongType) % lit(dim.toLong)).cast(IntegerType)
 
   /** Exact, order-independent sum of double products via DECIMAL(38,18):
     * products here are bounded (|w| and residuals are O(10), counts

@@ -104,6 +104,22 @@ object LmQueries {
         .orderBy("doc_id")
     }),
 
+    // engine-exact logistic evidence: the FIRST full-batch gradient step
+    // from zero init is pure integer arithmetic (residual ±1/2 folds into
+    // the emitted unscaled margin), so the whole hashing/gradient/score
+    // plumbing oracle-checks bitwise under the md5 feature id; the
+    // multi-epoch float weights stay spec-gated + golden-pinned below.
+    "q_logistic_evidence" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dim = 1 << 12
+      QualityClassifier.logisticEvidence(
+        d.filter(col("doc_id") < 250).withColumn("y", col("lang") === "en"),
+        d.filter(col("doc_id") >= 250),
+        "doc_id", "text", "y", dim,
+        fidOf = Some(QualityClassifier.md5FeatureId(dim)))
+        .orderBy("doc_id")
+    }),
+
     // hashed-feature logistic regression (the fastText-style filter):
     // bitwise-deterministic decimal-summed training (spec-pinned), so the
     // scored output golden-pins; no SQL oracle can express the training
@@ -256,6 +272,51 @@ object LmQueries {
         |LEFT JOIN nsucc ns ON f.w1 = ns.w1
         |LEFT JOIN npred np ON f.w2 = np.w2, scal s
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // mirrors QualityClassifier.logisticEvidence under md5FeatureId:
+    // gram stream = unigrams ++ bigrams, fid = 52-bit md5 bucket % 4096,
+    // integer gradient per fid from the labeled slice, per-doc exact
+    // BIGINT margin for the rest.
+    "q_logistic_evidence" ->
+      """WITH tr AS (SELECT doc_id, (lang = 'en') AS y, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id < 250),
+        |trg AS (SELECT y, unnest(w) AS g FROM tr
+        |  UNION ALL
+        |  SELECT y, unnest(list_transform(range(1, greatest(len(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g FROM tr),
+        |grad AS (SELECT ('0x' || substr(md5(g), 20, 13))::BIGINT % 4096
+        |    AS fid, CAST(sum(CASE WHEN y THEN 1 ELSE -1 END) AS BIGINT)
+        |    AS gv
+        |  FROM trg GROUP BY 1),
+        |sc AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '') AS w
+        |  FROM documents WHERE doc_id >= 250),
+        |scg AS (SELECT doc_id, unnest(w) AS g FROM sc
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w), 1)),
+        |    i -> w[i] || ' ' || w[i+1])) AS g FROM sc),
+        |feats AS (SELECT doc_id,
+        |    ('0x' || substr(md5(g), 20, 13))::BIGINT % 4096 AS fid,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM scg GROUP BY doc_id, fid),
+        |ev AS (SELECT f.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_features,
+        |    CAST(sum(f.cnt) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN gr.gv IS NULL THEN f.cnt ELSE 0 END)
+        |      AS BIGINT) AS oov_grams,
+        |    CAST(COALESCE(sum(gr.gv * f.cnt), 0) AS BIGINT) AS grad_margin
+        |  FROM feats f LEFT JOIN grad gr USING (fid) GROUP BY f.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(e.n_features, 0) AS n_features,
+        |  COALESCE(e.n_grams, 0) AS n_grams,
+        |  COALESCE(e.oov_grams, 0) AS oov_grams,
+        |  COALESCE(e.grad_margin, 0) AS grad_margin,
+        |  COALESCE(e.grad_margin, 0) > 0 AS predicted_pos
+        |FROM documents d LEFT JOIN ev e USING (doc_id)
+        |WHERE d.doc_id >= 250
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_quality_nb" ->
       """WITH tr AS (SELECT (lang = 'en') AS y, unnest(list_filter(

@@ -85,6 +85,29 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(s(1)._2 == prior && s(1)._3 == (prior > 0))
   }
 
+  test("logisticEvidence: integer first-step margin separates the " +
+    "classes; featureless docs emit zeros; md5 fid agrees with xxhash " +
+    "fid on predictions") {
+    val docs = holdout.select($"doc_id", $"text")
+      .unionByName(Seq((300L, "")).toDF("doc_id", "text"))
+    def preds(fid: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column]) =
+      QualityClassifier.logisticEvidence(labeled, docs, "doc_id", "text",
+        "label", dim = 1 << 12, fidOf = fid)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    val ev = preds(None)
+    assert(ev.map(r => r._1 -> r._6).toMap ==
+      Map(200L -> true, 201L -> true, 202L -> false, 203L -> false,
+        300L -> false))
+    // the empty doc stays in the output with all-zero evidence
+    assert(ev.last == ((300L, 0L, 0L, 0L, 0L, false)))
+    // margins are exact integers either hash; predictions agree at this
+    // dim (no discriminative collision on the toy corpus)
+    val md5ev = preds(Some(QualityClassifier.md5FeatureId(1 << 12)))
+    assert(md5ev.map(r => r._1 -> r._6).toSeq == ev.map(r => r._1 -> r._6).toSeq)
+  }
+
   test("logistic training reaches holdout accuracy and loss decreases") {
     val m5 = QualityClassifier.trainLogistic(labeled, "doc_id", "text",
       "label", dim = 1 << 10, epochs = 5, lr = 1.0)
