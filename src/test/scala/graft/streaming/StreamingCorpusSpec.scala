@@ -144,4 +144,54 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(!sink.exists(p => p._1 == 101L || p._2 == 101L))
     } finally q.stop()
   }
+
+  test("index-append streaming dedup catches a dup ACROSS micro-batches " +
+    "and matches the batch pipeline over the concatenated corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Dedup
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val fresh = "fresh unrelated prose mentioning parquet shuffles " +
+      "broadcast joins and adaptive execution plans " * 6
+    val corpus = Seq(
+      (0L, base.trim),
+      (1L, base.trim.replace("lazy dog", "sleepy dog")),
+      (2L, "completely different text about spark engines and columnar data"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("smhd").toString
+    StreamingMinhashDedup.initIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/texts")
+    // batch 1 introduces 101; batch 2 carries its near-dup 102 — only an
+    // APPENDED index can catch (101, 102)
+    val batch1 = Seq((100L, base.trim), (101L, fresh.trim))
+    val batch2 = Seq(
+      (102L, fresh.trim.replace("adaptive", "dynamic")),
+      (103L, "wholly novel sentence on tungsten codegen and vectorization"))
+    val in = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamingMinhashDedup.attach(in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/index", s"$dir/texts", threshold = 0.5,
+      checkpointDir = s"$dir/ckpt") { pairs =>
+      sink ++= pairs.select("id_a", "id_b").as[(Long, Long)].collect()
+    }
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(sink.toSet.contains((0L, 100L)))
+      assert(!sink.exists(p => p._2 == 102L), "102 not yet arrived")
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      // the cross-micro-batch duplicate the frozen index misses
+      assert(sink.toSet.contains((101L, 102L)))
+      // parity: the one-shot batch pipeline over corpus + both batches
+      // finds exactly the streamed pairs plus corpus-internal ones
+      val everything = corpus.unionByName(
+        (batch1 ++ batch2).toDF("doc_id", "text"))
+      val batchAll = Dedup.minhashDedupPairs(everything, "doc_id", "text",
+          threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val corpusInternal = batchAll.filter(p => p._1 < 100L && p._2 < 100L)
+      assert(sink.toSet == batchAll -- corpusInternal)
+    } finally q.stop()
+  }
 }
