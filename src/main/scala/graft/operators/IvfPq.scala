@@ -129,12 +129,28 @@ object IvfPq {
     * supplies raw embeddings ONLY for the exact rerank of the shortlist
     * (a broadcast-semi-join-shaped read of |Q|·k·rerankFactor rows).
     * Results are identical to [[ivfPqTopK]] with the same model.
+    *
+    * CONTRACT: this is the SERVING path — driver memory is O(|Q|)
+    * (query vectors are collected to compute the static prune), so |Q|
+    * is capped at `maxProbeQueries` and the call refuses larger sets
+    * rather than OOMing mid-job. For a corpus-sized query set, static
+    * pruning is the wrong plan anyway (every cell gets probed): call
+    * [[ivfPqTopK]] with `codes = spark.read.parquet(s"$path/codes")` and
+    * `model = Some(readModel(...))` — cell assignment runs executor-side
+    * there and the full codes scan is the correct plan at that
+    * selectivity.
     */
   def ivfPqTopKFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 4,
-      rerankFactor: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+      rerankFactor: Int = 4, excludeSelf: Boolean = true,
+      maxProbeQueries: Int = 65536): DataFrame = {
     val mdl = readModel(spark, path)
     import spark.implicits._
+    require(queries.limit(maxProbeQueries + 1).count() <= maxProbeQueries,
+      s"ivfPqTopKFromIndex serves at most $maxProbeQueries queries per " +
+        "call (driver collects the query set for static partition " +
+        "pruning); for corpus-sized query sets use ivfPqTopK against a " +
+        "direct codes read — see the Scaladoc contract")
     val qVecs = queries.select(col("id"), col("embedding"))
       .as[(Long, Array[Float])].collect()
     val probeCells = qVecs

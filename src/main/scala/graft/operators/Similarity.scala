@@ -92,10 +92,25 @@ object Similarity {
   /** ANN top-k over a pre-built [[writeLshIndex]] index: same semantics as
     * [[lshTopK]], but the corpus side is the partitioned index and probes
     * prune its scan.
+    *
+    * CONTRACT: this is the SERVING path — the distinct probe-key set
+    * (≤ |Q| × nTables × (1 + nPlanes) rows) is collected to push a
+    * STATIC partition filter, so |Q| is capped at `maxProbeQueries` and
+    * the call refuses larger sets rather than accumulating unbounded
+    * driver state. For a corpus-sized query set static pruning is the
+    * wrong plan anyway (every bucket gets probed): call [[lshTopK]], or
+    * join [[lshBucketed]] queries against a direct read of the index —
+    * both keep bucket assignment executor-side and scan the index once.
     */
   def lshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, queries: DataFrame, k: Int, nPlanes: Int,
-      nTables: Int = 1, excludeSelf: Boolean = true): DataFrame = {
+      nTables: Int = 1, excludeSelf: Boolean = true,
+      maxProbeQueries: Int = 65536): DataFrame = {
+    require(queries.limit(maxProbeQueries + 1).count() <= maxProbeQueries,
+      s"lshTopKFromIndex serves at most $maxProbeQueries queries per " +
+        "call (driver collects the probe-key set for static partition " +
+        "pruning); for corpus-sized query sets use lshTopK or a direct " +
+        "index join — see the Scaladoc contract")
     val q = broadcast(
       lshBucketed(
         queries.withColumn("q_nrm", VectorFunctions.l2Norm(col("embedding"))),

@@ -98,6 +98,22 @@ class IvfPqSpec extends AnyFunSuite {
       nprobe = 4).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["),
       "no partition filters reached the codes scan")
+    // serving contract: the driver-collect path refuses query sets over
+    // the cap instead of accumulating unbounded driver state...
+    val big = intercept[IllegalArgumentException] {
+      IvfPq.ivfPqTopKFromIndex(spark, dir, clustered, clustered, 5,
+        nprobe = 4, maxProbeQueries = 100)
+    }
+    assert(big.getMessage.contains("maxProbeQueries")
+      || big.getMessage.contains("serves at most"))
+    // ...and the documented large-|Q| alternative (executor-side cell
+    // assignment over a direct codes read) matches the served results
+    val direct = IvfPq.ivfPqTopK(q, clustered, 5, nprobe = 4,
+      model = Some(loaded),
+      codes = Some(spark.read.parquet(s"$dir/codes")))
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(direct == served)
   }
 
   test("deterministic across input partitioning; ranks dense, sims " +

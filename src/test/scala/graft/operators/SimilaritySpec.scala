@@ -87,6 +87,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(probed.contains("PartitionFilters: ["),
       "no partition filters reached the index scan")
     assert(total > 0)
+    // serving contract: refuse query sets over the cap instead of
+    // collecting a probe-key set proportional to a corpus-sized |Q|
+    val big = intercept[IllegalArgumentException] {
+      Similarity.lshTopKFromIndex(spark, dir, emb, 3, nPlanes = 6,
+        nTables = 4, maxProbeQueries = 10)
+    }
+    assert(big.getMessage.contains("serves at most"))
   }
 
   test("IVF ANN recall vs brute force (k-means cells, nprobe probing)") {
