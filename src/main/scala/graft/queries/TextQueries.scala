@@ -108,9 +108,10 @@ object TextQueries {
         .select(col("keeper_id"), col("n_copies"), col("content_hash"))
         .orderBy("keeper_id")),
 
-    // multimodal columns: opaque binary + typed metadata (decode itself is
-    // the stubbed mapPartitions path in graft.operators.Multimodal; the
-    // relational plumbing — bytes, digest, chunking — is real).
+    // multimodal columns: opaque binary + typed metadata. The image
+    // modality has a REAL javax.imageio codec path (q_multimodal_decode
+    // below); decodeAndFeaturize remains the documented stub for the
+    // codecs the container lacks.
     "q_multimodal_meta" -> ((s, dir) => {
       val bin = to_binary(col("text"), lit("utf-8"))
       t(s, dir, "documents").select(
@@ -132,6 +133,22 @@ object TextQueries {
           asLong(length(col("frame"))).as("frame_len"),
           col("frame").cast(StringType).as("frame_text"))
         .orderBy("doc_id", "frame_id")
+    }),
+
+    // REAL image decode: a PNG per doc (pixels = ascii of md5 hex) is
+    // encoded AND decoded through javax.imageio; the oracle recomputes
+    // the same stats straight from md5(text) in SQL, so a hash match
+    // proves the lossless codec round-trip — not a pin.
+    "q_multimodal_decode" -> ((s, dir) => {
+      val imgs = graft.operators.Multimodal.fingerprintImage(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      graft.operators.Multimodal.imagePixelStats(imgs)
+        .select(col("id").as("doc_id"), col("decoded"),
+          asLong(col("width")).as("width"),
+          asLong(col("height")).as("height"),
+          col("n_pixels"), col("sum_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy("doc_id")
     }),
 
     // deterministic content-hash train/val/test split — stable under
@@ -884,6 +901,22 @@ object TextQueries {
         |  substr(text, i * 64 + 1, 64) AS frame_text
         |FROM d, unnest(generate_series(0, n - 1)) t(i)
         |ORDER BY doc_id, frame_id""".stripMargin,
+
+    // the decoded pixel intensities must equal the ascii codes of the
+    // md5 hex — DuckDB computes them without any image library, so the
+    // lossless PNG round-trip in Spark is what a hash match certifies.
+    "q_multimodal_decode" ->
+      """WITH px AS (SELECT doc_id,
+        |    ascii(substr(md5(text), CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(generate_series(1, 32)) t(i)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_intensity,
+        |  CAST(min(v) AS BIGINT) AS min_intensity,
+        |  CAST(max(v) AS BIGINT) AS max_intensity
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

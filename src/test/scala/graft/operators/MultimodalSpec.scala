@@ -33,6 +33,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sizes.toSeq == Seq(452, 1024, 1024))
   }
 
+  test("fingerprintImage → imagePixelStats: REAL ImageIO round-trip, " +
+    "decoded intensities equal the md5 hex ascii codes") {
+    val imgs = Multimodal.fingerprintImage(docs, "doc_id", "text")
+    // the media column holds an actual PNG (magic bytes)
+    val bytes = imgs.filter($"id" === 0L).select("media")
+      .as[Array[Byte]].head()
+    assert(bytes.take(8).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    val stats = Multimodal.imagePixelStats(imgs).orderBy("id")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].collect()
+    val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val vs = hex.map(_.toLong)
+      (id, true, 8, 4, 32L, vs.sum, vs.min, vs.max)
+    }.sortBy(_._1).toSeq
+    assert(stats.toSeq == expected)
+  }
+
+  test("imagePixelStats decodes a hand-built PNG exactly and falls back " +
+    "to the byte stub for non-image bytes") {
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val pix = Seq(0, 7, 255, 128, 64, 200)
+    pix.zipWithIndex.foreach { case (v, i) =>
+      img.setRGB(i % 3, i / 3, (v << 16) | (v << 8) | v)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val rows = Seq((1L, out.toByteArray), (2L, "not an image".getBytes))
+      .toDF("id", "media")
+    val got = Multimodal.imagePixelStats(rows).orderBy("id")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].collect()
+    assert(got(0) == ((1L, true, 3, 2, 6L, pix.map(_.toLong).sum, 0L, 255L)))
+    val raw = "not an image".getBytes.map(b => (b & 0xff).toLong)
+    assert(got(1) == ((2L, false, raw.length, 1, raw.length.toLong,
+      raw.sum, raw.min, raw.max)))
+  }
+
   test("decodeAndFeaturize (stub codec): deterministic normalized features") {
     val feats = Multimodal.decodeAndFeaturize(
       Multimodal.attachBinary(docs, "doc_id", "text"), dim = 16)
