@@ -158,6 +158,117 @@ object Multimodal {
         "sum_intensity", "min_intensity", "max_intensity")
   }
 
+  /** REAL AUDIO CODEC ======================================================
+    * `javax.sound.sampled` also ships in the JVM: the audio modality gets
+    * the same treatment as the image one. [[fingerprintWav]] manufactures
+    * a REAL RIFF/WAVE file per document (16-bit PCM mono samples = the
+    * ASCII codes of the md5 hex) through `AudioSystem.write`, and
+    * [[audioSampleStats]] parses media back through
+    * `AudioSystem.getAudioInputStream` — format from the actual header,
+    * samples from the actual PCM frames. PCM is lossless, so the decoded
+    * sample values must equal the md5 character codes and the round-trip
+    * is oracle-checked (`q_multimodal_audio`), like the PNG path.
+    */
+
+  /** Manufacture a real WAV per row: 32 16-bit PCM mono samples at 8 kHz
+    * — the ASCII codes of `md5(textCol)`'s hex chars — encoded through
+    * `AudioSystem.write`. Output: (id, media, media_meta).
+    */
+  def fingerprintWav(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val wav = udf { (hex: String) =>
+      val pcm = new Array[Byte](64)
+      var i = 0
+      while (i < 32) {
+        val v = hex.charAt(i).toInt // 16-bit little-endian, values < 128
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+        true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 32L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    df.select(col(idCol).as("id"),
+      wav(md5(to_binary(col(textCol), lit("utf-8")))).as("media"))
+      .select(col("id"), col("media"),
+        struct(lit("audio/wav").as("mime"),
+          length(col("media")).cast(LongType).as("n_bytes"),
+          md5(col("media")).as("digest")).as("media_meta"))
+  }
+
+  /** Parse `media` as an audio file via `AudioSystem` and emit per-clip
+    * sample statistics: `(id, decoded, sample_rate, channels, n_samples,
+    * sum_sample, min_sample, max_sample)`. Signed 16-bit little-endian
+    * PCM is decoded to exact sample values; bytes that are not a
+    * parseable audio file fall back to the raw-byte stub
+    * (`decoded = false`), mirroring [[imagePixelStats]].
+    */
+  def audioSampleStats(df: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_sample", LongType),
+      StructField("min_sample", LongType),
+      StructField("max_sample", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col("id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val parsed =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val fmt = ais.getFormat
+              val data = ais.readAllBytes()
+              Some((fmt, data))
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          parsed match {
+            case Some((fmt, data)) =>
+              // signed 16-bit little-endian PCM (the format this engine
+              // writes); other layouts would slot in here
+              var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+              val n = data.length / 2
+              var i = 0
+              while (i < n) {
+                val v = ((data(2 * i) & 0xff) |
+                  (data(2 * i + 1).toInt << 8)).toShort.toLong
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              if (n == 0) { mn = 0L; mx = 0L }
+              Row(id, true, fmt.getSampleRate.toInt, fmt.getChannels,
+                n.toLong, sum, mn, mx)
+            case None =>
+              var (sum, mn, mx) = (0L, 255L, 0L)
+              var i = 0
+              while (i < bytes.length) {
+                val v = (bytes(i) & 0xff).toLong
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                i += 1
+              }
+              Row(id, false, 0, 0, bytes.length.toLong, sum,
+                if (bytes.isEmpty) 0L else mn, mx)
+          }
+        }
+      }(enc)
+      .toDF("id", "decoded", "sample_rate", "channels", "n_samples",
+        "sum_sample", "min_sample", "max_sample")
+  }
+
   /** STUB DECODER ===========================================================
     * A real implementation decodes `media` with an image/audio library and
     * emits a feature vector per row. The container has no codecs, so this

@@ -151,6 +151,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL audio decode: a RIFF/WAVE file per doc (16-bit PCM samples =
+    // ascii of md5 hex) encoded AND parsed through javax.sound.sampled;
+    // PCM is lossless so the oracle recomputes the stats from md5(text).
+    "q_multimodal_audio" -> ((s, dir) => {
+      val wavs = graft.operators.Multimodal.fingerprintWav(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      graft.operators.Multimodal.audioSampleStats(wavs)
+        .select(col("id").as("doc_id"), col("decoded"),
+          asLong(col("sample_rate")).as("sample_rate"),
+          asLong(col("channels")).as("channels"),
+          col("n_samples"), col("sum_sample"),
+          col("min_sample"), col("max_sample"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic content-hash train/val/test split — stable under
     // reruns, cluster resizing, and corpus growth (randomSplit is none
     // of those); exact integer buckets, shuffle-free.
@@ -917,6 +932,21 @@ object TextQueries {
         |  CAST(min(v) AS BIGINT) AS min_intensity,
         |  CAST(max(v) AS BIGINT) AS max_intensity
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // decoded PCM sample values must equal the md5 hex ascii codes —
+    // the WAVE round-trip certificate, like q_multimodal_decode's.
+    "q_multimodal_audio" ->
+      """WITH sm AS (SELECT doc_id,
+        |    ascii(substr(md5(text), CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(generate_series(1, 32)) t(i)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v) AS BIGINT) AS sum_sample,
+        |  CAST(min(v) AS BIGINT) AS min_sample,
+        |  CAST(max(v) AS BIGINT) AS max_sample
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -72,6 +72,30 @@ class MultimodalSpec extends AnyFunSuite {
       raw.sum, raw.min, raw.max)))
   }
 
+  test("fingerprintWav → audioSampleStats: REAL AudioSystem round-trip, " +
+    "decoded samples equal the md5 hex ascii codes; non-audio falls " +
+    "back to the byte stub") {
+    val wavs = Multimodal.fingerprintWav(docs, "doc_id", "text")
+    // the media column holds an actual RIFF/WAVE file
+    val bytes = wavs.filter($"id" === 0L).select("media")
+      .as[Array[Byte]].head()
+    assert(new String(bytes.take(4)) == "RIFF" &&
+      new String(bytes.slice(8, 12)) == "WAVE")
+    val stats = Multimodal.audioSampleStats(wavs).orderBy("id")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].collect()
+    val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val vs = hex.map(_.toLong)
+      (id, true, 8000, 1, 32L, vs.sum, vs.min, vs.max)
+    }.sortBy(_._1).toSeq
+    assert(stats.toSeq == expected)
+    val junk = Seq((9L, "not audio at all".getBytes)).toDF("id", "media")
+    val fb = Multimodal.audioSampleStats(junk)
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].head()
+    assert(!fb._2 && fb._5 == "not audio at all".getBytes.length.toLong)
+  }
+
   test("decodeAndFeaturize (stub codec): deterministic normalized features") {
     val feats = Multimodal.decodeAndFeaturize(
       Multimodal.attachBinary(docs, "doc_id", "text"), dim = 16)
