@@ -206,8 +206,10 @@ object QualityClassifier {
       (g: Column) => pmod(xxhash64(g), lit(dim.toLong)).cast(IntegerType))
     val labels = train.select(col(idCol).as("id"),
       when(col(labelCol).cast(BooleanType), 1L).otherwise(-1L).as("__s"))
+    // train is the bounded labeled slice (the classifier contract), so
+    // its label table broadcasts — the gram stream never shuffles on id
     val grad = featureStream(train, idCol, textCol, f)
-      .join(labels, Seq("id"))
+      .join(broadcast(labels), Seq("id"))
       .groupBy("fid")
       .agg(sum(col("__s") * col("cnt")).as("__g"))
     val ev = featureStream(docs, idCol, textCol, f)
