@@ -269,6 +269,62 @@ object Multimodal {
         "sum_sample", "min_sample", "max_sample")
   }
 
+  /** Windowed energy features over decoded PCM — the audio
+    * feature-extract stage (RMS energy per frame window is the classic
+    * first feature of any audio pipeline): parse `media` through
+    * `AudioSystem`, split samples into fixed windows of `windowSamples`,
+    * emit per window the exact integer `sum_sq` (Σ v², the un-rooted
+    * RMS numerator), `peak` (max |v|) and sample count — all BIGINTs, so
+    * the whole decode→window→feature path oracle-checks bitwise
+    * (`q_multimodal_energy`). 1 row in → ⌈n/window⌉ rows out, the same
+    * explode shape as [[frameSample]]. Non-audio bytes emit nothing
+    * (the gate is [[audioSampleStats]]'s `decoded` flag).
+    */
+  def audioEnergyWindows(df: DataFrame,
+      windowSamples: Int = 8): DataFrame = {
+    require(windowSamples > 0, s"windowSamples must be positive")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("window_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_sq", LongType),
+      StructField("peak", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col("id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val data =
+            try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              Some(ais.readAllBytes())
+            } catch {
+              case _: javax.sound.sampled.UnsupportedAudioFileException => None
+              case _: java.io.IOException => None
+            }
+          data.toSeq.flatMap { d =>
+            val n = d.length / 2
+            (0 until (n + windowSamples - 1) / windowSamples).map { w =>
+              val lo = w * windowSamples
+              val hi = math.min(lo + windowSamples, n)
+              var (sq, pk) = (0L, 0L)
+              var i = lo
+              while (i < hi) {
+                val v = ((d(2 * i) & 0xff) |
+                  (d(2 * i + 1).toInt << 8)).toShort.toLong
+                sq += v * v; val a = math.abs(v); if (a > pk) pk = a
+                i += 1
+              }
+              Row(id, w.toLong, (hi - lo).toLong, sq, pk)
+            }
+          }
+        }
+      }(enc)
+      .toDF("id", "window_id", "n_samples", "sum_sq", "peak")
+  }
+
   /** STUB DECODER ===========================================================
     * A real implementation decodes `media` with an image/audio library and
     * emits a feature vector per row. The container has no codecs, so this

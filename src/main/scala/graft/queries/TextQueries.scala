@@ -166,6 +166,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // audio feature extraction: windowed RMS-energy numerators over the
+    // DECODED PCM frames — exact integers end-to-end, so the whole
+    // decode→window→feature path is oracle-checked, not pinned.
+    "q_multimodal_energy" -> ((s, dir) => {
+      val wavs = graft.operators.Multimodal.fingerprintWav(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      graft.operators.Multimodal.audioEnergyWindows(wavs, windowSamples = 8)
+        .select(col("id").as("doc_id"), col("window_id"),
+          col("n_samples"), col("sum_sq"), col("peak"))
+        .orderBy("doc_id", "window_id")
+    }),
+
     // deterministic content-hash train/val/test split — stable under
     // reruns, cluster resizing, and corpus growth (randomSplit is none
     // of those); exact integer buckets, shuffle-free.
@@ -947,6 +959,20 @@ object TextQueries {
         |  CAST(min(v) AS BIGINT) AS min_sample,
         |  CAST(max(v) AS BIGINT) AS max_sample
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // samples are the md5 hex ascii codes; window w covers positions
+    // [8w+1, 8w+8] of the hex string (32 samples → 4 windows).
+    "q_multimodal_energy" ->
+      """WITH sm AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS window_id,
+        |    CAST(ascii(substr(md5(text), CAST(i AS INT), 1)) AS BIGINT) AS v
+        |  FROM documents, unnest(generate_series(1, 32)) t(i)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, window_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_sq,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM sm GROUP BY doc_id, window_id
+        |ORDER BY doc_id, window_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,

@@ -96,6 +96,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!fb._2 && fb._5 == "not audio at all".getBytes.length.toLong)
   }
 
+  test("audioEnergyWindows: exact windowed energy over decoded PCM; " +
+    "non-audio rows emit nothing") {
+    val wavs = Multimodal.fingerprintWav(docs, "doc_id", "text")
+    val got = Multimodal.audioEnergyWindows(wavs, windowSamples = 8)
+      .orderBy("id", "window_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val expected = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      val vs = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .map(_.toLong)
+      vs.grouped(8).zipWithIndex.map { case (w, wi) =>
+        (id, wi.toLong, w.length.toLong, w.map(v => v * v).sum, w.max)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got.toSeq == expected)
+    assert(got.count(_._1 == 0L) == 4) // 32 samples, window 8
+    val junk = Seq((9L, "junk".getBytes)).toDF("id", "media")
+    assert(Multimodal.audioEnergyWindows(junk).count() == 0L)
+  }
+
   test("decodeAndFeaturize (stub codec): deterministic normalized features") {
     val feats = Multimodal.decodeAndFeaturize(
       Multimodal.attachBinary(docs, "doc_id", "text"), dim = 16)
