@@ -158,6 +158,59 @@ object Multimodal {
         "sum_intensity", "min_intensity", "max_intensity")
   }
 
+  /** Image RESIZE — the remaining op of the multimodal quartet
+    * (decode / feature-extract / resize / frame-sample): decode `media`
+    * through `ImageIO.read`, nearest-neighbor resample to
+    * `dstW`×`dstH` with EXPLICIT integer index mapping
+    * (`srcX = x·srcW / dstW`, floor division — deterministic and
+    * SQL-reproducible, unlike a library transform's half-pixel
+    * convention), re-encode through `ImageIO.write`. Output media is a
+    * real PNG again, so downstream stages ([[imagePixelStats]],
+    * [[frameSample]]) compose unchanged — `q_multimodal_resize` chains
+    * encode→decode→resample→encode→decode and the oracle still predicts
+    * every pixel. Non-image bytes pass through untouched
+    * (`resized = false`), mirroring the other fallbacks.
+    */
+  def resizeImages(df: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW > 0 && dstH > 0, "target dimensions must be positive")
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("media", BinaryType),
+      StructField("resized", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col("id").cast(LongType), col("media"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            val (sw, sh) = (img.getWidth, img.getHeight)
+            val out = new java.awt.image.BufferedImage(dstW, dstH,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < dstH) {
+              var x = 0
+              while (x < dstW) {
+                out.setRGB(x, y, img.getRGB(x * sw / dstW, y * sh / dstH))
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            Row(id, bos.toByteArray, true, dstW, dstH)
+          } else Row(id, bytes, false, 0, 0)
+        }
+      }(enc)
+      .toDF("id", "media", "resized", "width", "height")
+  }
+
   /** REAL AUDIO CODEC ======================================================
     * `javax.sound.sampled` also ships in the JVM: the audio modality gets
     * the same treatment as the image one. [[fingerprintWav]] manufactures

@@ -166,6 +166,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image resize: decode the 8×4 fingerprint PNG, nearest-
+    // neighbor resample to 4×2 (dest (x,y) ← src (2x,2y)), re-encode,
+    // decode AGAIN and emit pixel stats — the oracle predicts exactly
+    // which md5 hex positions survive the resample.
+    "q_multimodal_resize" -> ((s, dir) => {
+      val imgs = graft.operators.Multimodal.fingerprintImage(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      graft.operators.Multimodal.imagePixelStats(
+        graft.operators.Multimodal.resizeImages(imgs, dstW = 4, dstH = 2))
+        .select(col("id").as("doc_id"), col("decoded"),
+          asLong(col("width")).as("width"),
+          asLong(col("height")).as("height"),
+          col("n_pixels"), col("sum_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy("doc_id")
+    }),
+
     // audio feature extraction: windowed RMS-energy numerators over the
     // DECODED PCM frames — exact integers end-to-end, so the whole
     // decode→window→feature path is oracle-checked, not pinned.
@@ -959,6 +976,21 @@ object TextQueries {
         |  CAST(min(v) AS BIGINT) AS min_sample,
         |  CAST(max(v) AS BIGINT) AS max_sample
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // nearest-neighbor 8×4 → 4×2 keeps src pixels (2x, 2y): hex
+    // positions {1,3,5,7,17,19,21,23} (1-based) survive the resample.
+    "q_multimodal_resize" ->
+      """WITH px AS (SELECT doc_id,
+        |    ascii(substr(md5(text), CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest([1,3,5,7,17,19,21,23]) t(i)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_intensity,
+        |  CAST(min(v) AS BIGINT) AS min_intensity,
+        |  CAST(max(v) AS BIGINT) AS max_intensity
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // samples are the md5 hex ascii codes; window w covers positions
     // [8w+1, 8w+8] of the hex string (32 samples → 4 windows).

@@ -96,6 +96,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!fb._2 && fb._5 == "not audio at all".getBytes.length.toLong)
   }
 
+  test("resizeImages: nearest-neighbor resample keeps exactly the " +
+    "predicted source pixels through a full re-encode; non-image " +
+    "passes through") {
+    val imgs = Multimodal.fingerprintImage(docs, "doc_id", "text")
+    val resized = Multimodal.resizeImages(imgs, dstW = 4, dstH = 2)
+    val stats = Multimodal.imagePixelStats(resized).orderBy("id")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].collect()
+    val expected = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // dest (x,y) <- src (2x,2y) <- hex index 16y + 2x
+      val vs = for (y <- 0 until 2; x <- 0 until 4)
+        yield hex.charAt(16 * y + 2 * x).toLong
+      (id, true, 4, 2, 8L, vs.sum, vs.min, vs.max)
+    }.sortBy(_._1).toSeq
+    assert(stats.toSeq == expected)
+    val junk = Seq((9L, "not an image".getBytes)).toDF("id", "media")
+    val fb = Multimodal.resizeImages(junk, 4, 2)
+      .select("resized", "media").as[(Boolean, Array[Byte])].head()
+    assert(!fb._1 && fb._2.toSeq == "not an image".getBytes.toSeq)
+  }
+
   test("audioEnergyWindows: exact windowed energy over decoded PCM; " +
     "non-audio rows emit nothing") {
     val wavs = Multimodal.fingerprintWav(docs, "doc_id", "text")
