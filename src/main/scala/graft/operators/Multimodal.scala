@@ -17,6 +17,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** ImageIO defaults to DISK-backed stream caches — one temp file per
+    * encode/decode, pure churn for the small in-memory payloads these
+    * operators move. Flip it to memory once per executor; idempotent.
+    */
+  @transient private lazy val imageIoNoCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried with every media column. */
   val mediaMetaType: StructType = StructType(Seq(
     StructField("mime", StringType),
@@ -75,6 +82,7 @@ object Multimodal {
   def fingerprintImage(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val png = udf { (hex: String) =>
+      imageIoNoCache
       val img = new java.awt.image.BufferedImage(8, 4,
         java.awt.image.BufferedImage.TYPE_INT_RGB)
       var i = 0
@@ -118,6 +126,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     df.select(col("id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        imageIoNoCache
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
@@ -182,6 +191,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(schema)
     df.select(col("id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        imageIoNoCache
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
