@@ -42,38 +42,61 @@ import graft.operators.Dedup
 object StreamingMinhashDedup {
 
   /** One-time bootstrap: sign the standing corpus, write its LSH index
-    * (band-partitioned) and its text store.
+    * (partitioned by ingest batch then band — the bootstrap corpus is
+    * `ingest_batch = -1`) and its text store.
     */
   def initIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexPath: String, textPath: String, shingleN: Int = 3,
       k: Int = 32, bands: Int = 16): Unit = {
     Dedup.minhashIndex(corpus, idCol, textCol, shingleN, k, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(indexPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch", "band")
+      .parquet(indexPath)
     corpus.select(col(idCol), col(textCol))
-      .write.mode("overwrite").parquet(textPath)
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("overwrite").partitionBy("ingest_batch").parquet(textPath)
   }
 
   /** The foreachBatch body: probe the standing index, return verified
     * pairs (eager), then append this batch's index rows and texts.
     * Batch ids must be disjoint from everything already in the store
     * (the natural monotonically-assigned shape).
+    *
+    * EXACTLY-ONCE: `foreachBatch` replays a batch after a crash
+    * (at-least-once), so a blind append would double the replayed
+    * batch's index rows. Writes are keyed by `batchId` under DYNAMIC
+    * partition overwrite — a replay overwrites its own
+    * `ingest_batch=<id>` partition instead of duplicating it, the
+    * standard idempotent-sink recipe for foreachBatch.
     */
-  def processBatch(batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, textPath: String, threshold: Double,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexPath: String, textPath: String,
+      threshold: Double, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = batch.sparkSession
+    // a REPLAYED batch must not probe its own previously-written rows:
+    // partition-prune them out of the standing read (self-pairs and
+    // double-counted band matches otherwise)
     val standingIdx = spark.read.parquet(indexPath)
+      .filter(col("ingest_batch") =!= batchId)
     val standingTexts = spark.read.parquet(textPath)
+      .filter(col("ingest_batch") =!= batchId)
+      .drop("ingest_batch")
     // eager: the probe must see the PRE-append store (lazy evaluation
     // after the append would join the batch against its own rows)
     val pairs = Dedup.incrementalMinhashPairs(batch, standingTexts,
       standingIdx, idCol, textCol, threshold, shingleN, k, bands,
       maxBucketSize).localCheckpoint(true)
     Dedup.minhashIndex(batch, idCol, textCol, shingleN, k, bands)
-      .write.mode("append").partitionBy("band").parquet(indexPath)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch", "band").parquet(indexPath)
     batch.select(col(idCol), col(textCol))
-      .write.mode("append").parquet(textPath)
+      .withColumn("ingest_batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(textPath)
     pairs
   }
 
@@ -88,16 +111,17 @@ object StreamingMinhashDedup {
       onPairs: DataFrame => Unit): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        onPairs(processBatch(b, idCol, textCol, indexPath, textPath,
-          threshold, shingleN, k, bands, maxBucketSize))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        onPairs(processBatch(b, batchId, idCol, textCol, indexPath,
+          textPath, threshold, shingleN, k, bands, maxBucketSize))
       }
       .start()
 
   /** Periodic maintenance: re-freeze GLOBAL bucket sizes across all
     * appended segments (and compact small files). The only job that
     * re-aggregates the index — run it on the store's compaction cadence,
-    * never per batch.
+    * never per batch. Preserves the `ingest_batch` partitioning so
+    * replay idempotence survives compaction.
     */
   def compactIndex(spark: SparkSession, indexPath: String): Unit = {
     val idx = spark.read.parquet(indexPath)
@@ -105,6 +129,7 @@ object StreamingMinhashDedup {
       .withColumn("bucket_sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .localCheckpoint(true)
-    idx.write.mode("overwrite").partitionBy("band").parquet(indexPath)
+    idx.write.mode("overwrite").partitionBy("ingest_batch", "band")
+      .parquet(indexPath)
   }
 }

@@ -194,4 +194,38 @@ class StreamingCorpusSpec extends AnyFunSuite {
       assert(sink.toSet == batchAll -- corpusInternal)
     } finally q.stop()
   }
+
+  test("index-append is replay-idempotent: reprocessing a micro-batch " +
+    "(foreachBatch at-least-once) overwrites its own partition instead " +
+    "of duplicating it") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val corpus = Seq(
+      (0L, base.trim),
+      (1L, "completely different text about spark engines and columnar data"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("smhr").toString
+    StreamingMinhashDedup.initIndex(corpus, "doc_id", "text",
+      s"$dir/index", s"$dir/texts")
+    val batch = Seq((100L, base.trim), (101L, "novel prose about shuffles"))
+      .toDF("doc_id", "text")
+    def run() = StreamingMinhashDedup.processBatch(batch, batchId = 0L,
+      "doc_id", "text", s"$dir/index", s"$dir/texts", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val first = run()
+    val idxRows = spark.read.parquet(s"$dir/index").count()
+    val txtRows = spark.read.parquet(s"$dir/texts").count()
+    // crash-replay of the same batchId: identical pairs, store unchanged
+    val replay = run()
+    assert(replay == first && first.contains((0L, 100L)))
+    assert(spark.read.parquet(s"$dir/index").count() == idxRows)
+    assert(spark.read.parquet(s"$dir/texts").count() == txtRows)
+    // a LATER batch still sees exactly one copy of batch 0's rows
+    val batch2 = Seq((200L, "novel prose about shuffles indeed"))
+      .toDF("doc_id", "text")
+    val pairs2 = StreamingMinhashDedup.processBatch(batch2, batchId = 1L,
+      "doc_id", "text", s"$dir/index", s"$dir/texts", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs2.contains((101L, 200L)))
+  }
 }
