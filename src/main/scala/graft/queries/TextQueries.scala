@@ -183,6 +183,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // video: container demux (PNG chunk walk to IEND) + per-frame REAL
+    // decode; frame 0 derives from md5(text), frame 1 from
+    // md5(md5(text)) — the oracle predicts every frame's pixels.
+    "q_multimodal_video" -> ((s, dir) => {
+      val vids = graft.operators.Multimodal.fingerprintVideo(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+      graft.operators.Multimodal.videoFrameStats(vids)
+        .select(col("id").as("doc_id"), col("frame_id"),
+          asLong(col("width")).as("width"),
+          asLong(col("height")).as("height"),
+          col("n_pixels"), col("sum_intensity"),
+          col("min_intensity"), col("max_intensity"))
+        .orderBy("doc_id", "frame_id")
+    }),
+
     // audio feature extraction: windowed RMS-energy numerators over the
     // DECODED PCM frames — exact integers end-to-end, so the whole
     // decode→window→feature path is oracle-checked, not pinned.
@@ -976,6 +991,23 @@ object TextQueries {
         |  CAST(min(v) AS BIGINT) AS min_sample,
         |  CAST(max(v) AS BIGINT) AS max_sample
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // two frames per doc: md5(text) and md5(md5(text)) hex ascii codes.
+    "q_multimodal_video" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h0, md5(md5(text)) AS h1
+        |  FROM documents WHERE doc_id < 200),
+        |fr AS (SELECT doc_id, 0 AS f, h0 AS hx FROM h
+        |  UNION ALL SELECT doc_id, 1 AS f, h1 AS hx FROM h),
+        |px AS (SELECT doc_id, f,
+        |    ascii(substr(hx, CAST(i AS INT), 1)) AS v
+        |  FROM fr, unnest(generate_series(1, 32)) t(i))
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_id,
+        |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_intensity,
+        |  CAST(min(v) AS BIGINT) AS min_intensity,
+        |  CAST(max(v) AS BIGINT) AS max_intensity
+        |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_id""".stripMargin,
 
     // nearest-neighbor 8×4 → 4×2 keeps src pixels (2x, 2y): hex
     // positions {1,3,5,7,17,19,21,23} (1-based) survive the resample.

@@ -118,6 +118,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!fb._1 && fb._2.toSeq == "not an image".getBytes.toSeq)
   }
 
+  test("fingerprintVideo → videoFrameStats: chunk-walking demux splits " +
+    "the concatenated container exactly; every frame decodes to its " +
+    "predicted pixels; non-video emits nothing") {
+    val vids = Multimodal.fingerprintVideo(docs, "doc_id", "text")
+    val got = Multimodal.videoFrameStats(vids).orderBy("id", "frame_id")
+      .as[(Long, Long, Int, Int, Long, Long, Long, Long)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.as[(Long, String)].collect().flatMap { case (id, t) =>
+      Seq(md5hex(t), md5hex(md5hex(t))).zipWithIndex.map { case (hex, f) =>
+        val vs = hex.map(_.toLong)
+        (id, f.toLong, 8, 4, 32L, vs.sum, vs.min, vs.max)
+      }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(got.toSeq == expected)
+    assert(got.count(_._1 == 0L) == 2) // exactly two frames demuxed
+    val junk = Seq((9L, "no frames here".getBytes)).toDF("id", "media")
+    assert(Multimodal.videoFrameStats(junk).count() == 0L)
+  }
+
   test("audioEnergyWindows: exact windowed energy over decoded PCM; " +
     "non-audio rows emit nothing") {
     val wavs = Multimodal.fingerprintWav(docs, "doc_id", "text")
