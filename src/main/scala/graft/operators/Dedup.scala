@@ -628,4 +628,89 @@ object Dedup {
       .groupBy("band", "key").agg(count(lit(1)).as("sz"))
       .agg(count(lit(1)).as("n_buckets"), max(col("sz")).as("max_bucket"),
         sum(when(col("sz") > maxBucketSize, 1).otherwise(0)).as("capped_buckets"))
+
+  /** ENGINE-PORTABLE HASH FACES =============================================
+    * [[minhashSignatures]] / [[simhashSketches]] ride on `xxhash64`, which
+    * no other SQL engine ships as a builtin — so their registry queries are
+    * golden-pinned and what the DuckDB oracle certifies there is the
+    * exact-Jaccard VERIFIER, not the sketch machinery itself. These
+    * variants swap in the md5-derived 52-bit hash the winnowing sketch
+    * already oracle-certifies (`('0x' || substr(md5(x), 20, 13))::BIGINT`
+    * on the DuckDB side — `q_winnow`), keeping every other moving part
+    * identical: min-over-shingles signatures, banded bucket keys,
+    * size-capped single-branch pair generation, bit-vote sign rule. The
+    * result is the FULL sketch pipeline oracle-checked end-to-end
+    * (`q_minhash_portable`, `q_simhash_portable`); the xxhash64 forms stay
+    * the production path (one cheap long-mix per seed instead of k string
+    * md5s per shingle).
+    */
+
+  /** 52-bit md5-derived hash of a string column — the engine-portable hash
+    * family ([[winnowFingerprints]]' gram hash; fold a seed in as a string
+    * prefix so any ANSI engine reproduces the whole family).
+    */
+  private def md5Hash52(c: Column): Column =
+    conv(substring(md5(to_binary(c, lit("utf-8"))), 20, 13), 16, 10)
+      .cast(LongType)
+
+  /** MinHash+LSH candidate pairs over the portable hash family:
+    * `(id_a, id_b, n_bands_matched)`, bit-for-bit reproducible in DuckDB.
+    * Same plan shape as [[minhashCandidates]] — per-shingle hashes,
+    * map-side partial `min` per seed (shuffle O(docs × k), independent of
+    * document length), banded bucket strings, one (band, bucket) shuffle
+    * for the size cap AND the bucket collapse, pairs via double explode
+    * within the row.
+    */
+  def portableMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val rows = k / bands
+    val inv = df.select(col(idCol).as("id"),
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("s"))
+    val aggs = (0 until k).map(i =>
+      min(md5Hash52(concat(lit(i.toString), lit("|"), col("s"))))
+        .as(s"__h$i"))
+    val sig = inv.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val bk = sig.select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until rows).map(j =>
+            col(s"__h${b * rows + j}").cast(StringType)): _*).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val sized = bk.withColumn("sz", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+    observeCaps(sized, "sz", maxBucketSize, "portableMinhashPairs")
+      .filter(col("sz") <= maxBucketSize)
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ids"))
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_bands_matched"))
+  }
+
+  /** 52-bit SimHash over the portable hash family — [[simhashSketches]]'
+    * vote rule (per bit, sign of the ±1 token votes; ties and null docs
+    * sketch the bit to 0) with the md5-52 token hash, so the whole
+    * tokenize → hash → vote → sign path is DuckDB-reproducible. 52 bits
+    * (not 64) because the portable hash is 52 bits wide.
+    */
+  def portableSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inv = df
+      .select(col(idCol).as("id"),
+        explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        when(col("t").isNotNull, md5Hash52(col("t"))).as("h"))
+    val votes = (0 until 52).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"__v$b"))
+    inv.groupBy("id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 52).map(b =>
+          when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce((a, x) => a.bitwiseOR(x)).as("sketch"))
+  }
 }

@@ -163,6 +163,28 @@ object SimilarityQueries {
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
+    // the portable-hash MinHash face: the FULL sketch pipeline (seeded
+    // min-over-shingles signatures → banded buckets → size-capped pair
+    // generation) on the md5-52 hash family, oracle-checked end-to-end —
+    // the machinery q_dedup_minhash's xxhash64 form can only pin.
+    "q_minhash_portable" -> ((s, dir) =>
+      Dedup.portableMinhashPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+        maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"),
+          asLong(col("n_bands_matched")).as("n_bands_matched"))
+        .orderBy("id_a", "id_b")),
+
+    // the portable-hash SimHash face: tokenize → hash → bit votes → sign,
+    // all md5-52, oracle-checked bit-for-bit (52-bit sketch as BIGINT).
+    "q_simhash_portable" -> ((s, dir) =>
+      Dedup.portableSimhash(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("sketch").as("simhash52"))
+        .orderBy("doc_id")),
+
     // winnowing fingerprints (MOSS): distinct window-min gram hashes per
     // doc — localized near-dup sketch, md5-hash oracle-exact.
     "q_winnow" -> ((s, dir) =>
@@ -394,6 +416,40 @@ object SimilarityQueries {
         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
         |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_portable" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |hx AS (SELECT doc_id, seed,
+        |    min(('0x' || substr(md5(seed::VARCHAR || '|' || s), 20, 13))::BIGINT) AS h
+        |  FROM sh, range(0, 8) r(seed) GROUP BY doc_id, seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |    string_agg(h::VARCHAR, ',' ORDER BY seed) AS bucket
+        |  FROM hx GROUP BY doc_id, seed // 2),
+        |bsz AS (SELECT band, bucket, count(*) AS sz FROM bk GROUP BY 1, 2),
+        |ok AS (SELECT bk.doc_id, bk.band, bk.bucket FROM bk
+        |  JOIN bsz USING (band, bucket) WHERE sz <= 200)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_bands_matched
+        |FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+        |  AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_simhash_portable" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |th AS (SELECT doc_id,
+        |    ('0x' || substr(md5(t), 20, 13))::BIGINT AS h FROM toks),
+        |votes AS (SELECT doc_id, b, sum(((h >> b) & 1) * 2 - 1) AS v
+        |  FROM th, range(0, 52) r(b) GROUP BY doc_id, b)
+        |SELECT doc_id, CAST(sum(
+        |    CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+        |  AS BIGINT) AS simhash52
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents

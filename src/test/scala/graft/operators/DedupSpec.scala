@@ -247,4 +247,30 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(live == loaded && live.nonEmpty)
   }
+
+  test("portable minhash pairs: exact dups match every band, unrelated " +
+    "docs pair with nothing, and the bucket cap excludes degenerate docs") {
+    val pairs = Dedup.portableMinhashPairs(corpus, "doc_id", "text",
+        k = 8, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L, 4L))) // identical → all 4 bands
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // 3 copies of one text with cap=2: every bucket holds all 3 → capped
+    val degenerate = Seq((0L, base.trim), (1L, base.trim), (2L, base.trim))
+      .toDF("doc_id", "text")
+    assert(Dedup.portableMinhashPairs(degenerate, "doc_id", "text",
+      k = 8, bands = 4, maxBucketSize = 2).count() == 0L)
+  }
+
+  test("portable simhash: identical docs share the sketch, near-dups are " +
+    "hamming-close, unrelated docs are hamming-far, sketches fit 52 bits") {
+    val sk = Dedup.portableSimhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sk(0L) == sk(1L))
+    assert(ham(sk(0L), sk(2L)) <= 8)
+    assert(ham(sk(0L), sk(3L)) > 8)
+    assert(sk.values.forall(s => s >= 0 && s < (1L << 52)))
+  }
 }
