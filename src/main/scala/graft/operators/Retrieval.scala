@@ -78,6 +78,88 @@ object Retrieval {
     scoreAndTop(td, dl, n, sumDl.toDouble / n, k1, b, topN, idCol)
   }
 
+  /** Batch BM25 — score EVERY query of a query TABLE in one inverted-index
+    * pass (the serving shape at scale: corpus tokenized once, per-term
+    * df/idf computed once globally, queries equi-join the postings on
+    * token — never a per-query loop or driver-side collect). `queries` is
+    * `(queryIdCol, termsCol: array<string>)`; output is
+    * `(query_id, doc_id-named idCol, rank, score)` with `rank` 1-based per
+    * query over (score desc, id). The idf and per-term contribution
+    * expression trees are node-for-node the single-query [[bm25]] ones, so
+    * scores stay bitwise-reproducible against the DuckDB oracle — which is
+    * what makes the RANKS (all downstream fusion consumes) exact.
+    */
+  def bm25Batch(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20): DataFrame = {
+    val tok = tokenize(df, idCol, textCol)
+    val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
+    val n = df.agg(count(lit(1))).collect().head.getLong(0)
+    val sumDl = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect().head.getLong(0)
+    val avgdl = sumDl.toDouble / n
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(col(termsCol))).as("token"))
+    // global (doc, token) postings with tf; df/idf once per term — query-
+    // independent, so the model is shared across the whole batch
+    val td = tok.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("dfr"))
+    val contrib = qt
+      .join(td, Seq("token"))
+      .join(broadcast(dfreq.withColumn("idf",
+        log(((lit(n) - col("dfr")).cast(DoubleType) + lit(0.5)) /
+          (col("dfr").cast(DoubleType) + lit(0.5)) + lit(1.0)))),
+        Seq("token"))
+      .join(dl, Seq("doc"))
+      .withColumn("c",
+        col("idf") * (col("tf").cast(DoubleType) * lit(k1 + 1.0)) /
+          (col("tf").cast(DoubleType) +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast(DoubleType) / lit(avgdl))))
+    contrib.groupBy(col("query_id"), col("doc"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("token"), col("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc"))))
+      .filter(col("rank") <= topN)
+      .select(col("query_id"), col("doc").as(idCol), col("rank"),
+        col("n_terms"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * retrieval merge: `score(q, d) = Σ_arms 1 / (kRrf + rank(q, d))` over
+    * however many ranked arms participate (sparse BM25, dense ANN, …).
+    * Arm-agnostic: each arm is `(query_id, doc_id, rank)` with 1-based
+    * ranks per query. The per-pair sum folds arms in ascending arm-index
+    * order (the [[bm25]] sorted-array-fold pattern), so the double is
+    * deterministic under any partitioning — and since it consumes only
+    * integer RANKS, the fusion is exactly reproducible in any engine even
+    * when the arms' raw scores are float-fragile. One shuffle on
+    * (query_id, doc_id); arms never materialize driver-side.
+    */
+  def rrfFuse(arms: Seq[DataFrame], kRrf: Int = 60,
+      topN: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    val tagged = arms.zipWithIndex.map { case (a, i) =>
+      a.select(col("query_id"), col("doc_id"),
+        col("rank").cast(LongType).as("rank"), lit(i).as("arm"))
+    }
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("arm"), col("rank")))),
+          lit(0.0), (acc, x) => acc + lit(1.0) /
+            (lit(kRrf).cast(DoubleType) + x.getField("rank").cast(DoubleType)))
+          .as("rrf"),
+        count(lit(1)).as("n_arms"))
+      .withColumn("fused_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("fused_rank") <= topN)
+  }
+
   /** Term-hash partition key: `nBuckets` directories regardless of
     * vocabulary size (partitioning directly by token would mint one
     * directory per distinct term).

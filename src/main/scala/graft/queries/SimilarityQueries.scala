@@ -163,6 +163,31 @@ object SimilarityQueries {
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
+    // hybrid retrieval: sparse (batch BM25, one inverted-index pass for
+    // the whole query table) + dense (brute-force cosine) arms fused by
+    // reciprocal-rank fusion. Both arms' ranks are bitwise-certified
+    // elsewhere (q_bm25, q_cosine_topk), and RRF consumes only the
+    // integer ranks, so the WHOLE hybrid pipeline is oracle-checked.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"),
+          slice(filter(split(lower(col("text")), "[^a-z]+"),
+            t => t =!= lit("")), 1, 5).as("terms"))
+      val sparse = graft.operators.Retrieval.bm25Batch(
+        docs, "doc_id", "text", queries, "query_id", "terms", topN = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val e = emb(s, dir)
+      val dense = Similarity.bruteForceTopK(e.filter(col("id") < 5), e, 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Retrieval.rrfFuse(Seq(sparse, dense), kRrf = 60,
+        topN = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf"),
+          asLong(col("n_arms")).as("n_arms"),
+          asLong(col("fused_rank")).as("fused_rank"))
+        .orderBy("query_id", "fused_rank")
+    }),
+
     // the portable-hash MinHash face: the FULL sketch pipeline (seeded
     // min-over-shingles signatures → banded buckets → size-capped pair
     // generation) on the md5-52 hash family, oracle-checked end-to-end —
@@ -416,6 +441,62 @@ object SimilarityQueries {
         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
         |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |  FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |avg_dl AS (SELECT CAST((SELECT COALESCE(sum(dl), 0) FROM dl) AS DOUBLE)
+        |    / (SELECT n FROM n) AS avgdl),
+        |td AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfr,
+        |    ln((CAST(((SELECT n FROM n) - count(*)) AS DOUBLE) + 0.5) /
+        |       (CAST(count(*) AS DOUBLE) + 0.5) + 1.0) AS idf
+        |  FROM td GROUP BY token),
+        |qt AS (SELECT DISTINCT doc_id AS query_id, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+        |      x -> x != '')[1:5])) AS token
+        |  FROM documents WHERE doc_id < 5),
+        |contrib AS (SELECT q.query_id, d.doc_id, d.token,
+        |    f.idf * (CAST(d.tf AS DOUBLE) * 2.2) /
+        |      (CAST(d.tf AS DOUBLE) +
+        |        1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl)) AS c
+        |  FROM qt q
+        |  JOIN td d USING (token)
+        |  JOIN dfreq f USING (token)
+        |  JOIN dl l USING (doc_id), avg_dl s),
+        |sagg AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(c ORDER BY token), 'sum') AS score
+        |  FROM contrib GROUP BY 1, 2),
+        |sarm AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+        |  FROM sagg QUALIFY rank <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dq AS (SELECT * FROM e WHERE vec_id < 5),
+        |p AS (SELECT dq.vec_id AS query_id, c.vec_id AS doc_id,
+        |    list_inner_product(dq.v, c.v) /
+        |    (sqrt(list_inner_product(dq.v, dq.v)) *
+        |     sqrt(list_inner_product(c.v, c.v))) AS sim
+        |  FROM dq JOIN e c ON c.vec_id <> dq.vec_id),
+        |darm AS (SELECT query_id, doc_id, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rank
+        |  FROM p QUALIFY rank <= 20),
+        |arms AS (SELECT 0 AS arm, query_id, doc_id, rank FROM sarm
+        |  UNION ALL SELECT 1, query_id, doc_id, rank FROM darm),
+        |fused AS (SELECT query_id, doc_id,
+        |    list_aggregate(list(1.0 / (60.0 + CAST(rank AS DOUBLE))
+        |      ORDER BY arm), 'sum') AS rrf,
+        |    CAST(count(*) AS BIGINT) AS n_arms
+        |  FROM arms GROUP BY 1, 2)
+        |SELECT query_id, doc_id, rrf, n_arms,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+        |FROM fused QUALIFY fused_rank <= 10
+        |ORDER BY query_id, fused_rank""".stripMargin,
 
     "q_minhash_portable" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -80,4 +80,44 @@ class RetrievalSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(x => x._1 -> x._3).toMap
     assert(flat(1L) == flat(2L))
   }
+
+  test("bm25Batch: one-pass batch scoring is bitwise-identical to the " +
+    "single-query path, per query") {
+    import org.apache.spark.sql.functions._
+    val queries = Seq(
+      (100L, Seq("spark", "shuffle", "partition")),
+      (101L, Seq("partition")),
+      (102L, Seq("nonexistentterm"))
+    ).toDF("query_id", "terms")
+    val batch = Retrieval.bm25Batch(docs, "doc_id", "text",
+        queries, "query_id", "terms")
+      .select("query_id", "doc_id", "rank", "n_terms", "score")
+      .as[(Long, Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._4, r._5)).toSet).toMap
+    val single = Map(
+      100L -> Seq("spark", "shuffle", "partition"),
+      101L -> Seq("partition"))
+      .view.mapValues(ts => Retrieval.bm25(docs, "doc_id", "text", ts)
+        .as[(Long, Long, Double)].collect().toSet).toMap
+    assert(batch(100L) == single(100L))
+    assert(batch(101L) == single(101L))
+    assert(!batch.contains(102L)) // no matching postings → no rows
+  }
+
+  test("rrfFuse: exact reciprocal-rank arithmetic, both-arm docs beat " +
+    "single-arm docs with comparable ranks, topN bounds each query") {
+    import org.apache.spark.sql.functions._
+    val sparse = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val dense = Seq((1L, 11L, 1), (1L, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(sparse, dense), kRrf = 60, topN = 3)
+      .select("doc_id", "rrf", "n_arms", "fused_rank")
+      .as[(Long, Double, Long, Int)].collect().map(r => r._1 -> r).toMap
+    assert(fused(11L)._2 == 1.0 / 62 + 1.0 / 61 && fused(11L)._3 == 2L)
+    assert(fused(11L)._4 == 1) // both arms → top fused rank
+    assert(fused(10L)._2 == 1.0 / 61 && fused(10L)._3 == 1L)
+    assert(fused.size == 3 && !fused.contains(12L)) // 1/63 loses to 1/62
+    assert(fused.values.map(_._4).toSet == Set(1, 2, 3))
+  }
 }
