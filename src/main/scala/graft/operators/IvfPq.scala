@@ -107,6 +107,30 @@ object IvfPq {
       .repartition(1).write.mode("overwrite").parquet(s"$path/model")
   }
 
+  /** Append a batch of NEW vectors to a materialized [[writeIndex]] index
+    * — the daily-ingest shape (the ANN mirror of the MinHash
+    * index-append in [[graft.streaming.StreamingMinhashDedup]]): the
+    * model (centroids + codebooks) is FROZEN at build time, the batch is
+    * encoded against it executor-side, and the resulting codes land as
+    * new files inside their existing `cell=` partitions — the standing
+    * codes are never rewritten or reshuffled, and static partition
+    * pruning over the index is unchanged. Centroids drifting from the
+    * true data distribution over many appends degrades recall, not
+    * correctness (ADC distances stay exact w.r.t. the frozen model);
+    * rebuild the index when recall gates say so.
+    *
+    * Append atomicity is parquet's (job-level temp-dir commit): a failed
+    * job leaves no partial files, and a caller-level replay of the same
+    * batch is the caller's to dedup — same contract as the streaming
+    * minhash store, which handles replay by batch-id manifest.
+    */
+  def appendToIndex(batch: DataFrame, spark: SparkSession,
+      path: String): Unit = {
+    val mdl = readModel(spark, path)
+    encode(batch, mdl).write.mode("append")
+      .partitionBy("cell").parquet(s"$path/codes")
+  }
+
   /** Reload a [[writeIndex]] model. */
   def readModel(spark: SparkSession, path: String): Model = {
     import spark.implicits._

@@ -116,6 +116,38 @@ class IvfPqSpec extends AnyFunSuite {
     assert(direct == served)
   }
 
+  test("appendToIndex: a batch encoded against the frozen model lands " +
+    "inside existing cell partitions; served results equal a fresh index " +
+    "over the concatenated corpus with the same model") {
+    val base = clustered.filter($"id" < 400)
+    val batch = clustered.filter($"id" >= 400)
+    val mdl = IvfPq.train(base, nlist = 16, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_app").toString + "/idx"
+    IvfPq.writeIndex(base, mdl, dir)
+    IvfPq.appendToIndex(batch, spark, dir)
+    // codes stayed cell-partitioned: only cell= dirs under codes/
+    val cells = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(cells.nonEmpty && cells.forall(_.startsWith("cell=")))
+    // appended index ≡ one-shot index over base ∪ batch w/ the same model
+    val q = clustered.filter($"id" % 100 === 0)
+    val appended = IvfPq.ivfPqTopKFromIndex(spark, dir, q, clustered, 5,
+      nprobe = 4).orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val oneShotDir =
+      java.nio.file.Files.createTempDirectory("ivfpq_one").toString + "/idx"
+    IvfPq.writeIndex(clustered, mdl, oneShotDir)
+    val oneShot = IvfPq.ivfPqTopKFromIndex(spark, oneShotDir, q, clustered,
+      5, nprobe = 4).orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(appended == oneShot)
+    // batch members are findable through the appended index
+    assert(appended.nonEmpty &&
+      IvfPq.ivfPqTopKFromIndex(spark, dir,
+          clustered.filter($"id" === 410), clustered, 5, nprobe = 4)
+        .count() > 0)
+  }
+
   test("deterministic across input partitioning; ranks dense, sims " +
     "sorted, self excluded; pre-encoded codes match on-the-fly") {
     val q = clustered.filter($"id" % 100 === 0)
