@@ -64,6 +64,32 @@ object VectorFunctions {
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(vec),
         nPlanes, seed))
 
+  /** ENGINE-PORTABLE hyperplane key: same sign-bit construction as
+    * [[randomHyperplaneKey]] but the data-independent ±1 sign matrix
+    * derives from the md5-52 hash family (`sign(p, d) = ±1` by the low
+    * bit of `md5("p:d")`'s 52-bit tail) instead of xxhash64 — so the
+    * bucketing is exactly reproducible in any ANSI engine (DuckDB:
+    * `('0x' || substr(md5(p || ':' || d), 20, 13))::BIGINT & 1`). The
+    * per-plane projection folds components in index order over doubles,
+    * matching `list_aggregate(list_transform(...), 'sum')` bitwise — the
+    * certified [[dot]] / bm25 fold pattern. Production LSH stays on
+    * [[randomHyperplaneKey]] (native expression, cached sign matrix).
+    */
+  def portableHyperplaneKey(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        transform(vec, (x, i) => {
+          val h = conv(substring(md5(to_binary(
+            concat(lit(s"$p:"), i.cast(StringType)), lit("utf-8"))),
+            20, 13), 16, 10).cast(LongType)
+          val sign = when(h.bitwiseAND(lit(1L)) === 1L, lit(1.0))
+            .otherwise(lit(-1.0))
+          x.cast(DoubleType) * sign
+        }),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce((a, x) => a.bitwiseOR(x))
+
   /** HOF reference formulation of [[randomHyperplaneKey]]. */
   def randomHyperplaneKeyHof(vec: Column, nPlanes: Int, seed: Int = 0): Column =
     (0 until nPlanes).map { p =>

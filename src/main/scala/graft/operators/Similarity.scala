@@ -177,6 +177,32 @@ object Similarity {
     topKMerge(cand, k)
   }
 
+  /** ENGINE-PORTABLE LSH ANN face: single-table hyperplane bucketing on
+    * [[VectorFunctions.portableHyperplaneKey]] (md5-52 sign matrix) +
+    * exact cosine rerank within the bucket — every stage (projection
+    * signs, bucket assignment, candidate join, similarity, top-k order)
+    * exactly reproducible in DuckDB, so `q_ann_lsh_portable` is
+    * oracle-checked END-TO-END where the production [[lshTopK]]
+    * (xxhash64 signs, multi-probe, multi-table) can only be recall-gated.
+    * Same plan shape: queries broadcast, corpus never shuffles, bounded
+    * top-k merge.
+    */
+  def portableLshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val key = VectorFunctions.portableHyperplaneKey(col("embedding"), nPlanes)
+    val c = corpus.select(col("id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("c_nrm"), key.as("bucket"))
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("embedding").as("q_emb"),
+      VectorFunctions.l2Norm(col("embedding")).as("q_nrm"), key.as("bucket")))
+    val cand = c.join(q, Seq("bucket"))
+      .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+      .withColumn("sim", VectorFunctions.dot(col("q_emb"), col("c_emb")) /
+        (col("q_nrm") * col("c_nrm")))
+    topKMerge(cand, k)
+  }
+
   /** Embedding-cosine near-dup pairs within a semantic blocking key, with
     * adaptive sub-blocking — the guard against the quadratic bomb a
     * popular block becomes at 100 TB:

@@ -163,6 +163,18 @@ object SimilarityQueries {
         .withColumn("band0", col("simhash").bitwiseAND(lit(0xffffL)))
         .orderBy("doc_id")),
 
+    // the portable-hash LSH ANN face: md5-52-derived ±1 hyperplane signs
+    // → bucket → exact cosine rerank. Every stage is DuckDB-expressible,
+    // so the ANN bucketing machinery itself is oracle-checked end-to-end
+    // (the production xxhash64 lshTopK stays recall-gated).
+    "q_ann_lsh_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.portableLshTopK(e.filter(col("id") < 5), e, 5, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval: sparse (batch BM25, one inverted-index pass for
     // the whole query table) + dense (brute-force cosine) arms fused by
     // reciprocal-rank fusion. Both arms' ranks are bitwise-certified
@@ -441,6 +453,33 @@ object SimilarityQueries {
         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
         |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ann_lsh_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |proj AS (SELECT vec_id, p,
+        |    list_aggregate(list_transform(range(1, len(v) + 1),
+        |      d -> v[d] * (CASE WHEN ('0x' || substr(
+        |          md5(p::VARCHAR || ':' || (d - 1)::VARCHAR),
+        |          20, 13))::BIGINT & 1 = 1
+        |        THEN 1.0 ELSE -1.0 END)), 'sum') AS pr
+        |  FROM e, range(0, 4) r(p)),
+        |keys AS (SELECT vec_id, CAST(sum(
+        |    CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+        |  AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+        |ek AS (SELECT e.vec_id, e.v, k.bucket FROM e
+        |  JOIN keys k USING (vec_id)),
+        |q AS (SELECT * FROM ek WHERE vec_id < 5),
+        |p2 AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(q.v, c.v) /
+        |    (sqrt(list_inner_product(q.v, q.v)) *
+        |     sqrt(list_inner_product(c.v, c.v))) AS sim
+        |  FROM q JOIN ek c ON c.bucket = q.bucket
+        |    AND c.vec_id <> q.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM p2)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_hybrid_rrf" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(

@@ -201,4 +201,26 @@ class SimilaritySpec extends AnyFunSuite {
     // multi-table + hamming-1 probing must still recover a solid majority
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("portable LSH: clustered near-identical vectors share a bucket " +
+    "(sign-stable under noise), results are bucket-restricted exact " +
+    "cosine, and buckets actually partition the corpus") {
+    val q = clustered.filter($"id" % 25 === 0)
+    val r = Similarity.portableLshTopK(q, clustered, 3, nPlanes = 4)
+      .select("query_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Int, Double)].collect()
+    // tight clusters vs hyperplanes through the origin: a same-cluster
+    // vector flips a sign only if the cluster straddles a plane — most
+    // queries must find same-cluster neighbors at sim ~ 1
+    val sameCluster = r.filter { case (qid, nid, _, _) => qid / 25 == nid / 25 }
+    assert(sameCluster.length >= r.length / 2 && r.nonEmpty)
+    assert(r.filter(_._3 == 1).forall(_._4 > 0.9))
+    // buckets partition: nPlanes=4 over 20 well-separated clusters must
+    // produce more than one nonempty bucket (no degenerate all-in-one)
+    import org.apache.spark.sql.functions.col
+    val nBuckets = clustered.select(
+      graft.functions.VectorFunctions.portableHyperplaneKey(
+        col("embedding"), 4).as("b")).distinct().count()
+    assert(nBuckets > 1 && nBuckets <= 16)
+  }
 }
