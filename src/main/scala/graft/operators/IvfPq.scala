@@ -95,7 +95,14 @@ object IvfPq {
   def writeIndex(corpus: DataFrame, model: Model, path: String): Unit = {
     encode(corpus, model).write.mode("overwrite")
       .partitionBy("cell").parquet(s"$path/codes")
-    val spark = corpus.sparkSession
+    writeModel(corpus.sparkSession, model, path)
+  }
+
+  /** Serialize just the model (centroids + codebooks) beside a codes
+    * store — the piece of [[writeIndex]] layouts with a different codes
+    * partitioning (e.g. the streaming ingest store) reuse.
+    */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
     import spark.implicits._
     val cents = model.centroids.zipWithIndex
       .map { case (c, i) => (0, i, c.toSeq) }.toSeq
