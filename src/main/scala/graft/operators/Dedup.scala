@@ -691,6 +691,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands_matched"))
   }
 
+  /** Content-defined chunking (the rsync/LBFS boundary rule, on word
+    * n-grams): a chunk ends wherever the hash of the last `window` tokens
+    * satisfies `h % avgChunkGrams == 0` — so boundaries move WITH the
+    * content, and inserting one sentence into a 10k-token document
+    * changes O(1) chunk hashes instead of shifting every fixed-size
+    * block (the failure mode that makes fixed-window fragment dedup
+    * useless under edits). Output: `(id, chunk_id, start_pos, end_pos,
+    * n_tokens, chunk_hash)`, positions 1-based, `chunk_hash` the md5-52
+    * of the chunk's space-joined tokens — the engine-portable family, so
+    * the whole boundary-rule → prefix-sum → chunk-hash pipeline is
+    * DuckDB-reproducible (`q_cdc_chunks`).
+    *
+    * Scale shape: one equi-join of the token stream against the gram-cut
+    * stream on (id, pos) — never an inequality join — and the chunk-id
+    * assignment is a per-document EXCLUSIVE prefix sum (`rows unbounded
+    * preceding to 1 preceding`), document-bounded like the winnowing
+    * window. Production would clamp chunk sizes to [min, max] like LBFS;
+    * the expected size is `avgChunkGrams` grams as-is.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, avgChunkGrams: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p0", "tok")))
+      .select(col("id"), (col("p0") + 1).as("t"), col("tok"))
+    // gram starting at 1-based p covers tokens p .. p+window-1; its CUT
+    // lands on the END token e = p+window-1
+    val cuts = df.select(col(idCol).as("id"),
+        posexplode(TextFunctions.wordShinglesAll(col(textCol), window))
+          .as(Seq("p0", "g")))
+      .select(col("id"), (col("p0") + lit(window)).as("e"),
+        (md5Hash52(col("g")) % avgChunkGrams === 0).cast("int").as("cut"))
+    val marked = toks.join(cuts, toks("id") === cuts("id") &&
+        col("t") === col("e"), "left")
+      .select(toks("id"), col("t"), col("tok"),
+        coalesce(col("cut"), lit(0)).as("cut"))
+    val chunked = marked.withColumn("chunk_id",
+      coalesce(sum(col("cut")).over(w.partitionBy("id").orderBy("t")
+        .rowsBetween(Long.MinValue, -1)), lit(0L)))
+    chunked.groupBy(col("id"), col("chunk_id"))
+      .agg(min(col("t")).as("start_pos"), max(col("t")).as("end_pos"),
+        count(lit(1)).as("n_tokens"),
+        md5Hash52(array_join(transform(
+          sort_array(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_hash"))
+  }
+
+  /** Cross-document duplicate FRAGMENTS over [[cdcChunks]]: chunk hashes
+    * seen in ≥ `minDocs` distinct documents, with occurrence counts —
+    * sub-document dedup at the fragment grain (boilerplate paragraphs,
+    * quoted blocks), which whole-document sketches cannot see and
+    * duplicate-SPAN accounting prices but does not key. One content-hash
+    * groupBy, 8-byte keys through the exchange.
+    */
+  def cdcDupFragments(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, avgChunkGrams: Int = 8, minDocs: Int = 2,
+      minTokens: Int = 2): DataFrame =
+    cdcChunks(df, idCol, textCol, window, avgChunkGrams)
+      .filter(col("n_tokens") >= minTokens)
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_docs") >= minDocs)
+
   /** 52-bit SimHash over the portable hash family — [[simhashSketches]]'
     * vote rule (per bit, sign of the ±1 token votes; ties and null docs
     * sketch the bit to 0) with the md5-52 token hash, so the whole

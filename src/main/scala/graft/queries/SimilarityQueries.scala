@@ -213,6 +213,30 @@ object SimilarityQueries {
           asLong(col("n_bands_matched")).as("n_bands_matched"))
         .orderBy("id_a", "id_b")),
 
+    // content-defined chunking: gram-hash boundary rule → exclusive
+    // prefix-sum chunk ids → per-chunk content hash, all on the md5-52
+    // family — boundaries move with the content, so the whole CDC
+    // pipeline is oracle-checked end-to-end.
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("chunk_id"),
+          asLong(col("start_pos")).as("start_pos"),
+          asLong(col("end_pos")).as("end_pos"),
+          col("n_tokens"), col("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // cross-document duplicate fragments at the CDC-chunk grain — the
+    // sub-document dedup signal whole-document sketches cannot key.
+    "q_cdc_fragments" -> ((s, dir) =>
+      Dedup.cdcDupFragments(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text")
+        .select(col("chunk_hash"), asLong(col("n_docs")).as("n_docs"),
+          col("n_occurrences"), col("n_tokens"))
+        .orderBy("chunk_hash")),
+
     // the portable-hash SimHash face: tokenize → hash → bit votes → sign,
     // all md5-52, oracle-checked bit-for-bit (52-bit sketch as BIGINT).
     "q_simhash_portable" -> ((s, dir) =>
@@ -558,6 +582,73 @@ object SimilarityQueries {
         |FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
         |  AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, s.t AS t, s.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(t := i, tok := w[i]))) AS s FROM toks)),
+        |cut AS (SELECT doc_id, s.e AS e, s.cut AS cut FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(e := i + 2,
+        |      cut := CASE WHEN ('0x' || substr(
+        |          md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |          20, 13))::BIGINT % 8 = 0 THEN 1 ELSE 0 END))) AS s
+        |  FROM toks)),
+        |marked AS (SELECT tok.doc_id, tok.t, tok.tok,
+        |    COALESCE(cut.cut, 0) AS cut
+        |  FROM tok LEFT JOIN cut
+        |    ON cut.doc_id = tok.doc_id AND cut.e = tok.t),
+        |chunked AS (SELECT doc_id, t, tok,
+        |    COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM marked)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(min(t) AS BIGINT) AS start_pos,
+        |  CAST(max(t) AS BIGINT) AS end_pos,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY t)),
+        |    20, 13))::BIGINT AS chunk_hash
+        |FROM chunked GROUP BY doc_id, chunk_id
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_cdc_fragments" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |tok AS (SELECT doc_id, s.t AS t, s.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(t := i, tok := w[i]))) AS s FROM toks)),
+        |cut AS (SELECT doc_id, s.e AS e, s.cut AS cut FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(e := i + 2,
+        |      cut := CASE WHEN ('0x' || substr(
+        |          md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |          20, 13))::BIGINT % 8 = 0 THEN 1 ELSE 0 END))) AS s
+        |  FROM toks)),
+        |marked AS (SELECT tok.doc_id, tok.t, tok.tok,
+        |    COALESCE(cut.cut, 0) AS cut
+        |  FROM tok LEFT JOIN cut
+        |    ON cut.doc_id = tok.doc_id AND cut.e = tok.t),
+        |chunked AS (SELECT doc_id, t, tok,
+        |    COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM marked),
+        |chunks AS (SELECT doc_id, chunk_id,
+        |    CAST(count(*) AS BIGINT) AS n_tokens,
+        |    ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY t)),
+        |      20, 13))::BIGINT AS chunk_hash
+        |  FROM chunked GROUP BY doc_id, chunk_id)
+        |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(min(n_tokens) AS BIGINT) AS n_tokens
+        |FROM chunks WHERE n_tokens >= 2
+        |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY chunk_hash""".stripMargin,
 
     "q_simhash_portable" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

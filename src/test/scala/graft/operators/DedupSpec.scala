@@ -263,6 +263,35 @@ class DedupSpec extends AnyFunSuite {
       k = 8, bands = 4, maxBucketSize = 2).count() == 0L)
   }
 
+  test("cdc chunking: boundaries move WITH content — a prefix insertion " +
+    "leaves downstream chunk hashes intact, and shared fragments are " +
+    "keyed across documents") {
+    val rnd = new scala.util.Random(3)
+    val words = (0 until 200).map(_ => s"w${rnd.nextInt(500)}").mkString(" ")
+    val docs = Seq(
+      (0L, words),
+      (1L, "inserted " + words), // prefix edit: everything shifts by one
+      (2L, "wholly different content " + (0 until 50)
+        .map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select("id", "chunk_hash").as[(Long, Long)].collect()
+    val h0 = ch.filter(_._1 == 0L).map(_._2).toSet
+    val h1 = ch.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = ch.filter(_._1 == 2L).map(_._2).toSet
+    // content-defined: only the chunk containing the edit differs — the
+    // overwhelming majority of doc 0's chunks survive verbatim in doc 1
+    // (a fixed-width blocker would share ZERO blocks after the shift)
+    val shared = (h0 intersect h1).size
+    assert(shared * 10 >= h0.size * 8,
+      s"only $shared/${h0.size} chunks survived a prefix insertion")
+    assert((h0 intersect h2).isEmpty)
+    // the fragment keyer surfaces exactly the cross-doc shared chunks
+    val frags = Dedup.cdcDupFragments(docs, "doc_id", "text")
+      .select("chunk_hash").as[Long].collect().toSet
+    assert(frags.nonEmpty && frags.subsetOf(h0 union h1 union h2))
+  }
+
   test("portable simhash: identical docs share the sketch, near-dups are " +
     "hamming-close, unrelated docs are hamming-far, sketches fit 52 bits") {
     val sk = Dedup.portableSimhash(corpus, "doc_id", "text")
