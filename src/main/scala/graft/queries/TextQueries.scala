@@ -272,6 +272,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // unigram-LM (SentencePiece-style) tokenizer: Viterbi-EM over the
+    // word table, max-likelihood segmentation at encode. Deterministic
+    // seeded pipeline, golden-pinned (float log-probs + iterative EM have
+    // no SQL oracle); optimality/round-trip/monotonic-likelihood gates
+    // live in UnigramLmSpec.
+    "q_unigram_tokens" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.train(docs, "text",
+        vocabSize = 400, emIters = 2)
+      graft.operators.UnigramLm.encode(docs, "doc_id", "text", model)
+        .select(col("doc_id"), asLong(col("n_words")).as("n_words"),
+          asLong(col("n_pieces")).as("n_pieces"),
+          array_join(slice(col("tokens"), 1, 8), " ").as("head_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate-span STRIPPING (the action dupSpans measures): tokens
     // covered by a cross-doc duplicate trigram removed, unique prose
     // rebuilt in order.

@@ -22,7 +22,8 @@ object GoldenPin {
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_opq", "q_ann_pq",
       "q_ann_sq",
       "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
-      "q_quality_logistic", "q_semantic_dedup", "q_simhash_sketch")
+      "q_quality_logistic", "q_semantic_dedup", "q_simhash_sketch",
+      "q_unigram_tokens")
 
   /** Order-free canonical digest: rows rendered with fixed float
     * formatting, sorted, SHA-256'd. Doubles keep 12 significant digits —
@@ -85,7 +86,9 @@ class GoldenPinSpec extends AnyFunSuite {
     "q_semantic_dedup" -> (259L,
       "6c13bda95686f4cdb73f1d8a81326ef9d6ce8949722b80e34a5c2590da2defc5"),
     "q_simhash_sketch" -> (500L,
-      "38fce3cfa21a32646077d0fcfcba305d70468b6447e55e0ae65c220c4b5bd7b8"))
+      "38fce3cfa21a32646077d0fcfcba305d70468b6447e55e0ae65c220c4b5bd7b8"),
+    "q_unigram_tokens" -> (500L,
+      "876067aa3bacba2b80ee89a38f6eab4450bb5c2f6312aeafa0afc76705c3282d"))
 
   GoldenPin.pinned.foreach { name =>
     test(s"$name output is byte-stable vs its golden pin") {
