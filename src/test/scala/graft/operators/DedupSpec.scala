@@ -292,6 +292,38 @@ class DedupSpec extends AnyFunSuite {
     assert(frags.nonEmpty && frags.subsetOf(h0 union h1 union h2))
   }
 
+  test("cdc chunking property: over 100 seeded random documents " +
+    "(including 1- and 2-token edge cases below the gram window), the " +
+    "chunks tile each token stream exactly — dense ids, contiguous " +
+    "[start, end] spans, token counts summing to the document length") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 100).map { i =>
+      val n = rnd.nextInt(60) + 1 // 1..60 tokens
+      (i.toLong, (0 until n).map(_ => s"t${rnd.nextInt(40)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val lens = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").length }.toMap
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select("id", "chunk_id", "start_pos", "end_pos", "n_tokens")
+      .as[(Long, Long, Int, Int, Long)].collect()
+      .groupBy(_._1)
+    assert(ch.keySet == lens.keySet)
+    ch.foreach { case (id, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq,
+        s"doc $id: chunk ids not dense")
+      assert(sorted.head._3 == 1 && sorted.last._4 == lens(id),
+        s"doc $id: span does not cover [1, ${lens(id)}]")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._4 + 1, s"doc $id: gap between chunks")
+        case _ =>
+      }
+      assert(sorted.map(_._5).sum == lens(id).toLong)
+      sorted.foreach(r => assert(r._5 == r._4 - r._3 + 1))
+    }
+  }
+
   test("portable simhash: identical docs share the sketch, near-dups are " +
     "hamming-close, unrelated docs are hamming-far, sketches fit 52 bits") {
     val sk = Dedup.portableSimhash(corpus, "doc_id", "text")
