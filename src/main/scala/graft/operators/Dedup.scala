@@ -710,8 +710,11 @@ object Dedup {
     * window. Production would clamp chunk sizes to [min, max] like LBFS;
     * the expected size is `avgChunkGrams` grams as-is.
     */
-  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 3, avgChunkGrams: Int = 8): DataFrame = {
+  /** The shared CDC lattice: `(id, t, tok, chunk_id)` — every token with
+    * its 1-based position and content-defined chunk assignment.
+    */
+  private def cdcChunkedTokens(df: DataFrame, idCol: String,
+      textCol: String, window: Int, avgChunkGrams: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol).as("id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("p0", "tok")))
@@ -727,15 +730,61 @@ object Dedup {
         col("t") === col("e"), "left")
       .select(toks("id"), col("t"), col("tok"),
         coalesce(col("cut"), lit(0)).as("cut"))
-    val chunked = marked.withColumn("chunk_id",
+    marked.withColumn("chunk_id",
       coalesce(sum(col("cut")).over(w.partitionBy("id").orderBy("t")
         .rowsBetween(Long.MinValue, -1)), lit(0L)))
-    chunked.groupBy(col("id"), col("chunk_id"))
+      .drop("cut")
+  }
+
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, avgChunkGrams: Int = 8): DataFrame =
+    cdcChunkedTokens(df, idCol, textCol, window, avgChunkGrams)
+      .groupBy(col("id"), col("chunk_id"))
       .agg(min(col("t")).as("start_pos"), max(col("t")).as("end_pos"),
         count(lit(1)).as("n_tokens"),
         md5Hash52(array_join(transform(
           sort_array(collect_list(struct(col("t"), col("tok")))),
           x => x.getField("tok")), " ")).as("chunk_hash"))
+
+  /** Strip duplicated FRAGMENTS, the action [[cdcDupFragments]] measures
+    * (the fragment-grain analog of `CorpusOps.stripSpans`): every chunk
+    * whose content hash occurs more than once in the corpus keeps only
+    * its globally-FIRST occurrence (lowest id, then chunk_id — exact,
+    * engine-independent keeper rule); all later occurrences drop, and
+    * each document is rebuilt from its surviving chunks in position
+    * order. Chunks below `minTokens` are never stripped (short chunks
+    * collide semantically — articles, connectives). Output: `(id,
+    * n_tokens_kept, n_chunks_kept, text)` — documents whose every chunk
+    * was stripped survive with empty text (the row is the signal).
+    *
+    * Scale shape: [[cdcChunks]] + ONE extra shuffle on the 8-byte chunk
+    * hash (the keeper window), then an (id, chunk_id) equi-join back to
+    * the token stream; rebuild is the per-document sorted fold the chunk
+    * hash already paid for.
+    */
+  def cdcStrip(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 3, avgChunkGrams: Int = 8,
+      minTokens: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val chunked = cdcChunkedTokens(df, idCol, textCol, window, avgChunkGrams)
+    val chunks = cdcChunks(df, idCol, textCol, window, avgChunkGrams)
+    val keep = chunks
+      .withColumn("occ", row_number().over(
+        w.partitionBy("chunk_hash").orderBy("id", "chunk_id")))
+      .filter(col("occ") === 1 || col("n_tokens") < minTokens)
+      .select(col("id"), col("chunk_id"))
+    chunked.join(keep, Seq("id", "chunk_id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        countDistinct(col("chunk_id")).as("n_chunks_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ").as("text"))
+      .join(df.select(col(idCol).as("id")), Seq("id"), "right")
+      .select(col("id"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_chunks_kept"), lit(0L)).as("n_chunks_kept"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Cross-document duplicate FRAGMENTS over [[cdcChunks]]: chunk hashes

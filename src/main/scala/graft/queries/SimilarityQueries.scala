@@ -237,6 +237,17 @@ object SimilarityQueries {
           col("n_occurrences"), col("n_tokens"))
         .orderBy("chunk_hash")),
 
+    // fragment STRIPPING, the action the fragment keyer measures: every
+    // duplicated chunk keeps its globally-first occurrence, later ones
+    // drop, documents rebuilt from surviving chunks — oracle-green.
+    "q_cdc_strip" -> ((s, dir) =>
+      Dedup.cdcStrip(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens_kept"),
+          asLong(col("n_chunks_kept")).as("n_chunks_kept"), col("text"))
+        .orderBy("doc_id")),
+
     // the portable-hash SimHash face: tokenize → hash → bit votes → sign,
     // all md5-52, oracle-checked bit-for-bit (52-bit sketch as BIGINT).
     "q_simhash_portable" -> ((s, dir) =>
@@ -649,6 +660,51 @@ object SimilarityQueries {
         |FROM chunks WHERE n_tokens >= 2
         |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY chunk_hash""".stripMargin,
+
+    "q_cdc_strip" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 200),
+        |tok AS (SELECT doc_id, s.t AS t, s.tok AS tok FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w) + 1),
+        |    i -> struct_pack(t := i, tok := w[i]))) AS s FROM toks)),
+        |cut AS (SELECT doc_id, s.e AS e, s.cut AS cut FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> struct_pack(e := i + 2,
+        |      cut := CASE WHEN ('0x' || substr(
+        |          md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+        |          20, 13))::BIGINT % 8 = 0 THEN 1 ELSE 0 END))) AS s
+        |  FROM toks)),
+        |marked AS (SELECT tok.doc_id, tok.t, tok.tok,
+        |    COALESCE(cut.cut, 0) AS cut
+        |  FROM tok LEFT JOIN cut
+        |    ON cut.doc_id = tok.doc_id AND cut.e = tok.t),
+        |chunked AS (SELECT doc_id, t, tok,
+        |    COALESCE(sum(cut) OVER (PARTITION BY doc_id ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS chunk_id
+        |  FROM marked),
+        |chunks AS (SELECT doc_id, chunk_id, count(*) AS n_tokens,
+        |    ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY t)),
+        |      20, 13))::BIGINT AS chunk_hash
+        |  FROM chunked GROUP BY doc_id, chunk_id),
+        |keep AS (SELECT doc_id, chunk_id FROM (
+        |    SELECT doc_id, chunk_id, n_tokens, row_number() OVER (
+        |      PARTITION BY chunk_hash ORDER BY doc_id, chunk_id) AS occ
+        |    FROM chunks) WHERE occ = 1 OR n_tokens < 2),
+        |kept AS (SELECT c.doc_id, c.t, c.tok, c.chunk_id
+        |  FROM chunked c JOIN keep USING (doc_id, chunk_id)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens_kept,
+        |    CAST(count(DISTINCT chunk_id) AS BIGINT) AS n_chunks_kept,
+        |    string_agg(tok, ' ' ORDER BY t) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+        |  COALESCE(a.n_chunks_kept, 0) AS n_chunks_kept,
+        |  COALESCE(a.text, '') AS text
+        |FROM (SELECT DISTINCT doc_id FROM toks) d
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_simhash_portable" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t

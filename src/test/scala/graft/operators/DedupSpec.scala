@@ -292,6 +292,31 @@ class DedupSpec extends AnyFunSuite {
     assert(frags.nonEmpty && frags.subsetOf(h0 union h1 union h2))
   }
 
+  test("cdcStrip: the globally-first occurrence of a duplicated fragment " +
+    "survives verbatim, later occurrences drop, novel content is " +
+    "untouched, and a fully-duplicated doc survives as an empty row") {
+    val rnd = new scala.util.Random(5)
+    val frag = (0 until 80).map(_ => s"f${rnd.nextInt(300)}").mkString(" ")
+    val novel = (0 until 40).map(i => s"unique$i").mkString(" ")
+    val docs = Seq(
+      (0L, frag),                  // first owner of every frag chunk
+      (1L, novel + " " + frag),    // novel prefix + duplicated fragment
+      (2L, frag)                   // fully duplicated
+    ).toDF("doc_id", "text")
+    val out = Dedup.cdcStrip(docs, "doc_id", "text")
+      .select("id", "n_tokens_kept", "text")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == frag, "first owner must survive verbatim")
+    // doc 1 keeps its novel prefix; the duplicated tail mostly drops
+    // (boundary chunks straddling the prefix/frag seam may differ)
+    assert(out(1L)._3.startsWith(novel))
+    assert(out(1L)._2 < 40 + 80 && out(1L)._2 >= 40)
+    // doc 2 is byte-identical to doc 0 → identical chunks → all stripped
+    // (short sub-minTokens chunks excepted)
+    assert(out(2L)._2 < 10, s"doc 2 kept ${out(2L)._2} tokens")
+    assert(out.contains(2L), "fully-stripped doc must still emit a row")
+  }
+
   test("cdc chunking property: over 100 seeded random documents " +
     "(including 1- and 2-token edge cases below the gram window), the " +
     "chunks tile each token stream exactly — dense ids, contiguous " +
