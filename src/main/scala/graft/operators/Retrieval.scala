@@ -96,15 +96,24 @@ object Retrieval {
     val dl = tok.groupBy(col("doc")).agg(count(lit(1)).as("dl"))
     val n = df.agg(count(lit(1))).collect().head.getLong(0)
     val sumDl = dl.agg(coalesce(sum(col("dl")), lit(0L))).collect().head.getLong(0)
-    val avgdl = sumDl.toDouble / n
-    val qt = queries.select(col(queryIdCol).as("query_id"),
-      explode(array_distinct(col(termsCol))).as("token"))
-    // global (doc, token) postings with tf; df/idf once per term — query-
-    // independent, so the model is shared across the whole batch
     val td = tok.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = td.groupBy(col("token")).agg(count(lit(1)).as("dfr"))
+    scoreBatch(queries.select(col(queryIdCol).as("query_id"),
+        explode(array_distinct(col(termsCol))).as("token")),
+      td, dl, n, sumDl.toDouble / n, k1, b, topN, idCol)
+  }
+
+  /** Shared batch-scoring core: postings pruned to the query vocabulary
+    * (semi-join — df/idf never aggregates the full vocab), idf broadcast,
+    * per-(query, doc) ordered fold, rank per query.
+    */
+  private def scoreBatch(qt: DataFrame, td: DataFrame, dl: DataFrame,
+      n: Long, avgdl: Double, k1: Double, b: Double, topN: Int,
+      idCol: String): DataFrame = {
+    val tdq = td.join(qt.select(col("token")).distinct(), Seq("token"),
+      "left_semi")
+    val dfreq = tdq.groupBy(col("token")).agg(count(lit(1)).as("dfr"))
     val contrib = qt
-      .join(td, Seq("token"))
+      .join(tdq, Seq("token"))
       .join(broadcast(dfreq.withColumn("idf",
         log(((lit(n) - col("dfr")).cast(DoubleType) + lit(0.5)) /
           (col("dfr").cast(DoubleType) + lit(0.5)) + lit(1.0)))),
@@ -126,6 +135,45 @@ object Retrieval {
       .filter(col("rank") <= topN)
       .select(col("query_id"), col("doc").as(idCol), col("rank"),
         col("n_terms"), col("score"))
+  }
+
+  /** [[bm25Batch]] served from a materialized [[writeBm25Index]] index —
+    * the sparse arm of an index-served hybrid stack: the postings scan
+    * carries a STATIC partition filter on the union of the batch's query
+    * terms' buckets (plus token equality within them), so it reads at
+    * most `|distinct terms| / nBuckets` of the index and never the
+    * corpus. Scores are bitwise-identical to [[bm25Batch]] on the same
+    * corpus (same expression trees; spec-pinned).
+    *
+    * CONTRACT (the served-path recipe shared with the ANN indexes): the
+    * distinct term set collects driver-side to build the static prune,
+    * so it is capped at `maxQueryTerms` — corpus-sized query batches
+    * should use [[bm25Batch]] against a direct postings read instead.
+    */
+  def bm25BatchFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, queryIdCol: String, termsCol: String,
+      k1: Double = 1.2, b: Double = 0.75, topN: Int = 20,
+      nBuckets: Int = 64, idCol: String = "doc_id",
+      maxQueryTerms: Int = 65536): DataFrame = {
+    val qt = queries.select(col(queryIdCol).as("query_id"),
+      explode(array_distinct(col(termsCol))).as("token"))
+    val terms = qt.select(col("token")).distinct()
+      .limit(maxQueryTerms + 1).collect().map(_.getString(0))
+    require(terms.length <= maxQueryTerms,
+      s"bm25BatchFromIndex serves at most $maxQueryTerms distinct query " +
+        "terms per call (driver collects the term set for static " +
+        "partition pruning); for corpus-sized query batches use bm25Batch " +
+        "against a direct postings read")
+    val stats = spark.read.parquet(s"$path/stats").collect().head
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val td = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(
+        terms.map(t => termBucketValue(t, nBuckets)).distinct.toSeq: _*) &&
+        col("token").isin(terms.toSeq: _*))
+      .select(col("doc"), col("token"), col("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    scoreBatch(qt, td, dl, n, avgdl, k1, b, topN, idCol)
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-

@@ -104,6 +104,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!batch.contains(102L)) // no matching postings → no rows
   }
 
+  test("bm25BatchFromIndex: identical to the ad-hoc batch path, postings " +
+    "scan carries a static partition filter, oversized term sets refused") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("bm25b").toString + "/idx"
+    Retrieval.writeBm25Index(docs, "doc_id", "text", dir)
+    val queries = Seq(
+      (100L, Seq("spark", "shuffle", "partition")),
+      (101L, Seq("partition", "cooking"))
+    ).toDF("query_id", "terms")
+    val adhoc = Retrieval.bm25Batch(docs, "doc_id", "text",
+        queries, "query_id", "terms")
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    val served = Retrieval.bm25BatchFromIndex(spark, dir,
+      queries, "query_id", "terms")
+    assert(served.as[(Long, Long, Int, Long, Double)].collect().toSet
+      == adhoc)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["),
+      "no partition filter reached the postings scan")
+    val big = intercept[IllegalArgumentException] {
+      Retrieval.bm25BatchFromIndex(spark, dir, queries, "query_id",
+        "terms", maxQueryTerms = 2)
+    }
+    assert(big.getMessage.contains("serves at most"))
+  }
+
   test("rrfFuse: exact reciprocal-rank arithmetic, both-arm docs beat " +
     "single-arm docs with comparable ranks, topN bounds each query") {
     import org.apache.spark.sql.functions._
