@@ -96,7 +96,9 @@ object VectorFunctions {
         zip_with(vec, slice(typedLit(signs), lit(1), size(vec)),
           (x, s) => x.cast(DoubleType) * s),
         lit(0.0), (acc, v) => acc + v)
-      when(size(vec) > maxDims, lit(null))
+      when(size(vec) > maxDims,
+          raise_error(lit(s"portableHyperplaneKey: vector has more than " +
+            s"maxDims=$maxDims components")).cast(LongType))
         .otherwise(when(proj > 0, lit(1L << p)).otherwise(lit(0L)))
     }.reduce((a, x) => a.bitwiseOR(x))
   }

@@ -115,18 +115,25 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 16,
-      maxBucketSize: Int = 1000): DataFrame = {
-    val idx = lshIndex(df, idCol, textCol, shingleN, k, bands)
-    // single-branch pair generation — no self-join, no persist: after the
-    // window's size filter each surviving bucket collapses to an id array
-    // (bounded by maxBucketSize, so agg buffers are safe), and pairs come
-    // from a double explode within the row. The groupBy and collect_list
-    // reuse the window's (band, bucket) partitioning, so the whole
-    // candidate step is ONE shuffle of the index and nothing is left
-    // pinned in the cache manager afterwards.
+      maxBucketSize: Int = 1000): DataFrame =
+    bandPairs(lshIndex(df, idCol, textCol, shingleN, k, bands),
+      maxBucketSize, "minhashCandidates")
+
+  /** Single-branch pair generation over a banded `(id, band, bucket)`
+    * index — no self-join, no persist: after the window's size filter
+    * each surviving bucket collapses to an id array (bounded by
+    * `maxBucketSize`, so agg buffers are safe), and pairs come from a
+    * double explode within the row. The groupBy and collect_list reuse
+    * the window's (band, bucket) partitioning, so the whole candidate
+    * step is ONE shuffle of the index and nothing is left pinned in the
+    * cache manager afterwards. Shared by the xxhash64 and portable-hash
+    * MinHash faces — cap accounting and pair semantics cannot diverge.
+    */
+  private def bandPairs(idx: DataFrame, maxBucketSize: Int,
+      opName: String): DataFrame = {
     val sized = idx.withColumn("sz", count(lit(1)).over(
       org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-    observeCaps(sized, "sz", maxBucketSize, "minhashCandidates")
+    observeCaps(sized, "sz", maxBucketSize, opName)
       .filter(col("sz") <= maxBucketSize)
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("id")).as("ids"))
@@ -678,17 +685,7 @@ object Dedup {
             col(s"__h${b * rows + j}").cast(StringType)): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    val sized = bk.withColumn("sz", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-    observeCaps(sized, "sz", maxBucketSize, "portableMinhashPairs")
-      .filter(col("sz") <= maxBucketSize)
-      .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ids"))
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_bands_matched"))
+    bandPairs(bk, maxBucketSize, "portableMinhashPairs")
   }
 
   /** Content-defined chunking (the rsync/LBFS boundary rule, on word
@@ -766,8 +763,15 @@ object Dedup {
       window: Int = 3, avgChunkGrams: Int = 8,
       minTokens: Int = 2): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    // ONE lattice: the chunk aggregation below derives from the same
+    // `chunked` frame the keeper join consumes — the tokenize/hash/
+    // prefix-sum pipeline runs once, not once per consumer
     val chunked = cdcChunkedTokens(df, idCol, textCol, window, avgChunkGrams)
-    val chunks = cdcChunks(df, idCol, textCol, window, avgChunkGrams)
+    val chunks = chunked.groupBy(col("id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        md5Hash52(array_join(transform(
+          sort_array(collect_list(struct(col("t"), col("tok")))),
+          x => x.getField("tok")), " ")).as("chunk_hash"))
     val keep = chunks
       .withColumn("occ", row_number().over(
         w.partitionBy("chunk_hash").orderBy("id", "chunk_id")))
@@ -806,17 +810,18 @@ object Dedup {
       .filter(col("n_docs") >= minDocs)
 
   /** 52-bit SimHash over the portable hash family — [[simhashSketches]]'
-    * vote rule (per bit, sign of the ±1 token votes; ties and null docs
-    * sketch the bit to 0) with the md5-52 token hash, so the whole
-    * tokenize → hash → vote → sign path is DuckDB-reproducible. 52 bits
-    * (not 64) because the portable hash is 52 bits wide.
+    * vote rule (per bit, sign of the ±1 token votes; tied bits sketch
+    * to 0) with the md5-52 token hash, so the whole tokenize → hash →
+    * vote → sign path is DuckDB-reproducible. 52 bits (not 64) because
+    * the portable hash is 52 bits wide. Null-text docs emit NO row —
+    * matching the oracle's inner `unnest` exactly ([[simhashSketches]],
+    * by contrast, sketches null docs to 0 via `explode_outer`).
     */
   def portableSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val inv = df
       .select(col(idCol).as("id"),
-        explode_outer(TextFunctions.tokens(col(textCol))).as("t"))
-      .select(col("id"),
-        when(col("t").isNotNull, md5Hash52(col("t"))).as("h"))
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .select(col("id"), md5Hash52(col("t")).as("h"))
     val votes = (0 until 52).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
         .as(s"__v$b"))

@@ -255,8 +255,11 @@ object Multimodal {
   def fingerprintVideo(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val video = udf { (hex0: String, hex1: String) =>
-      imageIoNoCache
-      pngOf(hex0) ++ pngOf(hex1)
+      if (hex0 == null || hex1 == null) null
+      else {
+        imageIoNoCache
+        pngOf(hex0) ++ pngOf(hex1)
+      }
     }
     val h0 = md5(to_binary(col(textCol), lit("utf-8")))
     val h1 = md5(to_binary(h0, lit("utf-8")))
@@ -290,6 +293,8 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
+          if (bytes == null) Iterator.empty
+          else {
           // the demux step: verify the signature, then WALK THE CHUNK
           // STRUCTURE (length + type + data + crc, until IEND) to find
           // each frame's exact end — a naive signature scan could false-
@@ -305,6 +310,11 @@ object Multimodal {
               val len = ((bytes(p) & 0xff) << 24) |
                 ((bytes(p + 1) & 0xff) << 16) |
                 ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+              // a chunk length is a 31-bit unsigned value; malformed
+              // bytes (negative after the signed read, or pointing past
+              // the buffer) end the walk at the buffer instead of
+              // spinning or indexing out of bounds
+              if (len < 0 || len > bytes.length - p) return bytes.length
               val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
                 bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
               p += 8 + len + 4
@@ -337,6 +347,7 @@ object Multimodal {
               }
               Some(Row(id, fi.toLong, w, h, w.toLong * h, sum, mn, mx))
             }
+          }
           }
         }
       }(enc)

@@ -153,8 +153,7 @@ object Retrieval {
   def bm25BatchFromIndex(spark: SparkSession, path: String,
       queries: DataFrame, queryIdCol: String, termsCol: String,
       k1: Double = 1.2, b: Double = 0.75, topN: Int = 20,
-      nBuckets: Int = 64, idCol: String = "doc_id",
-      maxQueryTerms: Int = 65536): DataFrame = {
+      idCol: String = "doc_id", maxQueryTerms: Int = 65536): DataFrame = {
     val qt = queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(col(termsCol))).as("token"))
     val terms = qt.select(col("token")).distinct()
@@ -164,9 +163,7 @@ object Retrieval {
         "terms per call (driver collects the term set for static " +
         "partition pruning); for corpus-sized query batches use bm25Batch " +
         "against a direct postings read")
-    val stats = spark.read.parquet(s"$path/stats").collect().head
-    val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n
+    val (n, avgdl, nBuckets) = readBm25Stats(spark, path)
     val td = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(
         terms.map(t => termBucketValue(t, nBuckets)).distinct.toSeq: _*) &&
@@ -232,7 +229,10 @@ object Retrieval {
     val spark = df.sparkSession
     import spark.implicits._
     val sumDl = tok.agg(count(lit(1))).collect().head.getLong(0)
-    Seq((n, sumDl)).toDF("n", "sum_dl")
+    // n_buckets is part of the index layout: persisted so serve paths
+    // derive the SAME bucketing they prune on (a mismatched bucket count
+    // would silently prune the wrong partitions)
+    Seq((n, sumDl, nBuckets.toLong)).toDF("n", "sum_dl", "n_buckets")
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
@@ -244,11 +244,9 @@ object Retrieval {
     */
   def bm25FromIndex(spark: SparkSession, path: String,
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-      topN: Int = 20, nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+      topN: Int = 20, idCol: String = "doc_id"): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
-    val stats = spark.read.parquet(s"$path/stats").collect().head
-    val n = stats.getLong(0)
-    val avgdl = stats.getLong(1).toDouble / n
+    val (n, avgdl, nBuckets) = readBm25Stats(spark, path)
     val td = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(
         queryTerms.map(t => termBucketValue(t, nBuckets)): _*) &&
@@ -256,6 +254,17 @@ object Retrieval {
       .select(col("doc"), col("token"), col("tf"))
     val dl = spark.read.parquet(s"$path/doclen")
     scoreAndTop(td, dl, n, avgdl, k1, b, topN, idCol)
+  }
+
+  /** `(n, avgdl, n_buckets)` from a [[writeBm25Index]] stats file. The
+    * bucket count comes from the INDEX, never a caller parameter — the
+    * prune must use the write-time bucketing.
+    */
+  private def readBm25Stats(spark: SparkSession,
+      path: String): (Long, Double, Int) = {
+    val stats = spark.read.parquet(s"$path/stats").collect().head
+    val n = stats.getLong(0)
+    (n, stats.getLong(1).toDouble / n, stats.getLong(2).toInt)
   }
 
   /** Driver-side mirror of [[termBucket]] (Spark's xxhash64 with seed 42). */
@@ -291,21 +300,31 @@ object Retrieval {
     * so served results are identical to the ad-hoc path.
     */
   def writePositionalIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit =
+      path: String, nBuckets: Int = 64): Unit = {
     df.select(col(idCol).as("doc"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
       .withColumn("tb", termBucket(col("tok"), nBuckets))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$path/positions")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // bucket count is part of the layout — persisted like the BM25 stats
+    Seq(nBuckets.toLong).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
 
   /** [[phraseSearch]] over a pre-built [[writePositionalIndex]]: same
     * start-marker voting, but the scan carries a STATIC partition filter
     * on the phrase terms' buckets — it reads ≤ |terms|/nBuckets of the
-    * index and never the corpus. Row-identical to the ad-hoc path.
+    * index and never the corpus. Row-identical to the ad-hoc path. The
+    * bucket count comes from the index's stats file, never a caller
+    * parameter (a mismatch would silently prune the wrong partitions).
     */
   def phraseFromIndex(spark: SparkSession, path: String, phrase: String,
-      nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id"): DataFrame = {
     val terms = splitPhrase(phrase)
+    val nBuckets = spark.read.parquet(s"$path/stats")
+      .collect().head.getLong(0).toInt
     val postings = spark.read.parquet(s"$path/positions")
       .filter(col("tb").isin(
         terms.distinct.map(t => termBucketValue(t, nBuckets)): _*) &&

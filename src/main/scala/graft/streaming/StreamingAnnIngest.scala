@@ -62,9 +62,13 @@ object StreamingAnnIngest {
     * (eager), then append this batch's codes and vectors idempotently.
     */
   def processBatch(batch: DataFrame, batchId: Long, path: String,
-      k: Int, nprobe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+      k: Int, nprobe: Int = 4, rerankFactor: Int = 4,
+      model: Option[IvfPq.Model] = None): DataFrame = {
     val spark = batch.sparkSession
-    val mdl = IvfPq.readModel(spark, path)
+    // the model is frozen at bootstrap — a long-running stream loads it
+    // once in attach() and passes it here, instead of a driver-side
+    // parquet read per micro-batch
+    val mdl = model.getOrElse(IvfPq.readModel(spark, path))
     val standingCodes = spark.read.parquet(s"$path/codes")
       .filter(col("ingest_batch") =!= batchId)
       .select(col("id"), col("cell"), col("code"), col("nrm"))
@@ -96,11 +100,14 @@ object StreamingAnnIngest {
     */
   def attach(vectors: DataFrame, path: String, k: Int,
       checkpointDir: String, nprobe: Int = 4, rerankFactor: Int = 4)(
-      onNeighbors: DataFrame => Unit): StreamingQuery =
+      onNeighbors: DataFrame => Unit): StreamingQuery = {
+    val mdl = IvfPq.readModel(vectors.sparkSession, path) // frozen: load once
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (b: DataFrame, batchId: Long) =>
-        onNeighbors(processBatch(b, batchId, path, k, nprobe, rerankFactor))
+        onNeighbors(processBatch(b, batchId, path, k, nprobe, rerankFactor,
+          Some(mdl)))
       }
       .start()
+  }
 }

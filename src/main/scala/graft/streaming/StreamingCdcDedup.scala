@@ -54,9 +54,13 @@ object StreamingCdcDedup {
     val spark = batch.sparkSession
     val standing = spark.read.parquet(path)
       .filter(col("ingest_batch") =!= batchId)
+    // chunk the batch ONCE: both the probe and the append consume this —
+    // an uncached lazy plan would run the tokenize/hash/window pipeline
+    // twice per micro-batch
     val batchChunks = Dedup.cdcChunks(batch, idCol, textCol, window,
         avgChunkGrams)
       .filter(col("n_tokens") >= minTokens)
+      .localCheckpoint(true)
     val matches = standing
       .join(broadcast(batchChunks
           .select(col("chunk_hash"), col("id").as("id_new"),

@@ -47,11 +47,11 @@ class PhraseSearchSpec extends AnyFunSuite {
     Retrieval.writePositionalIndex(docs, "doc_id", "text", dir, nBuckets = 8)
     val adhoc = Retrieval.phraseSearch(docs, "doc_id", "text", "w2 w3 w4")
       .as[(Long, Long, Long)].collect().toSet
-    val served = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4",
-      nBuckets = 8).as[(Long, Long, Long)].collect().toSet
+    val served = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4")
+      .as[(Long, Long, Long)].collect().toSet
     assert(adhoc == served && adhoc.nonEmpty)
-    val plan = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4",
-      nBuckets = 8).queryExecution.executedPlan.toString
+    val plan = Retrieval.phraseFromIndex(spark, dir, "w2 w3 w4")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["),
       "no partition filters reached the positions scan")
     assert(plan.contains("tb#") || plan.contains("tb IN"),

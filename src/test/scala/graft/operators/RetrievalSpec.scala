@@ -54,12 +54,12 @@ class RetrievalSpec extends AnyFunSuite {
       Seq("spark", "shuffle", "filler"), topN = 50)
       .as[(Long, Long, Double)].collect().toSeq
     val served = Retrieval.bm25FromIndex(spark, dir,
-      Seq("spark", "shuffle", "filler"), topN = 50, nBuckets = 16)
+      Seq("spark", "shuffle", "filler"), topN = 50)
       .as[(Long, Long, Double)].collect().toSeq
     assert(adhoc == served) // bitwise, including the double scores
     // the postings scan must carry a static partition filter on tb
     val plan = Retrieval.bm25FromIndex(spark, dir,
-      Seq("spark", "shuffle", "filler"), topN = 50, nBuckets = 16)
+      Seq("spark", "shuffle", "filler"), topN = 50)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["),
       "no partition filters reached the postings scan")
