@@ -168,9 +168,14 @@ object Dedup {
     // scale that's the small fraction surviving LSH, not the corpus
     val ids = p.select(col("id_a").as("__id"))
       .union(p.select(col("id_b").as("__id"))).distinct()
+    // shingles travel as xxhash64 longs, not n-gram strings: |∩| and |∪|
+    // are unchanged (wordShingles is already distinct; a within-pair
+    // 64-bit collision needs ~2^32 shingles in one document), and the two
+    // pair joins below shuffle ~8 bytes per shingle instead of the text
     val sh = df.join(ids, col(idCol) === col("__id"), "left_semi")
       .select(col(idCol).as("__id"),
-        TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+        transform(TextFunctions.wordShingles(col(textCol), shingleN),
+          x => xxhash64(x)).as("__sh"))
     p
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
