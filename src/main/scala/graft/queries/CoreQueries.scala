@@ -379,8 +379,60 @@ object CoreQueries {
           asLong(col("view_ts")).as("view_ts"),
           asLong(col("view_event_id")).as("view_event_id"))
         .orderBy("user_id", "ts", "view_ts")
+    }),
+
+    // fixed-point integer PageRank over the supply DAG (supplier → part →
+    // order; offsets keep the key spaces disjoint). Orders are dangling —
+    // their mass redistributes uniformly — and every rank is exact
+    // integer arithmetic, so the 8-iteration unrolled oracle matches
+    // bit-for-bit.
+    "q_pagerank" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val supply = li.select(col("l_suppkey").as("src"),
+        (col("l_partkey") + lit(1000000L)).as("dst"))
+      val fulfil = li.select((col("l_partkey") + lit(1000000L)).as("src"),
+        (col("l_orderkey") + lit(2000000L)).as("dst"))
+      graft.operators.Graph.pageRank(supply.unionByName(fulfil),
+        "src", "dst", iterations = 8)
+        .orderBy("node")
     })
   )
+
+  /** The [[graft.operators.Graph.pageRank]] iteration unrolled: CTEs are
+    * MATERIALIZED because DuckDB inlines CTE references, and each
+    * iteration references its predecessor twice (contributions and the
+    * dangling sum) — inlined, the plan would blow up 2^iterations.
+    */
+  private def pageRankOracle(iterations: Int, scale: Long): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+         |    FROM lineitem
+         |  UNION
+         |  SELECT DISTINCT l_partkey + 1000000 AS src,
+         |      l_orderkey + 2000000 AS dst FROM lineitem),
+         |nodes AS MATERIALIZED (
+         |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT node, (SELECT $scale // n FROM nn) AS r FROM nodes)""".stripMargin
+    val iters = (1 to iterations).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS node, SUM(r.r // g.deg) AS c
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN deg g ON e.src = g.src GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT COALESCE(SUM(r.r), 0) AS dang
+         |  FROM r${i - 1} r LEFT JOIN deg g ON r.node = g.src
+         |  WHERE g.src IS NULL),
+         |r$i AS MATERIALIZED (SELECT n.node,
+         |  (15 * (SELECT $scale // n FROM nn) + 85 * (COALESCE(c.c, 0)
+         |    + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT node, r AS rank_pp FROM r$iterations ORDER BY node"
+  }
 
   val oracles: Map[String, String] = Map(
     "q_idx_parse" ->
@@ -619,6 +671,8 @@ object CoreQueries {
         |  v.ts AS view_ts, v.event_id AS view_event_id
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.ts BETWEEN p.ts - 3600000000 AND p.ts - 1
-        |ORDER BY p.user_id, p.ts, view_ts""".stripMargin
+        |ORDER BY p.user_id, p.ts, view_ts""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle(iterations = 8, scale = 1000000000000L)
   )
 }
