@@ -41,10 +41,21 @@ object Graph {
     *                    "pico-rank" units). Bounded so
     *                    `dampingPct * 2 * scale` cannot overflow a long.
     * @param dampingPct  damping factor in percent (85 = the classic 0.85).
+    * @param maxBroadcastNodes  node-count threshold for the small-graph
+    *                    fast path: when `n ≤` this, the per-iteration
+    *                    rank/contribution tables (16 bytes/node) are
+    *                    broadcast, so each iteration costs ONE shuffle
+    *                    (the partial-aggregated contribution sum) and the
+    *                    edges never move. Above it — the billion-node
+    *                    regime where a rank vector no longer fits on the
+    *                    driver — every join falls back to shuffle on the
+    *                    standing hash(src)/hash(node) layouts. The
+    *                    default (10^7 ≈ 160 MB of rank rows) is safely
+    *                    inside a normal driver heap.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 8, scale: Long = 1000000000000L,
-      dampingPct: Int = 85): DataFrame = {
+      dampingPct: Int = 85, maxBroadcastNodes: Long = 10000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1,100], got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -52,46 +63,59 @@ object Graph {
     require(scale > 0 && scale <= 10000000000000000L, // 10^16
       s"scale must be in (0, 10^16], got $scale")
     // the standing state: distinct edges with the source's out-degree
-    // attached — built once, reused by all iterations
-    val e = edges
+    // attached — built once, reused by all iterations. The degree rides
+    // in on a window over the SAME hash(src) exchange that lays the
+    // edges out for the iteration joins (no separate groupBy+join), so
+    // setup is two shuffles of the edge set total: distinct, then src
+    val ed = edges
       .select(col(srcCol).cast(LongType).as("src"),
         col(dstCol).cast(LongType).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // one aggregation yields the node set AND the dangling flag (a node
+    // is dangling iff it never appears as a source) — no anti-join, and
+    // both driver-side counts come from a single action
+    val nodeFlags = ed.select(col("src").as("node"), lit(1).as("has_out"))
+      .union(ed.select(col("dst").as("node"), lit(0).as("has_out")))
+      .groupBy(col("node")).agg(max(col("has_out")).as("has_out"))
       .localCheckpoint(true)
-    val n = nodes.count()
+    val counts = nodeFlags
+      .agg(count(lit(1)), sum(lit(1) - col("has_out"))).collect().head
+    val n = counts.getLong(0)
     require(n > 0, "pageRank: empty edge set")
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val ed = e.join(deg, "src").localCheckpoint(true)
-    // the SET of dangling nodes is static across iterations (only their
-    // rank changes) — resolve the anti-join once, not once per iteration
-    val dangNodes = nodes
-      .join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint(true)
+    val nDang = counts.getLong(1)
+    val nodes = nodeFlags.select(col("node"))
+    // static across iterations (only the RANK of a dangling node
+    // changes) — a narrow filter over the checkpointed node table
+    val dangNodes = nodeFlags.filter(col("has_out") === 0).select(col("node"))
+    val bcast = n <= maxBroadcastNodes
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val base = scale / n
     var ranks = nodes.select(col("node"), lit(base).as("r"))
       .localCheckpoint(true)
     var i = 0
     while (i < iterations) {
       val contribs = ed
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(side(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("c"))
-      // dangling mass redistributes uniformly. One-row aggregate,
-      // broadcast into the rank update — no driver collect in the loop
-      val dang = ranks
-        .join(dangNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       // lazy checkpoint: ranks feeds two consumers next iteration
       // (contributions and the dangling sum) — block-backed after first
       // materialization, and the whole iteration chain evaluates in ONE
       // action at the end instead of one scheduled job set per iteration
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dang))
+      val joined = nodes.join(side(contribs), Seq("node"), "left")
+      // dangling mass redistributes uniformly. One-row aggregate,
+      // broadcast into the rank update — no driver collect in the loop.
+      // A graph with no dangling nodes (nDang static) skips the branch
+      val withDang =
+        if (nDang == 0) joined.withColumn("dang", lit(0L))
+        else joined.crossJoin(broadcast(ranks
+          .join(side(dangNodes), Seq("node"), "left_semi")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))))
+      ranks = withDang
         .select(col("node"),
           expr(s"(${100 - dampingPct}L * ${base}L + ${dampingPct}L * " +
             s"(coalesce(c, 0L) + (dang div ${n}L))) div 100L").as("r"))
