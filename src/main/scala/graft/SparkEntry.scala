@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.ParseQueries.queries ++
-      graft.queries.LmQueries.queries
+      graft.queries.LmQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.ParseQueries.oracles ++
-      graft.queries.LmQueries.oracles
+      graft.queries.LmQueries.oracles ++
+      graft.queries.SketchQueries.oracles
 }
