@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.SimilarityQueries.queries ++
       graft.queries.ParseQueries.queries ++
       graft.queries.LmQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.SelectionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.SimilarityQueries.oracles ++
       graft.queries.ParseQueries.oracles ++
       graft.queries.LmQueries.oracles ++
-      graft.queries.SketchQueries.oracles
+      graft.queries.SketchQueries.oracles ++
+      graft.queries.SelectionQueries.oracles
 }

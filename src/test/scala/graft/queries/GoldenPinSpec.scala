@@ -22,6 +22,7 @@ object GoldenPin {
     Seq("q_ann_ivf", "q_ann_ivfpq", "q_ann_lsh", "q_ann_opq", "q_ann_pq",
       "q_ann_sq",
       "q_bpe_tokens", "q_compress_ratio", "q_dedup_minhash",
+      "q_dsir_select", "q_dsir_weights",
       "q_quality_logistic", "q_semantic_dedup", "q_simhash_sketch",
       "q_unigram_tokens")
 
@@ -81,6 +82,10 @@ class GoldenPinSpec extends AnyFunSuite {
       "5065922ff5a70e5e5cc3d5b2d5d81a7bc773d2daf4e01fad21fbe07d09a93f34"),
     "q_dedup_minhash" -> (30L,
       "dcb7bea2b7f79769b78ce9be743abc108d2bd21ac5e0760864364fb94a5e4649"),
+    "q_dsir_select" -> (50L,
+      "9a11f01689394166414b951ae705a1a5f61b18da83bb71ee016cde22594c2ede"),
+    "q_dsir_weights" -> (500L,
+      "adb2262fceba880a454d2f038296b53897b4602c927ee6c2cb0b8b9400e2390a"),
     "q_quality_logistic" -> (250L,
       "28714ec450e69aab07738950d23b7bc9e68b4e284df608fc2dc84f307ae576dc"),
     "q_semantic_dedup" -> (259L,
