@@ -150,6 +150,41 @@ object CardinalitySketch {
           .as("dv_intersect"))
   }
 
+  /** Global KMV sketch state `(h)` — the ≤k smallest distinct hashes of
+    * the whole column. Mergeable: the k smallest of a UNION of state
+    * rows is exactly the sketch of the concatenated inputs, which is
+    * what makes the streaming store's estimates batch-equivalent.
+    */
+  def kmvState(df: DataFrame, valueCol: String, k: Int = 256): DataFrame = {
+    requireK(k)
+    val minK = udaf(new MinKAggregator(k))
+    df.select(md5Hash52(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .agg(minK(col("h")).as("hs"))
+      .select(explode(col("hs")).as("h"))
+  }
+
+  /** Collapse unioned state rows (`h` column) back to one ≤k-row state —
+    * the compaction step of a sketch store.
+    */
+  def kmvCompactState(state: DataFrame, k: Int = 256): DataFrame = {
+    requireK(k)
+    val minK = udaf(new MinKAggregator(k))
+    state.agg(minK(col("h")).as("hs"))
+      .select(explode(col("hs")).as("h"))
+  }
+
+  /** [[kmvEstimate]] over state rows (`h` column) — e.g. the union of
+    * several [[kmvState]] outputs.
+    */
+  def kmvEstimateFromState(state: DataFrame, k: Int = 256): DataFrame = {
+    requireK(k)
+    val minK = udaf(new MinKAggregator(k))
+    state.agg(minK(col("h")).as("hs"))
+      .select(sketchCols(col("hs")): _*)
+      .withColumn("dv_est", dvEst(k, col("n_state"), col("kth_hash")))
+  }
+
   /** Exploded per-key sketch state `(key, h)` — ≤k rows per key. */
   def kmvStateRows(df: DataFrame, keyCol: String, valueCol: String,
       k: Int = 256): DataFrame = {
@@ -216,28 +251,32 @@ object CardinalitySketch {
     * shuffle; drop the column in production).
     */
   def hllEstimate(df: DataFrame, valueCol: String, p: Int = 8): DataFrame = {
-    val w = hllW(p)
-    val m = 1L << p
-    val numer = (BigInt(alphaPpm(p)) * (BigInt(1) << (2 * p + w + 1))).toString
     val hashes = df.select(md5Hash52(col(valueCol)).as("h"))
       .filter(col("h").isNotNull)
       .localCheckpoint(true) // two consumers: state agg + exact distinct
-    val state = hllStateFromHashes(hashes, p)
-    val seen = state.agg(
-      count(lit(1)).as("n_seen_buckets"),
-      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - max_rho)"))
-        .as("s_seen"))
     val exact = hashes.agg(countDistinct(col("h")).as("dv_exact"))
-    seen.crossJoin(exact)
+    hllEstimateFromState(hllStateFromHashes(hashes, p), p).crossJoin(exact)
+  }
+
+  /** The estimate from `(bucket, max_rho)` register rows — e.g. the
+    * per-bucket max over several [[hllState]] outputs (HLL merges by
+    * max, exactly): `(n_seen_buckets, sum_terms, dv_raw)`.
+    */
+  def hllEstimateFromState(state: DataFrame, p: Int): DataFrame = {
+    val w = hllW(p)
+    val m = 1L << p
+    val numer = (BigInt(alphaPpm(p)) * (BigInt(1) << (2 * p + w + 1))).toString
+    state.agg(
+        count(lit(1)).as("n_seen_buckets"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - max_rho)")),
+          lit(0L)).as("s_seen"))
       .select(col("n_seen_buckets"),
         (col("s_seen") +
           (lit(m) - col("n_seen_buckets")) * lit(1L << (w + 1)))
-          .as("sum_terms"),
-        col("dv_exact"))
+          .as("sum_terms"))
       .select(col("n_seen_buckets"), col("sum_terms"),
         expr(s"CAST(CAST('$numer' AS DECIMAL(38,0)) div " +
           s"(CAST(sum_terms AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
-          .as("dv_raw"),
-        col("dv_exact"))
+          .as("dv_raw"))
   }
 }
