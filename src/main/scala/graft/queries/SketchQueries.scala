@@ -2,14 +2,15 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.CardinalitySketch
+import graft.operators.{CardinalitySketch, CountMinSketch}
 import graft.queries.Q._
 
-/** Oracle-checked queries for the cardinality-sketch tier: KMV and HLL
-  * distinct counting over the `documents` token stream, plus the
-  * pairwise source-overlap matrix. Every emitted column — including the
-  * ESTIMATES — is exact integer arithmetic over the portable md5-52
-  * hash family, so DuckDB reproduces the sketches bit-for-bit.
+/** Oracle-checked queries for the sketch tier: KMV and HLL distinct
+  * counting over the `documents` token stream, the pairwise
+  * source-overlap matrix, and Count-Min frequency estimation. Every
+  * emitted column — including the ESTIMATES — is exact integer
+  * arithmetic over the portable md5-52 hash family, so DuckDB
+  * reproduces the sketches bit-for-bit.
   */
 object SketchQueries {
 
@@ -20,6 +21,8 @@ object SketchQueries {
   private val HllNumer =
     (BigInt(CardinalitySketch.alphaPpm(P)) * (BigInt(1) << (2 * P + W + 1)))
       .toString
+  private val CmsD = 3
+  private val CmsM = 512
 
   /** The sketched unit is the word 3-shingle, not the unigram — the
     * synthetic corpus draws tokens from a tiny closed vocabulary, while
@@ -34,6 +37,18 @@ object SketchQueries {
       .select(col("source"),
         explode(graft.functions.TextFunctions.wordShingles(col("text"), 3))
           .as("tok"))
+
+  /** The CMS unit is the same 3-shingle but with OCCURRENCES preserved
+    * (`wordShinglesAll`) — a frequency sketch is blind without
+    * multiplicity, where a distinct-count sketch is blind TO it.
+    */
+  private def occurrencesOf(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(
+        graft.functions.TextFunctions.wordShinglesAll(col("text"), 3))
+        .as("tok"))
 
   val queries: Map[String, QueryFn] = Map(
     // global vocabulary estimate: one bounded aggregation, no distinct
@@ -55,7 +70,35 @@ object SketchQueries {
     // raw HLL estimate in scaled-integer arithmetic, with the exact
     // distinct count beside it as the in-row correctness harness
     "q_hll_estimate" -> ((s, dir) =>
-      CardinalitySketch.hllEstimate(tokensOf(s, dir), "tok", P))
+      CardinalitySketch.hllEstimate(tokensOf(s, dir), "tok", P)),
+
+    // Count-Min state: ≤ d×m integer cells regardless of corpus size —
+    // the 100 TB replacement for groupBy(token).count()
+    "q_cms_state" -> ((s, dir) =>
+      CountMinSketch.cmsState(occurrencesOf(s, dir), "tok", CmsD, CmsM)
+        .orderBy("row_id", "bucket")),
+
+    // point estimates for the shingles of the first ten documents, with
+    // the exact count beside each — the est >= exact one-sided guarantee
+    // lands in driver-checked data, and collisions (m=512 against ~16k
+    // keys) make est > exact visible
+    "q_cms_err" -> ((s, dir) => {
+      val stream = occurrencesOf(s, dir)
+        .localCheckpoint(true) // consumed by the state AND the exact counts
+      val state = CountMinSketch.cmsState(stream, "tok", CmsD, CmsM)
+      val probes = t(s, dir, "documents")
+        .filter(col("doc_id") < 10 && col("text").isNotNull)
+        .select(explode(
+          graft.functions.TextFunctions.wordShingles(col("text"), 3))
+          .as("tok"))
+        .distinct()
+      val exact = stream.join(broadcast(probes), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("cnt_exact"))
+      CountMinSketch.cmsEstimate(state, probes, "tok", CmsD, CmsM)
+        .withColumnRenamed("probe", "tok")
+        .join(exact, Seq("tok"))
+        .orderBy("tok")
+    })
   )
 
   private val TokCte =
@@ -66,6 +109,23 @@ object SketchQueries {
       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok FROM toks),
       |h AS (SELECT source,
       |  ('0x' || substr(md5(tok), 20, 13))::BIGINT AS h FROM sh)""".stripMargin
+
+  /** All shingle OCCURRENCES (no dedup) + the seeded CMS cell per hash
+    * row: bucket_i(tok) = md5("i|" ++ tok)[52-bit] % m.
+    */
+  private val CmsCte =
+    s"""toks AS (SELECT string_split(text, ' ') AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |sh AS (SELECT unnest(list_transform(
+       |    range(1, greatest(len(w) - 1, 1)),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok FROM toks),
+       |rows_ AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS row_id),
+       |cells AS (SELECT r.row_id, s.tok,
+       |  ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || '|' || s.tok),
+       |    20, 13))::BIGINT % $CmsM AS bucket
+       |  FROM sh s CROSS JOIN rows_ r),
+       |st AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM cells GROUP BY row_id, bucket)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_kmv_vocab" ->
@@ -143,6 +203,30 @@ object SketchQueries {
          |  ($HllNumer::HUGEINT
          |    // (sum_terms::HUGEINT * 1000000))::BIGINT AS dv_raw,
          |  dv_exact
-         |FROM terms""".stripMargin
+         |FROM terms""".stripMargin,
+
+    "q_cms_state" ->
+      s"""WITH $CmsCte
+         |SELECT row_id, bucket, cnt FROM st
+         |ORDER BY row_id, bucket""".stripMargin,
+
+    "q_cms_err" ->
+      s"""WITH $CmsCte,
+         |pd AS (SELECT string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id < 10 AND text IS NOT NULL),
+         |probes AS (SELECT DISTINCT unnest(list_transform(
+         |    range(1, greatest(len(w) - 1, 1)),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS tok FROM pd),
+         |pc AS (SELECT p.tok, r.row_id,
+         |  ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || '|' || p.tok),
+         |    20, 13))::BIGINT % $CmsM AS bucket
+         |  FROM probes p CROSS JOIN rows_ r),
+         |est AS (SELECT pc.tok,
+         |    CAST(min(COALESCE(st.cnt, 0)) AS BIGINT) AS est
+         |  FROM pc LEFT JOIN st USING (row_id, bucket) GROUP BY pc.tok),
+         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt_exact
+         |  FROM sh WHERE tok IN (SELECT tok FROM probes) GROUP BY tok)
+         |SELECT e.tok, e.est, x.cnt_exact
+         |FROM est e JOIN exact x USING (tok) ORDER BY e.tok""".stripMargin
   )
 }
