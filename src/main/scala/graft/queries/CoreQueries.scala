@@ -360,6 +360,22 @@ object CoreQueries {
           asLong(col("session_seq")).as("session_seq"))
         .orderBy("user_id", "ts")),
 
+    // the same 6h sessions through Spark's session_window — the
+    // streaming-capable formulation (per-open-session state, no sorted
+    // key history), batch face oracle-checked against the gap rule.
+    // Exact-boundary events (next − prev == gap) MERGE in both forms.
+    "q_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingSessionize.sessions(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id")),
+        "user_id", "ts", "event_id", gap = "6 hours")
+        .select(asLong(col("user_id")).as("user_id"),
+          expr("unix_micros(session_start)").as("start_us"),
+          expr("unix_micros(session_end)").as("end_us"),
+          asLong(col("n_events")).as("n_events"),
+          asLong(col("min_event")).as("min_event"),
+          asLong(col("max_event")).as("max_event"))
+        .orderBy("user_id", "start_us")),
+
     // interval join: views within the hour before each purchase —
     // bucketized (width = span) so it is an equi-join + filter, never a
     // per-key nested loop; oracle is the naive BETWEEN join.
@@ -661,6 +677,28 @@ object CoreQueries {
         |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |FROM m ORDER BY user_id, ts""".stripMargin,
+
+    // session AGGREGATES under the same gap rule: start = min ts,
+    // end = max ts + gap — exactly session_window's merged extent
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sq AS (SELECT user_id, ts, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM m)
+        |SELECT user_id, min(ts) AS start_us,
+        |  max(ts) + 21600000000 AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM sq GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id
