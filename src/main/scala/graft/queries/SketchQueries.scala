@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CardinalitySketch, CountMinSketch}
+import graft.operators.{CardinalitySketch, CountMinSketch, QuantileHistogram}
 import graft.queries.Q._
 
 /** Oracle-checked queries for the sketch tier: KMV and HLL distinct
@@ -23,6 +23,8 @@ object SketchQueries {
       .toString
   private val CmsD = 3
   private val CmsM = 512
+  private val HistS = 6 // 64 sub-buckets → ≤1.6% relative width
+  private val HistQs = Seq(250000L, 500000L, 750000L, 950000L, 990000L)
 
   /** The sketched unit is the word 3-shingle, not the unigram — the
     * synthetic corpus draws tokens from a tiny closed vocabulary, while
@@ -98,8 +100,28 @@ object SketchQueries {
         .withColumnRenamed("probe", "tok")
         .join(exact, Seq("tok"))
         .orderBy("tok")
-    })
+    }),
+
+    // mergeable log2×2^s quantile histogram over lineitem prices (exact
+    // ten-thousandths as longs): the bounded state an exact percentile
+    // pass would need a full sort-shuffle to replace
+    "q_qhist_state" -> ((s, dir) =>
+      QuantileHistogram.histState(priceTenThousandths(s, dir), "v", HistS)
+        .orderBy("bucket_id")),
+
+    // quantile resolution from the state alone: rank → bucket, answer
+    // sandwiched by real data values within the 2^-s relative bound
+    "q_qhist_quantiles" -> ((s, dir) =>
+      QuantileHistogram.quantiles(
+        QuantileHistogram.histState(priceTenThousandths(s, dir), "v", HistS),
+        HistQs)
+        .orderBy("q_ppm"))
   )
+
+  private def priceTenThousandths(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    t(s, dir, "lineitem").select(
+      (dec(col("l_extendedprice")) * 10000).cast("long").as("v"))
 
   private val TokCte =
     """toks AS (SELECT source, string_split(text, ' ') AS w
@@ -126,6 +148,22 @@ object SketchQueries {
        |  FROM sh s CROSS JOIN rows_ r),
        |st AS (SELECT row_id, bucket, CAST(count(*) AS BIGINT) AS cnt
        |  FROM cells GROUP BY row_id, bucket)""".stripMargin
+
+  /** The HdrHistogram bucket rule over exact price ten-thousandths:
+    * v < 2^s keeps its own bucket; otherwise the top s+1 bits index
+    * `(msb−s)·2^s + (v >> (msb−s))`.
+    */
+  private val HistCte =
+    s"""v AS (SELECT (CAST(l_extendedprice AS DECIMAL(18,4))
+       |    * 10000)::BIGINT AS v FROM lineitem),
+       |b AS (SELECT v,
+       |    CASE WHEN v < ${1L << HistS} THEN v
+       |      ELSE (length(bin(v)) - 1 - $HistS) * ${1L << HistS}
+       |        + (v >> (length(bin(v)) - 1 - $HistS)) END AS bucket_id
+       |  FROM v),
+       |st AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(v) AS v_min, max(v) AS v_max
+       |  FROM b GROUP BY bucket_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_kmv_vocab" ->
@@ -209,6 +247,28 @@ object SketchQueries {
       s"""WITH $CmsCte
          |SELECT row_id, bucket, cnt FROM st
          |ORDER BY row_id, bucket""".stripMargin,
+
+    "q_qhist_state" ->
+      s"""WITH $HistCte
+         |SELECT bucket_id, cnt, v_min, v_max FROM st
+         |ORDER BY bucket_id""".stripMargin,
+
+    "q_qhist_quantiles" ->
+      s"""WITH $HistCte,
+         |c AS (SELECT bucket_id, cnt, v_min, v_max,
+         |    SUM(cnt) OVER (ORDER BY bucket_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM st),
+         |n AS (SELECT max(cum) AS n_total FROM c),
+         |q AS (SELECT CAST(unnest([${HistQs.mkString(", ")}]) AS BIGINT)
+         |    AS q_ppm),
+         |r AS (SELECT q_ppm,
+         |    CAST((q_ppm * n_total + 999999) // 1000000 AS BIGINT)
+         |      AS "rank"
+         |  FROM q, n)
+         |SELECT r.q_ppm, r."rank", c.bucket_id, c.v_min, c.v_max
+         |FROM r JOIN c ON c.cum >= r."rank" AND c.cum - c.cnt < r."rank"
+         |ORDER BY r.q_ppm""".stripMargin,
 
     "q_cms_err" ->
       s"""WITH $CmsCte,
