@@ -67,6 +67,59 @@ object QuantileHistogram {
         max(col("v")).as("v_max"))
   }
 
+  /** Per-key histograms `(key, bucket_id, cnt, v_min, v_max)` — the
+    * per-domain/per-source distribution profile. One groupBy, map-side
+    * partials ≤ keys × cells per task, no per-key sort anywhere.
+    */
+  def histStatePerKey(df: DataFrame, keyCol: String, valueCol: String,
+      s: Int = 6): DataFrame = {
+    requireS(s)
+    val v = col(valueCol).cast(LongType)
+    df.filter(v.isNotNull)
+      .select(col(keyCol).as("key"),
+        when(v < 0, raise_error(
+          lit("quantile histogram requires non-negative values")))
+        .otherwise(v).as("v"))
+      .withColumn("msb", (length(bin(col("v"))) - 1).cast(LongType))
+      .select(col("key"),
+        when(col("v") < (1L << s), col("v"))
+          .otherwise((col("msb") - s) * (1L << s) +
+            expr(s"shiftright(v, CAST(msb - $s AS INT))"))
+          .as("bucket_id"),
+        col("v"))
+      .groupBy(col("key"), col("bucket_id"))
+      .agg(count(lit(1)).as("cnt"), min(col("v")).as("v_min"),
+        max(col("v")).as("v_max"))
+  }
+
+  /** [[quantiles]] per key: `(key, q_ppm, rank, bucket_id, v_min,
+    * v_max)`. The cumulative window partitions by key — fully
+    * distributed, unlike the global face's bounded single-partition
+    * resolution.
+    */
+  def quantilesPerKey(state: DataFrame, qPpm: Seq[Long]): DataFrame = {
+    require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000),
+      "quantiles must be in (0, 1] ppm")
+    val spark = state.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = state
+      .select(col("key"), col("bucket_id"), col("cnt"), col("v_min"),
+        col("v_max"))
+      .withColumn("cum", sum(col("cnt")).over(w))
+    val totals = state.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("n_total"))
+    val ranked = totals.crossJoin(broadcast(qPpm.toDF("q_ppm")))
+      .withColumn("rank",
+        expr("CAST((q_ppm * n_total + 999999) div 1000000 AS BIGINT)"))
+    cum.join(ranked, Seq("key"))
+      .filter(col("cum") >= col("rank") &&
+        (col("cum") - col("cnt")) < col("rank"))
+      .select(col("key"), col("q_ppm"), col("rank"), col("bucket_id"),
+        col("v_min"), col("v_max"))
+  }
+
   /** Merge state fragments back to one canonical histogram: per-bucket
     * `(sum cnt, min v_min, max v_max)` — EXACTLY the histogram of the
     * concatenated inputs.

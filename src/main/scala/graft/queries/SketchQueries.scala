@@ -25,6 +25,7 @@ object SketchQueries {
   private val CmsM = 512
   private val HistS = 6 // 64 sub-buckets → ≤1.6% relative width
   private val HistQs = Seq(250000L, 500000L, 750000L, 950000L, 990000L)
+  private val HistKeyS = 4 // token counts are small; 16 sub-buckets
 
   /** The sketched unit is the word 3-shingle, not the unigram — the
     * synthetic corpus draws tokens from a tiny closed vocabulary, while
@@ -115,8 +116,33 @@ object SketchQueries {
       QuantileHistogram.quantiles(
         QuantileHistogram.histState(priceTenThousandths(s, dir), "v", HistS),
         HistQs)
-        .orderBy("q_ppm"))
+        .orderBy("q_ppm")),
+
+    // per-source token-length histograms: the distributed per-key form
+    // (partitioned cumulative window, no global resolution step)
+    "q_qhist_by_source" -> ((s, dir) =>
+      QuantileHistogram.histStatePerKey(docTokenCounts(s, dir),
+        "source", "n_tokens", HistKeyS)
+        .withColumnRenamed("key", "source")
+        .orderBy("source", "bucket_id")),
+
+    // per-source p50/p95 from the per-key state
+    "q_qhist_source_quantiles" -> ((s, dir) =>
+      QuantileHistogram.quantilesPerKey(
+        QuantileHistogram.histStatePerKey(docTokenCounts(s, dir),
+          "source", "n_tokens", HistKeyS),
+        Seq(500000L, 950000L))
+        .withColumnRenamed("key", "source")
+        .orderBy("source", "q_ppm"))
   )
+
+  private def docTokenCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    t(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        asLong(graft.functions.TextFunctions.tokenCountWs(col("text")))
+          .as("n_tokens"))
 
   private def priceTenThousandths(s: org.apache.spark.sql.SparkSession,
       dir: String) =
@@ -164,6 +190,20 @@ object SketchQueries {
        |st AS (SELECT bucket_id, CAST(count(*) AS BIGINT) AS cnt,
        |    min(v) AS v_min, max(v) AS v_max
        |  FROM b GROUP BY bucket_id)""".stripMargin
+
+  /** The same bucket rule per source over doc token counts (s=4). */
+  private val KeyHistCte =
+    s"""d AS (SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+       |  FROM documents WHERE text IS NOT NULL),
+       |b AS (SELECT source, v,
+       |    CASE WHEN v < ${1L << HistKeyS} THEN v
+       |      ELSE (length(bin(v)) - 1 - $HistKeyS) * ${1L << HistKeyS}
+       |        + (v >> (length(bin(v)) - 1 - $HistKeyS)) END AS bucket_id
+       |  FROM d),
+       |st AS (SELECT source, bucket_id, CAST(count(*) AS BIGINT) AS cnt,
+       |    min(v) AS v_min, max(v) AS v_max
+       |  FROM b GROUP BY source, bucket_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_kmv_vocab" ->
@@ -269,6 +309,29 @@ object SketchQueries {
          |SELECT r.q_ppm, r."rank", c.bucket_id, c.v_min, c.v_max
          |FROM r JOIN c ON c.cum >= r."rank" AND c.cum - c.cnt < r."rank"
          |ORDER BY r.q_ppm""".stripMargin,
+
+    "q_qhist_by_source" ->
+      s"""WITH $KeyHistCte
+         |SELECT source, bucket_id, cnt, v_min, v_max FROM st
+         |ORDER BY source, bucket_id""".stripMargin,
+
+    "q_qhist_source_quantiles" ->
+      s"""WITH $KeyHistCte,
+         |c AS (SELECT source, bucket_id, cnt, v_min, v_max,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY bucket_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM st),
+         |n AS (SELECT source, sum(cnt) AS n_total FROM st GROUP BY source),
+         |q AS (SELECT CAST(unnest([500000, 950000]) AS BIGINT) AS q_ppm),
+         |r AS (SELECT source, q_ppm,
+         |    CAST((q_ppm * n_total + 999999) // 1000000 AS BIGINT)
+         |      AS "rank"
+         |  FROM n, q)
+         |SELECT c.source, r.q_ppm, r."rank", c.bucket_id, c.v_min,
+         |  c.v_max
+         |FROM c JOIN r ON c.source = r.source
+         |  AND c.cum >= r."rank" AND c.cum - c.cnt < r."rank"
+         |ORDER BY c.source, r.q_ppm""".stripMargin,
 
     "q_cms_err" ->
       s"""WITH $CmsCte,

@@ -107,6 +107,34 @@ class QuantileHistogramSpec extends AnyFunSuite {
     assert(st.map(_.getLong(1)).sum == 2L)
   }
 
+  test("per-key faces agree with the global faces key by key") {
+    val rows = (1L to 2000L).map(i => ("a", i * i)) ++
+      (1L to 500L).map(i => ("b", i + 7))
+    val df = rows.toDF("k", "v")
+    val perKey = QuantileHistogram
+      .histStatePerKey(df, "k", "v", S).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val qPerKey = QuantileHistogram.quantilesPerKey(
+      QuantileHistogram.histStatePerKey(df, "k", "v", S),
+      Seq(500000L, 950000L)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    for (k <- Seq("a", "b")) {
+      val sub = df.filter(col("k") === k).select("v")
+      val g = QuantileHistogram.histState(sub, "v", S).collect()
+        .map(r => (k, r.getLong(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(perKey.filter(_._1._1 == k) == g)
+      val gq = QuantileHistogram.quantiles(
+        QuantileHistogram.histState(sub, "v", S),
+        Seq(500000L, 950000L)).collect()
+        .map(r => (k, r.getLong(0)) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(qPerKey.filter(_._1._1 == k) == gq)
+    }
+  }
+
   test("quantile contract is enforced") {
     val st = QuantileHistogram.histState(Seq(1L).toDF("v"), "v", S)
     intercept[IllegalArgumentException] {
