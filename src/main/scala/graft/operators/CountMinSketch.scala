@@ -73,6 +73,36 @@ object CountMinSketch {
     state.groupBy(col("row_id"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Join-size estimate from two sketches over the SAME (d, m, hash)
+    * family: `est = min_i Σ_b cntA[i,b]·cntB[i,b]` — the Count-Min
+    * inner-product estimator (Cormode & Muthukrishnan 2005 §4.2).
+    * `Σ_k fA(k)·fB(k)` is EXACTLY the row count of the equi-join
+    * `A ⋈_k B`, and hash collisions only ever ADD cross terms, so the
+    * estimate is one-sided: `est ≥ true join size` (within εN_A·N_B
+    * w.h.p.). Estimating with itself gives the second moment F2 = the
+    * self-join size, the skew diagnostic.
+    *
+    * The whole computation runs over the two ≤ d×m states — join-size
+    * planning for a 100 TB join costs two single-pass sketches and a
+    * d×m-row join, never the join itself. Output: one row `(est)`.
+    * Absent cells are zeros, so rows pair through an inner join — but a
+    * row with NO overlapping cells has dot 0 and must still vote, hence
+    * the row-id spine (an inner-join-only min would overestimate).
+    */
+  def cmsInnerProduct(stateA: DataFrame, stateB: DataFrame,
+      d: Int): DataFrame = {
+    requireDims(d, 2)
+    val dots = stateA
+      .select(col("row_id"), col("bucket"), col("cnt").as("cnt_a"))
+      .join(stateB.select(col("row_id"), col("bucket"),
+        col("cnt").as("cnt_b")), Seq("row_id", "bucket"))
+      .groupBy(col("row_id"))
+      .agg(sum(col("cnt_a") * col("cnt_b")).as("dot"))
+    stateA.sparkSession.range(d).toDF("row_id")
+      .join(dots, Seq("row_id"), "left")
+      .agg(min(coalesce(col("dot"), lit(0L))).as("est"))
+  }
+
   /** Point estimates for a probe set: `(probe, est)` with
     * `est = min_i cnt[i, h_i(probe)]` — never below the true count, and
     * 0 for values the sketch never saw in a row. The state (≤ d×m rows)

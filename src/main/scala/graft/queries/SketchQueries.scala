@@ -103,6 +103,28 @@ object SketchQueries {
         .orderBy("tok")
     }),
 
+    // sketch-based join-size estimation: |open orders ⋈ lineitem| from
+    // two d×m states and a d×m-row join — never the join itself. The
+    // exact join count rides beside as the in-row harness; collisions
+    // only add, so est >= n_exact
+    "q_cms_join_size" -> ((s, dir) => {
+      val a = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").cast("string").as("k"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val est = CountMinSketch.cmsInnerProduct(
+        CountMinSketch.cmsState(a, "k", CmsD, CmsM),
+        CountMinSketch.cmsState(b, "k", CmsD, CmsM), CmsD)
+      val exact = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey").as("jk"))
+        .join(t(s, dir, "lineitem").select(col("l_orderkey").as("jk")),
+          "jk")
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+    }),
+
     // mergeable log2×2^s quantile histogram over lineitem prices (exact
     // ten-thousandths as longs): the bounded state an exact percentile
     // pass would need a full sort-shuffle to replace
@@ -287,6 +309,30 @@ object SketchQueries {
       s"""WITH $CmsCte
          |SELECT row_id, bucket, cnt FROM st
          |ORDER BY row_id, bucket""".stripMargin,
+
+    "q_cms_join_size" ->
+      s"""WITH a AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+         |  WHERE o_orderstatus = 'O'),
+         |b AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem),
+         |rows_ AS (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS row_id),
+         |ca AS (SELECT r.row_id,
+         |    ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || '|' || a.k),
+         |      20, 13))::BIGINT % $CmsM AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM a CROSS JOIN rows_ r GROUP BY 1, 2),
+         |cb AS (SELECT r.row_id,
+         |    ('0x' || substr(md5(CAST(r.row_id AS VARCHAR) || '|' || b.k),
+         |      20, 13))::BIGINT % $CmsM AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM b CROSS JOIN rows_ r GROUP BY 1, 2),
+         |dots AS (SELECT ca.row_id, SUM(ca.cnt * cb.cnt) AS dot
+         |  FROM ca JOIN cb USING (row_id, bucket) GROUP BY ca.row_id),
+         |est AS (SELECT CAST(min(COALESCE(d.dot, 0)) AS BIGINT) AS est
+         |  FROM rows_ s LEFT JOIN dots d USING (row_id)),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+         |  WHERE o.o_orderstatus = 'O')
+         |SELECT e.est, x.n_exact FROM est e, ex x""".stripMargin,
 
     "q_qhist_state" ->
       s"""WITH $HistCte

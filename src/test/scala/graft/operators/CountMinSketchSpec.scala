@@ -78,6 +78,44 @@ class CountMinSketchSpec extends AnyFunSuite {
     assert(st1 == st2)
   }
 
+  test("inner product: one-sided join-size estimate, exact when wide") {
+    // A: key i appears i+1 times (i<40); B: key i appears 2 times (i<25)
+    val a = (0 until 40).flatMap(i => Seq.fill(i + 1)(s"k$i")).toDF("v")
+    val b = (0 until 25).flatMap(i => Seq.fill(2)(s"k$i")).toDF("v")
+    val truth = (0 until 25).map(i => (i + 1).toLong * 2).sum
+    // wide: no collisions → exact
+    val wide = CountMinSketch.cmsInnerProduct(
+      CountMinSketch.cmsState(a, "v", 3, 1 << 16),
+      CountMinSketch.cmsState(b, "v", 3, 1 << 16), 3)
+      .collect().head.getLong(0)
+    assert(wide == truth)
+    // narrow: collisions only ADD → one-sided
+    val narrow = CountMinSketch.cmsInnerProduct(
+      CountMinSketch.cmsState(a, "v", 3, 8),
+      CountMinSketch.cmsState(b, "v", 3, 8), 3)
+      .collect().head.getLong(0)
+    assert(narrow >= truth)
+  }
+
+  test("inner product: disjoint key sets estimate 0 under a wide sketch") {
+    val a = (0 until 30).map(i => s"a$i").toDF("v")
+    val b = (0 until 30).map(i => s"b$i").toDF("v")
+    val est = CountMinSketch.cmsInnerProduct(
+      CountMinSketch.cmsState(a, "v", 3, 1 << 16),
+      CountMinSketch.cmsState(b, "v", 3, 1 << 16), 3)
+      .collect().head.getLong(0)
+    assert(est == 0L)
+  }
+
+  test("inner product with itself is the exact F2 when wide") {
+    val a = (0 until 50).flatMap(i => Seq.fill(i % 5 + 1)(s"k$i")).toDF("v")
+    val st = CountMinSketch.cmsState(a, "v", 3, 1 << 16)
+    val f2 = CountMinSketch.cmsInnerProduct(st, st, 3)
+      .collect().head.getLong(0)
+    val truth = (0 until 50).map(i => { val c = (i % 5 + 1).toLong; c * c }).sum
+    assert(f2 == truth)
+  }
+
   test("dimension contract is enforced") {
     val df = Seq("x").toDF("v")
     intercept[IllegalArgumentException] {
