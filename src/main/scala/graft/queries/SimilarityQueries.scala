@@ -22,6 +22,18 @@ object SimilarityQueries {
       .select(col("vec_id").as("id"), col("embedding"), col("label"))
 
   val queries: Map[String, QueryFn] = Map(
+    // edit-distance entity resolution: ed<=1 customer-name pairs via
+    // q-gram prefix filtering + exact levenshtein verify — the oracle's
+    // brute-force join empirically proves the prefix filter missed
+    // nothing (key-capped so the quadratic ORACLE stays bounded; the
+    // operator itself never goes all-pairs)
+    "q_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.fuzzySelfJoin(
+        t(s, dir, "customer").filter(col("c_custkey") <= 2000)
+          .select(col("c_custkey").as("id"), col("c_name").as("nm")),
+        "id", "nm", q = 2, maxDist = 1)
+        .orderBy("id_a", "id_b")),
+
     // brute-force exact cosine top-k (the ANN correctness baseline).
     "q_cosine_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -351,6 +363,16 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
+        |  WHERE c_custkey <= 2000)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE abs(length(a.nm) - length(b.nm)) <= 1
+        |  AND levenshtein(a.nm, b.nm) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),
