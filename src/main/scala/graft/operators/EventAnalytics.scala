@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Cohort-retention and funnel analysis — the two event-analytics
+  * shapes every product/telemetry warehouse runs beside sessionization
+  * (reference analog: the daily-index polling cadence,
+  * `secedgar/core/daily.py`). Both are exact-integer pipelines (day
+  * numbers via integral division of epoch microseconds, counts, strict
+  * event-time ordering), so both faces are DuckDB-oracle-checkable
+  * bit-for-bit.
+  */
+object EventAnalytics {
+
+  private val UsPerDay = 86400000000L
+
+  /** Cohort retention matrix: cohort a user by their FIRST event day,
+    * then count distinct users of each cohort active again `day_offset`
+    * days later: `(cohort_day, day_offset, n_users)`, offset 0 = the
+    * cohort's own size. Day = epoch_us div 86400e6 — integral, DST-free.
+    *
+    * Two shuffles total, both on bounded keys: one groupBy(user) for
+    * the cohort assignment (broadcast back — the per-user row is one
+    * long), one groupBy(cohort, offset) over user-days. No window, no
+    * self-join; at 100 TB the user-day distinct is the only wide
+    * aggregation and it carries 16-byte rows.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("user"),
+      col(tsCol).cast(LongType).as("us"))
+      .select(col("user"), expr(s"us div ${UsPerDay}L").as("day"))
+    val cohorts = days.groupBy(col("user"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, Seq("user"))
+      .select(col("user"), col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Strict-order funnel: the earliest completion chain of `steps` per
+    * user — `t_i = min ts of step_i STRICTLY AFTER t_{i-1}` — emitting
+    * `(user, depth, t_1 … t_k)` with nulls past the reached depth.
+    * Unordered occurrences don't count (a purchase before the first
+    * view is not a converted funnel), which is exactly what the naive
+    * per-step `min(ts)` gets wrong.
+    *
+    * One filtered groupBy(user) per step (k is small and fixed), each
+    * producing a one-row-per-user frame that joins back broadcast-ish;
+    * no windows over the full event stream.
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must be 1..8, got ${steps.size}")
+    val base = events.select(col(userCol).as("user"),
+      col(tsCol).cast(LongType).as("us"), col(typeCol).as("et"))
+    val users = base.select(col("user")).distinct()
+    val chain = steps.zipWithIndex.foldLeft(users) {
+      case (acc, (step, i)) =>
+        val prev = if (i == 0) lit(Long.MinValue) else col(s"t_$i")
+        val stepMin = base.filter(col("et") === step)
+          .join(acc.select((col("user") +: (1 to i).map(j =>
+            col(s"t_$j"))): _*), Seq("user"))
+          .filter(col("us") > prev)
+          .groupBy(col("user"))
+          .agg(min(col("us")).as(s"t_${i + 1}"))
+        acc.join(stepMin, Seq("user"), "left")
+    }
+    chain.withColumn("depth",
+      steps.indices.foldLeft(lit(0L)) { (d, i) =>
+        when(col(s"t_${i + 1}").isNotNull, lit((i + 1).toLong)).otherwise(d)
+      })
+      .select((col("user") +: col("depth") +:
+        steps.indices.map(i => col(s"t_${i + 1}"))): _*)
+  }
+}

@@ -376,6 +376,27 @@ object CoreQueries {
           asLong(col("max_event")).as("max_event"))
         .orderBy("user_id", "start_us")),
 
+    // cohort retention matrix: first-event-day cohorts × day offsets,
+    // distinct users — two bounded-key shuffles, no window, no self-join
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortRetention(
+        t(s, dir, "events").withColumn("us", expr("ts div 1000")),
+        "user_id", "us")
+        .select(col("cohort_day"), col("day_offset"),
+          asLong(col("n_users")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")),
+
+    // strict-order funnel signup→view→click→purchase: earliest valid
+    // chain per user; out-of-order occurrences do not convert
+    "q_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        t(s, dir, "events").withColumn("us", expr("ts div 1000")),
+        "user_id", "us", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+        .select(asLong(col("user")).as("user_id"), col("depth"),
+          col("t_1"), col("t_2"), col("t_3"), col("t_4"))
+        .orderBy("user_id")),
+
     // interval join: views within the hour before each purchase —
     // bucketized (width = span) so it is an equi-join + filter, never a
     // per-key nested loop; oracle is the naive BETWEEN join.
@@ -699,6 +720,47 @@ object CoreQueries {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM sq GROUP BY user_id, session_seq
         |ORDER BY user_id, start_us""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |  GROUP BY user_id),
+        |ud AS (SELECT DISTINCT e.user_id, c.cohort_day,
+        |    e.day - c.cohort_day AS day_offset
+        |  FROM e JOIN c ON e.user_id = c.user_id)
+        |SELECT cohort_day, day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ud GROUP BY cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(us) AS t_1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t_2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.us > s1.t_1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t_3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s2.t_2
+        |  GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.us) AS t_4 FROM e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s3.t_3
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_4 IS NOT NULL THEN 4
+        |    WHEN t_3 IS NOT NULL THEN 3
+        |    WHEN t_2 IS NOT NULL THEN 2
+        |    WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  t_1, t_2, t_3, t_4
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id

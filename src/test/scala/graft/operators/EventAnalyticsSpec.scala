@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val Day = 86400000000L
+
+  test("cohort retention: first day cohorts, offsets count distinct users") {
+    // u1 starts day 0, returns day 0 (twice) and day 2
+    // u2 starts day 0, returns day 1; u3 starts day 1 only
+    val ev = Seq(
+      (1L, 0L * Day + 5L), (1L, 0L * Day + 9L), (1L, 2L * Day + 1L),
+      (2L, 0L * Day + 7L), (2L, 1L * Day + 3L),
+      (3L, 1L * Day + 2L)).toDF("user_id", "us")
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, // u1, u2 on their cohort day (u1's dup collapses)
+      (0L, 1L) -> 1L, // u2 back next day
+      (0L, 2L) -> 1L, // u1 back two days later
+      (1L, 0L) -> 1L)) // u3's cohort
+  }
+
+  test("funnel: strict ordering, out-of-order steps do not convert") {
+    val ev = Seq(
+      // u1 converts fully: view@10 click@20 buy@30
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: purchase BEFORE its click → depth 2, not 3
+      (2L, 10L, "view"), (2L, 30L, "click"), (2L, 20L, "purchase"),
+      // u3: click only → depth 0 (no view to anchor)
+      (3L, 10L, "click"),
+      // u4: view then nothing
+      (4L, 40L, "view")).toDF("user_id", "us", "et")
+    val got = EventAnalytics.funnel(ev, "user_id", "us", "et",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(1L) == ((3L, Some(10L), Some(20L), Some(30L))))
+    assert(got(2L) == ((2L, Some(10L), Some(30L), None)))
+    assert(got(3L) == ((0L, None, None, None)))
+    assert(got(4L) == ((1L, Some(40L), None, None)))
+  }
+
+  test("funnel picks the EARLIEST valid chain, not any chain") {
+    // view@10 and view@50; click only at 20 — anchored on view@10
+    val ev = Seq((1L, 10L, "view"), (1L, 50L, "view"), (1L, 20L, "click"))
+      .toDF("user_id", "us", "et")
+    val got = EventAnalytics.funnel(ev, "user_id", "us", "et",
+      Seq("view", "click")).collect().head
+    assert(got.getLong(1) == 2L && got.getLong(2) == 10L &&
+      got.getLong(3) == 20L)
+  }
+
+  test("funnel: equal timestamps are not strictly after") {
+    val ev = Seq((1L, 10L, "view"), (1L, 10L, "click"))
+      .toDF("user_id", "us", "et")
+    val got = EventAnalytics.funnel(ev, "user_id", "us", "et",
+      Seq("view", "click")).collect().head
+    assert(got.getLong(1) == 1L)
+  }
+
+  test("funnel step contract is enforced") {
+    val ev = Seq((1L, 10L, "view")).toDF("user_id", "us", "et")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnel(ev, "user_id", "us", "et", Seq.empty)
+    }
+  }
+}
