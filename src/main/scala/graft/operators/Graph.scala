@@ -124,4 +124,61 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_pp"))
   }
+
+  /** Exact triangle count via DEGREE ORIENTATION (the MapReduce-classic
+    * Suri & Vassilvitskii 2011 shape): orient every undirected edge
+    * from its (degree, id)-smaller endpoint, enumerate wedges only
+    * around each triangle's orientation-minimal vertex, close them
+    * against the canonical edge set. Each triangle counts exactly once
+    * — only the order-minimum of {a,b,c} has out-edges to both others.
+    *
+    * Why this survives 100 TB where the naive wedge join dies: wedge
+    * fan-out is Σ outdeg², and degree orientation bounds every
+    * out-degree by O(√m) (an endpoint beats its neighbor's degree only
+    * until degrees exceed √m) — the hub that would generate deg² wedges
+    * generates almost none because hubs LOSE the orientation. Shuffles:
+    * one distinct, one degree agg, two broadcastable degree joins, one
+    * self-join on the wedge pivot, one closure equi-join.
+    *
+    * Output: one row `(n_nodes, n_edges, n_wedges, n_triangles)` — all
+    * exact BIGINTs (wedges = oriented open pairs, the clustering-
+    * coefficient denominator). Self-loops and parallel edges collapse.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true) // consumed by degrees, orientation, closure
+    val deg = und.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true) // consumed by both endpoint joins + n_nodes
+    val oriented = und
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+        .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint(true) // consumed by both wedge sides
+    // spoke pair id-ordered (x < y) → the closure probe IS the canonical
+    // edge key, no OR-join on orientation direction
+    val wedges = oriented.select(col("s"), col("t").as("x"))
+      .join(oriented.select(col("s"), col("t").as("y")), Seq("s"))
+      .filter(col("x") < col("y"))
+      .select(col("x"), col("y"))
+      .localCheckpoint(true) // consumed by the census AND the closure
+    val closed = wedges
+      .join(und.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
 }

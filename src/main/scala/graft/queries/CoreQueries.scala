@@ -432,6 +432,20 @@ object CoreQueries {
       graft.operators.Graph.pageRank(supply.unionByName(fulfil),
         "src", "dst", iterations = 8)
         .orderBy("node")
+    }),
+
+    // exact triangle census of the part co-purchase graph (parts sharing
+    // an order) via degree orientation — wedge fan-out bounded by O(√m)
+    // out-degrees, each triangle counted at its orientation-minimal
+    // vertex only. Key-capped so the ORACLE's wedge join stays bounded.
+    "q_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 5000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.operators.Graph.triangleCount(edges, "src", "dst")
     })
   )
 
@@ -773,6 +787,32 @@ object CoreQueries {
         |  AND v.ts BETWEEN p.ts - 3600000000 AND p.ts - 1
         |ORDER BY p.user_id, p.ts, view_ts""".stripMargin,
 
-    "q_pagerank" -> pageRankOracle(iterations = 8, scale = 1000000000000L)
+    "q_pagerank" -> pageRankOracle(iterations = 8, scale = 1000000000000L),
+
+    "q_triangles" ->
+      """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem
+        |  WHERE l_orderkey <= 5000),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS node FROM und
+        |    UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node),
+        |ori AS (SELECT
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |      THEN e.u ELSE e.v END AS s,
+        |    CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+        |      THEN e.v ELSE e.u END AS t
+        |  FROM und e JOIN deg du ON du.node = e.u
+        |    JOIN deg dv ON dv.node = e.v),
+        |w AS (SELECT e1.s, e1.t AS x, e2.t AS y
+        |  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM w JOIN und ON und.u = w.x AND und.v = w.y)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+        |  n_triangles
+        |FROM tri""".stripMargin
   )
 }
