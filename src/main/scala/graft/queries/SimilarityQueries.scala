@@ -167,6 +167,16 @@ object SimilarityQueries {
         "doc_id", "text", shingleN = 3, threshold = 0.02)
         .orderBy("id_a", "id_b")),
 
+    // prefix-filtered set-similarity join over the WHOLE corpus (no
+    // slice cap — the prefix filter is the scale path): deterministic
+    // complete where minhash is probabilistic, pruned where the
+    // inverted-index all-pairs is quadratic. Integer ppm threshold.
+    "q_ppjoin" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.setSimilarityJoin(
+        t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, tauPpm = 300000L)
+        .orderBy("id_a", "id_b")),
+
     // SimHash sketches (banded for hamming-bounded joins); rows-only —
     // pair semantics asserted in ScalaTest with constructed near-dups.
     "q_simhash_sketch" -> ((s, dir) =>
@@ -363,6 +373,27 @@ object SimilarityQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_ppjoin" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+        |  GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT o.id_a, o.id_b, sa.n AS n_a, sb.n AS n_b, o.n_common,
+        |  CAST(o.n_common AS DOUBLE) /
+        |    CAST(sa.n + sb.n - o.n_common AS DOUBLE) AS jaccard
+        |FROM ov o JOIN sz sa ON sa.doc_id = o.id_a
+        |  JOIN sz sb ON sb.doc_id = o.id_b
+        |WHERE o.n_common * 1000000 >= 300000 * (sa.n + sb.n - o.n_common)
+        |ORDER BY o.id_a, o.id_b""".stripMargin,
+
     "q_fuzzy_join" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS nm FROM customer
         |  WHERE c_custkey <= 2000)

@@ -71,6 +71,51 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got == Set((2L, 3L, 0L))) // the q-length pair still matches
   }
 
+  private def bruteJaccard(rows: Seq[(Long, String)],
+      tauPpm: Long): Set[(Long, Long, Long)] = {
+    def shingles(s: String): Set[String] =
+      s.split(" ").toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sh = rows.map { case (i, s) => i -> shingles(s) }
+      .filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      common = (sa & sb).size.toLong
+      union = (sa | sb).size.toLong
+      if common * 1000000L >= tauPpm * union
+    } yield (ia, ib, common)).toSet
+  }
+
+  private def runSim(rows: Seq[(Long, String)], tauPpm: Long) =
+    FuzzyJoin.setSimilarityJoin(rows.toDF("id", "s"), "id", "s",
+      3, tauPpm).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+
+  test("set-similarity join matches brute force across thresholds") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val words = base.split(" ")
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 40L).map { i =>
+      val w = words.clone()
+      (0 until rnd.nextInt(4)).foreach { _ =>
+        w(rnd.nextInt(w.length)) = s"sub${rnd.nextInt(6)}"
+      }
+      (i, w.mkString(" "))
+    }
+    for (tau <- Seq(300000L, 500000L, 800000L)) {
+      assert(runSim(rows, tau) == bruteJaccard(rows, tau), s"tau=$tau")
+    }
+    assert(runSim(rows, 300000L).nonEmpty)
+  }
+
+  test("set-similarity boundary: jaccard exactly tau is included") {
+    // a: 2 shingles {A,B}; b: 4 shingles {A,B,C,D} → J = 1/2 exactly
+    val rows = Seq[(Long, String)](
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4 x y"))
+    assert(runSim(rows, 500000L) == Set((1L, 2L, 2L)))
+    assert(runSim(rows, 500001L).isEmpty)
+  }
+
   test("contract bounds are enforced") {
     val df = Seq((1L, "abc")).toDF("id", "s")
     intercept[IllegalArgumentException] {
