@@ -174,7 +174,7 @@ object SimilarityQueries {
     "q_ppjoin" -> ((s, dir) =>
       graft.operators.FuzzyJoin.setSimilarityJoin(
         t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, tauPpm = 300000L)
+        shingleN = 3, tauPpm = 800000L)
         .orderBy("id_a", "id_b")),
 
     // SimHash sketches (banded for hamming-bounded joins); rows-only —
@@ -391,7 +391,7 @@ object SimilarityQueries {
         |    CAST(sa.n + sb.n - o.n_common AS DOUBLE) AS jaccard
         |FROM ov o JOIN sz sa ON sa.doc_id = o.id_a
         |  JOIN sz sb ON sb.doc_id = o.id_b
-        |WHERE o.n_common * 1000000 >= 300000 * (sa.n + sb.n - o.n_common)
+        |WHERE o.n_common * 1000000 >= 800000 * (sa.n + sb.n - o.n_common)
         |ORDER BY o.id_a, o.id_b""".stripMargin,
 
     "q_fuzzy_join" ->
