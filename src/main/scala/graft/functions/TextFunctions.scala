@@ -74,6 +74,62 @@ object TextFunctions {
         PhoneRegex, "<PHONE>"),
       Ipv4Regex, "<IP>")
 
+  /** Candidate payment-card numbers: 13-19 digit runs where each digit may
+    * be followed by one space/dash separator (the common 4-4-4-4 / 4-6-5
+    * groupings). Pattern stays in the Java∩RE2 dialect so the DuckDB
+    * oracle replays it verbatim. A digit-run regex alone over-redacts
+    * (order ids, timestamps); the Luhn gate below keeps only strings that
+    * actually checksum as card numbers.
+    */
+  val CardCandidateRegex = "\\b(?:[0-9][ -]?){12,18}[0-9]\\b"
+
+  /** Luhn mod-10 checksum over a digits-only string: from the RIGHT, odd
+    * positions count as-is, even positions double (minus 9 when the double
+    * exceeds 9); a valid number sums to ≡ 0 (mod 10). Pure integer
+    * `aggregate` over character positions — no UDF, codegen-friendly, and
+    * bit-identical in any engine, so the checksum itself is an
+    * oracle-checkable evidence column (not just the boolean).
+    */
+  def luhnSum(digits: Column): Column = {
+    val r = reverse(digits)
+    when(length(r) === 0, lit(0)).otherwise(
+      aggregate(
+        sequence(lit(1), length(r)),
+        lit(0),
+        (acc, i) => {
+          val d = r.substr(i, lit(1)).cast(IntegerType)
+          val dbl = d * 2
+          acc + when(pmod(i, lit(2)) === 1, d)
+            .otherwise(when(dbl > 9, dbl - 9).otherwise(dbl))
+        }))
+  }
+
+  /** Luhn-valid payment-card predicate: plausible card length (13-19
+    * digits) AND checksum ≡ 0 (mod 10). Matches Spark's builtin
+    * `luhn_check` on the digits (spec-pinned) while exposing the integer
+    * sum for the oracle gate.
+    */
+  def luhnValid(digits: Column): Column =
+    length(digits).between(13, 19) && pmod(luhnSum(digits), lit(10)) === 0
+
+  /** Candidate card substrings of `text` (whole matches, in order). */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit(CardCandidateRegex), lit(0))
+
+  /** Digits-only form of a candidate (space/dash separators stripped). */
+  def cardDigits(cand: Column): Column = regexp_replace(cand, "[ -]", "")
+
+  /** Redact Luhn-valid card numbers: fold the VALIDATED candidates through
+    * a literal `replace` — only substrings that actually checksum as card
+    * numbers are touched, so order ids and timestamps survive. Pure
+    * higher-order Column chain, map-side only.
+    */
+  def scrubCards(text: Column): Column =
+    aggregate(
+      filter(cardCandidates(text), c => luhnValid(cardDigits(c))),
+      text,
+      (acc, c) => replace(acc, c, lit("<CARD>")))
+
   /** Distinct character n-gram shingles — the near-dup blocking unit for
     * short texts where word shingles are too coarse. `sequence` +
     * `transform`(substring) + `array_distinct`, all built-ins.

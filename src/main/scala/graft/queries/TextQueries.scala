@@ -17,6 +17,19 @@ import graft.queries.Q._
   */
 object TextQueries {
 
+  /** Card-detection fixture: official Luhn-valid test numbers (spaced,
+    * dashed, bare, 15-digit), a 16-digit non-card order id, an off-by-one
+    * invalid, a phone (too short to be a candidate), and a 20-digit run
+    * (no match: the regex requires a non-digit boundary after 13-19
+    * digits, and backtracking cannot end inside the run).
+    */
+  private val CardDocs = Seq(
+    (1L, "pay 4111 1111 1111 1111 or 5555-5555-5555-4444 now"),
+    (2L, "order id 1234567890123456 shipped to 4012888888881881"),
+    (3L, "amex 378282246310005 and bogus 4111111111111112"),
+    (4L, "call 555-123-4567, no cards"),
+    (5L, "long run 12345678901234567890 ignored"))
+
   val queries: Map[String, QueryFn] = Map(
     // token counting: whitespace + BPE-ish regex pre-tokenizer.
     "q_token_stats" -> ((s, dir) =>
@@ -453,6 +466,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // payment-card detection: regex candidates gated by the Luhn mod-10
+    // checksum (integer `aggregate` over digit positions — the sum itself
+    // is the oracle evidence, not just the boolean). A digit-run regex
+    // alone over-redacts; the checksum keeps order ids and timestamps.
+    "q_luhn_cards" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(CardDocs).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          explode(TextFunctions.cardCandidates(col("text"))).as("raw"))
+        .withColumn("digits", TextFunctions.cardDigits(col("raw")))
+        .select(col("doc_id"), col("raw"), col("digits"),
+          asLong(length(col("digits"))).as("n_digits"),
+          asLong(TextFunctions.luhnSum(col("digits"))).as("luhn_sum"),
+          TextFunctions.luhnValid(col("digits")).as("is_valid"))
+        .orderBy("doc_id", "raw")
+    }),
+
+    // card redaction: fold only the Luhn-VALID candidates through a
+    // literal replace (oracle replays the same fold via list_reduce).
+    "q_card_scrub" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(CardDocs).toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.scrubCards(col("text")).as("scrubbed"))
+        .orderBy("doc_id")
+    }),
+
     // contiguous 0-based training-order index without a global sort:
     // same deterministic two-phase prefix machinery as q_pack_shards
     // with a count of 1 per row.
@@ -874,6 +914,68 @@ object TextQueries {
         |  (5, 'mixed: a@b.io from 127.0.0.1 dialed 800-555-0199'))
         |t(doc_id, text)
         |ORDER BY doc_id""".stripMargin,
+
+    // Luhn mod-10 replayed digit-by-digit in SQL: from the RIGHT, odd
+    // positions as-is, even positions doubled (minus 9 above 9) — the
+    // integer sum is compared bitwise, the boolean is derived from it.
+    "q_luhn_cards" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'pay 4111 1111 1111 1111 or 5555-5555-5555-4444 now'),
+        |  (2, 'order id 1234567890123456 shipped to 4012888888881881'),
+        |  (3, 'amex 378282246310005 and bogus 4111111111111112'),
+        |  (4, 'call 555-123-4567, no cards'),
+        |  (5, 'long run 12345678901234567890 ignored')),
+        |cand AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |    '\b(?:[0-9][ -]?){12,18}[0-9]\b')) AS raw FROM docs),
+        |d AS (SELECT doc_id, raw,
+        |    replace(replace(raw, ' ', ''), '-', '') AS digits FROM cand),
+        |l AS (SELECT doc_id, raw, digits, reverse(digits) AS r FROM d),
+        |s AS (SELECT doc_id, raw, digits,
+        |    CAST(list_aggregate(list_transform(range(1, length(r) + 1), i ->
+        |      CASE WHEN i % 2 = 1
+        |        THEN CAST(substr(r, CAST(i AS INTEGER), 1) AS INTEGER)
+        |        ELSE CASE
+        |          WHEN CAST(substr(r, CAST(i AS INTEGER), 1) AS INTEGER) * 2 > 9
+        |          THEN CAST(substr(r, CAST(i AS INTEGER), 1) AS INTEGER) * 2 - 9
+        |          ELSE CAST(substr(r, CAST(i AS INTEGER), 1) AS INTEGER) * 2
+        |        END END), 'sum') AS BIGINT) AS luhn_sum
+        |  FROM l)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, raw, digits,
+        |  CAST(length(digits) AS BIGINT) AS n_digits, luhn_sum,
+        |  length(digits) BETWEEN 13 AND 19 AND luhn_sum % 10 = 0 AS is_valid
+        |FROM s ORDER BY doc_id, raw""".stripMargin,
+
+    // same candidate regex + Luhn gate; redaction = list_reduce fold with
+    // the original text prepended as the accumulator seed.
+    "q_card_scrub" ->
+      """WITH docs(doc_id, text) AS (VALUES
+        |  (1, 'pay 4111 1111 1111 1111 or 5555-5555-5555-4444 now'),
+        |  (2, 'order id 1234567890123456 shipped to 4012888888881881'),
+        |  (3, 'amex 378282246310005 and bogus 4111111111111112'),
+        |  (4, 'call 555-123-4567, no cards'),
+        |  (5, 'long run 12345678901234567890 ignored'))
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  list_reduce(list_prepend(text,
+        |    list_filter(regexp_extract_all(text,
+        |        '\b(?:[0-9][ -]?){12,18}[0-9]\b'),
+        |      c -> length(replace(replace(c, ' ', ''), '-', ''))
+        |          BETWEEN 13 AND 19
+        |        AND list_aggregate(list_transform(
+        |            range(1, length(replace(replace(c, ' ', ''), '-', '')) + 1),
+        |            i -> CASE WHEN i % 2 = 1
+        |              THEN CAST(substr(reverse(replace(replace(c, ' ', ''),
+        |                '-', '')), CAST(i AS INTEGER), 1) AS INTEGER)
+        |              ELSE CASE
+        |                WHEN CAST(substr(reverse(replace(replace(c, ' ', ''),
+        |                  '-', '')), CAST(i AS INTEGER), 1) AS INTEGER) * 2 > 9
+        |                THEN CAST(substr(reverse(replace(replace(c, ' ', ''),
+        |                  '-', '')), CAST(i AS INTEGER), 1) AS INTEGER) * 2 - 9
+        |                ELSE CAST(substr(reverse(replace(replace(c, ' ', ''),
+        |                  '-', '')), CAST(i AS INTEGER), 1) AS INTEGER) * 2
+        |              END END), 'sum') % 10 = 0)),
+        |    (acc, x) -> replace(acc, x, '<CARD>')) AS scrubbed
+        |FROM docs ORDER BY doc_id""".stripMargin,
+
     "q_token_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_actual,
