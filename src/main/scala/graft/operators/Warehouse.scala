@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintenance operators: the dimension-history bookkeeping a
+  * curation pipeline needs around its fact tables (provenance dims:
+  * sources, licenses, crawl configs) — kept engine-native so history
+  * rewrites are plain DataFrame jobs, not a storage-format feature.
+  */
+object Warehouse {
+
+  /** SCD Type-2 merge: apply a batch of dimension updates to a versioned
+    * history, closing out superseded versions and opening new ones.
+    *
+    * Contract:
+    *   - `history` carries `keyCol`, `attrCols`, `fromCol`, `toCol`; a row
+    *     is CURRENT iff `toCol` is null. At most one current row per key.
+    *   - `updates` carries `keyCol`, `attrCols`, `tsCol` — the latest
+    *     snapshot per key (callers fold intra-batch churn first, e.g. with
+    *     a per-key argmax; two rows for one key here would open two
+    *     overlapping versions).
+    *   - A matched key whose attributes all compare equal (null-safe) is a
+    *     no-op; a differing key closes the current row at the update's
+    *     `tsCol` and opens a new version from it; an unmatched update key
+    *     opens its first version. Closed history rows pass through.
+    *
+    * Scale design (100 TB dims): ONE full-outer shuffle join on the key —
+    * change detection, closing, and inserts all derive from that single
+    * exchange (the two output branches reuse it), and AQE broadcasts the
+    * update side when it is small, making the merge read-dominated. No
+    * window, no driver state.
+    */
+  def scd2Merge(history: DataFrame, updates: DataFrame, keyCol: String,
+      attrCols: Seq[String], tsCol: String,
+      fromCol: String = "valid_from", toCol: String = "valid_to"): DataFrame = {
+    require(attrCols.nonEmpty, "scd2Merge: attrCols must be non-empty")
+    val outCols = (keyCol +: attrCols) ++ Seq(fromCol, toCol)
+    val toType = history.schema(toCol).dataType
+    val cur = history.filter(col(toCol).isNull)
+    val closed = history.filter(col(toCol).isNotNull)
+      .select(outCols.map(col): _*)
+    val u = updates.select(
+      (col(keyCol).as("__k") +:
+        attrCols.map(a => col(a).as(s"__u_$a"))) :+
+        col(tsCol).as("__ts"): _*)
+    val j = cur.join(u, col(keyCol) === col("__k"), "full_outer")
+      .withColumn("__changed",
+        attrCols.map(a => !(col(a) <=> col(s"__u_$a"))).reduce(_ || _))
+      // one exchange feeds both output branches
+      .localCheckpoint(false)
+    // surviving current/closed rows: unchanged keys stay open, changed
+    // keys close at the update timestamp
+    val fromCur = j.filter(col(keyCol).isNotNull)
+      .select((col(keyCol) +: attrCols.map(col)) ++ Seq(
+        col(fromCol),
+        when(col("__k").isNotNull && col("__changed"), col("__ts").cast(toType))
+          .otherwise(col(toCol)).as(toCol)): _*)
+    // opened versions: changed keys and first-seen keys
+    val fromUpd = j.filter(col("__k").isNotNull &&
+        (col(keyCol).isNull || col("__changed")))
+      .select((col("__k").as(keyCol) +:
+        attrCols.map(a => col(s"__u_$a").as(a))) ++ Seq(
+        col("__ts").as(fromCol),
+        lit(null).cast(toType).as(toCol)): _*)
+    closed.unionByName(fromCur).unionByName(fromUpd)
+  }
+}

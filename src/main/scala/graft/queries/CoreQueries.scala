@@ -446,6 +446,37 @@ object CoreQueries {
         .filter(col("pa") < col("pb"))
         .select(col("pa").as("src"), col("pb").as("dst"))
       graft.operators.Graph.triangleCount(edges, "src", "dst")
+    }),
+
+    // SCD2 dimension-history merge over the customer dim: pre-existing
+    // closed versions pass through; a batch with changed rows (%7: new
+    // segment), no-op rows (%11: identical attrs), and first-seen keys
+    // (%97, offset ids) closes and opens versions off ONE full-outer
+    // key join (change detection + both output branches reuse it).
+    "q_scd2_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val d = (x: String) => lit(java.sql.Date.valueOf(x))
+      val cur = c.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_name"), d("1994-01-01").as("valid_from"),
+        lit(null).cast("date").as("valid_to"))
+      val hist = c.filter(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+          col("c_name"), d("1992-01-01").as("valid_from"),
+          d("1994-01-01").as("valid_to"))
+      val updates = c.filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+          col("c_name"), d("1996-06-01").as("ts"))
+        .unionByName(c.filter(col("c_custkey") % 11 === 0 &&
+            col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+            d("1996-06-01").as("ts")))
+        .unionByName(c.filter(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEWKEY").as("c_mktsegment"), col("c_name"),
+            d("1996-06-01").as("ts")))
+      graft.operators.Warehouse.scd2Merge(hist.unionByName(cur), updates,
+        "c_custkey", Seq("c_mktsegment", "c_name"), "ts")
+        .orderBy("c_custkey", "valid_from")
     })
   )
 
@@ -813,6 +844,43 @@ object CoreQueries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
         |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
         |  n_triangles
-        |FROM tri""".stripMargin
+        |FROM tri""".stripMargin,
+
+    // SCD2 merge replay: same fixture CTEs, change detection via
+    // IS DISTINCT FROM (null-safe, like Spark's <=> negation).
+    "q_scd2_merge" ->
+      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    c_name AS addr, DATE '1994-01-01' AS valid_from,
+        |    CAST(NULL AS DATE) AS valid_to FROM customer),
+        |hist AS (SELECT c_custkey AS k, 'OLDSEG' AS seg, c_name AS addr,
+        |    DATE '1992-01-01' AS valid_from, DATE '1994-01-01' AS valid_to
+        |  FROM customer WHERE c_custkey % 13 = 0),
+        |upd AS (
+        |  SELECT c_custkey AS k, 'MOVED' AS seg, c_name AS addr,
+        |      DATE '1996-06-01' AS ts
+        |    FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_name, DATE '1996-06-01'
+        |    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEWKEY', c_name, DATE '1996-06-01'
+        |    FROM customer WHERE c_custkey % 97 = 0),
+        |j AS (SELECT cur.k AS ck, cur.seg AS cseg, cur.addr AS caddr,
+        |    cur.valid_from AS cfrom, upd.k AS uk, upd.seg AS useg,
+        |    upd.addr AS uaddr, upd.ts AS ts,
+        |    (cur.seg IS DISTINCT FROM upd.seg
+        |      OR cur.addr IS DISTINCT FROM upd.addr) AS changed
+        |  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
+        |SELECT k AS c_custkey, seg AS c_mktsegment, addr AS c_name,
+        |  valid_from, valid_to FROM (
+        |  SELECT k, seg, addr, valid_from, valid_to FROM hist
+        |  UNION ALL
+        |  SELECT ck, cseg, caddr, cfrom,
+        |      CASE WHEN uk IS NOT NULL AND changed THEN ts END
+        |    FROM j WHERE ck IS NOT NULL
+        |  UNION ALL
+        |  SELECT uk, useg, uaddr, ts, CAST(NULL AS DATE)
+        |    FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed))
+        |ORDER BY c_custkey, valid_from""".stripMargin
   )
 }

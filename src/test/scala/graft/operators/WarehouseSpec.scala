@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** SCD2 merge contract: no-op on equal attrs (null-safe), close+open on
+  * change, first version for unseen keys, closed rows pass through.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d(s: String) = java.sql.Date.valueOf(s)
+
+  test("scd2Merge closes changed, keeps unchanged, inserts new") {
+    val history = Seq(
+      // closed old version passes through untouched
+      (1L, Option("a0"), d("2000-01-01"), Option(d("2001-01-01"))),
+      (1L, Option("a1"), d("2001-01-01"), None), // will change
+      (2L, Option("b1"), d("2001-01-01"), None), // no-op (equal attrs)
+      (3L, Option(null: String), d("2001-01-01"), None), // null attr, no-op
+      (4L, Option("d1"), d("2001-01-01"), None)  // untouched (no update)
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, Option("a2"), d("2002-06-01")),
+      (2L, Option("b1"), d("2002-06-01")),
+      (3L, Option(null: String), d("2002-06-01")),
+      (5L, Option("e1"), d("2002-06-01"))  // first-seen key
+    ).toDF("k", "attr", "ts")
+    val out = Warehouse.scd2Merge(history, updates, "k", Seq("attr"), "ts")
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "valid_from", "valid_to")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString)))
+    assert(out.toSeq == Seq(
+      (1L, Some("a0"), "2000-01-01", Some("2001-01-01")),
+      (1L, Some("a1"), "2001-01-01", Some("2002-06-01")),
+      (1L, Some("a2"), "2002-06-01", None),
+      (2L, Some("b1"), "2001-01-01", None),
+      (3L, None, "2001-01-01", None),
+      (4L, Some("d1"), "2001-01-01", None),
+      (5L, Some("e1"), "2002-06-01", None)))
+  }
+
+  test("null-to-value and value-to-null attr transitions count as changes") {
+    val history = Seq(
+      (1L, Option(null: String), d("2001-01-01"), Option.empty[java.sql.Date]),
+      (2L, Option("x"), d("2001-01-01"), Option.empty[java.sql.Date])
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, Option("now-set"), d("2002-01-01")),
+      (2L, Option(null: String), d("2002-01-01"))
+    ).toDF("k", "attr", "ts")
+    val out = Warehouse.scd2Merge(history, updates, "k", Seq("attr"), "ts")
+    assert(out.filter(col("valid_to").isNotNull).count() == 2)
+    assert(out.filter(col("valid_to").isNull).count() == 2)
+  }
+}
