@@ -477,8 +477,49 @@ object CoreQueries {
       graft.operators.Warehouse.scd2Merge(hist.unionByName(cur), updates,
         "c_custkey", Seq("c_mktsegment", "c_name"), "ts")
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Z-order (Morton) layout stats over orders, x = custkey, y = days
+    // since 1992-01-01: per-tile min/max of BOTH dimensions — the file-
+    // skipping table a 2-D probe prunes with. The interleaved key is one
+    // unrolled codegen'd shift/mask expression, map-side.
+    "q_zorder_layout" -> ((s, dir) =>
+      graft.operators.Layout.zLayoutFiles(zOrderBase(s, dir), "x", "y",
+        bits = 14, filePrefixBits = 12)
+        .orderBy("file_id")),
+
+    // the payoff metric: same rectangle probe (custkey 100-300 x days 1200-1600)
+    // against the z-order tiling AND the 1-D x-range baseline —
+    // min/max pruning scans strictly fewer rows under z.
+    "q_zorder_prune" -> ((s, dir) => {
+      val base = zOrderBase(s, dir)
+      val zf = graft.operators.Layout.zLayoutFiles(base, "x", "y", 14, 12)
+      val lf = graft.operators.Layout.linearLayoutFiles(base, "x", "y", 14, 12)
+      graft.operators.Layout.pruneStats(zf, 100, 300, 1200, 1600)
+        .select(lit("zorder").as("layout"), col("*"))
+        .unionByName(
+          graft.operators.Layout.pruneStats(lf, 100, 300, 1200, 1600)
+            .select(lit("linear").as("layout"), col("*")))
+        .orderBy("layout")
     })
   )
+
+  /** Shared base for the z-order queries: orders as (custkey, day-number)
+    * points.
+    */
+  private def zOrderBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("x"),
+      datediff(col("o_orderdate").cast("date"),
+        lit("1992-01-01").cast("date")).as("y"))
+
+  /** The Morton interleave of [[graft.operators.Layout.zValue]] unrolled
+    * to SQL (same plan-time-constant shape as the Spark side).
+    */
+  private def zSqlExpr(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
 
   /** The [[graft.operators.Graph.pageRank]] iteration unrolled: CTEs are
     * MATERIALIZED because DuckDB inlines CTE references, and each
@@ -881,6 +922,48 @@ object CoreQueries {
         |  UNION ALL
         |  SELECT uk, useg, uaddr, ts, CAST(NULL AS DATE)
         |    FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed))
-        |ORDER BY c_custkey, valid_from""".stripMargin
+        |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_zorder_layout" ->
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(datediff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y FROM orders),
+         |z AS (SELECT x, y, ${zSqlExpr("x", "y", 14)} AS z FROM base)
+         |SELECT z >> 16 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "q_zorder_prune" ->
+      s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(datediff('day', DATE '1992-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y FROM orders),
+         |zf AS (SELECT (${zSqlExpr("x", "y", 14)}) >> 16 AS file_id,
+         |    count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y
+         |  FROM base GROUP BY file_id),
+         |lf AS (SELECT x >> 2 AS file_id,
+         |    count(*) AS n_rows, min(x) AS min_x, max(x) AS max_x,
+         |    min(y) AS min_y, max(y) AS max_y
+         |  FROM base GROUP BY file_id),
+         |probe AS (SELECT 100 AS x_lo, 300 AS x_hi, 1200 AS y_lo, 1600 AS y_hi)
+         |SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN NOT (max_x < x_lo OR min_x > x_hi
+         |      OR max_y < y_lo OR min_y > y_hi) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS files_scanned,
+         |  CAST(sum(CASE WHEN NOT (max_x < x_lo OR min_x > x_hi
+         |      OR max_y < y_lo OR min_y > y_hi) THEN n_rows ELSE 0 END)
+         |    AS BIGINT) AS rows_scanned
+         |FROM lf, probe
+         |UNION ALL
+         |SELECT 'zorder', CAST(count(*) AS BIGINT),
+         |  CAST(sum(n_rows) AS BIGINT),
+         |  CAST(sum(CASE WHEN NOT (max_x < x_lo OR min_x > x_hi
+         |      OR max_y < y_lo OR min_y > y_hi) THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(CASE WHEN NOT (max_x < x_lo OR min_x > x_hi
+         |      OR max_y < y_lo OR min_y > y_hi) THEN n_rows ELSE 0 END)
+         |    AS BIGINT)
+         |FROM zf, probe
+         |ORDER BY layout""".stripMargin
   )
 }
