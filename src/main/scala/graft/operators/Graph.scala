@@ -181,4 +181,58 @@ object Graph {
       .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k —
+    * the classic "dense quality neighborhood" extractor (spam rings and
+    * boilerplate farms survive high-k cores; isolated pages don't).
+    * Computed by synchronous peeling: drop all nodes with degree < k,
+    * recompute degrees, repeat to fixpoint. Deterministic (no tie order —
+    * a whole generation peels at once), so a round-unrolled relational
+    * oracle reproduces it exactly; extra rounds past convergence are
+    * no-ops (peeling is monotone).
+    *
+    * Scale design (100 TB): the edge set only ever SHRINKS — each round
+    * is one degree aggregation (map-side partial) plus two semi-joins
+    * against the surviving-node list (broadcast once that list is small,
+    * which is exactly the high-k regime). Per-round driver state is one
+    * COUNT; the surviving edges are localCheckpointed so lineage stays
+    * flat. Rounds are O(peeling depth) — bounded by `maxRounds`, with
+    * the fixpoint check exact, not heuristic.
+    *
+    * Output: `(node, deg)` for every surviving node, `deg` its degree
+    * WITHIN the core (all ≥ k by construction). Empty when the graph has
+    * no k-core. Self-loops dropped; parallel edges collapse.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 200,
+      s"maxRounds must be in [1,200], got $maxRounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var cur = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prev = -1L
+    var n = cur.count()
+    var round = 0
+    while (n != prev && n > 0 && round < maxRounds) {
+      prev = n
+      val keep = degrees(cur).filter(col("deg") >= k).select("node")
+      cur = cur
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      n = cur.count()
+      round += 1
+    }
+    degrees(cur)
+  }
 }

@@ -479,6 +479,23 @@ object CoreQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // 5-core of the part co-purchase graph (parts sharing an order,
+    // key-capped): synchronous peeling to an EXACT fixpoint — whole
+    // generations peel at once, so there is no tie order and the
+    // round-unrolled oracle reproduces the cascade bit-for-bit (8 rounds
+    // at this fixture; the oracle unrolls 12, extras are no-ops).
+    "q_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 600)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 5)
+        .select(col("node"), asLong(col("deg")).as("deg"))
+        .orderBy("node")
+    }),
+
     // Z-order (Morton) layout stats over orders, x = custkey, y = days
     // since 1992-01-01: per-tile min/max of BOTH dimensions — the file-
     // skipping table a 2-D probe prunes with. The interleaved key is one
@@ -512,6 +529,32 @@ object CoreQueries {
     t(s, dir, "orders").select(col("o_custkey").as("x"),
       datediff(col("o_orderdate").cast("date"),
         lit("1992-01-01").cast("date")).as("y"))
+
+  /** The [[graft.operators.Graph.kCore]] peeling cascade unrolled:
+    * MATERIALIZED CTEs (each round reads its predecessor three times).
+    * Rounds past the fixpoint are no-ops, so any unroll ≥ the true
+    * peeling depth yields the exact core.
+    */
+  private def kCoreOracle(rounds: Int, k: Int): String = {
+    val head =
+      s"""WITH li AS MATERIALIZED (SELECT l_orderkey AS o, l_partkey AS p
+         |  FROM lineitem WHERE l_orderkey <= 600),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, count(*) AS deg FROM (
+         |    SELECT u AS node FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+         |  GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT e.u, e.v FROM e${i - 1} e
+         |  JOIN k$i a ON e.u = a.node JOIN k$i b ON e.v = b.node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"""
+         |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   /** The Morton interleave of [[graft.operators.Layout.zValue]] unrolled
     * to SQL (same plan-time-constant shape as the Spark side).
@@ -923,6 +966,8 @@ object CoreQueries {
         |  SELECT uk, useg, uaddr, ts, CAST(NULL AS DATE)
         |    FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed))
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "q_kcore" -> kCoreOracle(rounds = 12, k = 5),
 
     "q_zorder_layout" ->
       s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,
