@@ -65,4 +65,39 @@ object Warehouse {
         lit(null).cast(toType).as(toCol)): _*)
     closed.unionByName(fromCur).unionByName(fromUpd)
   }
+
+  /** Apply a change log (insert/update/delete events) to a snapshot:
+    * last-writer-wins per key, then upsert/delete in one pass — the
+    * MERGE INTO a curation pipeline runs to roll a corpus snapshot
+    * forward from provenance events.
+    *
+    * Winner selection is `max(struct(ts, op, attrs...))` — a partial-
+    * aggregable lexicographic argmax (no window sort), deterministic
+    * even on duplicate `(key, ts)` pairs because the op and attributes
+    * break the tie. Ops: `"d"` deletes the key; anything else upserts
+    * the change's attributes. Keys absent from the log pass through.
+    *
+    * Scale design (100 TB): ONE map-side-combined aggregation over the
+    * log (struct rows, no shuffle of the snapshot for winner selection)
+    * + ONE full-outer key join against the snapshot; AQE broadcasts
+    * small logs. Contrast with per-event application, which would be a
+    * shuffle per batch.
+    */
+  def changeLogApply(snapshot: DataFrame, changes: DataFrame, keyCol: String,
+      attrCols: Seq[String], tsCol: String,
+      opCol: String = "op"): DataFrame = {
+    require(attrCols.nonEmpty, "changeLogApply: attrCols must be non-empty")
+    val latest = changes.groupBy(col(keyCol).as("__k"))
+      .agg(max(struct((col(tsCol) +: col(opCol).as("__op") +:
+        attrCols.map(col)): _*)).as("__c"))
+      .select(col("__k") +: col("__c.__op").as("__op") +:
+        attrCols.map(a => col(s"__c.$a").as(s"__u_$a")): _*)
+    snapshot.join(latest, col(keyCol) === col("__k"), "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "d")
+      // an insert/update wins over the snapshot row; absent keys pass
+      .select(coalesce(col(keyCol), col("__k")).as(keyCol) +:
+        attrCols.map(a =>
+          when(col("__op").isNotNull, col(s"__u_$a"))
+            .otherwise(col(a)).as(a)): _*)
+  }
 }

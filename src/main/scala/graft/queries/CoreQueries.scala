@@ -479,6 +479,31 @@ object CoreQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // change-log apply (MERGE INTO): last-writer-wins per key via a
+    // partial-aggregable struct argmax (no window sort), then one
+    // full-outer upsert/delete pass. Fixture covers late-beats-early,
+    // delete-beats-update, insert of unseen keys, and passthrough.
+    "q_changelog_apply" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val snap = c.select(col("c_custkey"), col("c_mktsegment"), col("c_name"))
+      val ch = c.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("UPD5").as("c_mktsegment"),
+          col("c_name"), lit(2L).as("ts"), lit("u").as("op"))
+        .unionByName(c.filter(col("c_custkey") % 5 === 0)
+          .select(col("c_custkey"), lit("EARLY").as("c_mktsegment"),
+            col("c_name"), lit(1L).as("ts"), lit("u").as("op")))
+        .unionByName(c.filter(col("c_custkey") % 9 === 0)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+            lit(3L).as("ts"), lit("d").as("op")))
+        .unionByName(c.filter(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEWKEY").as("c_mktsegment"), col("c_name"),
+            lit(1L).as("ts"), lit("i").as("op")))
+      graft.operators.Warehouse.changeLogApply(snap, ch, "c_custkey",
+        Seq("c_mktsegment", "c_name"), "ts")
+        .orderBy("c_custkey")
+    }),
+
     // 5-core of the part co-purchase graph (parts sharing an order,
     // key-capped): synchronous peeling to an EXACT fixpoint — whole
     // generations peel at once, so there is no tie order and the
@@ -968,6 +993,31 @@ object CoreQueries {
         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q_kcore" -> kCoreOracle(rounds = 12, k = 5),
+
+    // winner = lexicographic max over (ts, op, attrs) — replayed as a
+    // descending row_number (NULL-free fixture, so the orders agree).
+    "q_changelog_apply" ->
+      """WITH snap AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    c_name AS nm FROM customer),
+        |ch AS (
+        |  SELECT c_custkey AS k, 'UPD5' AS seg, c_name AS nm, 2 AS ts,
+        |      'u' AS op FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey, 'EARLY', c_name, 1, 'u'
+        |    FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT c_custkey, c_mktsegment, c_name, 3, 'd'
+        |    FROM customer WHERE c_custkey % 9 = 0
+        |  UNION ALL SELECT c_custkey + 1000000, 'NEWKEY', c_name, 1, 'i'
+        |    FROM customer WHERE c_custkey % 50 = 0),
+        |w AS (SELECT k, seg, nm, op, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, op DESC, seg DESC, nm DESC) AS rn FROM ch),
+        |latest AS (SELECT k, seg, nm, op FROM w WHERE rn = 1)
+        |SELECT COALESCE(s.k, l.k) AS c_custkey,
+        |  CASE WHEN l.k IS NOT NULL THEN l.seg ELSE s.seg END
+        |    AS c_mktsegment,
+        |  CASE WHEN l.k IS NOT NULL THEN l.nm ELSE s.nm END AS c_name
+        |FROM snap s FULL OUTER JOIN latest l ON s.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'd'
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_zorder_layout" ->
       s"""WITH base AS (SELECT CAST(o_custkey AS BIGINT) AS x,

@@ -58,4 +58,29 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.filter(col("valid_to").isNotNull).count() == 2)
     assert(out.filter(col("valid_to").isNull).count() == 2)
   }
+
+  test("changeLogApply: LWW upserts, deletes, resurrection, passthrough") {
+    val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("k", "attr")
+    val changes = Seq(
+      (1L, "a1", 1L, "u"), (1L, "a2", 5L, "u"), // later update wins
+      (2L, "x", 2L, "u"), (2L, "x", 3L, "d"),   // delete beats update
+      (3L, "zz", 1L, "d"), (3L, "c2", 2L, "u"), // update after delete
+      (9L, "new", 1L, "i")                      // unseen key insert
+    ).toDF("k", "attr", "ts", "op")
+    val out = Warehouse.changeLogApply(snap, changes, "k", Seq("attr"), "ts")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "a2"), (3L, "c2"), (4L, "d"), (9L, "new")))
+  }
+
+  test("changeLogApply ties on ts break deterministically by op then attrs") {
+    val snap = Seq((1L, "a")).toDF("k", "attr")
+    // same ts: 'u' > 'i' > 'd' lexicographically — update wins
+    val changes = Seq((1L, "del", 7L, "d"), (1L, "upd", 7L, "u"))
+      .toDF("k", "attr", "ts", "op")
+    val out = Warehouse.changeLogApply(snap, changes, "k", Seq("attr"), "ts")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "upd")))
+  }
 }
