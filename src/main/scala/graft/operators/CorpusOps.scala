@@ -664,4 +664,50 @@ object CorpusOps {
         .map(i => col(s"s$i")): _*)).as("s"))
       .select(col("s.*"))
   }
+
+  /** Robust per-group outlier flagging by median absolute deviation —
+    * the length/score filter a curation pipeline prefers over mean±σ
+    * (one giant document would drag a mean; it cannot drag a median).
+    *
+    * Every quantity stays an EXACT decimal via the doubled-median trick
+    * (no division anywhere): `med2 = 2·median` is the sum of the one or
+    * two rank-selected middle values times `(3 − #selected)`;
+    * `dev2 = |2x − med2| = 2·deviation`; `mad4 = 2·median(dev2) = 4·MAD`;
+    * and the flag compares `2·dev2 > k·mad4 ⟺ |x − med| > k·MAD`. Both
+    * engines replay the integer/decimal arithmetic bit-for-bit; doubles
+    * appear only at the output edge.
+    *
+    * Exact rank-selected medians cost one window sort per pass (two
+    * passes). That is the oracle face: at 100 TB the same flag runs off
+    * `approx_percentile` quantiles instead (the library's approx paths
+    * are spec-gated against exact forms in QuantileSpec) — tie-order
+    * inside the sort is irrelevant because rank selection over a sorted
+    * MULTISET picks the same values regardless of how equals are
+    * ordered.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def doubledMedian(in: DataFrame, c: String, out: String): DataFrame =
+      in.withColumn("__rn", row_number().over(
+          Window.partitionBy(groupCol).orderBy(col(c))))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+        .filter(col("__rn") === expr("(__n + 1) div 2") ||
+          col("__rn") === expr("(__n + 2) div 2"))
+        .groupBy(col(groupCol))
+        .agg((sum(col(c)) * (lit(3) - count(lit(1)))).as(out))
+    val base = df.select(col(groupCol), col(idCol),
+      col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        .as("__x"))
+    val d = base.join(doubledMedian(base, "__x", "med2"), Seq(groupCol))
+      .withColumn("__dev2", abs(lit(2) * col("__x") - col("med2")))
+      .localCheckpoint(false) // feeds the second median AND the output
+    d.join(doubledMedian(d, "__dev2", "mad4"), Seq(groupCol))
+      .select(col(groupCol), col(idCol),
+        col("__x").cast("double").as("val"),
+        col("med2").cast("double").as("med2"),
+        col("__dev2").cast("double").as("dev2"),
+        col("mad4").cast("double").as("mad4"),
+        (lit(2) * col("__dev2") > lit(k) * col("mad4")).as("is_outlier"))
+  }
 }

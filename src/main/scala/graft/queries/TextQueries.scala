@@ -466,6 +466,17 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // robust per-source length outliers: |x - median| > 3 * MAD, every
+    // quantity an exact decimal via the doubled-median trick (med2 =
+    // 2*median, mad4 = 4*MAD; flag = 2*dev2 > k*mad4 — no division),
+    // so both engines replay the rank-selected medians bit-for-bit.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.operators.CorpusOps.madOutliers(
+        t(s, dir, "documents").select(col("source"), col("doc_id"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens")),
+        "source", "doc_id", "n_tokens", k = 3)
+        .orderBy("source", "doc_id")),
+
     // payment-card detection: regex candidates gated by the Luhn mod-10
     // checksum (integer `aggregate` over digit positions — the sum itself
     // is the oracle evidence, not just the boolean). A digit-run regex
@@ -914,6 +925,34 @@ object TextQueries {
         |  (5, 'mixed: a@b.io from 127.0.0.1 dialed 800-555-0199'))
         |t(doc_id, text)
         |ORDER BY doc_id""".stripMargin,
+
+    // same doubled-median rank selection; (n+1)//2 and (n+2)//2 pick the
+    // middle of the sorted multiset regardless of tie order.
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT source AS g, doc_id AS id,
+        |    CAST(len(string_split(text, ' ')) AS DECIMAL(18,4)) AS x
+        |  FROM documents),
+        |r AS (SELECT g, id, x,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM base),
+        |m AS (SELECT g, CAST(sum(x) * (3 - count(*)) AS DECIMAL(38,4))
+        |    AS med2
+        |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g),
+        |d AS (SELECT b.g, b.id, b.x, m.med2,
+        |    abs(2 * b.x - m.med2) AS dev2
+        |  FROM base b JOIN m USING (g)),
+        |r2 AS (SELECT g, id, x, med2, dev2,
+        |    row_number() OVER (PARTITION BY g ORDER BY dev2) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM d),
+        |m2 AS (SELECT g, CAST(sum(dev2) * (3 - count(*)) AS DECIMAL(38,4))
+        |    AS mad4
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g)
+        |SELECT d.g AS source, d.id AS doc_id,
+        |  CAST(d.x AS DOUBLE) AS val, CAST(d.med2 AS DOUBLE) AS med2,
+        |  CAST(d.dev2 AS DOUBLE) AS dev2, CAST(m2.mad4 AS DOUBLE) AS mad4,
+        |  2 * d.dev2 > 3 * m2.mad4 AS is_outlier
+        |FROM d JOIN m2 USING (g)
+        |ORDER BY source, doc_id""".stripMargin,
 
     // Luhn mod-10 replayed digit-by-digit in SQL: from the RIGHT, odd
     // positions as-is, even positions doubled (minus 9 above 9) — the
