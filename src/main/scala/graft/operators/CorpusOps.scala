@@ -665,6 +665,46 @@ object CorpusOps {
       .select(col("s.*"))
   }
 
+  /** Pairwise Pearson correlation with EXACT evidence: for every column
+    * pair, the six sufficient statistics (n, Σa, Σb, Σab, Σa², Σb²) are
+    * decimal-exact (≤4-decimal inputs ⇒ products exact at scale 8, sums
+    * order-independent), cast to double only at the output edge; `corr`
+    * is then derived from those doubles with a FIXED association
+    * `(n·Σab − Σa·Σb) / (√(n·Σa²−Σa²ᵥ) · √(n·Σb²−Σb²ᵥ))` — identical
+    * bit-exact inputs + exactly-rounded IEEE ops ⇒ identical doubles in
+    * any engine, so even the float is oracle-checkable.
+    *
+    * ONE aggregation pass for ALL pairs (struct-per-pair, map-side
+    * partial) — the profiling sweep stays a single corpus scan no matter
+    * how many column pairs are requested. Nulls: callers pre-filter
+    * (a null would desync `n` from the sums).
+    */
+  def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationPairs: need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    def d4(c: String) = col(c).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    def sq(a: String, b: String) =
+      sum((d4(a) * d4(b)).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+    val aggs = pairs.zipWithIndex.map { case ((a, b), idx) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        count(lit(1)).cast(LongType).as("n"),
+        sum(d4(a)).cast("double").as("sum_a"),
+        sum(d4(b)).cast("double").as("sum_b"),
+        sq(a, b).cast("double").as("sum_ab"),
+        sq(a, a).cast("double").as("sum_aa"),
+        sq(b, b).cast("double").as("sum_bb")).as(s"p$idx")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.indices.map(i => col(s"p$i")): _*)).as("p"))
+      .select(col("p.*"))
+      .withColumn("corr",
+        (col("n") * col("sum_ab") - col("sum_a") * col("sum_b")) /
+          (sqrt(col("n") * col("sum_aa") - col("sum_a") * col("sum_a")) *
+            sqrt(col("n") * col("sum_bb") - col("sum_b") * col("sum_b"))))
+  }
+
   /** Robust per-group outlier flagging by median absolute deviation —
     * the length/score filter a curation pipeline prefers over mean±σ
     * (one giant document would drag a mean; it cannot drag a median).

@@ -479,6 +479,15 @@ object CoreQueries {
         .orderBy("c_custkey", "valid_from")
     }),
 
+    // pairwise Pearson correlation with exact sufficient statistics: one
+    // aggregation pass for all six pairs; even the float `corr` is
+    // oracle-checked (identical double inputs + fixed IEEE association).
+    "q_corr_pairs" -> ((s, dir) =>
+      graft.operators.CorpusOps.correlationPairs(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+
     // change-log apply (MERGE INTO): last-writer-wins per key via a
     // partial-aggregable struct argmax (no window sort), then one
     // full-outer upsert/delete pass. Fixture covers late-beats-early,
@@ -579,6 +588,40 @@ object CoreQueries {
          |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
          |  SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** One exact-sufficient-statistics block per column pair, mirroring
+    * [[graft.operators.CorpusOps.correlationPairs]]'s decimal typing and
+    * the fixed IEEE association of the derived `corr`.
+    */
+  private def corrOracle(cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // DECIMAL(19,4): forces DuckDB's int128-backed product (19+19 = 38);
+    // an (18,4) operand pair would overflow the int64 fast path. The
+    // VALUES are identical to Spark's (18,4) arithmetic — only exactness
+    // matters, the compare happens after the cast to double.
+    def d4(c: String) = s"CAST($c AS DECIMAL(19,4))"
+    def sq(a: String, b: String) =
+      s"CAST(sum(CAST(${d4(a)} * ${d4(b)} AS DECIMAL(38,8))) AS DOUBLE)"
+    val blocks = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(${d4(a)}) AS DOUBLE) AS sum_a,
+         |    CAST(sum(${d4(b)}) AS DOUBLE) AS sum_b,
+         |    ${sq(a, b)} AS sum_ab,
+         |    ${sq(a, a)} AS sum_aa,
+         |    ${sq(b, b)} AS sum_bb
+         |  FROM lineitem""".stripMargin
+    }
+    s"""WITH s AS (
+       |${blocks.mkString("\n  UNION ALL\n")})
+       |SELECT col_a, col_b, n, sum_a, sum_b, sum_ab, sum_aa, sum_bb,
+       |  (n * sum_ab - sum_a * sum_b) /
+       |    (sqrt(n * sum_aa - sum_a * sum_a) *
+       |     sqrt(n * sum_bb - sum_b * sum_b)) AS corr
+       |FROM s ORDER BY col_a, col_b""".stripMargin
   }
 
   /** The Morton interleave of [[graft.operators.Layout.zValue]] unrolled
@@ -993,6 +1036,9 @@ object CoreQueries {
         |ORDER BY c_custkey, valid_from""".stripMargin,
 
     "q_kcore" -> kCoreOracle(rounds = 12, k = 5),
+
+    "q_corr_pairs" -> corrOracle(
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
 
     // winner = lexicographic max over (ts, op, attrs) — replayed as a
     // descending row_number (NULL-free fixture, so the orders agree).
