@@ -705,6 +705,87 @@ object CorpusOps {
             sqrt(col("n") * col("sum_bb") - col("sum_b") * col("sum_b"))))
   }
 
+  /** Greedy max-coverage subset selection — the diversity-first coreset
+    * picker ("choose k docs that together cover the most distinct
+    * n-grams"): each round scores every unselected document by how many
+    * NOT-YET-COVERED shingles it would add, takes the argmax
+    * (ties → smallest id), and folds the winner's shingles into the
+    * covered set. The classic greedy (1−1/e) approximation to max
+    * coverage, fully deterministic, so a round-unrolled relational
+    * oracle replays every pick.
+    *
+    * Each round is one anti-join against the covered set + one count
+    * aggregation over the standing (id, shingle) table (built once,
+    * localCheckpointed); driver state is ONE row per round (the winner).
+    * O(k) passes — right for report-sized k. At corpus-scale k the same
+    * marginal-gain loop runs over sketched coverage (KMV unions) with
+    * lazy-greedy re-evaluation; this exact form is its oracle face.
+    */
+  def greedyCoverage(df: DataFrame, idCol: String, textCol: String, k: Int,
+      shingleN: Int = 3): DataFrame = {
+    require(k >= 1 && k <= 100, s"k must be in [1,100], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).cast(LongType).as("id"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol),
+          shingleN)).as("sh"))
+      .localCheckpoint(true)
+    var covered = sh.select(col("sh")).limit(0).localCheckpoint(true)
+    var picked = Vector.empty[(Long, Long, Long, Long)]
+    var coveredTotal = 0L
+    var selected = Set.empty[Long]
+    var r = 1
+    var done = false
+    while (r <= k && !done) {
+      val cand = if (selected.isEmpty) sh
+        else sh.filter(!col("id").isin(selected.toSeq: _*))
+      val win = cand.join(covered, Seq("sh"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("id"))
+        .limit(1).collect()
+      if (win.isEmpty) done = true // every remaining doc adds nothing
+      else {
+        val id = win(0).getLong(0)
+        val gain = win(0).getLong(1)
+        coveredTotal += gain
+        covered = covered
+          .union(sh.filter(col("id") === id).select("sh"))
+          .distinct().localCheckpoint(true)
+        picked :+= ((r.toLong, id, gain, coveredTotal))
+        selected += id
+        r += 1
+      }
+    }
+    picked.toDF("sel_rank", "doc_id", "gain", "covered_total")
+  }
+
+  /** Per-group ordinary-least-squares trend — the drift monitor a corpus
+    * pipeline runs over per-source daily volumes/quality scores ("is
+    * src7 shrinking?"). Same exact-evidence discipline as
+    * [[correlationPairs]]: the sufficient statistics (n, Σx, Σy, Σxy,
+    * Σx²) are decimal-exact per group in ONE map-side-combined pass;
+    * slope `(n·Σxy − Σx·Σy)/(n·Σx² − Σx·Σx)` and intercept
+    * `(Σy − slope·Σx)/n` are derived from the edge doubles with a fixed
+    * IEEE association, so both floats oracle-check bitwise.
+    */
+  def regressionByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    def d4(c: String) = col(c).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+    def sq(a: String, b: String) =
+      sum((d4(a) * d4(b)).cast(org.apache.spark.sql.types.DecimalType(38, 8)))
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        sum(d4(xCol)).cast("double").as("sum_x"),
+        sum(d4(yCol)).cast("double").as("sum_y"),
+        sq(xCol, yCol).cast("double").as("sum_xy"),
+        sq(xCol, xCol).cast("double").as("sum_xx"))
+      .withColumn("slope",
+        (col("n") * col("sum_xy") - col("sum_x") * col("sum_y")) /
+          (col("n") * col("sum_xx") - col("sum_x") * col("sum_x")))
+      .withColumn("intercept",
+        (col("sum_y") - col("slope") * col("sum_x")) / col("n"))
+  }
+
   /** Robust per-group outlier flagging by median absolute deviation —
     * the length/score filter a curation pipeline prefers over mean±σ
     * (one giant document would drag a mean; it cannot drag a median).

@@ -488,6 +488,20 @@ object CoreQueries {
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")),
 
+    // per-group OLS drift trend (daily order volume per priority): one
+    // pre-agg + one exact-evidence regression pass; slope and intercept
+    // are fixed-association doubles, oracle-checked bitwise.
+    "q_trend_ols" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("grp"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1992-01-01").cast("date")).as("day"))
+        .agg(count(lit(1)).as("n_orders"))
+      graft.operators.CorpusOps.regressionByGroup(daily, "grp", "day",
+        "n_orders")
+        .orderBy("grp")
+    }),
+
     // change-log apply (MERGE INTO): last-writer-wins per key via a
     // partial-aggregable struct argmax (no window sort), then one
     // full-outer upsert/delete pass. Fixture covers late-beats-early,
@@ -1039,6 +1053,30 @@ object CoreQueries {
 
     "q_corr_pairs" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    // intercept re-derives slope's division — IEEE ops are exactly
+    // rounded, so the repeated expression yields the identical double.
+    "q_trend_ols" ->
+      """WITH daily AS (SELECT o_orderpriority AS grp,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |      AS day,
+        |    count(*) AS n_orders FROM orders GROUP BY 1, 2),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(day AS DECIMAL(19,4))) AS DOUBLE) AS sum_x,
+        |    CAST(sum(CAST(n_orders AS DECIMAL(19,4))) AS DOUBLE) AS sum_y,
+        |    CAST(sum(CAST(CAST(day AS DECIMAL(19,4)) *
+        |      CAST(n_orders AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS sum_xy,
+        |    CAST(sum(CAST(CAST(day AS DECIMAL(19,4)) *
+        |      CAST(day AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE)
+        |      AS sum_xx
+        |  FROM daily GROUP BY grp)
+        |SELECT grp, n, sum_x, sum_y, sum_xy, sum_xx,
+        |  (n * sum_xy - sum_x * sum_y) / (n * sum_xx - sum_x * sum_x)
+        |    AS slope,
+        |  (sum_y - ((n * sum_xy - sum_x * sum_y) /
+        |    (n * sum_xx - sum_x * sum_x)) * sum_x) / n AS intercept
+        |FROM s ORDER BY grp""".stripMargin,
 
     // winner = lexicographic max over (ts, op, attrs) — replayed as a
     // descending row_number (NULL-free fixture, so the orders agree).

@@ -466,6 +466,16 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // greedy max-coverage pick of 5 docs by distinct 3-shingle gain —
+    // deterministic argmax per round (ties -> smallest id), so the
+    // 5-round unrolled oracle replays every pick; covered_total is
+    // independently re-derived in the oracle as count(covered set).
+    "q_coverage_pick" -> ((s, dir) =>
+      graft.operators.CorpusOps.greedyCoverage(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", k = 5)
+        .orderBy("sel_rank")),
+
     // robust per-source length outliers: |x - median| > 3 * MAD, every
     // quantity an exact decimal via the doubled-median trick (med2 =
     // 2*median, mad4 = 4*MAD; flag = 2*dev2 > k*mad4 — no division),
@@ -616,6 +626,49 @@ object TextQueries {
           .map(l => coalesce(col(l), lit(0L)).as(s"${l}_tokens")): _*)
         .orderBy("source"))
   )
+
+  /** The [[graft.operators.CorpusOps.greedyCoverage]] rounds unrolled:
+    * per round, gains exclude previously selected ids and covered
+    * shingles; the winner CTE is a deterministic ORDER BY ... LIMIT 1;
+    * the covered set folds via UNION (dedups). MATERIALIZED where a CTE
+    * is read by several successors.
+    */
+  private def coverageOracle(k: Int): String = {
+    val head =
+      """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ')
+        |    AS w FROM documents WHERE doc_id < 100),
+        |sh AS MATERIALIZED (SELECT doc_id AS id, unnest(list_distinct(
+        |    list_transform(range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM toks)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      val excl =
+        if (r == 1) ""
+        else {
+          val ids = (1 until r).map(j => s"SELECT id FROM w$j")
+            .mkString(" UNION ALL ")
+          s"\n  WHERE id NOT IN ($ids)" +
+            s"\n    AND sh NOT IN (SELECT sh FROM c${r - 1})"
+        }
+      val cdef =
+        if (r == 1)
+          "c1 AS MATERIALIZED (SELECT DISTINCT sh FROM sh JOIN w1 USING (id))"
+        else
+          s"c$r AS MATERIALIZED (SELECT sh FROM c${r - 1} " +
+            s"UNION SELECT sh.sh FROM sh JOIN w$r USING (id))"
+      s"""g$r AS (SELECT id, count(*) AS gain FROM sh$excl GROUP BY id),
+         |w$r AS MATERIALIZED (SELECT id, gain FROM g$r
+         |  ORDER BY gain DESC, id LIMIT 1),
+         |$cdef""".stripMargin
+    }
+    val sel = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS sel_rank, id AS doc_id,
+         |  CAST(gain AS BIGINT) AS gain,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total
+         |FROM w$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    (head +: rounds).mkString(",\n") + s"\n$sel\nORDER BY sel_rank"
+  }
 
   val oracles: Map[String, String] = Map(
     // bucket = lower 60 bits of md5(doc_id-as-string) mod 100, walked
@@ -925,6 +978,8 @@ object TextQueries {
         |  (5, 'mixed: a@b.io from 127.0.0.1 dialed 800-555-0199'))
         |t(doc_id, text)
         |ORDER BY doc_id""".stripMargin,
+
+    "q_coverage_pick" -> coverageOracle(5),
 
     // same doubled-median rank selection; (n+1)//2 and (n+2)//2 pick the
     // middle of the sorted multiset regardless of tie order.
