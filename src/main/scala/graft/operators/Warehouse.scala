@@ -66,6 +66,36 @@ object Warehouse {
     closed.unionByName(fromCur).unionByName(fromUpd)
   }
 
+  /** The SCD2 READ face: join each fact row to the dimension version
+    * that was valid at the fact's timestamp
+    * (`valid_from ≤ ts ∧ (valid_to IS NULL ∨ ts < valid_to)`) — the
+    * lookup every provenance-enriched fact scan runs. Facts with no
+    * valid version at their ts (key unseen, or ts before its first
+    * version) keep null dimension columns (left join).
+    *
+    * Scale design: dimensions are the SMALL side by definition —
+    * `broadcast(history)` turns the temporal lookup into a map-side
+    * hash join on the key with the interval predicate evaluated as a
+    * post-join filter inside the same stage: zero shuffle of the fact
+    * stream. (At most one version matches per fact by the SCD2
+    * non-overlap invariant, so the join cannot fan out.) For a
+    * dimension too large to broadcast, fall back to a shuffle join on
+    * the key — the interval residual stays a cheap filter.
+    */
+  def versionAt(facts: DataFrame, history: DataFrame, keyCol: String,
+      factTsCol: String, fromCol: String = "valid_from",
+      toCol: String = "valid_to",
+      broadcastDim: Boolean = true): DataFrame = {
+    val dim = history.withColumnRenamed(keyCol, "__dk")
+    val side = if (broadcastDim) broadcast(dim) else dim
+    facts.join(side,
+      col(keyCol) === col("__dk") &&
+        col(fromCol) <= col(factTsCol) &&
+        (col(toCol).isNull || col(factTsCol) < col(toCol)),
+      "left")
+      .drop("__dk")
+  }
+
   /** Apply a change log (insert/update/delete events) to a snapshot:
     * last-writer-wins per key, then upsert/delete in one pass — the
     * MERGE INTO a curation pipeline runs to roll a corpus snapshot

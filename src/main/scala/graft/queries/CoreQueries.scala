@@ -453,30 +453,22 @@ object CoreQueries {
     // segment), no-op rows (%11: identical attrs), and first-seen keys
     // (%97, offset ids) closes and opens versions off ONE full-outer
     // key join (change detection + both output branches reuse it).
-    "q_scd2_merge" -> ((s, dir) => {
-      val c = t(s, dir, "customer")
-      val d = (x: String) => lit(java.sql.Date.valueOf(x))
-      val cur = c.select(col("c_custkey"), col("c_mktsegment"),
-        col("c_name"), d("1994-01-01").as("valid_from"),
-        lit(null).cast("date").as("valid_to"))
-      val hist = c.filter(col("c_custkey") % 13 === 0)
-        .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
-          col("c_name"), d("1992-01-01").as("valid_from"),
-          d("1994-01-01").as("valid_to"))
-      val updates = c.filter(col("c_custkey") % 7 === 0)
-        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
-          col("c_name"), d("1996-06-01").as("ts"))
-        .unionByName(c.filter(col("c_custkey") % 11 === 0 &&
-            col("c_custkey") % 7 =!= 0)
-          .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
-            d("1996-06-01").as("ts")))
-        .unionByName(c.filter(col("c_custkey") % 97 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            lit("NEWKEY").as("c_mktsegment"), col("c_name"),
-            d("1996-06-01").as("ts")))
-      graft.operators.Warehouse.scd2Merge(hist.unionByName(cur), updates,
-        "c_custkey", Seq("c_mktsegment", "c_name"), "ts")
-        .orderBy("c_custkey", "valid_from")
+    "q_scd2_merge" -> ((s, dir) =>
+      scd2Merged(s, dir).orderBy("c_custkey", "valid_from")),
+
+    // the SCD2 read face: each order joined to the customer-dim version
+    // valid at its order date — broadcast temporal lookup, zero shuffle
+    // of the fact stream (at most one version matches by the SCD2
+    // non-overlap invariant).
+    "q_dim_version_at" -> ((s, dir) => {
+      val facts = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"),
+        col("o_orderdate").cast("date").as("odate"))
+      graft.operators.Warehouse.versionAt(facts, scd2Merged(s, dir),
+        "c_custkey", "odate")
+        .select(col("o_orderkey"), col("c_custkey"), col("odate"),
+          col("c_mktsegment"), col("valid_from"))
+        .orderBy("o_orderkey")
     }),
 
     // pairwise Pearson correlation with exact sufficient statistics: one
@@ -577,6 +569,73 @@ object CoreQueries {
     t(s, dir, "orders").select(col("o_custkey").as("x"),
       datediff(col("o_orderdate").cast("date"),
         lit("1992-01-01").cast("date")).as("y"))
+
+  /** SCD2 fixture shared by `q_scd2_merge` and `q_dim_version_at`:
+    * pre-existing closed versions (%13), a batch with changes (%7),
+    * no-ops (%11), and first-seen keys (%97, offset ids), merged over
+    * the customer dim.
+    */
+  private def scd2Merged(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c = t(s, dir, "customer")
+    val d = (x: String) => lit(java.sql.Date.valueOf(x))
+    val cur = c.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_name"), d("1994-01-01").as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val hist = c.filter(col("c_custkey") % 13 === 0)
+      .select(col("c_custkey"), lit("OLDSEG").as("c_mktsegment"),
+        col("c_name"), d("1992-01-01").as("valid_from"),
+        d("1994-01-01").as("valid_to"))
+    val updates = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+        col("c_name"), d("1996-06-01").as("ts"))
+      .unionByName(c.filter(col("c_custkey") % 11 === 0 &&
+          col("c_custkey") % 7 =!= 0)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_name"),
+          d("1996-06-01").as("ts")))
+      .unionByName(c.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit("NEWKEY").as("c_mktsegment"), col("c_name"),
+          d("1996-06-01").as("ts")))
+    graft.operators.Warehouse.scd2Merge(hist.unionByName(cur), updates,
+      "c_custkey", Seq("c_mktsegment", "c_name"), "ts")
+  }
+
+  /** The DuckDB image of [[scd2Merged]] as a CTE block ending in
+    * `merged(k, seg, addr, valid_from, valid_to)`.
+    */
+  private val scd2OracleCtes: String =
+    """cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    c_name AS addr, DATE '1994-01-01' AS valid_from,
+      |    CAST(NULL AS DATE) AS valid_to FROM customer),
+      |hist AS (SELECT c_custkey AS k, 'OLDSEG' AS seg, c_name AS addr,
+      |    DATE '1992-01-01' AS valid_from, DATE '1994-01-01' AS valid_to
+      |  FROM customer WHERE c_custkey % 13 = 0),
+      |upd AS (
+      |  SELECT c_custkey AS k, 'MOVED' AS seg, c_name AS addr,
+      |      DATE '1996-06-01' AS ts
+      |    FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment, c_name, DATE '1996-06-01'
+      |    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWKEY', c_name, DATE '1996-06-01'
+      |    FROM customer WHERE c_custkey % 97 = 0),
+      |j AS (SELECT cur.k AS ck, cur.seg AS cseg, cur.addr AS caddr,
+      |    cur.valid_from AS cfrom, upd.k AS uk, upd.seg AS useg,
+      |    upd.addr AS uaddr, upd.ts AS ts,
+      |    (cur.seg IS DISTINCT FROM upd.seg
+      |      OR cur.addr IS DISTINCT FROM upd.addr) AS changed
+      |  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k),
+      |merged AS (
+      |  SELECT k, seg, addr, valid_from, valid_to FROM hist
+      |  UNION ALL
+      |  SELECT ck, cseg, caddr, cfrom,
+      |      CASE WHEN uk IS NOT NULL AND changed THEN ts END
+      |    FROM j WHERE ck IS NOT NULL
+      |  UNION ALL
+      |  SELECT uk, useg, uaddr, ts, CAST(NULL AS DATE)
+      |    FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed))""".stripMargin
 
   /** The [[graft.operators.Graph.kCore]] peeling cascade unrolled:
     * MATERIALIZED CTEs (each round reads its predecessor three times).
@@ -1014,40 +1073,24 @@ object CoreQueries {
 
     // SCD2 merge replay: same fixture CTEs, change detection via
     // IS DISTINCT FROM (null-safe, like Spark's <=> negation).
+    // SCD2 merge replay over the shared fixture CTEs; change detection
+    // via IS DISTINCT FROM (null-safe, like Spark's <=> negation).
     "q_scd2_merge" ->
-      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
-        |    c_name AS addr, DATE '1994-01-01' AS valid_from,
-        |    CAST(NULL AS DATE) AS valid_to FROM customer),
-        |hist AS (SELECT c_custkey AS k, 'OLDSEG' AS seg, c_name AS addr,
-        |    DATE '1992-01-01' AS valid_from, DATE '1994-01-01' AS valid_to
-        |  FROM customer WHERE c_custkey % 13 = 0),
-        |upd AS (
-        |  SELECT c_custkey AS k, 'MOVED' AS seg, c_name AS addr,
-        |      DATE '1996-06-01' AS ts
-        |    FROM customer WHERE c_custkey % 7 = 0
-        |  UNION ALL
-        |  SELECT c_custkey, c_mktsegment, c_name, DATE '1996-06-01'
-        |    FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 <> 0
-        |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'NEWKEY', c_name, DATE '1996-06-01'
-        |    FROM customer WHERE c_custkey % 97 = 0),
-        |j AS (SELECT cur.k AS ck, cur.seg AS cseg, cur.addr AS caddr,
-        |    cur.valid_from AS cfrom, upd.k AS uk, upd.seg AS useg,
-        |    upd.addr AS uaddr, upd.ts AS ts,
-        |    (cur.seg IS DISTINCT FROM upd.seg
-        |      OR cur.addr IS DISTINCT FROM upd.addr) AS changed
-        |  FROM cur FULL OUTER JOIN upd ON cur.k = upd.k)
-        |SELECT k AS c_custkey, seg AS c_mktsegment, addr AS c_name,
-        |  valid_from, valid_to FROM (
-        |  SELECT k, seg, addr, valid_from, valid_to FROM hist
-        |  UNION ALL
-        |  SELECT ck, cseg, caddr, cfrom,
-        |      CASE WHEN uk IS NOT NULL AND changed THEN ts END
-        |    FROM j WHERE ck IS NOT NULL
-        |  UNION ALL
-        |  SELECT uk, useg, uaddr, ts, CAST(NULL AS DATE)
-        |    FROM j WHERE uk IS NOT NULL AND (ck IS NULL OR changed))
-        |ORDER BY c_custkey, valid_from""".stripMargin,
+      s"""WITH $scd2OracleCtes
+         |SELECT k AS c_custkey, seg AS c_mktsegment, addr AS c_name,
+         |  valid_from, valid_to FROM merged
+         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    // SCD2 read face: interval-predicate left join to the valid version.
+    "q_dim_version_at" ->
+      s"""WITH $scd2OracleCtes
+         |SELECT o.o_orderkey, o.o_custkey AS c_custkey,
+         |  CAST(o.o_orderdate AS DATE) AS odate,
+         |  m.seg AS c_mktsegment, m.valid_from
+         |FROM orders o LEFT JOIN merged m ON o.o_custkey = m.k
+         |  AND m.valid_from <= CAST(o.o_orderdate AS DATE)
+         |  AND (m.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < m.valid_to)
+         |ORDER BY o_orderkey""".stripMargin,
 
     "q_kcore" -> kCoreOracle(rounds = 12, k = 5),
 

@@ -59,6 +59,26 @@ class WarehouseSpec extends AnyFunSuite {
     assert(out.filter(col("valid_to").isNull).count() == 2)
   }
 
+  test("versionAt picks the version valid at each fact ts; no match -> null") {
+    val history = Seq(
+      (1L, "v1", d("2000-01-01"), Option(d("2001-01-01"))),
+      (1L, "v2", d("2001-01-01"), None),
+      (2L, "w1", d("2005-01-01"), None)
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val facts = Seq(
+      (10L, 1L, d("2000-06-01")), // inside closed v1
+      (11L, 1L, d("2001-01-01")), // boundary: from inclusive -> v2
+      (12L, 1L, d("2009-01-01")), // open-ended v2
+      (13L, 2L, d("2004-12-31")), // before first version -> null
+      (14L, 3L, d("2004-12-31"))  // unknown key -> null
+    ).toDF("fact_id", "k", "ts")
+    val out = Warehouse.versionAt(facts, history, "k", "ts")
+      .orderBy("fact_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(3))))
+    assert(out.toSeq == Seq((10L, Some("v1")), (11L, Some("v2")),
+      (12L, Some("v2")), (13L, None), (14L, None)))
+  }
+
   test("changeLogApply: LWW upserts, deletes, resurrection, passthrough") {
     val snap = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
       .toDF("k", "attr")
