@@ -325,6 +325,18 @@ object CoreQueries {
         .agg(asLong(count(lit(1))).as("n"), dsum(col("value")).as("v"))
         .orderBy("hour", "event_type")),
 
+    // hopping (sliding) window aggregation: 6h windows every 3h — each
+    // event lands in exactly window/slide = 2 windows; Spark's `window`
+    // explodes map-side, the oracle replays the slot arithmetic.
+    "q_hopping_window" -> ((s, dir) =>
+      Q.events(s, dir)
+        .groupBy(
+          date_format(window(col("ts"), "6 hours", "3 hours")
+            .getField("start"), "yyyy-MM-dd HH:00").as("win_start"),
+          col("event_type"))
+        .agg(asLong(count(lit(1))).as("n"), dsum(col("value")).as("v"))
+        .orderBy("win_start", "event_type")),
+
     // as-of join (event attribution): each purchase matched to the same
     // user's latest view at or before it — union-window formulation, one
     // key shuffle, no range join; oracle is DuckDB's native ASOF JOIN.
@@ -943,6 +955,21 @@ object CoreQueries {
         |  event_type, count(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // slot s covers [s*3h, s*3h + 6h): an event at µs u belongs to
+    // slots u//3h and u//3h - 1 — exactly two, epoch-aligned like
+    // Spark's window().
+    "q_hopping_window" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+        |  FROM events),
+        |w AS (SELECT us, event_type, value,
+        |    (us // 10800000000) - i AS slot
+        |  FROM e, (SELECT unnest(range(2)) AS i) hops)
+        |SELECT strftime(make_timestamp(slot * 10800000000),
+        |    '%Y-%m-%d %H:00') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id

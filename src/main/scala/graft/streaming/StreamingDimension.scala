@@ -83,6 +83,29 @@ object StreamingDimension {
       }
       .start()
 
+  /** Retention: drop all but the newest `keepLast` snapshot partitions
+    * (the time-travel window). Safe beside a live stream — processBatch
+    * only ever reads the LATEST predecessor, which is always kept
+    * (`keepLast ≥ 1`), and a replayed batch's own partition is newer
+    * than any it would read.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      keepLast: Int = 3): Unit = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val snaps = spark.read.parquet(path)
+      .select(col("snap").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val drop = snaps.dropRight(keepLast)
+    if (drop.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(conf)
+      drop.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"snap=$v"), true)
+      }
+    }
+  }
+
   /** Read the current (latest-snapshot) dimension from the store. */
   def latest(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {

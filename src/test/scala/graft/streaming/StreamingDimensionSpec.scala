@@ -58,6 +58,27 @@ class StreamingDimensionSpec extends AnyFunSuite {
     assert(hist.toSeq == expect.toSeq)
   }
 
+  test("compact keeps the newest snapshots; latest() unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("sdimc").toString
+    StreamingDimension.initDim(dim0, s"$dir/dim")
+    StreamingDimension.processBatch(
+      Seq((1L, "a1", 20L)).toDF("k", "attr", "ts"),
+      0L, s"$dir/dim", "k", Seq("attr"), "ts")
+    StreamingDimension.processBatch(
+      Seq((1L, "a2", 30L)).toDF("k", "attr", "ts"),
+      1L, s"$dir/dim", "k", Seq("attr"), "ts")
+    val before = StreamingDimension.latest(spark, s"$dir/dim")
+      .orderBy("k", "valid_from").collect().map(_.toString).toSeq
+    StreamingDimension.compact(spark, s"$dir/dim", keepLast = 1)
+    val snaps = spark.read.parquet(s"$dir/dim")
+      .select(col("snap").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    assert(snaps.toSeq == Seq(1L))
+    val after = StreamingDimension.latest(spark, s"$dir/dim")
+      .orderBy("k", "valid_from").collect().map(_.toString).toSeq
+    assert(after == before)
+  }
+
   test("replaying a batch rebuilds the same snapshot (no double-close)") {
     val dir = java.nio.file.Files.createTempDirectory("sdimr").toString
     StreamingDimension.initDim(dim0, s"$dir/dim")
