@@ -483,6 +483,15 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // skyline (Pareto frontier) of parts — cheapest-and-largest: local
+    // per-partition prune (mapPartitions, the distributive-skyline
+    // classic) then a dominance anti-join over the tiny candidate set;
+    // oracle is the NOT EXISTS dominance query over the full table.
+    "q_skyline" -> ((s, dir) =>
+      graft.operators.Skyline.skyline(t(s, dir, "part"), "p_partkey",
+        minCols = Seq("p_retailprice"), maxCols = Seq("p_size"))
+        .orderBy("p_partkey")),
+
     // pairwise Pearson correlation with exact sufficient statistics: one
     // aggregation pass for all six pairs; even the float `corr` is
     // oracle-checked (identical double inputs + fixed IEEE association).
@@ -1123,6 +1132,16 @@ object CoreQueries {
 
     "q_corr_pairs" -> corrOracle(
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+
+    "q_skyline" ->
+      """SELECT p_partkey, CAST(p_retailprice AS DOUBLE) AS p_retailprice,
+        |  CAST(p_size AS DOUBLE) AS p_size
+        |FROM part p
+        |WHERE NOT EXISTS (SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""".stripMargin,
 
     // intercept re-derives slope's division — IEEE ops are exactly
     // rounded, so the repeated expression yields the identical double.
