@@ -759,6 +759,27 @@ object CorpusOps {
     picked.toDF("sel_rank", "doc_id", "gain", "covered_total")
   }
 
+  /** Agreement between two boolean gates (Cohen's κ) — the QA check on
+    * the quality tier itself: two filters that agree no better than
+    * chance are not two signals. One aggregation emits the exact
+    * confusion counts; observed/chance agreement and κ are derived
+    * doubles with a fixed IEEE association (exact integer operands →
+    * the floats oracle-check bitwise).
+    */
+  def agreementStats(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).cast(LongType).as("n"),
+      sum(when(col(aCol) && col(bCol), 1L).otherwise(0L)).as("n11"),
+      sum(when(col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col(aCol) && col(bCol), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col(aCol) && !col(bCol), 1L).otherwise(0L)).as("n00"))
+    .withColumn("po", (col("n11") + col("n00")) / col("n"))
+    .withColumn("pe",
+      ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+        (col("n00") + col("n01")) * (col("n00") + col("n10"))) /
+        (col("n") * col("n")))
+    .withColumn("kappa", (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+
   /** Per-group ordinary-least-squares trend — the drift monitor a corpus
     * pipeline runs over per-source daily volumes/quality scores ("is
     * src7 shrinking?"). Same exact-evidence discipline as

@@ -466,6 +466,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Cohen's kappa between the Gopher keep-gate and the repetition
+    // gate — exact confusion counts, fixed-association float faces.
+    "q_gate_agreement" -> ((s, dir) => {
+      val g = graft.operators.CorpusOps.qualityGates(
+        t(s, dir, "documents"), "text",
+        minWords = 50, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minAlphaWordFrac = 0.8)
+        .select(col("doc_id"), col("keep"))
+      val r = graft.operators.CorpusOps.repetitionStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("gate_repetition"))
+      graft.operators.CorpusOps.agreementStats(
+        g.join(r, "doc_id"), "keep", "gate_repetition")
+    }),
+
     // greedy max-coverage pick of 5 docs by distinct 3-shingle gain —
     // deterministic argmax per round (ties -> smallest id), so the
     // 5-round unrolled oracle replays every pick; covered_total is
@@ -980,6 +996,49 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_coverage_pick" -> coverageOracle(5),
+
+    // both gates rebuilt from their proven oracle bodies; po/pe/kappa
+    // derive from the exact counts in a nested select (no alias refs).
+    "q_gate_agreement" ->
+      """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+        |    CAST(list_aggregate(list_transform(w, t -> length(t)), 'sum')
+        |      AS DOUBLE) / len(w) AS mean_len,
+        |    CAST(len(list_filter(w, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS DOUBLE) / len(w) AS alpha_frac
+        |  FROM s),
+        |gates AS (SELECT doc_id,
+        |    (n_words >= 50 AND n_words <= 100000)
+        |      AND (mean_len >= 3.0 AND mean_len <= 10.0)
+        |      AND alpha_frac >= 0.8 AS a
+        |  FROM m),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM s WHERE len(w) >= 2),
+        |pd AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |agg AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
+        |  FROM pd GROUP BY 1),
+        |rep AS (SELECT s.doc_id,
+        |    COALESCE(CAST(top AS DOUBLE) / tot, 0.0) <= 0.18 AS b
+        |  FROM s LEFT JOIN agg USING (doc_id)),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |    CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n00
+        |  FROM gates JOIN rep USING (doc_id)),
+        |d AS (SELECT n, n11, n10, n01, n00,
+        |    (n11 + n00) / n AS po,
+        |    ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10))
+        |      / (n * n) AS pe
+        |  FROM cnt)
+        |SELECT n, n11, n10, n01, n00, po, pe,
+        |  (po - pe) / (1.0 - pe) AS kappa
+        |FROM d""".stripMargin,
 
     // same doubled-median rank selection; (n+1)//2 and (n+2)//2 pick the
     // middle of the sorted multiset regardless of tie order.
