@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.ParseQueries.queries ++
       graft.queries.LmQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.SelectionQueries.queries
+      graft.queries.SelectionQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.ParseQueries.oracles ++
       graft.queries.LmQueries.oracles ++
       graft.queries.SketchQueries.oracles ++
-      graft.queries.SelectionQueries.oracles
+      graft.queries.SelectionQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Q._
+
+/** Corpus-curation queries: proportionally-exact stratified sampling,
+  * χ²-keyness domain signatures, and the eval-leakage audit — the
+  * curation faces a mixture designer runs before/after cutting a
+  * training corpus.
+  *
+  * All four are fully oracle-checked — including `q_keyness`'s χ²
+  * doubles, which are pure rational functions of exact integer counts
+  * evaluated in an identical IEEE association order on both engines.
+  */
+object CurationQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    // Hamilton apportionment evidence: per (lang, source) stratum its
+    // size, floor share, remainder, and final quota for a 100-doc draw.
+    "q_strat_alloc" -> ((s, dir) =>
+      graft.operators.Stratified.allocate(
+        t(s, dir, "documents"), Seq("lang", "source"), total = 100L)
+        .orderBy("lang", "source")),
+
+    // the draw itself: per stratum, the quota rows with the smallest
+    // portable md5-52 hash of doc_id — Σ rows == 100 exactly, stratum
+    // proportions within one row of exact.
+    "q_strat_sample" -> ((s, dir) =>
+      graft.operators.Stratified.sample(
+        t(s, dir, "documents"), "doc_id", Seq("lang", "source"),
+        total = 100L)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("strat_rank"))
+        .orderBy("doc_id")),
+
+    // temperature-flattened (α = 1/2) quotas: weight = exact ⌊√n⌋, the
+    // multilingual low-resource up-weighting rule, Hamilton over weights.
+    "q_strat_temperature" -> ((s, dir) =>
+      graft.operators.Stratified.temperatureAllocate(
+        t(s, dir, "documents"), Seq("lang", "source"), total = 100L)
+        .orderBy("lang", "source")),
+
+    // per-source domain-signature tokens by Pearson χ² over the exact
+    // 2×2 contingency (over-representation gated by integer
+    // cross-multiplication, not a float compare).
+    "q_keyness" -> ((s, dir) =>
+      graft.operators.Keyness.chiSquareKeyness(
+        t(s, dir, "documents"), "source", "text",
+        minCount = 5L, topN = 10)
+        .orderBy("source", "rank")),
+
+    // eval-set leakage audit: near-dup pairs (prefix-filtered exact
+    // Jaccard ≥ 0.8 — the deterministic whole-corpus path, same engine
+    // as q_ppjoin) that straddle the content-hash train/val/test
+    // boundary. The pair table is tiny next to the corpus, so AQE
+    // broadcasts it into both split-label joins.
+    "q_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.FuzzyJoin.setSimilarityJoin(
+        docs, "doc_id", "text", shingleN = 3, tauPpm = 800000L)
+      val splits = graft.operators.CorpusOps.splitAssign(docs, "doc_id",
+          Seq(("train", 90), ("val", 5), ("test", 5)))
+        .select(col("doc_id"), col("split"))
+      pairs
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), Seq("id_a"))
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
+          col("jaccard"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
+    * remainder ranking), mirroring [[graft.operators.Stratified]] term
+    * for term.
+    */
+  private val QuotaCte =
+    """s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM documents GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM s),
+      |b AS (SELECT lang, source, n_rows, n_rows AS w,
+      |    CAST((100 * n_rows) // n_total AS BIGINT) AS base,
+      |    CAST((100 * n_rows) % n_total AS BIGINT) AS rem
+      |  FROM s, tt),
+      |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+      |r AS (SELECT *, row_number()
+      |    OVER (ORDER BY rem DESC, lang ASC, source ASC) AS rk FROM b),
+      |q AS (SELECT lang, source, n_rows, w, base, rem,
+      |    CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM r)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_strat_alloc" ->
+      s"""WITH $QuotaCte
+         |SELECT lang, source, n_rows, w, base, rem, quota FROM q
+         |ORDER BY lang, source""".stripMargin,
+
+    "q_strat_temperature" ->
+      """WITH s AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM documents GROUP BY 1, 2),
+        |sq AS (SELECT *, CAST(floor(sqrt(CAST(n_rows AS DOUBLE)))
+        |    AS BIGINT) AS s0 FROM s),
+        |sq2 AS (SELECT lang, source, n_rows,
+        |    s0 - CASE WHEN s0 * s0 > n_rows THEN 1 ELSE 0 END AS s1
+        |  FROM sq),
+        |wt AS (SELECT lang, source, n_rows,
+        |    s1 + CASE WHEN (s1 + 1) * (s1 + 1) <= n_rows THEN 1 ELSE 0 END
+        |      AS w
+        |  FROM sq2),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM wt),
+        |b AS (SELECT lang, source, n_rows, w,
+        |    CAST((100 * w) // w_total AS BIGINT) AS base,
+        |    CAST((100 * w) % w_total AS BIGINT) AS rem
+        |  FROM wt, tt),
+        |l AS (SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT *, row_number()
+        |    OVER (ORDER BY rem DESC, lang ASC, source ASC) AS rk FROM b)
+        |SELECT lang, source, n_rows, w, base, rem,
+        |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY lang, source""".stripMargin,
+
+    "q_strat_sample" ->
+      s"""WITH $QuotaCte,
+         |h AS (SELECT doc_id, lang, source,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT
+         |      AS hv
+         |  FROM documents),
+         |rk2 AS (SELECT doc_id, lang, source,
+         |    CAST(row_number() OVER (PARTITION BY lang, source
+         |      ORDER BY hv ASC, doc_id ASC) AS BIGINT) AS strat_rank
+         |  FROM h)
+         |SELECT doc_id, lang, source, strat_rank
+         |FROM rk2 JOIN q USING (lang, source)
+         |WHERE strat_rank <= quota
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_keyness" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'),
+        |    x -> x != '')) AS token
+        |  FROM documents),
+        |gt AS (SELECT source, token, CAST(count(*) AS BIGINT) AS a
+        |  FROM tok GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(a) AS BIGINT) AS grp_tokens
+        |  FROM gt GROUP BY 1),
+        |ttk AS (SELECT token, CAST(sum(a) AS BIGINT) AS tok_tokens
+        |  FROM gt GROUP BY 1),
+        |n AS (SELECT CAST(sum(a) AS BIGINT) AS n_tokens FROM gt),
+        |ct AS (SELECT gt.source, gt.token, a,
+        |    tok_tokens - a AS b, grp_tokens - a AS c,
+        |    n_tokens - tok_tokens - grp_tokens + a AS d, n_tokens
+        |  FROM gt JOIN g USING (source) JOIN ttk USING (token), n),
+        |sc AS (SELECT source, token, a, b, c, d,
+        |    ((CAST(n_tokens AS DOUBLE) * CAST(a*d - b*c AS DOUBLE))
+        |       * CAST(a*d - b*c AS DOUBLE))
+        |      / (CAST((a+b)*(c+d) AS DOUBLE) * CAST((a+c)*(b+d) AS DOUBLE))
+        |      AS chi2
+        |  FROM ct WHERE a >= 5 AND a*(b+d) > b*(a+c)),
+        |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY chi2 DESC, token ASC) AS BIGINT) AS rnk FROM sc)
+        |SELECT source, token, a, b, c, d, chi2, rnk AS "rank"
+        |FROM rr WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
+
+    "q_split_leakage" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh
+        |  GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pr AS (SELECT o.id_a, o.id_b,
+        |    CAST(o.n_common AS DOUBLE) /
+        |      CAST(sa.n + sb.n - o.n_common AS DOUBLE) AS jaccard
+        |  FROM ov o JOIN sz sa ON sa.doc_id = o.id_a
+        |    JOIN sz sb ON sb.doc_id = o.id_b
+        |  WHERE o.n_common * 1000000 >= 800000 * (sa.n + sb.n - o.n_common)),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id,
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 18, 15))::BIGINT
+        |        % 100 AS bk
+        |    FROM documents))
+        |SELECT p.id_a, p.id_b, a.split AS split_a, b.split AS split_b,
+        |  p.jaccard
+        |FROM pr p JOIN sp a ON a.doc_id = p.id_a
+        |  JOIN sp b ON b.doc_id = p.id_b
+        |WHERE a.split != b.split
+        |ORDER BY p.id_a, p.id_b""".stripMargin
+  )
+}
