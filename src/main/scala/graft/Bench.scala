@@ -12,6 +12,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata contract probe: the events timestamp physical type changed
+    // silently mid-round once and broke 11 queries at analysis time —
+    // print it up front so a regeneration is diagnosable in seconds.
+    // Q.usCol adapts to LongType (NANOS via nanosAsLong) and Timestamp
+    // (NTZ) (MICROS); anything else fails loudly there.
+    System.err.println("[bench] events.ts type = " +
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     // warm the session so timings reflect steady state rather than
     // first-query JVM/codegen warmup: scan + agg + join + window + noop
     // write compile the code paths the suite uses

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // testdata contract probe (see Bench): surface the events timestamp
+    // physical type so a regeneration is diagnosable in seconds
+    System.err.println("[verify] events.ts type = " +
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
     new java.io.File(outDir).mkdirs()
     // harness setup: materialize the feed-archive and company-mirror
     // fixtures before any query runs (the registry entries do no I/O)

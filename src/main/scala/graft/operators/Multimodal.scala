@@ -167,6 +167,87 @@ object Multimodal {
         "sum_intensity", "min_intensity", "max_intensity")
   }
 
+  /** REAL JPEG CODEC: encode the 8×4 md5-fingerprint grayscale through
+    * `ImageIO`'s JPEG writer at explicit quality 1.0, decode it back,
+    * and emit fidelity stats against the exact source pixels. JPEG is
+    * LOSSY, so unlike the PNG path the decoded values are not
+    * bit-contracted; what IS contracted (and what the oracle checks):
+    * the geometry survives exactly, the source-pixel sum is exact
+    * integer arithmetic both engines compute from `md5(text)`, and the
+    * decode error is within a fixed bound (measured ≤1/pixel and ≤5
+    * total at q=1.0 on this codec; the query gates at ≤2 and ≤16).
+    * Output: `(id, decoded, width, height, n_pixels, src_sum, sum_err,
+    * max_pix_err)` — `sum_err`/`max_pix_err` are decode-dependent exact
+    * ints for specs; queries reduce them to bounded booleans for the
+    * oracle.
+    */
+  def jpegRoundTrip(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("decoded", BooleanType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_pixels", LongType),
+      StructField("src_sum", LongType),
+      StructField("sum_err", LongType),
+      StructField("max_pix_err", LongType)))
+    val enc = RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast(LongType).as("id"),
+      md5(to_binary(col(textCol), lit("utf-8"))).as("hex"))
+      .select(col("id"), col("hex"))
+      .mapPartitions { rows =>
+        imageIoNoCache
+        rows.map { r =>
+          val id = r.getLong(0)
+          val hex = r.getString(1)
+          val src = new Array[Int](32)
+          val img = new java.awt.image.BufferedImage(8, 4,
+            java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var i = 0
+          var srcSum = 0L
+          while (i < 32) {
+            src(i) = hex.charAt(i).toInt & 0xff
+            srcSum += src(i)
+            img.getRaster.setSample(i % 8, i / 8, 0, src(i))
+            i += 1
+          }
+          val w = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpg").next()
+          val p = w.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          w.setOutput(ios)
+          w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close(); w.dispose()
+          val dec =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            catch { case _: java.io.IOException => null }
+          if (dec != null && dec.getWidth == 8 && dec.getHeight == 4) {
+            var (decSum, maxErr) = (0L, 0L)
+            var j = 0
+            while (j < 32) {
+              val v = dec.getRaster.getSample(j % 8, j / 8, 0)
+              decSum += v
+              val e = math.abs(v - src(j)).toLong
+              if (e > maxErr) maxErr = e
+              j += 1
+            }
+            Row(id, true, dec.getWidth, dec.getHeight, 32L, srcSum,
+              math.abs(decSum - srcSum), maxErr)
+          } else {
+            Row(id, false, if (dec == null) 0 else dec.getWidth,
+              if (dec == null) 0 else dec.getHeight, 0L, srcSum, -1L, -1L)
+          }
+        }
+      }(enc)
+      .toDF("id", "decoded", "width", "height", "n_pixels", "src_sum",
+        "sum_err", "max_pix_err")
+  }
+
   /** Image RESIZE — the remaining op of the multimodal quartet
     * (decode / feature-extract / resize / frame-sample): decode `media`
     * through `ImageIO.read`, nearest-neighbor resample to
@@ -522,33 +603,63 @@ object Multimodal {
       .toDF("id", "window_id", "n_samples", "sum_sq", "peak")
   }
 
-  /** STUB DECODER ===========================================================
-    * A real implementation decodes `media` with an image/audio library and
-    * emits a feature vector per row. The container has no codecs, so this
-    * produces a deterministic fake: a `dim`-bin byte histogram, L1
-    * normalized. Batch shape (Iterator[Row] → Iterator[Row] inside
-    * mapPartitions, i.e. one JVM-local pass per partition, no
-    * serialization churn per row) is exactly what the real decoder needs.
+  /** Feature extraction over mixed media. IMAGE bytes (JPEG/PNG/GIF/BMP —
+    * whatever `ImageIO.read` accepts, and the JVM ships JPEG + PNG
+    * readers) take the REAL codec path: decode, then a `dim`-bin
+    * luminance histogram, L1-normalized — a genuine content feature.
+    * Bytes no JVM codec accepts (video containers, exotic audio) fall
+    * back to the clearly-labeled deterministic stand-in below: a
+    * `dim`-bin BYTE histogram, L1 normalized. Batch shape
+    * (Iterator[Row] → Iterator[Row] inside mapPartitions, one JVM-local
+    * pass per partition, no per-row serialization churn) is shared by
+    * both paths and is exactly what a native video decoder would slot
+    * into.
     */
   def decodeAndFeaturize(df: DataFrame, dim: Int = 16): DataFrame = {
     val schema = featureSchema(dim)
     val enc = RowEncoder.encoderFor(schema)
     df.select(col("id").cast(LongType), col("media"))
       .mapPartitions { rows =>
+        imageIoNoCache
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          // --- STUB: replace from here with the real codec ---
+          val img =
+            try javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            catch { case _: java.io.IOException => null }
           val hist = new Array[Float](dim)
-          var i = 0
-          while (i < bytes.length) {
-            hist((bytes(i) & 0xff) % dim) += 1f
-            i += 1
+          if (img != null) {
+            // REAL image path: luminance histogram over decoded pixels
+            // (ITU-R 601 integer weights, exact and deterministic)
+            val (w, h) = (img.getWidth, img.getHeight)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (299 * ((rgb >> 16) & 0xff) +
+                  587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+                hist(lum * dim / 256) += 1f
+                x += 1
+              }
+              y += 1
+            }
+            val total = math.max(w.toLong * h, 1L).toFloat
+            var j = 0
+            while (j < dim) { hist(j) /= total; j += 1 }
+          } else {
+            // --- STUB stand-in for codecs the JVM lacks (video): a byte
+            // histogram — deterministic, same shape, honestly labeled ---
+            var i = 0
+            while (i < bytes.length) {
+              hist((bytes(i) & 0xff) % dim) += 1f
+              i += 1
+            }
+            val total = math.max(bytes.length, 1).toFloat
+            var j = 0
+            while (j < dim) { hist(j) /= total; j += 1 }
           }
-          val total = math.max(bytes.length, 1).toFloat
-          var j = 0
-          while (j < dim) { hist(j) /= total; j += 1 }
-          // --- end STUB ---
           Row(id, hist.toSeq)
         }
       }(enc)

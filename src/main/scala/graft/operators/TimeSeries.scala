@@ -12,13 +12,16 @@ import org.apache.spark.sql.types.DoubleType
   * score at sampling time).
   *
   * Scale design (100 TB): the series and the probes are unioned and
-  * sorted ONCE per key — a single hash-partition exchange on the key
-  * plus one in-partition sort carries BOTH direction lookups (the
-  * backward neighbor via a preceding-frame window, the forward neighbor
-  * via a following-frame window over the same sort). No self-join, no
-  * per-probe range scan, and the output is exactly one row per probe.
-  * Compare the naive as-of-join-both-directions form: two sorts and two
-  * joins of the full series against the probe set.
+  * hash-partitioned ONCE on the key; both direction lookups ride that
+  * single exchange as two in-partition sorts (ascending and descending)
+  * with a running `last()` over an UnboundedPreceding→CurrentRow frame
+  * each. That frame is evaluated incrementally by Spark (one state
+  * update per row, O(n log n) per partition with the sort); the naive
+  * CurrentRow→UnboundedFollowing frame for the forward neighbor would
+  * re-aggregate to the partition end for EVERY row — O(n²) on a hot
+  * key — so the forward pass instead runs the same running frame over
+  * the descending sort. No self-join, no per-probe range scan, and the
+  * output is exactly one row per probe.
   *
   * Determinism: neighbors are exact (longs and ≤4-decimal doubles);
   * the interpolated double is ONE fixed IEEE association
@@ -26,6 +29,12 @@ import org.apache.spark.sql.types.DoubleType
   * bit-for-bit from the same inputs.
   */
 object TimeSeries {
+
+  /** Column names the operator writes; probe pass-through (and key)
+    * columns must not collide with them.
+    */
+  private val Reserved = Set("t0", "v0", "t1", "v1", "v_interp",
+    "__ts", "__is_probe", "__v", "__b", "__f")
 
   /** Interpolate `valCol` of `series` at each row of `probes`.
     *
@@ -39,6 +48,13 @@ object TimeSeries {
     *     neighbor's value (constant extrapolation);
     *   - key with no series rows at all: null.
     *
+    * Series rows with a null `valCol` are dropped up front: a null
+    * measurement carries no interpolatable value, and keeping it would
+    * force a choice between a mismatched (t0 from the null row, v0 from
+    * an older one) and a null-poisoned pair. The (t0,v0) and (t1,v1)
+    * pairs are each extracted from ONE struct aggregate, so they always
+    * come from the same series row by construction.
+    *
     * Ties inside one series at the same timestamp break on value (then
     * arbitrary-but-deterministic by the total sort), so duplicate
     * timestamps cannot make the result run-dependent.
@@ -46,35 +62,49 @@ object TimeSeries {
     * @param series DataFrame with `keys`, `tsCol` (long — e.g. epoch
     *               µs), `valCol` (numeric)
     * @param probes DataFrame with `keys` and `tsCol`; other columns pass
-    *               through
+    *               through and must not be named t0/v0/t1/v1/v_interp
+    *               (or an internal `__`-prefixed working name)
     */
   def interpolateAt(series: DataFrame, probes: DataFrame,
       keys: Seq[String], tsCol: String, valCol: String): DataFrame = {
+    require(keys.nonEmpty, "interpolateAt needs at least one key column")
     val passThrough = probes.columns.filterNot(c =>
       keys.contains(c) || c == tsCol)
-    val sRows = series.select(
+    val clash = (passThrough.toSet ++ keys) intersect Reserved
+    require(clash.isEmpty,
+      s"probe/key columns collide with interpolateAt outputs: " +
+        s"${clash.toSeq.sorted.mkString(", ")} — rename them first")
+    val sRows = series.filter(col(valCol).isNotNull).select(
       (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(0).as("__is_probe") :+
         col(valCol).cast(DoubleType).as("__v")) ++
         passThrough.map(c => lit(null).cast(probes.schema(c).dataType).as(c)): _*)
     val pRows = probes.select(
       (keys.map(col) :+ col(tsCol).as("__ts") :+ lit(1).as("__is_probe") :+
         lit(null).cast(DoubleType).as("__v")) ++ passThrough.map(col): _*)
-    // one exchange + one sort serves both frames; the value tiebreaker
-    // keeps duplicate-timestamp series rows deterministic
-    val order = Seq(col("__ts"), col("__is_probe"),
-      coalesce(col("__v"), lit(0.0)))
-    val back = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    // one exchange serves both directions; the value tiebreaker keeps
+    // duplicate-timestamp series rows deterministic. Both windows use
+    // the incremental UnboundedPreceding running frame — the descending
+    // sort turns "earliest strictly after" into "running last".
+    val asc = Seq(col("__ts").asc, col("__is_probe").asc,
+      coalesce(col("__v"), lit(0.0)).asc)
+    val desc = Seq(col("__ts").desc, col("__is_probe").desc,
+      coalesce(col("__v"), lit(0.0)).desc)
+    val back = Window.partitionBy(keys.map(col): _*).orderBy(asc: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val sTs = when(col("__is_probe") === 0, col("__ts"))
-    val sV = when(col("__is_probe") === 0, col("__v"))
+    val fwd = Window.partitionBy(keys.map(col): _*).orderBy(desc: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one struct per direction: (t, v) can never pair across rows.
+    // Equal-ts series rows sort before the probe ascending (is_probe 0<1)
+    // and after it descending, so they are in the backward frame and out
+    // of the forward one — "at-equal lands in t0" holds by the sort.
+    val sPair = when(col("__is_probe") === 0,
+      struct(col("__ts").as("t"), col("__v").as("v")))
     sRows.unionByName(pRows)
-      .withColumn("t0", last(sTs, ignoreNulls = true).over(back))
-      .withColumn("v0", last(sV, ignoreNulls = true).over(back))
-      .withColumn("t1", first(sTs, ignoreNulls = true).over(fwd))
-      .withColumn("v1", first(sV, ignoreNulls = true).over(fwd))
+      .withColumn("__b", last(sPair, ignoreNulls = true).over(back))
+      .withColumn("__f", last(sPair, ignoreNulls = true).over(fwd))
       .filter(col("__is_probe") === 1)
+      .withColumn("t0", col("__b.t")).withColumn("v0", col("__b.v"))
+      .withColumn("t1", col("__f.t")).withColumn("v1", col("__f.v"))
       .withColumn("v_interp",
         when(col("t0").isNull, col("v1"))
           .when(col("t1").isNull, col("v0"))

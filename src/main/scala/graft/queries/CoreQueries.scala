@@ -340,11 +340,11 @@ object CoreQueries {
     // as-of join (event attribution): each purchase matched to the same
     // user's latest view at or before it — union-window formulation, one
     // key shuffle, no range join; oracle is DuckDB's native ASOF JOIN.
-    // ts compares in µs on both engines (DuckDB reads TIMESTAMP(NANOS)
-    // at µs precision, so ns would diverge in the trailing digits).
+    // ts compares in µs on both engines (Q.usCol adapts to the testdata's
+    // timestamp physical type; DuckDB reads µs via epoch_us).
     "q_asof_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts", Q.usCol(ev0))
       val purchases = ev.filter(col("event_type") === lit("purchase"))
         .select(col("user_id"), col("ts"), col("event_id"))
       val views = ev.filter(col("event_type") === lit("view"))
@@ -363,7 +363,8 @@ object CoreQueries {
     // over one key shuffle.
     "q_sessionize" -> ((s, dir) =>
       graft.operators.Sessionize.sessionize(
-        t(s, dir, "events").withColumn("ts", expr("ts div 1000"))
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("ts", Q.usCol(ev)) }
           .select(col("user_id"), col("ts"), col("event_id")),
         Seq("user_id"), "ts", gap = 21600000000L)
         .select(asLong(col("user_id")).as("user_id"),
@@ -392,7 +393,8 @@ object CoreQueries {
     // distinct users — two bounded-key shuffles, no window, no self-join
     "q_cohort_retention" -> ((s, dir) =>
       graft.operators.EventAnalytics.cohortRetention(
-        t(s, dir, "events").withColumn("us", expr("ts div 1000")),
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev)) },
         "user_id", "us")
         .select(col("cohort_day"), col("day_offset"),
           asLong(col("n_users")).as("n_users"))
@@ -402,7 +404,8 @@ object CoreQueries {
     // chain per user; out-of-order occurrences do not convert
     "q_funnel" -> ((s, dir) =>
       graft.operators.EventAnalytics.funnel(
-        t(s, dir, "events").withColumn("us", expr("ts div 1000")),
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev)) },
         "user_id", "us", "event_type",
         Seq("signup", "view", "click", "purchase"))
         .select(asLong(col("user")).as("user_id"), col("depth"),
@@ -413,8 +416,8 @@ object CoreQueries {
     // bucketized (width = span) so it is an equi-join + filter, never a
     // per-key nested loop; oracle is the naive BETWEEN join.
     "q_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-        .withColumn("ts", expr("ts div 1000"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts", Q.usCol(ev0))
       val purchases = ev.filter(col("event_type") === lit("purchase"))
         .select(col("user_id"), col("ts"), col("event_id"))
       val views = ev.filter(col("event_type") === lit("view"))
@@ -428,6 +431,28 @@ object CoreQueries {
           asLong(col("view_ts")).as("view_ts"),
           asLong(col("view_event_id")).as("view_event_id"))
         .orderBy("user_id", "ts", "view_ts")
+    }),
+
+    // time-series alignment: the running 'view' value linearly
+    // interpolated at each purchase instant — one key exchange, two
+    // in-partition sorts, incremental running-frame windows in both
+    // directions (never an O(n²) UnboundedFollowing frame). The
+    // interpolated double is one fixed IEEE association, so DuckDB
+    // reproduces it bit-for-bit.
+    "q_interpolate" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.withColumn("ts", Q.usCol(ev0))
+      val ser = ev.filter(col("event_type") === lit("view"))
+        .select(col("user_id"), col("ts"), col("value"))
+      val probes = ev.filter(col("event_type") === lit("purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"))
+      graft.operators.TimeSeries.interpolateAt(ser, probes,
+        Seq("user_id"), "ts", "value")
+        .select(asLong(col("user_id")).as("user_id"),
+          asLong(col("ts")).as("ts"),
+          asLong(col("event_id")).as("event_id"),
+          col("t0"), col("v0"), col("t1"), col("v1"), col("v_interp"))
+        .orderBy("user_id", "ts", "event_id")
     }),
 
     // fixed-point integer PageRank over the supply DAG (supplier → part →
@@ -758,8 +783,12 @@ object CoreQueries {
          |    + (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 100 AS r
          |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
     }
+    // CAST: DuckDB's SUM yields HUGEINT, which propagates through the
+    // rank arithmetic; the driver's hash is output-type-sensitive, so pin
+    // the oracle to BIGINT to match Spark's LongType (same artifact class
+    // as q_shard_manifest).
     (head +: iters).mkString(",\n") +
-      s"\nSELECT node, r AS rank_pp FROM r$iterations ORDER BY node"
+      s"\nSELECT node, CAST(r AS BIGINT) AS rank_pp FROM r$iterations ORDER BY node"
   }
 
   val oracles: Map[String, String] = Map(
@@ -990,6 +1019,44 @@ object CoreQueries {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
+
+    // the union-and-two-running-windows replay of interpolateAt: the
+    // same sort keys (ts, is_probe, value tiebreak) in both directions,
+    // the same single-association interpolation arithmetic.
+    "q_interpolate" ->
+      """WITH s AS (SELECT user_id, epoch_us(ts) AS ts, value AS v
+        |  FROM events WHERE event_type = 'view' AND value IS NOT NULL),
+        |p AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT user_id, ts, 0 AS is_probe, v, NULL::BIGINT AS event_id
+        |  FROM s
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL::DOUBLE, event_id FROM p),
+        |w AS (SELECT user_id, ts, is_probe, event_id,
+        |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+        |      OVER fb AS t0,
+        |    last_value(CASE WHEN is_probe = 0 THEN v END IGNORE NULLS)
+        |      OVER fb AS v0,
+        |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+        |      OVER ff AS t1,
+        |    last_value(CASE WHEN is_probe = 0 THEN v END IGNORE NULLS)
+        |      OVER ff AS v1
+        |  FROM u
+        |  WINDOW fb AS (PARTITION BY user_id
+        |      ORDER BY ts, is_probe, COALESCE(v, 0.0)
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    ff AS (PARTITION BY user_id
+        |      ORDER BY ts DESC, is_probe DESC, COALESCE(v, 0.0) DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, ts, event_id, t0, v0, t1, v1,
+        |  CASE WHEN t0 IS NULL THEN v1
+        |       WHEN t1 IS NULL THEN v0
+        |       ELSE v0 + (v1 - v0) *
+        |         (CAST(ts - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE))
+        |  END AS v_interp
+        |FROM w WHERE is_probe = 1
+        |ORDER BY user_id, ts, event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id

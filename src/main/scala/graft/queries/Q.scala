@@ -21,13 +21,33 @@ object Q {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` carries TIMESTAMP(NANOS) parquet, which Spark reads only as
-    * long (`spark.sql.legacy.parquet.nanosAsLong`, set in Verify/Bench).
-    * Truncate ns→µs here; DuckDB keeps ns but every query truncates to
-    * ≥second granularity, so results agree.
+  /** Epoch-microseconds (LongType) view of an event-time column, adaptive
+    * to how the testdata generation wrote it:
+    *   - TIMESTAMP(NANOS) parquet  → Spark reads long ns (via
+    *     `spark.sql.legacy.parquet.nanosAsLong`) → `div 1000`;
+    *   - TIMESTAMP(MICROS) parquet → TimestampType or TimestampNTZType →
+    *     `unix_micros` (session timezone is UTC in Verify/Bench, so the
+    *     NTZ wall-clock maps to the same instant DuckDB's `epoch_us` uses).
+    * Every DuckDB oracle reads µs via `epoch_us(ts)`, so both generations
+    * stay green without touching the oracle SQL.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def usCol(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case LongType          => expr(s"$c div 1000")
+      case TimestampNTZType  => unix_micros(col(c).cast(TimestampType))
+      case TimestampType     => unix_micros(col(c))
+      case dt => throw new IllegalStateException(
+        s"events.$c has unexpected type $dt — testdata regenerated with a " +
+          "new timestamp physical type? Extend Q.usCol for it.")
+    }
+
+  /** `events` with `ts` normalized to TimestampType (µs, UTC session),
+    * whatever the parquet physical type (see [[usCol]]).
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = t(s, dir, "events")
+    df.withColumn("ts", timestamp_micros(usCol(df)))
+  }
 
   /** Exact decimal image of a ≤4-decimal double. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))

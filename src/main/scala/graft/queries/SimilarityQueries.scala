@@ -197,6 +197,47 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ENGINE-PORTABLE IVF face: fixture centroids — the exact
+    // float→double images of vec_id 0,7,…,49 — injected through
+    // ivfTopK's reuse seam instead of k-means, so cell assignment,
+    // nprobe routing, and the exact rerank are ALL replayed by DuckDB
+    // end-to-end (the trained q_ann_ivf stays recall-gated). The 8
+    // collected vectors are dim-bounded driver state, same class as a
+    // trained quantizer.
+    "q_ann_ivf_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      graft.operators.IvfAnn.ivfTopK(e.filter(col("id") < 5), e, 5,
+        nlist = 8, nprobe = 3, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ENGINE-PORTABLE PQ face: fixture codebooks — subspace slices of
+    // vec_id 3,10,…,52's embeddings — injected through pqTopK's reuse
+    // seam, so encoding (per-subspace argmin), the ADC dot/norm table
+    // lookups, the shortlist, and the exact rerank are ALL replayed by
+    // DuckDB end-to-end (the trained q_ann_pq stays recall-gated).
+    "q_ann_pq_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val (m, ksub, dsub) = (4, 8, 16)
+      val seedIds = (0 until ksub).map(i => 3L + i * 7)
+      val seeds = e.filter(col("id").isin(seedIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val cb = Array.tabulate(m, ksub, dsub)((sub, c, j) =>
+        seeds(c)(sub * dsub + j))
+      graft.operators.ProductQuantizer.pqTopK(e.filter(col("id") < 5), e, 5,
+        m = m, ksub = ksub, rerankFactor = 4, codebooks = Some(cb))
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval: sparse (batch BM25, one inverted-index pass for
     // the whole query table) + dense (brute-force cosine) arms fused by
     // reciprocal-rank fusion. Both arms' ranks are bitwise-certified
@@ -566,6 +607,95 @@ object SimilarityQueries {
         |    AND c.vec_id <> q.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM p2)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // fixture-centroid IVF replay: same sequential (c-v)² accumulation,
+    // same first-index-wins argmin (ORDER BY dist, cell), same
+    // (sim DESC, neighbor_id) top-k tie rule as the engine.
+    "q_ann_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    v AS c
+        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d) WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d WHERE vec_id < 5) WHERE rn <= 3),
+        |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        |  JOIN e qe ON qe.vec_id = p.vec_id
+        |  JOIN e ce ON ce.vec_id = a.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // fixture-codebook PQ replay: per-subspace argmin encode, the ADC
+    // dot/||c||² tables summed in subspace order, k·rerankFactor
+    // shortlist, exact-cosine rerank — each stage the engine's exact
+    // arithmetic.
+    "q_ann_pq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    v FROM e WHERE vec_id IN (3, 10, 17, 24, 31, 38, 45, 52)),
+        |cb AS (SELECT sub, code, v[(sub * 16 + 1):(sub * 16 + 16)] AS c
+        |  FROM seeds, range(0, 4) r(sub)),
+        |enc0 AS (SELECT e.vec_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> (b.c[j] - e.v[b.sub * 16 + j]) *
+        |           (b.c[j] - e.v[b.sub * 16 + j])), 'sum') AS dist
+        |  FROM e CROSS JOIN cb b),
+        |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, code) AS rn FROM enc0) WHERE rn = 1),
+        |nrm2 AS (SELECT sub, code,
+        |    list_aggregate(list_transform(c, x -> x * x), 'sum') AS n2
+        |  FROM cb),
+        |qtab AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> b.c[j] * q.v[b.sub * 16 + j]), 'sum') AS dt
+        |  FROM e q CROSS JOIN cb b WHERE q.vec_id < 5),
+        |qn AS (SELECT vec_id AS query_id,
+        |    sqrt(list_inner_product(v, v)) AS q_nrm
+        |  FROM e WHERE vec_id < 5),
+        |approx AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    list_aggregate(list(t.dt ORDER BY t.sub), 'sum') AS dot,
+        |    list_aggregate(list(n.n2 ORDER BY t.sub), 'sum') AS nn2
+        |  FROM codes c
+        |  JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+        |  JOIN nrm2 n ON n.sub = c.sub AND n.code = c.code
+        |  WHERE c.vec_id <> t.query_id
+        |  GROUP BY t.query_id, c.vec_id),
+        |ascore AS (SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN q.q_nrm * sqrt(a.nn2) > 0
+        |      THEN a.dot / (q.q_nrm * sqrt(a.nn2)) ELSE 0.0 END AS asim
+        |  FROM approx a JOIN qn q USING (query_id)),
+        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY asim DESC, neighbor_id) AS rn FROM ascore)
+        |  WHERE rn <= 20),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM exact)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -211,6 +211,24 @@ object TextQueries {
         .orderBy("doc_id", "frame_id")
     }),
 
+    // REAL JPEG decode: the md5-fingerprint grayscale through ImageIO's
+    // JPEG writer at quality 1.0 and back. Lossy codec → the oracle
+    // checks exact geometry + the exact source-pixel sum (md5-derivable
+    // in SQL) + fixed decode-error bounds (measured ≤1/pixel, ≤5 total
+    // on this codec; gated at ≤2 / ≤16 — sum_err/max_pix_err of -1,
+    // i.e. decode failure, fails the gate).
+    "q_multimodal_jpeg" -> ((s, dir) =>
+      graft.operators.Multimodal.jpegRoundTrip(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("decoded"),
+          asLong(col("width")).as("width"),
+          asLong(col("height")).as("height"),
+          col("n_pixels"), col("src_sum"),
+          (col("max_pix_err") >= 0 && col("max_pix_err") <= 2)
+            .as("pix_err_ok"),
+          (col("sum_err") >= 0 && col("sum_err") <= 16).as("sum_err_ok"))
+        .orderBy("doc_id")),
+
     // audio feature extraction: windowed RMS-energy numerators over the
     // DECODED PCM frames — exact integers end-to-end, so the whole
     // decode→window→feature path is oracle-checked, not pinned.
@@ -1246,6 +1264,20 @@ object TextQueries {
         |  CAST(sum(v) AS BIGINT) AS sum_intensity,
         |  CAST(min(v) AS BIGINT) AS min_intensity,
         |  CAST(max(v) AS BIGINT) AS max_intensity
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // JPEG is lossy, so the certificate is: geometry exact, source sum
+    // exact (md5 ascii), decode error inside the fixed bound → TRUE.
+    "q_multimodal_jpeg" ->
+      """WITH px AS (SELECT doc_id,
+        |    ascii(substr(md5(text), CAST(i AS INT), 1)) AS v
+        |  FROM documents, unnest(generate_series(1, 32)) t(i)
+        |  WHERE doc_id < 200)
+        |SELECT doc_id, TRUE AS decoded,
+        |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS src_sum,
+        |  TRUE AS pix_err_ok, TRUE AS sum_err_ok
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // decoded PCM sample values must equal the md5 hex ascii codes —

@@ -158,7 +158,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioEnergyWindows(junk).count() == 0L)
   }
 
-  test("decodeAndFeaturize (stub codec): deterministic normalized features") {
+  test("decodeAndFeaturize (stub fallback): deterministic normalized " +
+    "features for non-image bytes") {
     val feats = Multimodal.decodeAndFeaturize(
       Multimodal.attachBinary(docs, "doc_id", "text"), dim = 16)
     val f = feats.filter($"id" === 0L).select("features")
@@ -170,5 +171,50 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.attachBinary(docs, "doc_id", "text"), dim = 16)
       .filter($"id" === 0L).select("features").as[Seq[Float]].head()
     assert(f == f2)
+  }
+
+  test("decodeAndFeaturize (REAL image path): luminance histogram of the " +
+    "decoded PNG equals the histogram of the md5 ascii codes") {
+    val media = Multimodal.fingerprintImage(docs, "doc_id", "text")
+    val f = Multimodal.decodeAndFeaturize(media, dim = 16)
+      .filter($"id" === 0L).select("features").as[Seq[Float]].head()
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(docs.filter($"doc_id" === 0L).select("text").as[String]
+        .head().getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = new Array[Float](16)
+    // gray (v,v,v) has luminance exactly v; bin = v*16/256
+    hex.take(32).foreach(c => expect(c.toInt * 16 / 256) += 1f / 32)
+    assert(f == expect.toSeq)
+  }
+
+  test("jpegRoundTrip: geometry exact, src_sum exact, decode error " +
+    "inside the gated bounds, deterministic across runs") {
+    val got = Multimodal.jpegRoundTrip(docs, "doc_id", "text")
+      .select("id", "decoded", "width", "height", "n_pixels", "src_sum",
+        "sum_err", "max_pix_err")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { case (id, decoded, w, h, np, srcSum, sumErr, maxErr) =>
+      assert(decoded && w == 8 && h == 4 && np == 32L, s"id=$id geometry")
+      assert(sumErr >= 0 && sumErr <= 16, s"id=$id sum_err=$sumErr")
+      assert(maxErr >= 0 && maxErr <= 2, s"id=$id max_pix_err=$maxErr")
+    }
+    // src_sum is the md5 hex ascii sum — exact, decode-independent
+    val expectSums = docs.as[(Long, String)].collect().map { case (id, t) =>
+      id -> java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(32).map(_.toLong).sum
+    }.toMap
+    got.foreach { case (id, _, _, _, _, srcSum, _, _) =>
+      assert(srcSum == expectSums(id), s"id=$id src_sum")
+    }
+    val again = Multimodal.jpegRoundTrip(docs, "doc_id", "text")
+      .select("id", "decoded", "width", "height", "n_pixels", "src_sum",
+        "sum_err", "max_pix_err")
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == again.toSeq)
   }
 }

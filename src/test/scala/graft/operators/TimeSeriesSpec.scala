@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TimeSeriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def series = Seq(
+    (1L, 100L, 10.0), (1L, 200L, 30.0), (1L, 400L, 20.0),
+    (2L, 100L, 5.0))
+    .toDF("k", "ts", "v")
+
+  private def interp(probes: org.apache.spark.sql.DataFrame) =
+    TimeSeries.interpolateAt(series, probes, Seq("k"), "ts", "v")
+      .select("k", "ts", "t0", "v0", "t1", "v1", "v_interp")
+      .as[(Long, Long, Option[Long], Option[Double], Option[Long],
+        Option[Double], Option[Double])]
+      .collect().toSet
+
+  test("exact hit, interior point, and both extrapolation sides") {
+    val got = interp(Seq(
+      (1L, 200L, "hit"), (1L, 150L, "mid"), (1L, 50L, "before"),
+      (1L, 500L, "after")).toDF("k", "ts", "tag"))
+    assert(got == Set(
+      // exact hit: equal-ts series point lands in t0, slope term is 0
+      (1L, 200L, Some(200L), Some(30.0), Some(400L), Some(20.0), Some(30.0)),
+      // interior: halfway between (100,10) and (200,30)
+      (1L, 150L, Some(100L), Some(10.0), Some(200L), Some(30.0), Some(20.0)),
+      // before first point: constant extrapolation from (100,10)
+      (1L, 50L, None, None, Some(100L), Some(10.0), Some(10.0)),
+      // after last point: constant extrapolation from (400,20)
+      (1L, 500L, Some(400L), Some(20.0), None, None, Some(20.0))))
+  }
+
+  test("a key with no series rows yields all-null neighbors") {
+    val got = interp(Seq((9L, 100L, "orphan")).toDF("k", "ts", "tag"))
+    assert(got == Set((9L, 100L, None, None, None, None, None)))
+  }
+
+  test("duplicate series timestamps break ties deterministically " +
+    "(max value at-or-before, min value strictly-after)") {
+    val dup = Seq(
+      (1L, 100L, 1.0), (1L, 100L, 3.0), (1L, 300L, 8.0), (1L, 300L, 6.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.interpolateAt(dup,
+        Seq((1L, 200L)).toDF("k", "ts"), Seq("k"), "ts", "v")
+      .select("t0", "v0", "t1", "v1").as[(Long, Double, Long, Double)]
+      .collect().toSet
+    // ascending value tiebreak: backward last() sees 3.0 last; the
+    // descending forward pass sees 6.0 last — and (t,v) stay paired
+    assert(got == Set((100L, 3.0, 300L, 6.0)))
+  }
+
+  test("null-valued series rows are dropped, never pair-splitting t0/v0") {
+    val s = Seq((1L, 100L, Some(10.0)), (1L, 200L, None),
+        (1L, 300L, Some(50.0)))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.interpolateAt(s,
+        Seq((1L, 250L)).toDF("k", "ts"), Seq("k"), "ts", "v")
+      .select("t0", "v0", "t1", "v1", "v_interp")
+      .as[(Long, Double, Long, Double, Double)].collect().toSet
+    // the null row at ts=200 is invisible: neighbors are 100 and 300
+    assert(got == Set((100L, 10.0, 300L, 50.0, 40.0)))
+  }
+
+  test("probe pass-through columns survive; reserved names are refused") {
+    val p = Seq((1L, 150L, "a")).toDF("k", "ts", "tag")
+    val out = TimeSeries.interpolateAt(series, p, Seq("k"), "ts", "v")
+    assert(out.columns.contains("tag"))
+    assert(out.select("tag").as[String].collect().toSeq == Seq("a"))
+    val bad = Seq((1L, 150L, 9.9)).toDF("k", "ts", "v_interp")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.interpolateAt(series, bad, Seq("k"), "ts", "v")
+    }
+    assert(e.getMessage.contains("v_interp"))
+    intercept[IllegalArgumentException] {
+      TimeSeries.interpolateAt(series, p, Seq.empty, "ts", "v")
+    }
+  }
+
+  test("forward pass uses a running frame, not UnboundedFollowing") {
+    val p = Seq((1L, 150L)).toDF("k", "ts")
+    val plan = TimeSeries.interpolateAt(series, p, Seq("k"), "ts", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("unboundedfollowing"),
+      s"forward neighbor must not re-aggregate to partition end:\n$plan")
+  }
+}
