@@ -35,6 +35,38 @@ object CoreQueries {
     idxFixture.map { case (n, l) => s"($n, '${l.replace("'", "''")}')" }
       .mkString(", ")
 
+  /** Drive a REAL Structured Streaming query inside a registry entry:
+    * rows go through a `MemoryStream` in the given micro-batches (callers
+    * order them by event time so the 0-second watermark never drops a
+    * row), `build` runs in APPEND mode to a memory sink, and the emitted
+    * rows come back as a batch DataFrame (materialized, so the sink's
+    * temp view can be dropped and the entry re-invoked). Callers append
+    * two far-future sentinel batches — the first advances the watermark,
+    * the second triggers the flush batch (the watermark updates BETWEEN
+    * micro-batches) — and filter the sentinel rows from the output.
+    * Driver memory holds only the bounded harness slice the callers
+    * select (~6.6k events), the same fixture-bound class as the
+    * multimodal gates.
+    */
+  private def emitted[A](s: org.apache.spark.sql.SparkSession, name: String,
+      batches: Seq[Seq[A]],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
+      implicit enc: org.apache.spark.sql.Encoder[A]): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.catalog.dropTempView(name) // stale sink view from a prior invocation
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    val q = build(in.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try batches.filter(_.nonEmpty).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table(name)
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // §2.2 idx row extractor + §2.5 running filtered count, on the inline
     // fixture (same shape as the golden master.idx).
@@ -388,6 +420,68 @@ object CoreQueries {
           asLong(col("min_event")).as("min_event"),
           asLong(col("max_event")).as("max_event"))
         .orderBy("user_id", "start_us")),
+
+    // the STREAMING face of session_window, driver-visible: the bounded
+    // event slice replays through a real MemoryStream in 4 time-ordered
+    // micro-batches (sessions split across batch boundaries must merge
+    // in state), append mode emits each finalized session exactly once,
+    // and the output must STILL equal the batch gap-rule oracle.
+    "q_stream_sessions" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(col("user_id").cast(LongType), Q.usCol(ev0).cast(LongType),
+          col("event_id").cast(LongType))
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      val flushTs = rows.map(_._2).max + 30L * 86400000000L
+      val per = (rows.size + 3) / 4
+      val batches = rows.grouped(math.max(per, 1)).toSeq ++
+        Seq(Seq((-1L, flushTs, 0L)), Seq((-1L, flushTs + 86400000000L, 1L)))
+      emitted[(Long, Long, Long)](s, "graft_stream_sessions", batches,
+        in => graft.streaming.StreamingSessionize.sessions(
+          in.toDF("user_id", "us", "event_id")
+            .withColumn("ts", expr("timestamp_micros(us)")),
+          "user_id", "ts", "event_id", gap = "6 hours"))
+        .filter(col("user_id") >= 0)
+        .select(asLong(col("user_id")).as("user_id"),
+          expr("unix_micros(session_start)").as("start_us"),
+          expr("unix_micros(session_end)").as("end_us"),
+          asLong(col("n_events")).as("n_events"),
+          asLong(col("min_event")).as("min_event"),
+          asLong(col("max_event")).as("max_event"))
+        .orderBy("user_id", "start_us")
+    }),
+
+    // the STREAMING face of the hopping window: same MemoryStream
+    // harness, watermarked window(6h, 3h) aggregation in append mode —
+    // every slot a row lands in must emit once with the exact decimal
+    // sum the batch oracle computes.
+    "q_stream_hopping" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(Q.usCol(ev0).cast(LongType), col("event_type"),
+          col("value").cast(DoubleType))
+        .as[(Long, String, Double)].collect().toSeq.sortBy(_._1)
+      val flushTs = rows.map(_._1).max + 30L * 86400000000L
+      val per = (rows.size + 3) / 4
+      val batches = rows.grouped(math.max(per, 1)).toSeq ++
+        Seq(Seq((flushTs, "zz_sentinel", 0.0)),
+          Seq((flushTs + 30L * 86400000000L, "zz_sentinel", 0.0)))
+      emitted[(Long, String, Double)](s, "graft_stream_hopping", batches,
+        in => in.toDF("us", "event_type", "value")
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "6 hours", "3 hours"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+          .select(col("window.start").as("win_ts"), col("event_type"),
+            col("n"), col("v")))
+        .filter(col("event_type") =!= "zz_sentinel")
+        .select(date_format(col("win_ts"), "yyyy-MM-dd HH:00").as("win_start"),
+          col("event_type"), asLong(col("n")).as("n"), col("v"))
+        .orderBy("win_start", "event_type")
+    }),
 
     // cohort retention matrix: first-event-day cohorts × day offsets,
     // distinct users — two bounded-key shuffles, no window, no self-join
@@ -1093,6 +1187,43 @@ object CoreQueries {
         |  min(event_id) AS min_event, max(event_id) AS max_event
         |FROM sq GROUP BY user_id, session_seq
         |ORDER BY user_id, start_us""".stripMargin,
+
+    // the STREAMING session face must equal the same batch gap rule the
+    // batch face (q_session_window) is checked against — restricted to
+    // the harness slice.
+    "q_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE user_id < 100),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        IS NULL
+        |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |        > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |sq AS (SELECT user_id, ts, event_id,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM m)
+        |SELECT user_id, min(ts) AS start_us,
+        |  max(ts) + 21600000000 AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM sq GROUP BY user_id, session_seq
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // the STREAMING hopping face vs the slot-arithmetic replay on the
+    // harness slice.
+    "q_stream_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value
+        |  FROM events WHERE user_id < 100),
+        |w AS (SELECT us, event_type, value,
+        |    (us // 10800000000) - i AS slot
+        |  FROM e, (SELECT unnest(range(2)) AS i) hops)
+        |SELECT strftime(make_timestamp(slot * 10800000000),
+        |    '%Y-%m-%d %H:00') AS win_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_cohort_retention" ->
       """WITH e AS (SELECT user_id,
