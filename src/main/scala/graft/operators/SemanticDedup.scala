@@ -34,15 +34,21 @@ object SemanticDedup {
 
   /** Verified near-dup pairs (id_a, id_b, sim) within semantic clusters.
     * `threshold` is cosine similarity; `trainFraction` samples the
-    * k-means training set (assignment always covers every row).
+    * k-means training set (assignment always covers every row). Pass
+    * `centroids` to reuse a trained (or fixture) quantizer — the same
+    * seam as [[IvfAnn.ivfTopK]]; `q_semantic_dedup_portable` drives the
+    * whole assignment+pairing machinery through it against a DuckDB
+    * replay.
     */
   def semDedupPairs(embs: DataFrame, idCol: String, embCol: String,
       nClusters: Int, threshold: Double, iters: Int = 2,
-      trainFraction: Double = 1.0, maxBlockSize: Int = 10000): DataFrame = {
+      trainFraction: Double = 1.0, maxBlockSize: Int = 10000,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
     require(nClusters > 0, s"nClusters must be positive, got $nClusters")
     val spark = embs.sparkSession
     val corpus = embs.select(col(idCol).as("id"), col(embCol).as("embedding"))
-    val cents = IvfAnn.trainCentroids(corpus, nClusters, iters, trainFraction)
+    val cents = centroids.getOrElse(
+      IvfAnn.trainCentroids(corpus, nClusters, iters, trainFraction))
     require(cents.nonEmpty, "empty corpus — no centroids to assign against")
     val bc = spark.sparkContext.broadcast(cents)
     val assign = udf((e: Seq[Float]) => IvfAnn.nearestCell(bc.value, e))

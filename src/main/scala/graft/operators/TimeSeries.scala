@@ -36,6 +36,41 @@ object TimeSeries {
   private val Reserved = Set("t0", "v0", "t1", "v1", "v_interp",
     "__ts", "__is_probe", "__v", "__b", "__f")
 
+  /** Per-key exponentially-weighted moving average — the decay feature a
+    * training pipeline attaches to each entity ("current engagement",
+    * "recent quality"): EWMA₁ = v₁, EWMAᵢ = α·vᵢ + (1−α)·EWMAᵢ₋₁ over
+    * the key's events in (ts, value) order.
+    *
+    * A sequential recurrence is inherently serial PER KEY; parallelism
+    * comes from keys, so the shape is ONE groupBy:
+    * `sort_array(collect_list(struct(ts, v)))` then a codegen'd
+    * `aggregate` left fold seeded by the first element. Per-key state is
+    * the key's own event list — bounded by per-key cardinality, the same
+    * contract as the batch sessionizer's sorted key history (keys with
+    * unbounded histories belong on the streaming tier, where the EWMA is
+    * one double of running state per key).
+    *
+    * Determinism: the fold's IEEE association (`α·v + (1−α)·acc`, first
+    * element as seed) is exactly DuckDB's `list_reduce`, so the float
+    * output is oracle-checked bit-for-bit (`q_ewma`), not pinned. Rows
+    * with a null value are dropped up front (same contract as
+    * [[interpolateAt]]).
+    */
+  def ewma(df: DataFrame, keys: Seq[String], tsCol: String,
+      valCol: String, alpha: Double): DataFrame = {
+    require(keys.nonEmpty, "ewma needs at least one key column")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    df.filter(col(valCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("long").as("n_points"),
+        sort_array(collect_list(struct(col(tsCol).as("t"),
+          col(valCol).cast(DoubleType).as("v")))).as("__pts"))
+      .withColumn("ewma", expr(
+        s"aggregate(slice(__pts, 2, size(__pts) - 1), __pts[0].v, " +
+          s"(acc, x) -> $alpha * x.v + (1.0 - $alpha) * acc)"))
+      .drop("__pts")
+  }
+
   /** Interpolate `valCol` of `series` at each row of `probes`.
     *
     * Output: the probe keys and timestamp plus `t0,v0` (latest series

@@ -549,6 +549,20 @@ object CoreQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // per-user EWMA of event values — the sequential decay recurrence as
+    // one groupBy + sorted codegen'd left fold; DuckDB's list_reduce is
+    // the same fold (seed = first element, α·v + (1−α)·acc), so the
+    // float output hash-matches bit-for-bit.
+    "q_ewma" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      graft.operators.TimeSeries.ewma(
+        ev0.withColumn("us", Q.usCol(ev0)),
+        Seq("user_id"), "us", "value", alpha = 0.3)
+        .select(asLong(col("user_id")).as("user_id"),
+          col("n_points"), col("ewma"))
+        .orderBy("user_id")
+    }),
+
     // fixed-point integer PageRank over the supply DAG (supplier → part →
     // order; offsets keep the key spaces disjoint). Orders are dangling —
     // their mass redistributes uniformly — and every rank is exact
@@ -1113,6 +1127,18 @@ object CoreQueries {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
+
+    // list_reduce replays the EWMA fold exactly: same (ts, value) sort,
+    // same seed, same α·x + (1−α)·acc association.
+    "q_ewma" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+        |    list(v ORDER BY us, v) AS vs
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_points,
+        |  list_reduce(vs, (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma
+        |FROM g ORDER BY user_id""".stripMargin,
 
     // the union-and-two-running-windows replay of interpolateAt: the
     // same sort keys (ts, is_probe, value tiebreak) in both directions,

@@ -58,6 +58,21 @@ object SimilarityQueries {
       Similarity.cosineDupPairs(emb(s, dir), "label", 0.3)
         .orderBy("id_a", "id_b")),
 
+    // the portable SemDeDup face: fixture centroids through the
+    // semDedupPairs reuse seam — k-means cell assignment, within-cell
+    // exact pairing, and the threshold filter ALL replayed by DuckDB
+    // (the trained q_semantic_dedup stays pinned + planted-pair gated).
+    "q_semantic_dedup_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      SemanticDedup.semDedupPairs(e, "id", "embedding",
+        nClusters = 8, threshold = 0.3, centroids = Some(cents))
+        .orderBy("id_a", "id_b")
+    }),
+
     // LSH-bucketed ANN (multi-probe, exact rerank) — the scale path; no
     // SQL oracle (bucket keys are xxhash64-based), recall vs brute force
     // is asserted in ScalaTest.
@@ -467,6 +482,32 @@ object SimilarityQueries {
         |  (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // fixture-centroid SemDeDup replay: argmin assignment (first index
+    // wins ties), within-cell pairs id_a < id_b, exact cosine + the
+    // same threshold comparison.
+    "q_semantic_dedup_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    v AS c
+        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d) WHERE rn = 1),
+        |ec AS (SELECT e.vec_id, e.v, a.cell FROM e
+        |  JOIN assign a USING (vec_id)),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_inner_product(a.v, b.v) /
+        |    (sqrt(list_inner_product(a.v, a.v)) *
+        |     sqrt(list_inner_product(b.v, b.v))) AS sim
+        |  FROM ec a JOIN ec b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM p WHERE sim >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_cc_components" ->
       """WITH RECURSIVE p(a, b) AS (
         |  SELECT * FROM (VALUES (1, 2), (2, 3), (10, 11),
@@ -607,6 +648,57 @@ object SimilarityQueries {
         |    AND c.vec_id <> q.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM p2)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // SQ8 is fully oracle-able with NO fixture: the min/max fit is exact
+    // order-free arithmetic, encode is floor(x+0.5) (= Math.round) with
+    // clamp, and the ADC fold replays as [base] ++ terms summed in index
+    // order. Flipped from no_oracle in round 8.
+    "q_ann_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM e, dims GROUP BY i),
+        |sc AS (SELECT i, mn,
+        |    CASE WHEN mx - mn > 0 THEN (mx - mn) / 255.0 ELSE 1.0 END AS sl
+        |  FROM mm),
+        |cd AS (SELECT e.vec_id, c.i, least(255, greatest(0,
+        |    CAST(floor((e.v[c.i] - c.mn) / c.sl + 0.5) AS BIGINT))) AS b
+        |  FROM e CROSS JOIN sc c),
+        |qb AS (SELECT q.vec_id AS query_id,
+        |    list_aggregate(list(q.v[c.i] * c.mn ORDER BY c.i), 'sum')
+        |      AS base
+        |  FROM e q CROSS JOIN sc c WHERE q.vec_id < 5 GROUP BY q.vec_id),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nr
+        |  FROM e),
+        |ad AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+        |    list_aggregate(list_prepend(b.base,
+        |      list(q.v[d.i] * c.sl * d.b ORDER BY d.i)), 'sum') AS dot
+        |  FROM e q JOIN qb b ON b.query_id = q.vec_id
+        |  CROSS JOIN cd d JOIN sc c ON c.i = d.i
+        |  WHERE d.vec_id <> q.vec_id
+        |  GROUP BY q.vec_id, d.vec_id, b.base),
+        |ascore AS (SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN qn.nr * cn.nr > 0
+        |      THEN a.dot / (qn.nr * cn.nr) ELSE 0.0 END AS asim
+        |  FROM ad a
+        |  JOIN nrm qn ON qn.vec_id = a.query_id
+        |  JOIN nrm cn ON cn.vec_id = a.neighbor_id),
+        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY asim DESC, neighbor_id) AS rn FROM ascore)
+        |  WHERE rn <= 20),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM exact)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 

@@ -82,6 +82,38 @@ class TimeSeriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma replays the hand-computed recurrence, seeds at the first " +
+    "point, drops null values, and refuses bad arguments") {
+    val df = Seq(
+      (1L, 100L, Some(2.0)), (1L, 200L, Some(3.0)), (1L, 300L, Some(4.0)),
+      (1L, 250L, None), // null value: dropped, never poisons the fold
+      (2L, 100L, Some(7.0))) // single point: ewma = the point itself
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.ewma(df, Seq("k"), "ts", "v", alpha = 0.3)
+      .select("k", "n_points", "ewma").as[(Long, Long, Double)]
+      .collect().toSet
+    // k=1: seed 2.0; then 0.3*3 + 0.7*2 = 2.3; then 0.3*4 + 0.7*2.3
+    val step1 = 0.3 * 3.0 + (1.0 - 0.3) * 2.0
+    val step2 = 0.3 * 4.0 + (1.0 - 0.3) * step1
+    assert(got == Set((1L, 3L, step2), (2L, 1L, 7.0)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, Seq.empty, "ts", "v", alpha = 0.3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.ewma(df, Seq("k"), "ts", "v", alpha = 0.0)
+    }
+  }
+
+  test("ewma ties at equal timestamps order by value, so the fold is " +
+    "run-deterministic") {
+    val df = Seq((1L, 100L, 5.0), (1L, 100L, 1.0), (1L, 200L, 2.0))
+      .toDF("k", "ts", "v")
+    val got = TimeSeries.ewma(df, Seq("k"), "ts", "v", alpha = 0.5)
+      .select("ewma").as[Double].head()
+    // sort (ts, v): 1.0 then 5.0 then 2.0 → seed 1, 0.5*5+0.5*1=3, 0.5*2+0.5*3=2.5
+    assert(got == 2.5)
+  }
+
   test("forward pass uses a running frame, not UnboundedFollowing") {
     val p = Seq((1L, 150L)).toDF("k", "ts")
     val plan = TimeSeries.interpolateAt(series, p, Seq("k"), "ts", "v")
