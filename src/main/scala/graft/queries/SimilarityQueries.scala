@@ -232,6 +232,33 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ENGINE-PORTABLE IVF-PQ face: the COMPOSED flagship through both
+    // fixture seams at once — fixture coarse centroids (cell routing +
+    // the per-cell centroid dot) and fixture residual codebooks (encode
+    // runs on the float-ROUNDED residual v−centroid, which DuckDB
+    // replays via CAST(… AS FLOAT)); the ADC fold seeds at the centroid
+    // dot. Every stage of the 100 TB index shape engine-cross-checked.
+    "q_ann_ivfpq_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val (m, ksub, dsub) = (4, 8, 16)
+      val seedIds = (0 until ksub).map(i => 3L + i * 7)
+      val seeds = e.filter(col("id").isin(seedIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val cb = Array.tabulate(m, ksub, dsub)((sub, c, j) =>
+        seeds(c)(sub * dsub + j))
+      graft.operators.IvfPq.ivfPqTopK(e.filter(col("id") < 5), e, 5,
+        nprobe = 3, rerankFactor = 4,
+        model = Some(graft.operators.IvfPq.Model(cents, cb)))
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ENGINE-PORTABLE PQ face: fixture codebooks — subspace slices of
     // vec_id 3,10,…,52's embeddings — injected through pqTopK's reuse
     // seam, so encoding (per-subspace argmin), the ADC dot/norm table
@@ -731,6 +758,87 @@ object SimilarityQueries {
         |  JOIN e ce ON ce.vec_id = a.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // composed IVF-PQ replay: coarse argmin assignment, float-rounded
+    // residual (CAST AS FLOAT), per-subspace argmin encode on the
+    // residual, ADC fold seeded at the (query·centroid) dot, shortlist,
+    // exact rerank.
+    "q_ann_ivfpq_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    v AS c
+        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d) WHERE rn = 1),
+        |res AS (SELECT e.vec_id, a.cell,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(CAST(e.v[i] - c.c[i] AS FLOAT) AS DOUBLE)) AS r
+        |  FROM e JOIN assign a USING (vec_id)
+        |  JOIN cents c ON c.cell = a.cell),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    v FROM e WHERE vec_id IN (3, 10, 17, 24, 31, 38, 45, 52)),
+        |cb AS (SELECT sub, code, v[(sub * 16 + 1):(sub * 16 + 16)] AS c
+        |  FROM seeds, range(0, 4) rr(sub)),
+        |enc0 AS (SELECT t.vec_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> (b.c[j] - t.r[b.sub * 16 + j]) *
+        |           (b.c[j] - t.r[b.sub * 16 + j])), 'sum') AS dist
+        |  FROM res t CROSS JOIN cb b),
+        |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, code) AS rn FROM enc0) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS query_id, cell, qc_dot FROM (
+        |  SELECT d.vec_id, d.cell, d.dist,
+        |    list_aggregate(list_transform(range(1, 65),
+        |      i -> c.c[i] * e.v[i]), 'sum') AS qc_dot,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY d.dist, d.cell) AS rn
+        |  FROM d JOIN cents c ON c.cell = d.cell
+        |  JOIN e ON e.vec_id = d.vec_id
+        |  WHERE d.vec_id < 5) WHERE rn <= 3),
+        |qtab AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> b.c[j] * q.v[b.sub * 16 + j]), 'sum') AS dt
+        |  FROM e q CROSS JOIN cb b WHERE q.vec_id < 5),
+        |nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nr
+        |  FROM e),
+        |ad AS (SELECT p.query_id, cv.vec_id AS neighbor_id,
+        |    list_aggregate(list_prepend(p.qc_dot,
+        |      list(t.dt ORDER BY t.sub)), 'sum') AS dot
+        |  FROM probes p
+        |  JOIN assign cv ON cv.cell = p.cell
+        |    AND cv.vec_id <> p.query_id
+        |  JOIN codes cd ON cd.vec_id = cv.vec_id
+        |  JOIN qtab t ON t.query_id = p.query_id AND t.sub = cd.sub
+        |    AND t.code = cd.code
+        |  GROUP BY p.query_id, cv.vec_id, p.qc_dot),
+        |ascore AS (SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN qn.nr * cn.nr > 0
+        |      THEN a.dot / (qn.nr * cn.nr) ELSE 0.0 END AS asim
+        |  FROM ad a
+        |  JOIN nrm qn ON qn.vec_id = a.query_id
+        |  JOIN nrm cn ON cn.vec_id = a.neighbor_id),
+        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY asim DESC, neighbor_id) AS rn FROM ascore)
+        |  WHERE rn <= 20),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM exact)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
