@@ -232,6 +232,35 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ENGINE-PORTABLE OPQ face: a PERMUTATION rotation (exactly
+    // orthonormal; the projection fold degenerates to an exact element
+    // pick, so the rotated floats are bit-identical in both engines)
+    // plus fixture codebooks trained-by-fixture on the ROTATED seeds —
+    // the rotate→encode→ADC→rerank pipeline replayed end-to-end in the
+    // rotated space (the eigen-allocated q_ann_opq stays pinned).
+    "q_ann_opq_portable" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = 64
+      val rot = graft.operators.EmbeddingPca.Model(
+        mean = new Array[Double](dim),
+        components = Array.tabulate(dim, dim)((r, c) =>
+          if (c == dim - 1 - r) 1.0 else 0.0),
+        eigenvalues = Array.fill(dim)(1.0))
+      val (m, ksub, dsub) = (4, 8, 16)
+      val seedIds = (0 until ksub).map(i => 3L + i * 7)
+      val seeds = e.filter(col("id").isin(seedIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.reverse.map(_.toDouble))
+      val cb = Array.tabulate(m, ksub, dsub)((sub, c, j) =>
+        seeds(c)(sub * dsub + j))
+      graft.operators.Opq.opqTopK(e.filter(col("id") < 5), e, 5,
+        m = m, ksub = ksub, rerankFactor = 4,
+        model = Some(graft.operators.Opq.Model(rot, cb)))
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ENGINE-PORTABLE IVF-PQ face: the COMPOSED flagship through both
     // fixture seams at once — fixture coarse centroids (cell routing +
     // the per-cell centroid dot) and fixture residual codebooks (encode
@@ -758,6 +787,64 @@ object SimilarityQueries {
         |  JOIN e ce ON ce.vec_id = a.vec_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // OPQ replay: the permutation rotation is an exact element pick
+    // (pv[i] = v[65−i]), then the PQ pipeline verbatim in rotated space
+    // — encode, ADC, shortlist, and the rerank's rotated-order dot.
+    "q_ann_opq_portable" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(embedding[65 - i] AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+        |    v FROM e WHERE vec_id IN (3, 10, 17, 24, 31, 38, 45, 52)),
+        |cb AS (SELECT sub, code, v[(sub * 16 + 1):(sub * 16 + 16)] AS c
+        |  FROM seeds, range(0, 4) r(sub)),
+        |enc0 AS (SELECT e.vec_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> (b.c[j] - e.v[b.sub * 16 + j]) *
+        |           (b.c[j] - e.v[b.sub * 16 + j])), 'sum') AS dist
+        |  FROM e CROSS JOIN cb b),
+        |codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, code) AS rn FROM enc0) WHERE rn = 1),
+        |nrm2 AS (SELECT sub, code,
+        |    list_aggregate(list_transform(c, x -> x * x), 'sum') AS n2
+        |  FROM cb),
+        |qtab AS (SELECT q.vec_id AS query_id, b.sub, b.code,
+        |    list_aggregate(list_transform(range(1, 17),
+        |      j -> b.c[j] * q.v[b.sub * 16 + j]), 'sum') AS dt
+        |  FROM e q CROSS JOIN cb b WHERE q.vec_id < 5),
+        |qn AS (SELECT vec_id AS query_id,
+        |    sqrt(list_inner_product(v, v)) AS q_nrm
+        |  FROM e WHERE vec_id < 5),
+        |approx AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+        |    list_aggregate(list(t.dt ORDER BY t.sub), 'sum') AS dot,
+        |    list_aggregate(list(n.n2 ORDER BY t.sub), 'sum') AS nn2
+        |  FROM codes c
+        |  JOIN qtab t ON t.sub = c.sub AND t.code = c.code
+        |  JOIN nrm2 n ON n.sub = c.sub AND n.code = c.code
+        |  WHERE c.vec_id <> t.query_id
+        |  GROUP BY t.query_id, c.vec_id),
+        |ascore AS (SELECT a.query_id, a.neighbor_id,
+        |    CASE WHEN q.q_nrm * sqrt(a.nn2) > 0
+        |      THEN a.dot / (q.q_nrm * sqrt(a.nn2)) ELSE 0.0 END AS asim
+        |  FROM approx a JOIN qn q USING (query_id)),
+        |short AS (SELECT query_id, neighbor_id FROM (SELECT query_id,
+        |    neighbor_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY asim DESC, neighbor_id) AS rn FROM ascore)
+        |  WHERE rn <= 20),
+        |exact AS (SELECT s.query_id, s.neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM short s
+        |  JOIN e qe ON qe.vec_id = s.query_id
+        |  JOIN e ce ON ce.vec_id = s.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM exact)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
