@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Time-series alignment: linear interpolation of an irregular series at
   * arbitrary probe timestamps — the "value of the metric at the moment
@@ -35,6 +35,38 @@ object TimeSeries {
     */
   private val Reserved = Set("t0", "v0", "t1", "v1", "v_interp",
     "__ts", "__is_probe", "__v", "__b", "__f")
+
+  /** Bounded trailing-window features per key — the rolling context a
+    * feature pipeline attaches to each event (last-N sum/mean/extremes):
+    * one key exchange + one in-partition sort, a ROWS frame over the
+    * trailing `nRows` events. A bounded ROWS frame is evaluated by
+    * Spark's sliding frame (add one row, retract one row per step —
+    * O(n) per partition), never the O(n²) re-aggregating frames.
+    *
+    * `orderCols` must totally order rows within a key (include a unique
+    * tiebreaker) or frame membership is run-dependent. Sums ride
+    * DECIMAL(18,4) — exact and order-free for the ≤4-decimal measures
+    * this engine standardizes on (see [[graft.queries.Q]]) — and
+    * surface as doubles; `roll_mean` is one exact IEEE division. Every
+    * output column is oracle-exact (`q_rolling`), not approximate.
+    */
+  def rollingStats(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      valCol: String, nRows: Int): DataFrame = {
+    require(keys.nonEmpty, "rollingStats needs at least one key column")
+    require(orderCols.nonEmpty,
+      "rollingStats needs ordering columns (with a unique tiebreaker)")
+    require(nRows >= 1, s"nRows must be positive, got $nRows")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(nRows - 1L), Window.currentRow)
+    df.withColumn("n_window", count(lit(1)).over(w).cast(LongType))
+      .withColumn("roll_sum",
+        sum(col(valCol).cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+      .withColumn("roll_min", min(col(valCol)).over(w))
+      .withColumn("roll_max", max(col(valCol)).over(w))
+      .withColumn("roll_mean",
+        col("roll_sum") / col("n_window").cast(DoubleType))
+  }
 
   /** Per-key exponentially-weighted moving average — the decay feature a
     * training pipeline attaches to each entity ("current engagement",

@@ -549,6 +549,35 @@ object CoreQueries {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // per-source decile binning (curriculum/quality tiers): ntile over a
+    // TOTAL order (doc_id tiebreak) so bucket membership is
+    // run-deterministic; both engines use the SQL-standard front-loaded
+    // remainder rule.
+    "q_quality_deciles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n_chars"), col("doc_id"))))
+        .select(asLong(col("doc_id")).as("doc_id"), col("source"),
+          asLong(col("n_chars")).as("n_chars"),
+          asLong(col("decile")).as("decile"))
+        .orderBy("doc_id")),
+
+    // trailing-10-row rolling features per user: bounded sliding frame
+    // (add/retract per step, never a re-aggregating frame), decimal-
+    // exact sums, one exact division for the mean.
+    "q_rolling" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      graft.operators.TimeSeries.rollingStats(
+        ev0.withColumn("us", Q.usCol(ev0)),
+        Seq("user_id"), Seq("us", "event_id"), "value", nRows = 10)
+        .select(asLong(col("user_id")).as("user_id"),
+          col("us"), asLong(col("event_id")).as("event_id"),
+          col("n_window"), col("roll_sum"), col("roll_min"),
+          col("roll_max"), col("roll_mean"))
+        .orderBy("user_id", "us", "event_id")
+    }),
+
     // per-user EWMA of event values — the sequential decay recurrence as
     // one groupBy + sorted codegen'd left fold; DuckDB's list_reduce is
     // the same fold (seed = first element, α·v + (1−α)·acc), so the
@@ -1127,6 +1156,31 @@ object CoreQueries {
         |FROM p ASOF LEFT JOIN v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.user_id, p.ts""".stripMargin,
+
+    "q_quality_deciles" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(ntile(10) OVER (PARTITION BY source
+        |    ORDER BY n_chars, doc_id) AS BIGINT) AS decile
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the rolling frame replays as the same ROWS window; sums stay in
+    // DECIMAL(18,4) until the output edge, mean is the same division.
+    "q_rolling" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, value
+        |  FROM events)
+        |SELECT user_id, us, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    AS roll_sum,
+        |  min(value) OVER w AS roll_min,
+        |  max(value) OVER w AS roll_max,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / CAST(count(*) OVER w AS DOUBLE) AS roll_mean
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, us, event_id""".stripMargin,
 
     // list_reduce replays the EWMA fold exactly: same (ts, value) sort,
     // same seed, same α·x + (1−α)·acc association.

@@ -114,6 +114,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == 2.5)
   }
 
+  test("rollingStats: trailing-N frame grows then slides, per key, with " +
+    "exact sums and mean") {
+    val df = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 4.0), (1L, 4L, 8.0),
+      (2L, 1L, 5.0))
+      .toDF("k", "seq", "v")
+    val got = TimeSeries.rollingStats(df, Seq("k"), Seq("seq"), "v", nRows = 3)
+      .select("k", "seq", "n_window", "roll_sum", "roll_min", "roll_max",
+        "roll_mean")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, 1L, 1L, 1.0, 1.0, 1.0, 1.0),
+      (1L, 2L, 2L, 3.0, 1.0, 2.0, 1.5),
+      (1L, 3L, 3L, 7.0, 1.0, 4.0, 7.0 / 3.0),
+      (1L, 4L, 3L, 14.0, 2.0, 8.0, 14.0 / 3.0), // row 1 retracted
+      (2L, 1L, 1L, 5.0, 5.0, 5.0, 5.0)))
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingStats(df, Seq("k"), Seq.empty, "v", 3)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.rollingStats(df, Seq("k"), Seq("seq"), "v", 0)
+    }
+  }
+
   test("forward pass uses a running frame, not UnboundedFollowing") {
     val p = Seq((1L, 150L)).toDF("k", "ts")
     val plan = TimeSeries.interpolateAt(series, p, Seq("k"), "ts", "v")
