@@ -133,7 +133,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             val (w, h) = (img.getWidth, img.getHeight)
             var (sum, mn, mx) = (0L, 255L, 0L)
@@ -225,7 +225,7 @@ object Multimodal {
           val dec =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bos.toByteArray))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (dec != null && dec.getWidth == 8 && dec.getHeight == 4) {
             var (decSum, maxErr) = (0L, 0L)
             var j = 0
@@ -279,7 +279,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null) {
             val (sw, sh) = (img.getWidth, img.getHeight)
             val out = new java.awt.image.BufferedImage(dstW, dstH,
@@ -411,7 +411,7 @@ object Multimodal {
               try javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(
                   java.util.Arrays.copyOfRange(bytes, lo, hi)))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) None
             else {
               val (w, h) = (img.getWidth, img.getHeight)
@@ -511,8 +511,10 @@ object Multimodal {
               val data = ais.readAllBytes()
               Some((fmt, data))
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // NonFatal: JDK decoders can throw RuntimeExceptions (not
+              // just IOException) on malformed headers; a corrupt blob in
+              // a mixed corpus must fall back, not crash the partition.
+              case scala.util.control.NonFatal(_) => None
             }
           parsed match {
             case Some((fmt, data)) =>
@@ -579,8 +581,10 @@ object Multimodal {
                 new java.io.ByteArrayInputStream(bytes))
               Some(ais.readAllBytes())
             } catch {
-              case _: javax.sound.sampled.UnsupportedAudioFileException => None
-              case _: java.io.IOException => None
+              // NonFatal: JDK decoders can throw RuntimeExceptions (not
+              // just IOException) on malformed headers; a corrupt blob in
+              // a mixed corpus must fall back, not crash the partition.
+              case scala.util.control.NonFatal(_) => None
             }
           data.toSeq.flatMap { d =>
             val n = d.length / 2
@@ -627,7 +631,7 @@ object Multimodal {
           val img =
             try javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           val hist = new Array[Float](dim)
           if (img != null) {
             // REAL image path: luminance histogram over decoded pixels

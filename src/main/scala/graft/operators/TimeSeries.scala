@@ -36,6 +36,21 @@ object TimeSeries {
   private val Reserved = Set("t0", "v0", "t1", "v1", "v_interp",
     "__ts", "__is_probe", "__v", "__b", "__f")
 
+  /** Output columns [[rollingStats]] writes. */
+  private val RollingReserved =
+    Set("n_window", "roll_sum", "roll_min", "roll_max", "roll_mean")
+
+  /** Output columns [[ewma]] writes (beyond the grouping keys). */
+  private val EwmaReserved = Set("n_points", "ewma", "__pts")
+
+  private def requireNoClash(cols: Iterable[String], reserved: Set[String],
+      op: String): Unit = {
+    val clash = cols.toSet intersect reserved
+    require(clash.isEmpty,
+      s"input columns collide with $op outputs: " +
+        s"${clash.toSeq.sorted.mkString(", ")} — rename them first")
+  }
+
   /** Bounded trailing-window features per key — the rolling context a
     * feature pipeline attaches to each event (last-N sum/mean/extremes):
     * one key exchange + one in-partition sort, a ROWS frame over the
@@ -56,6 +71,7 @@ object TimeSeries {
     require(orderCols.nonEmpty,
       "rollingStats needs ordering columns (with a unique tiebreaker)")
     require(nRows >= 1, s"nRows must be positive, got $nRows")
+    requireNoClash(df.columns, RollingReserved, "rollingStats")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(-(nRows - 1L), Window.currentRow)
@@ -92,6 +108,7 @@ object TimeSeries {
       valCol: String, alpha: Double): DataFrame = {
     require(keys.nonEmpty, "ewma needs at least one key column")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    requireNoClash(keys, EwmaReserved, "ewma")
     df.filter(col(valCol).isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_points"),

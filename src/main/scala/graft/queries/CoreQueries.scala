@@ -47,6 +47,13 @@ object CoreQueries {
     * Driver memory holds only the bounded harness slice the callers
     * select (~6.6k events), the same fixture-bound class as the
     * multimodal gates.
+    *
+    * INTERNAL-API NOTE: `MemoryStream` lives in
+    * `org.apache.spark.sql.execution.streaming.runtime` (Spark 4.1), a
+    * Spark-internal package that has moved across releases (it was
+    * `...execution.streaming` pre-4.x). A compile failure here after a
+    * Spark upgrade means THIS HARNESS needs the new import path — the
+    * streaming operators under test use only stable public APIs.
     */
   private def emitted[A](s: org.apache.spark.sql.SparkSession, name: String,
       batches: Seq[Seq[A]],

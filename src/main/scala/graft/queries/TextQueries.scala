@@ -123,8 +123,9 @@ object TextQueries {
 
     // multimodal columns: opaque binary + typed metadata. The image
     // modality has a REAL javax.imageio codec path (q_multimodal_decode
-    // below); decodeAndFeaturize remains the documented stub for the
-    // codecs the container lacks.
+    // below); decodeAndFeaturize now decodes image bytes for real too,
+    // stubbing only codecs the JVM lacks (exotic audio) behind the
+    // labeled byte-histogram fallback.
     "q_multimodal_meta" -> ((s, dir) => {
       val bin = to_binary(col("text"), lit("utf-8"))
       t(s, dir, "documents").select(
@@ -1268,6 +1269,12 @@ object TextQueries {
 
     // JPEG is lossy, so the certificate is: geometry exact, source sum
     // exact (md5 ascii), decode error inside the fixed bound → TRUE.
+    // CODEC ASSUMPTION: the bounds (max_pix_err<=2, sum_err<=16) are
+    // calibrated against the stock JDK ImageIO JPEG codec (measured
+    // <=1/<=5). A JDK vendor change or an ImageIO plugin on the
+    // classpath (e.g. TwelveMonkeys) can shift decode error — a red
+    // here after an environment change means codec swap, not an
+    // operator regression; re-measure and re-calibrate the bound.
     "q_multimodal_jpeg" ->
       """WITH px AS (SELECT doc_id,
         |    ascii(substr(md5(text), CAST(i AS INT), 1)) AS v
