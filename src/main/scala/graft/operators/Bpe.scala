@@ -62,12 +62,25 @@ object Bpe {
 
   /** Train `numMerges` merges. Stops early when no pair occurs twice. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      maxWordTable: Int = 100000): Model = {
+      maxWordTable: Int = 100000): Model =
+    trainTrace(df, textCol, numMerges, maxWordTable)._1
+
+  /** [[train]] plus its per-step evidence: for each merge pick,
+    * `(step, left, right, pairCount)` — step 1-based, pairCount the
+    * exact weighted adjacent-pair count that won the argmax under the
+    * (count desc, pair asc) tie rule. These are pure integers over the
+    * word table, which is what lets `q_bpe_evidence` replay the first k
+    * merges in the DuckDB oracle (unrolled CTEs) and hash-compare.
+    */
+  def trainTrace(df: DataFrame, textCol: String, numMerges: Int,
+      maxWordTable: Int = 100000)
+      : (Model, Vector[(Int, String, String, Long)]) = {
     require(numMerges >= 0, "numMerges must be >= 0")
     val (table, truncated) = wordTable(df, textCol, maxWordTable)
     var words: Array[(Vector[String], Long)] =
       table.map { case (w, n) => (wordSymbols(w), n) }
     val merges = Vector.newBuilder[(String, String)]
+    val trace = Vector.newBuilder[(Int, String, String, Long)]
     var done = false
     var i = 0
     while (i < numMerges && !done) {
@@ -85,8 +98,9 @@ object Bpe {
         .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
       best match {
         case None => done = true
-        case Some(((a, b), _)) =>
+        case Some(((a, b), cnt)) =>
           merges += ((a, b))
+          trace += ((i + 1, a, b, cnt))
           val merged = a + b
           words = words.map { case (syms, n) =>
             if (syms.length < 2) (syms, n)
@@ -104,7 +118,7 @@ object Bpe {
       }
       i += 1
     }
-    Model(merges.result(), truncated)
+    (Model(merges.result(), truncated), trace.result())
   }
 
   /** Greedy encode of one word: repeatedly merge the lowest-rank adjacent

@@ -140,6 +140,54 @@ object UnigramLm {
     Model(logProbs, truncated)
   }
 
+  /** Seed-phase sufficient statistics of [[train]] as a fully relational
+    * Spark job — no driver loop at all: the word table (top
+    * `maxWordTable` by (count desc, word asc)), every substring of
+    * length 2..`maxPieceLen` with its exact integer mass
+    * `sum(wordCount × pieceLen)` (the seeding score at line ~104), and
+    * the (score desc, piece asc) rank, truncated to the seed budget
+    * `vocabSize × seedFactor − |charInventory|` exactly as the trainer
+    * takes it. Output `(seed_rank, piece, score)` — all integers/strings, so
+    * the whole corpus-scale pass of the unigram tokenizer hash-compares
+    * against a DuckDB oracle (`q_unigram_evidence`); the EM refinement
+    * on top stays spec-gated (UnigramLmSpec) + golden-pinned.
+    */
+  def seedEvidence(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 8, seedFactor: Int = 4,
+      maxWordTable: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(
+        explode(filter(split(lower(col(textCol)), "[^a-z]+"),
+          t => t =!= lit(""))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val wt = counts.orderBy(col("n").desc, col("w")).limit(maxWordTable)
+    // char inventory size — one scalar (dim-bounded: ≤26 for the alpha
+    // tokenizer), the same class of driver value as a broadcast constant
+    val nChars = wt.select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("c"))
+      .agg(countDistinct(col("c"))).head().getLong(0)
+    val budget = math.max(0L, vocabSize.toLong * seedFactor - nChars)
+    // all substrings of length 2..maxPieceLen: slice a fixed length list
+    // so the degenerate sequence(2, 1) auto-reverse never fires
+    val subs = wt.select(col("n"), explode(expr(
+      s"""flatten(transform(sequence(1, length(w)), i ->
+         |  transform(
+         |    slice(sequence(2, $maxPieceLen), 1,
+         |      greatest(0, least($maxPieceLen, length(w) - i + 1) - 1)),
+         |    l -> struct(substring(w, i, l) AS p, l AS l))))""".stripMargin))
+      .as("s"))
+    // top-k FIRST (TakeOrderedAndProject — per-partition heaps, no full
+    // sort), then rank only the budget-bounded survivors
+    val rankW = Window.orderBy(col("score").desc, col("piece"))
+    subs.select(col("s.p").as("piece"),
+        (col("n") * col("s.l").cast("long")).as("mass"))
+      .groupBy("piece").agg(sum(col("mass")).as("score"))
+      .orderBy(col("score").desc, col("piece")).limit(budget.toInt)
+      .withColumn("seed_rank", row_number().over(rankW).cast("long"))
+      .select(col("seed_rank"), col("piece"), col("score"))
+      .orderBy("seed_rank")
+  }
+
   /** Encode every document: `(idCol, n_words, n_pieces, tokens)` — the
     * [[Bpe.encode]] contract with Viterbi segmentation. Piece table
     * broadcast once; map-side only, no shuffle.

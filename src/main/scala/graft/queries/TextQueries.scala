@@ -320,6 +320,35 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BPE training evidence UNDER THE ORACLE: the first 10 merge picks —
+    // (step, pair, exact weighted pair count) — are pure integers over
+    // the word table, so DuckDB replays the whole merge loop as unrolled
+    // CTEs: adjacent-pair counting via list unnest, the (count desc,
+    // pair asc) argmax, and merge application as a boundary-safe string
+    // replace over '{sym}'-wrapped sequences (replace scans the input
+    // left-to-right and never rescans its own output — exactly the
+    // trainer's non-overlapping merge semantics). The full 100-merge
+    // encode face stays golden-pinned above.
+    "q_bpe_evidence" -> ((s, dir) => {
+      val (_, trace) = graft.operators.Bpe.trainTrace(
+        t(s, dir, "documents"), "text", numMerges = 10)
+      import s.implicits._
+      trace.toDF("step", "left_sym", "right_sym", "pair_count")
+        .select(asLong(col("step")).as("step"), col("left_sym"),
+          col("right_sym"), asLong(col("pair_count")).as("pair_count"))
+        .orderBy("step")
+    }),
+
+    // unigram-LM seed evidence UNDER THE ORACLE: the exact integer
+    // substring-mass table the trainer seeds from (score = Σ count×len,
+    // rank by (score desc, piece asc), truncated to the trainer's seed
+    // budget), computed fully relationally — the corpus-scale pass of
+    // the tokenizer with no driver loop at all. EM refinement stays
+    // spec-gated + pinned above.
+    "q_unigram_evidence" -> ((s, dir) =>
+      graft.operators.UnigramLm.seedEvidence(
+        t(s, dir, "documents"), "text", vocabSize = 400)),
+
     // duplicate-span STRIPPING (the action dupSpans measures): tokens
     // covered by a cross-doc duplicate trigram removed, unique prose
     // rebuilt in order.
@@ -668,6 +697,56 @@ object TextQueries {
     * the covered set folds via UNION (dedups). MATERIALIZED where a CTE
     * is read by several successors.
     */
+  /** Unrolled-CTE replay of the first `k` BPE merges (q_bpe_evidence).
+    *
+    * State between steps is the word table with each word's symbol
+    * sequence encoded as a '{sym}'-wrapped string ('{l}{o}{w</w>}'):
+    * '{'/'}' cannot occur inside a symbol (lowercase alpha + '</w>'
+    * concatenations only), so the pair pattern '{a}{b}' matches exactly
+    * at symbol boundaries, and SQL `replace` — which scans the input
+    * left-to-right and never rescans its own output — applies the merge
+    * with precisely the trainer's non-overlapping semantics (e.g.
+    * '{a}{a}{a}' + merge (a,a) → '{aa}{a}', not '{aa}{aa}').
+    * Per step: unwrap to a list, count adjacent pairs weighted by word
+    * frequency (overlapping occurrences count, as in the trainer), take
+    * the (count desc, pair asc) argmax among pairs with count ≥ 2, then
+    * rewrite. ASCII-only symbols make Scala UTF-16 and DuckDB UTF-8
+    * string orderings agree.
+    */
+  private def bpeEvidenceOracle(k: Int): String = {
+    val head =
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS w
+        |  FROM documents),
+        |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+        |  GROUP BY w ORDER BY n DESC, w LIMIT 100000),
+        |s0 AS (SELECT '{' || array_to_string(list_transform(
+        |      generate_series(1, length(w)),
+        |      i -> CASE WHEN i = length(w)
+        |        THEN substr(w, CAST(i AS INT), 1) || '</w>'
+        |        ELSE substr(w, CAST(i AS INT), 1) END), '}{') || '}' AS syms,
+        |    n FROM wt)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""l$i AS (SELECT string_split(substr(syms, 2, length(syms) - 2),
+         |    '}{') AS ls, n FROM s${i - 1}),
+         |pr$i AS (SELECT unnest(list_transform(range(1, len(ls)),
+         |    j -> [ls[j], ls[j + 1]])) AS pr, n FROM l$i),
+         |p$i AS (SELECT pr[1] AS a, pr[2] AS b,
+         |    CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM pr$i GROUP BY 1, 2 HAVING sum(n) >= 2),
+         |b$i AS (SELECT $i AS step, a, b, cnt FROM p$i
+         |  ORDER BY cnt DESC, a, b LIMIT 1),
+         |s$i AS (SELECT replace(syms, '{' || a || '}{' || b || '}',
+         |    '{' || a || b || '}') AS syms, n FROM s${i - 1}, b$i)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s""",
+         |ev AS ($union)
+         |SELECT CAST(step AS BIGINT) AS step, a AS left_sym, b AS right_sym,
+         |  cnt AS pair_count FROM ev ORDER BY step""".stripMargin
+  }
+
   private def coverageOracle(k: Int): String = {
     val head =
       """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ')
@@ -924,6 +1003,34 @@ object TextQueries {
         |SELECT token, CAST(SUM(tf) AS BIGINT) AS tf,
         |  CAST(COUNT(*) AS BIGINT) AS df
         |FROM td GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // the first 10 BPE merges replayed as unrolled CTEs — see
+    // bpeEvidenceOracle for the wrapped-symbol replace trick.
+    "q_bpe_evidence" -> bpeEvidenceOracle(10),
+
+    // unigram seed table: every 2..8-length substring's exact mass
+    // Σ count×len over the same word table, ranked (score desc, piece),
+    // truncated to the trainer's seed budget 400×4 − |chars|.
+    "q_unigram_evidence" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS w
+        |  FROM documents),
+        |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+        |  GROUP BY w ORDER BY n DESC, w LIMIT 100000),
+        |pos AS (SELECT w, n, unnest(generate_series(1, length(w))) AS i
+        |  FROM wt),
+        |ch AS (SELECT count(DISTINCT substr(w, CAST(i AS INT), 1)) AS nch
+        |  FROM pos),
+        |sub AS (SELECT w, n, i, unnest(generate_series(2,
+        |    least(8, length(w) - i + 1))) AS l FROM pos),
+        |sc AS (SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |    CAST(sum(n * l) AS BIGINT) AS score FROM sub GROUP BY 1),
+        |rk AS (SELECT piece, score,
+        |    row_number() OVER (ORDER BY score DESC, piece) AS seed_rank
+        |  FROM sc)
+        |SELECT CAST(seed_rank AS BIGINT) AS seed_rank, piece, score
+        |FROM rk, ch WHERE seed_rank <= 1600 - ch.nch
+        |ORDER BY seed_rank""".stripMargin,
 
     // same distinct-3-shingle CTE as q_ngram_jaccard's oracle, scored by
     // containment against the eval side.

@@ -58,4 +58,17 @@ class BpeSpec extends AnyFunSuite {
     val mT = Bpe.train(corpus, "text", numMerges = 10, maxWordTable = 2)
     assert(mT.truncatedWords == 2L)
   }
+
+  test("trainTrace: trace pairs equal the model's merges, steps are " +
+    "1..k, counts are the hand-checked argmax winners") {
+    val df = Seq((1L, "aaab aaab aaab")).toDF("doc_id", "text")
+    val (m, trace) = Bpe.trainTrace(df, "text", numMerges = 3)
+    assert(trace.map(t => (t._2, t._3)) == m.merges)
+    assert(trace.map(_._1) == (1 to trace.length).toVector)
+    // {aaab:3}: (a,a) counts 6 (overlapping occurrences both count);
+    // then (aa,a)=3 ties (a,b</w>)=3 → lexicographically smaller pair;
+    // then (aa,ab</w>) is unique at 3
+    assert(trace == Vector((1, "a", "a", 6L), (2, "a", "b</w>", 3L),
+      (3, "aa", "ab</w>", 3L)))
+  }
 }

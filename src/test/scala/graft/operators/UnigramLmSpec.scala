@@ -77,4 +77,26 @@ class UnigramLmSpec extends AnyFunSuite {
       assert(b >= a - 1e-9, s"likelihood dropped: $liks")
     }
   }
+
+  test("seedEvidence (the relational oracle face) reproduces the " +
+    "trainer's driver-side seed table exactly: same pieces, same " +
+    "integer masses, same (score desc, piece) rank order") {
+    val vocabSize = 30
+    // driver-side replica of train's seeding loop (UnigramLm.train)
+    val (table, _) = Bpe.wordTable(corpus, "text", 100000)
+    val chars = table.iterator.flatMap(_._1.map(_.toString)).toSet
+    val subScore = scala.collection.mutable.HashMap.empty[String, Long]
+    table.foreach { case (w, n) =>
+      for (i <- 0 until w.length;
+           l <- 2 to math.min(8, w.length - i))
+        subScore.update(w.substring(i, i + l),
+          subScore.getOrElse(w.substring(i, i + l), 0L) + n * l)
+    }
+    val expected = subScore.toSeq.sortBy { case (p, s) => (-s, p) }
+      .take(math.max(0, vocabSize * 4 - chars.size))
+      .zipWithIndex.map { case ((p, s), i) => (i + 1L, p, s) }
+    val got = UnigramLm.seedEvidence(corpus, "text", vocabSize)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
 }
