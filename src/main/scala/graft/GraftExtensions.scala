@@ -42,6 +42,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeflateRatio(args(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("deflate_stored_len"),
+      new ExpressionInfo(classOf[graft.expressions.DeflateStoredLen].getName,
+        "deflate_stored_len"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_stored_len takes exactly 1 argument")
+        graft.expressions.DeflateStoredLen(args(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "unicode_norm"),
       (args: Seq[Expression]) => {

@@ -50,6 +50,15 @@ object TextFunctions {
       graft.expressions.DeflateRatio(
         org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
 
+  /** Exact level-0 (stored-mode) deflate output length in bytes — the
+    * oracle-replayable integer face of the deflate tier; see
+    * [[graft.expressions.DeflateStoredLen]].
+    */
+  def deflateStoredLen(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.DeflateStoredLen(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   /** Markup stripping for filing bodies (SEC documents embed HTML/SGML):
     * drop tags, collapse runs of whitespace, trim — the minimal cleaning
     * pass before text analysis. Pure codegen'd regex chain.

@@ -634,6 +634,20 @@ object TextQueries {
             .as("deflate_ratio"))
         .orderBy("doc_id")),
 
+    // deflate evidence UNDER THE ORACLE: level-0 (stored-mode) output
+    // length from the REAL Deflater has the closed form
+    // n + 5·max(1, ⌈n/65535⌉), so the codec plumbing (UTF-8 bytes,
+    // reset/setInput/finish, drain loop, length accounting)
+    // hash-compares as exact integers; only level-6's Huffman output is
+    // engine-specific and stays pinned above.
+    "q_deflate_evidence" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          asLong(octet_length(col("text"))).as("n_bytes"),
+          graft.functions.TextFunctions.deflateStoredLen(col("text"))
+            .as("deflate0_len"))
+        .orderBy("doc_id")),
+
     // Unicode NFC normalization over an inline fixture of byte-variant
     // spellings (combining marks, Hangul jamo, singleton Ω, canonical
     // reordering) — the same rows the oracle rebuilds with chr() so
@@ -1007,6 +1021,16 @@ object TextQueries {
     // the first 10 BPE merges replayed as unrolled CTEs — see
     // bpeEvidenceOracle for the wrapped-symbol replace trick.
     "q_bpe_evidence" -> bpeEvidenceOracle(10),
+
+    // stored-block closed form: 5-byte header per ≤65535-byte block,
+    // one (empty, final) block minimum.
+    "q_deflate_evidence" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text))
+        |    + 5 * greatest(1, (octet_length(encode(text)) + 65534) // 65535)
+        |    AS BIGINT) AS deflate0_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // unigram seed table: every 2..8-length substring's exact mass
     // Σ count×len over the same word table, ranked (score desc, piece),

@@ -57,4 +57,28 @@ class DeflateRatioSpec extends AnyFunSuite {
     }
   }
 
+  test("storedLen: the real level-0 codec output equals the stored-block " +
+    "closed form n + 5*max(1, ceil(n/65535)) — empty, single-block, " +
+    "boundary, and multi-block inputs; codegen path agrees; null " +
+    "propagates") {
+    def formula(n: Long): Long = n + 5L * math.max(1L, (n + 65534) / 65535)
+    // multi-byte chars make utf8 n_bytes != string length — the formula
+    // is over BYTES, which is what the expression must extract
+    val texts = Seq("", "a", "héllo wörld", "x" * 553, "y" * 65535,
+      "z" * 65536, "w" * 200000, (0 until 500).map(i => s"t$i").mkString(" "))
+    texts.foreach { t =>
+      val n = t.getBytes("UTF-8").length.toLong
+      val got = DeflateRatio.storedLen(UTF8String.fromString(t))
+      assert(got == formula(n), s"len-${t.length}: $got vs ${formula(n)}")
+    }
+    val viaSpark = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text").repartition(3)
+      .select($"id", TextFunctions.deflateStoredLen($"text").as("l"))
+      .as[(Long, Long)].collect().sortBy(_._1).map(_._2).toSeq
+    assert(viaSpark == texts.map(t => formula(t.getBytes("UTF-8").length.toLong)))
+    val withNull = Seq((1L, "abc"), (2L, null: String)).toDF("id", "text")
+      .select($"id", TextFunctions.deflateStoredLen($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!withNull(1L) && withNull(2L))
+  }
 }
