@@ -230,6 +230,24 @@ object TextQueries {
           (col("sum_err") >= 0 && col("sum_err") <= 16).as("sum_err_ok"))
         .orderBy("doc_id")),
 
+    // REAL video: two JPEG frames muxed into a hand-written MJPEG AVI
+    // (RIFF), demuxed back by walking the chunk tree, each frame decoded
+    // through the real JPEG codec — the full container+codec path with
+    // zero new dependencies. Per-frame certificate under the
+    // q_multimodal_jpeg bounded-loss contract (same codec-calibration
+    // note applies).
+    "q_multimodal_video_real" -> ((s, dir) =>
+      graft.operators.Multimodal.aviRoundTrip(
+        t(s, dir, "documents").filter(col("doc_id") < 200), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("frame_id"), col("decoded"),
+          asLong(col("width")).as("width"),
+          asLong(col("height")).as("height"),
+          col("n_pixels"), col("src_sum"),
+          (col("max_pix_err") >= 0 && col("max_pix_err") <= 2)
+            .as("pix_err_ok"),
+          (col("sum_err") >= 0 && col("sum_err") <= 16).as("sum_err_ok"))
+        .orderBy("doc_id", "frame_id")),
+
     // audio feature extraction: windowed RMS-energy numerators over the
     // DECODED PCM frames — exact integers end-to-end, so the whole
     // decode→window→feature path is oracle-checked, not pinned.
@@ -1417,6 +1435,25 @@ object TextQueries {
         |  CAST(sum(v) AS BIGINT) AS src_sum,
         |  TRUE AS pix_err_ok, TRUE AS sum_err_ok
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mux→demux→decode must recover both frames with exact geometry and
+    // bounded decode error; src sums are the md5 / md5∘md5 ascii sums.
+    "q_multimodal_video_real" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h0, md5(md5(text)) AS h1
+        |  FROM documents WHERE doc_id < 200),
+        |f AS (SELECT doc_id, 0 AS frame_id, h0 AS hx FROM h
+        |  UNION ALL SELECT doc_id, 1 AS frame_id, h1 AS hx FROM h),
+        |px AS (SELECT doc_id, frame_id,
+        |    ascii(substr(hx, CAST(i AS INT), 1)) AS v
+        |  FROM f, unnest(generate_series(1, 32)) t(i))
+        |SELECT doc_id, CAST(frame_id AS BIGINT) AS frame_id,
+        |  TRUE AS decoded,
+        |  CAST(8 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS src_sum,
+        |  TRUE AS pix_err_ok, TRUE AS sum_err_ok
+        |FROM px GROUP BY doc_id, frame_id
+        |ORDER BY doc_id, frame_id""".stripMargin,
 
     // decoded PCM sample values must equal the md5 hex ascii codes —
     // the WAVE round-trip certificate, like q_multimodal_decode's.

@@ -217,4 +217,89 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_._1)
     assert(got.toSeq == again.toSeq)
   }
+
+  test("muxAvi/demuxAvi: frames round-trip bitwise through the RIFF " +
+    "container (odd and even sizes); non-AVI and truncated bytes " +
+    "demux to empty, never throw") {
+    val frames = Seq(
+      Array.tabulate(101)(i => (i * 7 + 3).toByte), // odd → pad byte
+      Array.tabulate(256)(i => (i * 13 + 1).toByte))
+    val avi = Multimodal.muxAvi(frames, width = 8, height = 4)
+    // well-formed RIFF: declared size is total - 8
+    assert(avi.take(4).toSeq == "RIFF".getBytes("US-ASCII").toSeq)
+    val declared = (avi(4) & 0xffL) | ((avi(5) & 0xffL) << 8) |
+      ((avi(6) & 0xffL) << 16) | ((avi(7) & 0xffL) << 24)
+    assert(declared == avi.length - 8)
+    val back = Multimodal.demuxAvi(avi)
+    assert(back.length == 2)
+    assert(back(0).toSeq == frames(0).toSeq && back(1).toSeq == frames(1).toSeq)
+    assert(Multimodal.demuxAvi("not an avi at all".getBytes).isEmpty)
+    assert(Multimodal.demuxAvi(avi.take(40)).isEmpty) // truncated header
+    assert(Multimodal.demuxAvi(null).isEmpty)
+  }
+
+  test("aviRoundTrip: both frames survive mux→demux→decode with exact " +
+    "geometry, exact src sums (md5 and md5∘md5 ascii), and decode " +
+    "error inside the q_multimodal_jpeg bounds") {
+    val got = Multimodal.aviRoundTrip(docs, "doc_id", "text")
+      .select("id", "frame_id", "decoded", "width", "height", "n_pixels",
+        "src_sum", "sum_err", "max_pix_err")
+      .as[(Long, Long, Boolean, Int, Int, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(got.length == 4) // 2 docs × 2 frames
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hexOf(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = docs.as[(Long, String)].collect().toMap
+    got.foreach { case (id, fid, decoded, w, h, np, srcSum, sumErr, maxErr) =>
+      val h0 = hexOf(texts(id))
+      val hex = if (fid == 0L) h0 else hexOf(h0)
+      assert(decoded && w == 8 && h == 4 && np == 32L)
+      assert(srcSum == hex.map(_.toInt).sum.toLong)
+      assert(sumErr >= 0 && sumErr <= 16, s"sum_err $sumErr out of gate")
+      assert(maxErr >= 0 && maxErr <= 2, s"max_pix_err $maxErr out of gate")
+    }
+  }
+
+  test("decodeAndFeaturize (REAL video path): AVI bytes demux and the " +
+    "histogram equals the luminance histogram of both decoded frames") {
+    def jpegFrame(hex: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 4,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until 32).foreach(i =>
+        img.getRaster.setSample(i % 8, i / 8, 0, hex.charAt(i).toInt))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def hexOf(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = docs.as[(Long, String)].collect().toSeq
+    val frames = texts.map { case (id, text) =>
+      val h0 = hexOf(text)
+      (id, Seq(jpegFrame(h0), jpegFrame(hexOf(h0))))
+    }
+    val aviMedia = frames
+      .map { case (id, fs) => (id, Multimodal.muxAvi(fs, 8, 4)) }
+      .toDF("id", "media")
+    val got = Multimodal.decodeAndFeaturize(aviMedia, dim = 16)
+      .select("id", "features").as[(Long, Seq[Float])].collect().toMap
+    // expected: decode the SAME jpeg bytes directly and bin luminance
+    // over both frames' 64 pixels
+    frames.foreach { case (id, fs) =>
+      val expect = new Array[Float](16)
+      fs.foreach { fb =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(fb))
+        for (y <- 0 until 4; x <- 0 until 8) {
+          val rgb = img.getRGB(x, y)
+          val lum = (299 * ((rgb >> 16) & 0xff) +
+            587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
+          expect(lum * 16 / 256) += 1f / 64
+        }
+      }
+      assert(got(id) == expect.toSeq, s"doc $id histogram diverged")
+    }
+  }
 }
