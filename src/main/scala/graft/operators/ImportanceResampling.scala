@@ -116,6 +116,53 @@ object ImportanceResampling {
             log(col("n_target").cast(DoubleType) + dim)))
           .as("log_weight"))
 
+  /** Modulus for [[modWeightsFromEvidence]]: 2^61 − 1 (Mersenne prime).
+    * Residues are < 2^61, so a modmul fits DECIMAL(38,0) on the Spark
+    * side ((2^61)^2 ≈ 5.3e36) and HUGEINT on DuckDB's.
+    */
+  val ModP = 2305843009213693951L
+
+  /** The importance weight as an EXACT number, oracle-checkable: the
+    * weight is the rational
+    * {{{
+    *   Π_grams (ct_g + 1)·(N_r + dim)  /  Π_grams (cr_g + 1)·(N_t + dim)
+    * }}}
+    * (exp of [[weightsFromEvidence]]'s log_weight). Its integer
+    * numerator/denominator are astronomically large, but their images
+    * mod a fixed prime are exact BIGINTs both engines fold identically —
+    * and because modular multiplication is associative and commutative,
+    * the fold needs NO ordering discipline at all (unlike the float
+    * path's sorted ln sums). Emits `(doc, n_grams, num_mod, den_mod)`
+    * from the same [[importanceEvidence]] rows the integer gate checks,
+    * so the full rational weight of every doc is oracle-proven
+    * (`q_dsir_modweights`); only the final rational→double `ln` at the
+    * output edge remains engine-specific (the pinned float faces).
+    */
+  def modWeightsFromEvidence(ev: DataFrame, dim: Int): DataFrame = {
+    val p = ModP
+    // one row per gram occurrence (bucket rows expand by f), so each
+    // factor enters the product exactly as many times as the gram occurs
+    val rep = ev.select(col("doc"), col("ct"), col("cr"),
+      col("n_target"), col("n_raw"),
+      explode(expr("sequence(1, f)")).as("__rep"))
+    rep.select(col("doc"),
+        expr(s"CAST((CAST(ct + 1 AS DECIMAL(19,0)) * (n_raw + $dim)) % $p" +
+          s" AS DECIMAL(19,0))").as("nf"),
+        expr(s"CAST((CAST(cr + 1 AS DECIMAL(19,0)) * (n_target + $dim)) % $p" +
+          s" AS DECIMAL(19,0))").as("df"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_grams"),
+        collect_list(col("nf")).as("__nfs"),
+        collect_list(col("df")).as("__dfs"))
+      .select(col("doc"), col("n_grams"),
+        expr(s"CAST(aggregate(__nfs, CAST(1 AS DECIMAL(19,0)), " +
+          s"(acc, x) -> CAST((acc * x) % $p AS DECIMAL(19,0))) AS BIGINT)")
+          .as("num_mod"),
+        expr(s"CAST(aggregate(__dfs, CAST(1 AS DECIMAL(19,0)), " +
+          s"(acc, x) -> CAST((acc * x) % $p AS DECIMAL(19,0))) AS BIGINT)")
+          .as("den_mod"))
+  }
+
   /** Gumbel-top-k selection over [[logImportanceWeights]] output:
     * `(doc, log_weight, sel_key)`, the k docs with the largest
     * `log_weight + Gumbel(hash(seed, doc))` — an exact sample ∝ weight

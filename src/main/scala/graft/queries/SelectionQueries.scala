@@ -11,11 +11,14 @@ import graft.queries.Q._
   *
   * Gate split: `q_dsir_evidence` carries the EXACT integer sufficient
   * statistics (per-doc bucket counts × both models) to the DuckDB
-  * oracle; the float weight/selection faces are pure functions of that
-  * evidence but fold hundreds of `ln` terms per doc — measured
-  * cross-engine drift of a few ulps — so they are golden-pinned
-  * (GoldenPinSpec) rather than hash-compared, the
-  * `q_quality_logistic` / `q_logistic_evidence` pattern.
+  * oracle, and `q_dsir_modweights` carries the FULL rational weight
+  * value as order-free modular products (num/den mod 2^61−1) — so the
+  * weight itself, not just its inputs, is oracle-proven. The float
+  * weight/selection faces are pure functions of that evidence but fold
+  * hundreds of `ln` terms per doc — measured cross-engine drift of a
+  * few ulps — so they stay golden-pinned (GoldenPinSpec); the only
+  * engine-specific step left is the single rational→double `ln` at the
+  * output edge.
   */
 object SelectionQueries {
 
@@ -28,6 +31,20 @@ object SelectionQueries {
       ImportanceResampling.importanceEvidence(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text", Dim)
         .orderBy("doc", "bucket")
+    }),
+
+    // the EXACT weight under the oracle: num/den of the rational
+    // importance weight mod 2^61-1 — order-free modular folds over the
+    // same evidence rows, so the full weight value (not just its
+    // sufficient statistics) hash-compares; only rational→double ln
+    // stays engine-specific (pinned float faces below).
+    "q_dsir_modweights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      ImportanceResampling.modWeightsFromEvidence(
+        ImportanceResampling.importanceEvidence(
+          docs, docs.filter(col("lang") === "en"), "doc_id", "text", Dim),
+        Dim)
+        .orderBy("doc")
     }),
 
     // log importance weight of EVERY raw doc under target=en vs raw=all
@@ -81,6 +98,31 @@ object SelectionQueries {
          |  (SELECT n FROM nt) AS n_target, (SELECT n FROM nr) AS n_raw
          |FROM fb LEFT JOIN tcnt t USING (bucket)
          |LEFT JOIN rcnt r USING (bucket)
-         |ORDER BY fb.doc, fb.bucket""".stripMargin
+         |ORDER BY fb.doc, fb.bucket""".stripMargin,
+
+    // the same evidence rows expanded to one row per gram occurrence,
+    // each factor reduced mod 2^61-1 via a HUGEINT-safe list_reduce —
+    // modular products are order-independent, so no sort is needed.
+    "q_dsir_modweights" ->
+      s"""WITH $EvidenceCte,
+         |ex AS (SELECT fb.doc, fb.f,
+         |    COALESCE(t.ct, 0) AS ct, COALESCE(r.cr, 0) AS cr,
+         |    (SELECT n FROM nt) AS n_target, (SELECT n FROM nr) AS n_raw
+         |  FROM fb LEFT JOIN tcnt t USING (bucket)
+         |  LEFT JOIN rcnt r USING (bucket)),
+         |rep AS (SELECT doc, ct, cr, n_target, n_raw
+         |  FROM ex, unnest(generate_series(1, f))),
+         |fac AS (SELECT doc,
+         |    CAST((CAST(ct + 1 AS HUGEINT) * (n_raw + $Dim))
+         |      % ${ImportanceResampling.ModP} AS BIGINT) AS nf,
+         |    CAST((CAST(cr + 1 AS HUGEINT) * (n_target + $Dim))
+         |      % ${ImportanceResampling.ModP} AS BIGINT) AS df
+         |  FROM rep)
+         |SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+         |  list_reduce(list(nf), (acc, x) -> CAST((CAST(acc AS HUGEINT) * x)
+         |    % ${ImportanceResampling.ModP} AS BIGINT)) AS num_mod,
+         |  list_reduce(list(df), (acc, x) -> CAST((CAST(acc AS HUGEINT) * x)
+         |    % ${ImportanceResampling.ModP} AS BIGINT)) AS den_mod
+         |FROM fac GROUP BY doc ORDER BY doc""".stripMargin
   )
 }

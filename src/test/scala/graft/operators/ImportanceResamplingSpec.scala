@@ -95,4 +95,47 @@ class ImportanceResamplingSpec extends AnyFunSuite {
     // cr covers each doc's own contribution: f ≤ cr always
     assert(ev.forall(r => r.getLong(2) <= r.getLong(4)))
   }
+
+  test("modWeightsFromEvidence equals a BigInt reimplementation of the " +
+    "exact rational weight mod p, and ln(num/den) equals log_weight") {
+    val dim = 4096
+    val p = BigInt(ImportanceResampling.ModP)
+    val ev = ImportanceResampling
+      .importanceEvidence(raw, target, "doc_id", "text", dim)
+      .collect()
+    val got = ImportanceResampling.modWeightsFromEvidence(
+      ImportanceResampling.importanceEvidence(raw, target, "doc_id",
+        "text", dim), dim)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val w = ImportanceResampling
+      .logImportanceWeights(raw, target, "doc_id", "text", dim)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val byDoc = ev.groupBy(_.getLong(0))
+    assert(got.keySet == byDoc.keySet)
+    byDoc.foreach { case (doc, rows) =>
+      var (num, den, exactNum, exactDen) =
+        (BigInt(1), BigInt(1), BigInt(1), BigInt(1))
+      var n = 0L
+      rows.foreach { r =>
+        val (f, ct, cr) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        val (nT, nR) = (r.getLong(5), r.getLong(6))
+        val nf = BigInt(ct + 1) * BigInt(nR + dim)
+        val df = BigInt(cr + 1) * BigInt(nT + dim)
+        (0L until f).foreach { _ =>
+          num = num * (nf mod p) mod p; den = den * (df mod p) mod p
+          exactNum *= nf; exactDen *= df
+        }
+        n += f
+      }
+      val (gn, gnum, gden) = got(doc)
+      assert(gn == n && gnum == (num mod p).toLong &&
+        gden == (den mod p).toLong, s"doc $doc mod-weight diverged")
+      // the rational the residues certify IS the float face's weight
+      val lnExact = math.log(
+        (BigDecimal(exactNum) / BigDecimal(exactDen)).toDouble)
+      assert(math.abs(lnExact - w(doc)) < 1e-9,
+        s"doc $doc: ln(rational)=$lnExact vs log_weight=${w(doc)}")
+    }
+  }
 }
