@@ -54,6 +54,23 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    // ANCHOR CALIBRATION (SOAK_r07): this host drifts 3-5× across days,
+    // so cross-round query comparisons need a same-run host-speed
+    // reference. Re-time five stable, code-frozen queries in a dedicated
+    // pass AFTER the suite (steady state, position-independent) and emit
+    // them in the JSON — consumers divide by the anchor ratio before
+    // calling anything a regression.
+    val anchorNames = Seq("q_join_agg", "q_lm_counts", "q_intersect",
+      "q_heavy_hitters", "q_idx_parse")
+    val anchors = anchorNames.flatMap { name =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some(name -> (System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
@@ -74,7 +91,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3.isDefined)
     val total = results.collect { case (_, v, None) => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"sf":"$sfDir"}"""
+    val anchorJson = anchors.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"anchors":$anchorJson,"sf":"$sfDir"}"""
     // stdout is the driver contract (one JSON line), but a capture buffer
     // can truncate it — persist the same JSON to a file so the record
     // survives regardless
