@@ -136,4 +136,76 @@ object Stratified {
       .filter(col("strat_rank") <= col("quota"))
       .drop("quota")
   }
+
+  /** Probability-proportional-to-size order sample (sequential Poisson,
+    * Ohlsson 1998; the uniform-priority cousin of Efraimidis–Spirakis
+    * weighted reservoir and Duffield–Lund–Thorup priority sampling):
+    * each row draws a deterministic uniform u from the portable md5-52
+    * hash of its id and competes on the order key u/w — the k smallest
+    * keys are the sample, so a row with twice the weight has (to first
+    * order) twice the inclusion probability. One pass, fixed k, no
+    * accept/reject loop: the weighted analog of `sample`'s hash-rank
+    * draw for when rows should win in proportion to tokens/bytes
+    * rather than uniformly (LLM-pipeline analog: cutting a fixed-size
+    * probe set where long documents deserve proportionally more slots;
+    * reference analog: the per-company download quota discipline of
+    * `core/company.py:287-303` weighted by filing size).
+    *
+    * Exactness: the real-valued key u/w is quantized to the integer
+    * `(u·2048) div w` so BOTH engines compare identical BIGINTs — u is
+    * 52-bit so u·2048 < 2^63 never overflows, and a double division
+    * (whose ulp could flip the k-th boundary between engines) never
+    * happens. Ties (same quantized key) break by id ascending, so the
+    * draw is a pure function of (corpus, k). Weights must be ≥ 1;
+    * nonpositive-weight rows are excluded by contract (they have zero
+    * selection mass).
+    *
+    * Scale shape: the key is map-side arithmetic on the scan; the
+    * global k-smallest compiles to TakeOrderedAndProject (per-partition
+    * top-k heaps merged once — no global sort shuffle, no window). At
+    * 100 TB the only data movement is k rows per partition to one
+    * reducer.
+    */
+  def ppsSample(df: DataFrame, idCol: String,
+      weight: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    requireFreeNames(df, Seq("w", "u", "pps_key"))
+    df.withColumn("w", weight.cast(LongType))
+      .filter(col("w") >= 1L)
+      .withColumn("u", h52(col(idCol)))
+      .withColumn("pps_key", expr("(u * 2048) div w"))
+      .orderBy(col("pps_key").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-stratum PPS draw: the k smallest sequential-Poisson keys
+    * WITHIN each stratum (the [[ppsSample]] competition run per group).
+    * Ranking is a window partitioned by the strata — per-key top-k with
+    * no global sort; at extreme per-stratum cardinality the same
+    * bounded-buffer aggregation note as [[sample]] applies.
+    */
+  def ppsSamplePerStratum(df: DataFrame, idCol: String,
+      strataCols: Seq[String], weight: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    require(k > 0, "k must be positive")
+    requireFreeNames(df, Seq("w", "u", "pps_key", "pps_rank"))
+    val rk = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(col("pps_key").asc, col(idCol).asc)
+    df.withColumn("w", weight.cast(LongType))
+      .filter(col("w") >= 1L)
+      .withColumn("u", h52(col(idCol)))
+      .withColumn("pps_key", expr("(u * 2048) div w"))
+      .withColumn("pps_rank", row_number().over(rk).cast(LongType))
+      .filter(col("pps_rank") <= k)
+  }
+
+  /** Loud failure instead of silently clobbering caller columns with
+    * the sampler's working names (the rollingStats/ewma guard family).
+    */
+  private def requireFreeNames(df: DataFrame, names: Seq[String]): Unit = {
+    val clash = df.columns.toSet.intersect(names.toSet)
+    require(clash.isEmpty,
+      s"input already has reserved output column(s): ${clash.mkString(", ")}")
+  }
 }

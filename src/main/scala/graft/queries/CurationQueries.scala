@@ -41,6 +41,28 @@ object CurationQueries {
         t(s, dir, "documents"), Seq("lang", "source"), total = 100L)
         .orderBy("lang", "source")),
 
+    // PPS order sample (sequential Poisson): 120 docs drawn with
+    // probability ∝ a 16-char-block length weight — the weighted analog
+    // of q_strat_sample. Integer-quantized keys, global k-smallest via
+    // TakeOrderedAndProject (no sort shuffle).
+    "q_pps_sample" -> ((s, dir) =>
+      graft.operators.Stratified.ppsSample(
+        t(s, dir, "documents"), "doc_id",
+        expr("greatest(1, (length(text) + 15) div 16)"), k = 120)
+        .select(col("doc_id"), col("w"), col("pps_key"))
+        .orderBy("doc_id")),
+
+    // per-lang PPS draw: the 25 smallest sequential-Poisson keys WITHIN
+    // each language — per-key top-k windowed inside the stratum, no
+    // global sort.
+    "q_pps_stratum" -> ((s, dir) =>
+      graft.operators.Stratified.ppsSamplePerStratum(
+        t(s, dir, "documents"), "doc_id", Seq("lang"),
+        expr("greatest(1, (length(text) + 15) div 16)"), k = 25)
+        .select(col("lang"), col("doc_id"), col("w"), col("pps_key"),
+          col("pps_rank"))
+        .orderBy("lang", "pps_rank")),
+
     // per-source domain-signature tokens by Pearson χ² over the exact
     // 2×2 contingency (over-representation gated by integer
     // cross-multiplication, not a float compare).
@@ -139,6 +161,32 @@ object CurationQueries {
          |FROM rk2 JOIN q USING (lang, source)
          |WHERE strat_rank <= quota
          |ORDER BY doc_id""".stripMargin,
+
+    "q_pps_sample" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(greatest(1, (length(text) + 15) // 16) AS BIGINT) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT
+        |      AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, w, (u * 2048) // w AS pps_key FROM h
+        |  WHERE w >= 1)
+        |SELECT doc_id, w, pps_key FROM
+        |  (SELECT * FROM k ORDER BY pps_key ASC, doc_id ASC LIMIT 120)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pps_stratum" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    CAST(greatest(1, (length(text) + 15) // 16) AS BIGINT) AS w,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT
+        |      AS u
+        |  FROM documents),
+        |k AS (SELECT doc_id, lang, w, (u * 2048) // w AS pps_key FROM h
+        |  WHERE w >= 1),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY pps_key ASC, doc_id ASC) AS BIGINT) AS pps_rank
+        |  FROM k)
+        |SELECT lang, doc_id, w, pps_key, pps_rank FROM r
+        |WHERE pps_rank <= 25 ORDER BY lang, pps_rank""".stripMargin,
 
     "q_keyness" ->
       """WITH tok AS (SELECT source, unnest(list_filter(

@@ -86,4 +86,62 @@ class StratifiedSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     assert(out == (1L to 12L).toSet)
   }
+
+  // --- PPS order sampling (sequential Poisson) ---
+
+  /** The operator's portable uniform: md5-hex chars 20..32 of the id. */
+  private def u52(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(19, 32), 16)
+  }
+
+  private def weighted = (1L to 12L).map(i => (i, i % 4 + 1)).toDF("id", "wt")
+
+  test("ppsSample matches the brute-force k-smallest quantized keys and " +
+      "is deterministic under repartitioning") {
+    val expected = (1L to 12L)
+      .map(i => (i, u52(i) * 2048 / (i % 4 + 1)))
+      .sortBy { case (id, key) => (key, id) }.take(5).map(_._1).toSet
+    val got = Stratified.ppsSample(weighted, "id", col("wt"), 5)
+      .select("id").as[Long].collect().toSet
+    val got2 = Stratified.ppsSample(weighted.repartition(7), "id",
+      col("wt"), 5).select("id").as[Long].collect().toSet
+    assert(got == expected && got2 == expected)
+  }
+
+  test("ppsSample: overwhelming weight forces inclusion; nonpositive " +
+      "weight excludes") {
+    val df = (1L to 12L).map(i =>
+      (i, if (i == 7L) 1000000L else if (i == 3L) 0L else 1L))
+      .toDF("id", "wt")
+    val ids = Stratified.ppsSample(df, "id", col("wt"), 3)
+      .select("id").as[Long].collect().toSet
+    assert(ids.contains(7L))   // key ≈ u/10^6: beats every unit weight
+    assert(!ids.contains(3L))  // zero weight → no selection mass
+  }
+
+  test("ppsSamplePerStratum ranks 1..k within each stratum by the same " +
+      "key order") {
+    val df = (1L to 12L).map { i =>
+      val g = if (i <= 7) "a" else "b"
+      (i, g, i % 4 + 1)
+    }.toDF("id", "grp", "wt")
+    val out = Stratified.ppsSamplePerStratum(df, "id", Seq("grp"),
+        col("wt"), 3)
+      .select("grp", "id", "pps_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.count(_._1 == "a") == 3 && out.count(_._1 == "b") == 3)
+    val expectA = (1L to 7L).map(i => (i, u52(i) * 2048 / (i % 4 + 1)))
+      .sortBy { case (id, key) => (key, id) }.take(3).map(_._1)
+    assert(out.filter(_._1 == "a").sortBy(_._3).map(_._2).toSeq == expectA)
+  }
+
+  test("pps reserved working names fail loudly") {
+    val bad = Seq((1L, 2L)).toDF("id", "pps_key")
+    intercept[IllegalArgumentException] {
+      Stratified.ppsSample(bad, "id", lit(1L), 1)
+    }
+  }
 }
