@@ -235,4 +235,111 @@ object Graph {
     }
     degrees(cur)
   }
+
+  /** Single-source(-set) BFS hop levels — the crawl-frontier primitive
+    * ("how many link hops from the trusted seed list is this page?",
+    * the classic crawl-depth quality feature).
+    *
+    * TRUE frontier iteration, not Bellman-Ford: each round expands only
+    * the newly-discovered frontier (one hash join edge⋈frontier, one
+    * distinct, one anti-join against the visited set), so per-round work
+    * is ∝ frontier size, not ∝ |V| — the property that makes BFS viable
+    * when the reachable set is a sliver of a 100 TB graph. The visited
+    * set is localCheckpointed per round (flat lineage) and the loop
+    * early-stops the round the frontier drains, at the cost of one
+    * driver-side COUNT per hop (bounded by `maxHops`).
+    *
+    * Deterministic and pure-integer, so a bounded-depth recursive CTE
+    * (`UNION` dedup on `(node, hops)` caps the row space → terminates on
+    * cyclic graphs) reproduces it exactly: a node's level is the minimal
+    * hop count, nodes unreachable within `maxHops` are absent — in both
+    * engines, whether or not Spark early-stopped.
+    *
+    * Output: `(node, hops)`, one row per node reachable from `sources`
+    * (single column `node`) in ≤ `maxHops` directed hops; sources
+    * themselves at hops 0 (even when absent from the edge list).
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 100,
+      s"maxHops must be in [0,100], got $maxHops")
+    val ed = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true) // standing hash(src) layout for every round
+    var visited = sources.select(col("node").cast(LongType))
+      .distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select("node")
+    var hop = 1
+    var frontierSize = frontier.count()
+    while (hop <= maxHops && frontierSize > 0) {
+      val next = ed
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited
+          .unionByName(next.withColumn("hops", lit(hop.toLong)))
+          .localCheckpoint(true)
+        frontier = next
+      }
+      hop += 1
+    }
+    visited
+  }
+
+  /** Bounded-round single-source shortest paths over non-negative
+    * integer edge weights — distributed Bellman-Ford, the standard
+    * shape when the graph dwarfs memory (GraphX/Pregel compute the
+    * same relaxation; here it is 3 relational ops per round so Catalyst
+    * plans it: one edge⋈distance hash join, one union, one min-agg with
+    * map-side partial combine).
+    *
+    * Runs EXACTLY `rounds` relaxations with no early stop and no driver
+    * action in the loop (the whole chain evaluates in one job): after
+    * round i every distance using ≤ i edges is final, so `rounds` ≥ the
+    * hop diameter of the weight-minimal paths gives the true SSSP and
+    * extra rounds are no-ops. Pure BIGINT arithmetic → a round-unrolled
+    * relational oracle reproduces every distance bit-for-bit.
+    *
+    * Parallel edges collapse to their MINIMUM weight (the only
+    * relaxation-relevant one); `weightCol` must be non-negative.
+    * Output: `(node, dist)` for nodes reachable within `rounds` hops;
+    * sources at dist 0.
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, sources: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 50,
+      s"rounds must be in [1,50], got $rounds")
+    val ed = edges
+      .select(col(srcCol).cast(LongType).as("src"),
+        col(dstCol).cast(LongType).as("dst"),
+        col(weightCol).cast(LongType).as("w"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") >= 0)
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.select(col("node").cast(LongType))
+      .distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < rounds) {
+      val relaxed = ed
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(false) // lazy: one consumer until the final action
+      i += 1
+    }
+    dist
+  }
 }

@@ -74,6 +74,84 @@ object CoreQueries {
     out
   }
 
+  /** Two-input sibling of [[emitted]] for stream-stream operators: the
+    * i-th A-batch and i-th B-batch are added together, then the
+    * micro-batch drains — both streams advance in lockstep. Same
+    * internal-API note as [[emitted]] applies.
+    */
+  private def emitted2[A, B](s: org.apache.spark.sql.SparkSession,
+      name: String, aBatches: Seq[Seq[A]], bBatches: Seq[Seq[B]],
+      build: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame)(
+      implicit encA: org.apache.spark.sql.Encoder[A],
+      encB: org.apache.spark.sql.Encoder[B]): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    s.catalog.dropTempView(name)
+    val inA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+    val inB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
+    val q = build(inA.toDF(), inB.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    try aBatches.zipAll(bBatches, Seq.empty[A], Seq.empty[B]).foreach {
+      case (a, b) =>
+        if (a.nonEmpty) inA.addData(a: _*)
+        if (b.nonEmpty) inB.addData(b: _*)
+        q.processAllAvailable()
+    } finally q.stop()
+    val sink = s.table(name)
+    val out = s.createDataFrame(
+      s.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  /** Part-chain graph for the traversal queries (`q_bfs_hops`/`q_sssp`):
+    * consecutive (by `l_linenumber`) low-quantity lineitems within an
+    * order contribute a directed `part → next part` edge weighted by the
+    * source row's quantity; parallel edges collapse to their minimum
+    * weight. The ≤10-quantity thinning keeps the sf0.01 graph expanding
+    * through all 8 hops instead of saturating at hop 2.
+    */
+  private def partChainEdges(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") <= 10)
+      .select(col("l_partkey").as("src"),
+        lead(col("l_partkey"), 1).over(w).as("dst"),
+        col("l_quantity").cast(LongType).as("w"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+  }
+
+  /** Shared edge + seed CTE head for the traversal oracles — the SQL
+    * image of [[partChainEdges]].
+    */
+  private val chainEdgeCte: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT src, dst, MIN(w) AS w FROM (
+      |    SELECT l_partkey AS src,
+      |      LEAD(l_partkey) OVER (
+      |        PARTITION BY l_orderkey ORDER BY l_linenumber) AS dst,
+      |      CAST(l_quantity AS BIGINT) AS w
+      |    FROM lineitem WHERE l_quantity <= 10) t
+      |  WHERE dst IS NOT NULL AND src <> dst GROUP BY src, dst),
+      |s AS (SELECT DISTINCT src AS node FROM e WHERE src <= 20)""".stripMargin
+
+  private def ssspOracle(rounds: Int): String = {
+    val head = chainEdgeCte +
+      ",\nd0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM s)"
+    val iters = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.node) u
+         |  GROUP BY node)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT node, CAST(dist AS BIGINT) AS dist FROM d$rounds ORDER BY node"
+  }
+
   val queries: Map[String, QueryFn] = Map(
     // §2.2 idx row extractor + §2.5 running filtered count, on the inline
     // fixture (same shape as the golden master.idx).
@@ -463,6 +541,61 @@ object CoreQueries {
     // harness, watermarked window(6h, 3h) aggregation in append mode —
     // every slot a row lands in must emit once with the exact decimal
     // sum the batch oracle computes.
+    // REAL stream-stream interval join through two lockstep
+    // MemoryStreams: purchases join the same user's views in the
+    // strictly preceding 24 h — inner matches emit per micro-batch with
+    // no flush sentinel needed (only state EVICTION waits on the
+    // watermark). The oracle replays the identical slice as a batch
+    // range join.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      def side(tp: String): Seq[(Long, Long, Long)] =
+        ev0.filter(col("user_id") < 100 && col("event_type") === tp)
+          .select(col("user_id").cast(LongType),
+            Q.usCol(ev0).cast(LongType), col("event_id").cast(LongType))
+          .as[(Long, Long, Long)].collect().toSeq.sortBy(_._2)
+      def chunks(xs: Seq[(Long, Long, Long)]) =
+        xs.grouped(math.max(1, (xs.size + 3) / 4)).toSeq
+      emitted2[(Long, Long, Long), (Long, Long, Long)](s,
+        "graft_stream_join", chunks(side("purchase")), chunks(side("view")),
+        (pa, vi) => graft.streaming.StreamingIntervalJoin.joinWithin(
+          pa.toDF("user_id", "p_us", "p_id")
+            .withColumn("p_ts", expr("timestamp_micros(p_us)")).drop("p_us"),
+          vi.toDF("user_id", "v_us", "v_id")
+            .withColumn("v_ts", expr("timestamp_micros(v_us)")).drop("v_us"),
+          "user_id", "p_ts", "v_ts",
+          lookback = "24 hours", delayThreshold = "30 days"))
+        .select(asLong(col("user_id")).as("user_id"),
+          expr("unix_micros(p_ts)").as("p_us"),
+          asLong(col("p_id")).as("p_id"),
+          expr("unix_micros(v_ts)").as("v_us"),
+          asLong(col("v_id")).as("v_id"))
+        .orderBy("user_id", "p_us", "p_id", "v_us", "v_id")
+    }),
+
+    // stream-static enrichment through a real MemoryStream: each event
+    // micro-batch left-joins the static customer dim via broadcast —
+    // stateless, shuffle-free per batch, misses pass through as nulls.
+    "q_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(col("event_id").cast(LongType), col("user_id").cast(LongType),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      emitted[(Long, Long, String)](s, "graft_stream_enrich",
+        rows.grouped(math.max(1, (rows.size + 3) / 4)).toSeq,
+        in => graft.streaming.StreamingEnrich.withDimension(
+          in.toDF("event_id", "user_id", "event_type"), dim,
+          col("user_id") === col("c_custkey")))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
     "q_stream_hopping" -> ((s, dir) => {
       import s.implicits._
       val ev0 = t(s, dir, "events")
@@ -612,6 +745,32 @@ object CoreQueries {
         (col("l_orderkey") + lit(2000000L)).as("dst"))
       graft.operators.Graph.pageRank(supply.unionByName(fulfil),
         "src", "dst", iterations = 8)
+        .orderBy("node")
+    }),
+
+    // crawl-depth BFS over the part-chain graph (consecutive low-quantity
+    // lineitems within an order link their parts): hop level from the
+    // seed parts (key ≤ 20) by TRUE frontier expansion — per-round work
+    // ∝ frontier, the shape that survives when the reachable set is a
+    // sliver of a 100 TB graph. Bounded-depth recursive-CTE oracle.
+    "q_bfs_hops" -> ((s, dir) => {
+      val e = partChainEdges(s, dir)
+      val seeds = e.filter(col("src") <= 20)
+        .select(col("src").as("node")).distinct()
+      graft.operators.Graph.bfsLevels(e, "src", "dst", seeds, maxHops = 8)
+        .orderBy("node")
+    }),
+
+    // single-source shortest paths on the same graph, weight = quantity:
+    // 8 rounds of distributed Bellman-Ford relaxation (exact BIGINT
+    // distances, min-agg with map-side combine, no driver action in the
+    // loop). Round-unrolled oracle reproduces every distance bit-for-bit.
+    "q_sssp" -> ((s, dir) => {
+      val e = partChainEdges(s, dir)
+      val seeds = e.filter(col("src") <= 20)
+        .select(col("src").as("node")).distinct()
+      graft.operators.Graph.shortestPaths(e, "src", "dst", "w", seeds,
+        rounds = 8)
         .orderBy("node")
     }),
 
@@ -1298,6 +1457,28 @@ object CoreQueries {
         |FROM sq GROUP BY user_id, session_seq
         |ORDER BY user_id, start_us""".stripMargin,
 
+    // the streaming interval join vs the batch range join on the same
+    // harness slice (matches emit on arrival; BETWEEN's closed upper
+    // bound at ts-1 µs ≡ the operator's strict < at µs resolution).
+    "q_stream_join" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 100),
+        |v AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+        |  FROM events WHERE event_type = 'view' AND user_id < 100)
+        |SELECT p.user_id, p.ts AS p_us, p.event_id AS p_id,
+        |  v.ts AS v_us, v.event_id AS v_id
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.ts BETWEEN p.ts - 86400000000 AND p.ts - 1
+        |ORDER BY 1, p_us, p_id, v_us, v_id""".stripMargin,
+
+    // the stream-static enrichment vs the plain batch left join.
+    "q_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type,
+        |  c.c_name, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.user_id < 100
+        |ORDER BY e.event_id""".stripMargin,
+
     // the STREAMING hopping face vs the slot-arithmetic replay on the
     // harness slice.
     "q_stream_hopping" ->
@@ -1365,6 +1546,24 @@ object CoreQueries {
         |ORDER BY p.user_id, p.ts, view_ts""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(iterations = 8, scale = 1000000000000L),
+
+    // bounded-depth recursion: UNION dedups (node, hops) pairs, capping
+    // the row space at |V|·(maxHops+1) → terminates on cycles; MIN(hops)
+    // is the BFS level. Matches the frontier iteration exactly, early
+    // stop or not.
+    "q_bfs_hops" -> (chainEdgeCte +
+      """,
+        |r AS (
+        |  WITH RECURSIVE rr AS (
+        |    SELECT node, 0 AS hops FROM s
+        |    UNION
+        |    SELECT e.dst, rr.hops + 1 FROM rr JOIN e ON e.src = rr.node
+        |    WHERE rr.hops < 8
+        |  ) SELECT node, MIN(hops) AS hops FROM rr GROUP BY node)
+        |SELECT node, CAST(hops AS BIGINT) AS hops FROM r
+        |ORDER BY node""".stripMargin),
+
+    "q_sssp" -> ssspOracle(rounds = 8),
 
     "q_triangles" ->
       """WITH li AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem

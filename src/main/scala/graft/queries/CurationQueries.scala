@@ -93,7 +93,15 @@ object CurationQueries {
         .select(col("id_a"), col("id_b"), col("split_a"), col("split_b"),
           col("jaccard"))
         .orderBy("id_a", "id_b")
-    })
+    }),
+
+    // contrastive negatives: 4 deterministic out-of-source draws per
+    // anchor doc by pure hash-coordinate lookup (no cross join, no
+    // global sort) — the offline in-batch-negatives replacement.
+    "q_contrastive_pairs" -> ((s, dir) =>
+      graft.operators.Contrastive.negativePairs(
+        t(s, dir, "documents"), "doc_id", "source", k = 4, buckets = 64)
+        .orderBy("anchor_id", "j"))
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -117,6 +125,40 @@ object CurationQueries {
       |  FROM r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the SQL image of Contrastive.negativePairs(k=4, buckets=64):
+    // same md5-52 hash, same golden-ratio bucket stride, same prime
+    // slot stride — the draw is a pure integer function of doc_id.
+    "q_contrastive_pairs" ->
+      """WITH cand AS MATERIALIZED (
+        |  SELECT doc_id AS neg_id, source AS neg_group,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT
+        |      AS h
+        |  FROM documents),
+        |ranked AS MATERIALIZED (
+        |  SELECT neg_id, neg_group, h % 64 AS bucket,
+        |    CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, neg_id)
+        |      AS BIGINT) AS slot
+        |  FROM cand),
+        |cnts AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ranked GROUP BY bucket),
+        |anchors AS (
+        |  SELECT doc_id AS anchor_id, source AS anchor_group,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 20, 13))::BIGINT
+        |      AS ah
+        |  FROM documents),
+        |picks AS (
+        |  SELECT a.anchor_id, a.anchor_group, CAST(t.j AS BIGINT) AS j,
+        |    a.ah, (a.ah + t.j * 2654435761) % 64 AS bucket
+        |  FROM anchors a CROSS JOIN generate_series(1, 4) t(j)),
+        |p2 AS (
+        |  SELECT p.anchor_id, p.anchor_group, p.j, p.bucket,
+        |    1 + ((p.ah // 997 + p.j * 1000003) % c.cnt) AS slot
+        |  FROM picks p JOIN cnts c USING (bucket))
+        |SELECT p.anchor_id, p.j, r.neg_id, r.neg_group
+        |FROM p2 p JOIN ranked r USING (bucket, slot)
+        |WHERE r.neg_id <> p.anchor_id AND r.neg_group <> p.anchor_group
+        |ORDER BY anchor_id, j""".stripMargin,
+
     "q_strat_alloc" ->
       s"""WITH $QuotaCte
          |SELECT lang, source, n_rows, w, base, rem, quota FROM q
