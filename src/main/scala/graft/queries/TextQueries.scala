@@ -357,6 +357,25 @@ object TextQueries {
         .orderBy("step")
     }),
 
+    // WordPiece merge evidence (the THIRD tokenizer family): first 10
+    // likelihood-ratio picks — pair count AND both symbol counts as
+    // exact weighted integers. The argmax compares the QUANTIZED score
+    // (pairCount << 40) div (cntA·cntB) — BigInt driver-side, HUGEINT
+    // in the oracle — so no float ratio whose ulp could flip a pick
+    // (the PPS-key quantization trick applied to tokenizer training).
+    "q_wordpiece_evidence" -> ((s, dir) => {
+      val (_, trace) = graft.operators.WordPiece.trainTrace(
+        t(s, dir, "documents"), "text", numMerges = 10)
+      import s.implicits._
+      trace.toDF("step", "left_sym", "right_sym", "pair_count",
+          "left_count", "right_count")
+        .select(asLong(col("step")).as("step"), col("left_sym"),
+          col("right_sym"), asLong(col("pair_count")).as("pair_count"),
+          asLong(col("left_count")).as("left_count"),
+          asLong(col("right_count")).as("right_count"))
+        .orderBy("step")
+    }),
+
     // unigram-LM seed evidence UNDER THE ORACLE: the exact integer
     // substring-mass table the trainer seeds from (score = Σ count×len,
     // rank by (score desc, piece asc), truncated to the trainer's seed
@@ -779,6 +798,60 @@ object TextQueries {
          |  cnt AS pair_count FROM ev ORDER BY step""".stripMargin
   }
 
+  /** Unrolled-CTE replay of the first `k` WordPiece merges
+    * (q_wordpiece_evidence) — the [[bpeEvidenceOracle]] state machine
+    * with two changes: symbols carry the `##` continuation prefix
+    * instead of the `</w>` suffix ('#' cannot collide with the '{'/'}'
+    * wrapping either), and the per-step argmax ranks by the quantized
+    * likelihood score `(cnt · 2^40) // (cntA · cntB)` in HUGEINT — the
+    * exact integer the Scala trainer computes in BigInt — with (a, b)
+    * tie-break. Merge application strips the right symbol's `##` on
+    * concatenation, as the trainer does.
+    */
+  private def wordpieceEvidenceOracle(k: Int): String = {
+    val head =
+      """WITH tok AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '[^a-z]+'), x -> x != '')) AS w
+        |  FROM documents),
+        |wt AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM tok
+        |  GROUP BY w ORDER BY n DESC, w LIMIT 100000),
+        |s0 AS MATERIALIZED (SELECT '{' || array_to_string(list_transform(
+        |      generate_series(1, length(w)),
+        |      i -> CASE WHEN i = 1 THEN substr(w, CAST(i AS INT), 1)
+        |        ELSE '##' || substr(w, CAST(i AS INT), 1) END), '}{')
+        |    || '}' AS syms, n FROM wt)""".stripMargin
+    val steps = (1 to k).map { i =>
+      s"""l$i AS MATERIALIZED (SELECT string_split(
+         |    substr(syms, 2, length(syms) - 2), '}{') AS ls, n
+         |  FROM s${i - 1}),
+         |pr$i AS (SELECT unnest(list_transform(range(1, len(ls)),
+         |    j -> [ls[j], ls[j + 1]])) AS pr, n FROM l$i),
+         |p$i AS (SELECT pr[1] AS a, pr[2] AS b,
+         |    CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM pr$i GROUP BY 1, 2 HAVING sum(n) >= 2),
+         |ue$i AS (SELECT unnest(ls) AS sym, n FROM l$i),
+         |u$i AS MATERIALIZED (SELECT sym, CAST(sum(n) AS BIGINT) AS un
+         |  FROM ue$i GROUP BY 1),
+         |b$i AS MATERIALIZED (SELECT $i AS step, p.a, p.b, p.cnt,
+         |    ua.un AS un_a, ub.un AS un_b
+         |  FROM p$i p JOIN u$i ua ON p.a = ua.sym
+         |    JOIN u$i ub ON p.b = ub.sym
+         |  ORDER BY (CAST(p.cnt AS HUGEINT) * 1099511627776)
+         |      // (CAST(ua.un AS HUGEINT) * ub.un) DESC, p.a, p.b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT replace(syms,
+         |    '{' || a || '}{' || b || '}',
+         |    '{' || a || CASE WHEN starts_with(b, '##') THEN substr(b, 3)
+         |      ELSE b END || '}') AS syms, n FROM s${i - 1}, b$i)""".stripMargin
+    }
+    val union = (1 to k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ")
+    (head +: steps).mkString(",\n") +
+      s""",
+         |ev AS ($union)
+         |SELECT CAST(step AS BIGINT) AS step, a AS left_sym,
+         |  b AS right_sym, cnt AS pair_count, un_a AS left_count,
+         |  un_b AS right_count FROM ev ORDER BY step""".stripMargin
+  }
+
   private def coverageOracle(k: Int): String = {
     val head =
       """WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ')
@@ -1039,6 +1112,8 @@ object TextQueries {
     // the first 10 BPE merges replayed as unrolled CTEs — see
     // bpeEvidenceOracle for the wrapped-symbol replace trick.
     "q_bpe_evidence" -> bpeEvidenceOracle(10),
+
+    "q_wordpiece_evidence" -> wordpieceEvidenceOracle(10),
 
     // stored-block closed form: 5-byte header per ≤65535-byte block,
     // one (empty, final) block minimum.
