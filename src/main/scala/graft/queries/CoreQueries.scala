@@ -55,6 +55,18 @@ object CoreQueries {
     * Spark upgrade means THIS HARNESS needs the new import path — the
     * streaming operators under test use only stable public APIs.
     */
+  /** State-store task count for the gates: a streaming query's state
+    * partitioning is pinned at start from `spark.sql.shuffle.partitions`
+    * — at the session's 32 that is 32 state tasks PER STORE PER
+    * micro-batch of pure scheduling overhead for a ~6.6k-row bounded
+    * harness slice. The gates drop to 4 for the duration of the
+    * streaming query (set before `start()`, restored after `stop()`;
+    * registry queries run sequentially, so the session-conf flip cannot
+    * leak into a concurrent query). Semantics are partition-count
+    * invariant — a production deployment sizes this to its volume.
+    */
+  private val GateStatePartitions = "4"
+
   private def emitted[A](s: org.apache.spark.sql.SparkSession, name: String,
       batches: Seq[Seq[A]],
       build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)(
@@ -62,11 +74,15 @@ object CoreQueries {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     s.catalog.dropTempView(name) // stale sink view from a prior invocation
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
-    val q = build(in.toDF()).writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
-    try batches.filter(_.nonEmpty).foreach { b =>
-      in.addData(b: _*); q.processAllAvailable()
-    } finally q.stop()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", GateStatePartitions)
+    try {
+      val q = build(in.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try batches.filter(_.nonEmpty).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val sink = s.table(name)
     val out = s.createDataFrame(
       s.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
@@ -89,14 +105,18 @@ object CoreQueries {
     s.catalog.dropTempView(name)
     val inA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
     val inB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[B]
-    val q = build(inA.toDF(), inB.toDF()).writeStream.format("memory")
-      .queryName(name).outputMode("append").start()
-    try aBatches.zipAll(bBatches, Seq.empty[A], Seq.empty[B]).foreach {
-      case (a, b) =>
-        if (a.nonEmpty) inA.addData(a: _*)
-        if (b.nonEmpty) inB.addData(b: _*)
-        q.processAllAvailable()
-    } finally q.stop()
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", GateStatePartitions)
+    try {
+      val q = build(inA.toDF(), inB.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode("append").start()
+      try aBatches.zipAll(bBatches, Seq.empty[A], Seq.empty[B]).foreach {
+        case (a, b) =>
+          if (a.nonEmpty) inA.addData(a: _*)
+          if (b.nonEmpty) inB.addData(b: _*)
+          q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     val sink = s.table(name)
     val out = s.createDataFrame(
       s.sparkContext.parallelize(sink.collect().toSeq, 1), sink.schema)
