@@ -158,25 +158,38 @@ object IvfAnn {
     * centroids, the probed cell set only GROWS with `nprobe`, so recall
     * is provably monotone in it.
     */
+  /** `metaCols` are corpus columns carried onto each candidate so
+    * `candidateFilter` can reference them — FILTERED vector search
+    * (the "lang = 'en' AND license ok" retrieval constraint), applied
+    * as a post-filter over the probed posting lists: the standard
+    * strategy when the predicate is not selective enough to warrant
+    * per-predicate indexes. Callers compensate recall by raising
+    * `nprobe`/`k` (a highly-selective filter empties cells — the same
+    * trade FAISS/Vespa document for post-filtering).
+    */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
       trainFraction: Double = 1.0, excludeSelf: Boolean = true,
-      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+      centroids: Option[Array[Array[Double]]] = None,
+      metaCols: Seq[String] = Nil,
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = corpus.sparkSession
     val bc = spark.sparkContext.broadcast(
       centroids.getOrElse(trainCentroids(corpus, nlist, iters, trainFraction)))
     val assign = udf((e: Seq[Float]) => nearestCell(bc.value, e))
     val probes = udf((e: Seq[Float]) => nearestCells(bc.value, e, nprobe))
-    val c = corpus.select(col("id").as("neighbor_id"),
-      col("embedding").as("c_emb"),
-      VectorFunctions.l2Norm(col("embedding")).as("c_nrm"),
-      assign(col("embedding")).as("cell"))
+    val c = corpus.select(col("id").as("neighbor_id") +:
+      col("embedding").as("c_emb") +:
+      VectorFunctions.l2Norm(col("embedding")).as("c_nrm") +:
+      assign(col("embedding")).as("cell") +:
+      metaCols.map(col): _*)
     val q = broadcast(queries.select(col("id").as("query_id"),
       col("embedding").as("q_emb"),
       VectorFunctions.l2Norm(col("embedding")).as("q_nrm"),
       explode(probes(col("embedding"))).as("cell")))
-    val cand = c.join(q, Seq("cell"))
+    val cand0 = c.join(q, Seq("cell"))
       .filter(if (excludeSelf) col("query_id") =!= col("neighbor_id") else lit(true))
+    val cand = candidateFilter.fold(cand0)(cand0.filter)
       .withColumn("sim", VectorFunctions.dot(col("q_emb"), col("c_emb")) /
         (col("q_nrm") * col("c_nrm")))
     Similarity.topKMerge(cand, k)

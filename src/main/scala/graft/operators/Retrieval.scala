@@ -368,4 +368,82 @@ object Retrieval {
     val m = h % nBuckets
     if (m < 0) m + nBuckets else m
   }
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    * 1998) over an embedding corpus: per query, greedily pick `kOut`
+    * results trading relevance against redundancy —
+    * `score(d) = λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)` — the
+    * near-dup-aware retrieval every RAG/curation pipeline wants when
+    * plain top-k returns five copies of the same boilerplate.
+    *
+    * Scale shape: ONE brute-force (or ANN-substitutable) top-`kCand`
+    * pass bounds the working set to `|Q|·kCand` rows; the candidate
+    * pairwise-sim table is `|Q|·kCand²` (both localCheckpointed once,
+    * reused every round). Each greedy round is then 2 hash joins + one
+    * per-query window over that bounded table — `kOut−1` rounds, no
+    * driver data movement. All per-query work is partition-local after
+    * the first shuffle on query_id.
+    *
+    * Determinism + oracle parity: sims are the index-order fold of
+    * [[graft.functions.VectorFunctions.dot]] (bitwise equal to any
+    * engine's sequential sum); `lambda` must be an exactly-representable
+    * double (default 0.5) so `λ·rel − (1−λ)·mx` is two roundings in a
+    * fixed order; max over the selected set is order-free; ties break
+    * (score desc, neighbor_id asc). Round 1 scores pure relevance.
+    *
+    * Output: `(query_id, neighbor_id, mmr_rank, score)`.
+    */
+  def mmrDiversify(queries: DataFrame, corpus: DataFrame, kCand: Int,
+      kOut: Int, lambda: Double = 0.5): DataFrame = {
+    require(kOut >= 1 && kOut <= kCand,
+      s"need 1 <= kOut <= kCand, got kOut=$kOut kCand=$kCand")
+    require(kCand <= 1000, s"kCand above 1000 (got $kCand) makes the " +
+      "pairwise table the bottleneck — shrink the candidate pool")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    val w = org.apache.spark.sql.expressions.Window
+    val cand = Similarity.bruteForceTopK(queries, corpus, kCand)
+      .select(col("query_id"), col("neighbor_id"), col("sim").as("rel"))
+      .localCheckpoint(true)
+    val vecs = corpus.select(col("id").as("neighbor_id"),
+      col("embedding"), l2Norm(col("embedding")).as("nrm"))
+    val cv = cand.join(vecs, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"),
+        col("nrm"))
+    val pairs = cv.select(col("query_id"), col("neighbor_id").as("cand_id"),
+        col("embedding").as("e_a"), col("nrm").as("n_a"))
+      .join(cv.select(col("query_id"), col("neighbor_id").as("other_id"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), Seq("query_id"))
+      .filter(col("cand_id") =!= col("other_id"))
+      .select(col("query_id"), col("cand_id"), col("other_id"),
+        (dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+          .as("psim"))
+      .localCheckpoint(true)
+    def pick(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("rn", row_number().over(w.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(rank.toLong).as("mmr_rank"), col("score"))
+    var selected = pick(cand.withColumn("score", col("rel")), 1)
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= kOut) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val mx = pairs.join(
+          selected.select(col("query_id"),
+            col("neighbor_id").as("other_id")),
+          Seq("query_id", "other_id"))
+        .groupBy(col("query_id"), col("cand_id").as("neighbor_id"))
+        .agg(max(col("psim")).as("mx"))
+      val scored = remaining.join(mx, Seq("query_id", "neighbor_id"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("mx"))
+      selected = selected.unionByName(pick(scored, r)).localCheckpoint(true)
+      r += 1
+    }
+    selected
+  }
 }

@@ -232,6 +232,39 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // MMR diversified retrieval: greedy λ=0.5 relevance-vs-redundancy
+    // top-5 over a 20-candidate pool — near-dup-aware result lists.
+    // Bounded pairwise table, kOut−1 join+window rounds, no driver loop
+    // over data; the oracle unrolls the same greedy rounds.
+    "q_mmr_diversify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Retrieval.mmrDiversify(e.filter(col("id") < 5), e,
+        kCand = 20, kOut = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("mmr_rank")).as("mmr_rank"), col("score"))
+        .orderBy("query_id", "mmr_rank")
+    }),
+
+    // FILTERED vector search: the IVF probe with a metadata predicate
+    // (label ≤ 4 — "only the allowed half of the corpus") applied over
+    // the probed posting lists before rerank — the standard
+    // post-filtering strategy; recall compensation is nprobe/k, not a
+    // per-predicate index. Fixture centroids keep it oracle-replayable.
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      graft.operators.IvfAnn.ivfTopK(e.filter(col("id") < 5), e, 5,
+        nlist = 8, nprobe = 3, centroids = Some(cents),
+        metaCols = Seq("label"),
+        candidateFilter = Some(col("label") <= 4))
+        .select(col("query_id"), col("neighbor_id"),
+          asLong(col("rank")).as("rank"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ENGINE-PORTABLE OPQ face: a PERMUTATION rotation (exactly
     // orthonormal; the projection fold degenerates to an exact element
     // pick, so the rotated floats are bit-identical in both engines)
@@ -484,7 +517,68 @@ object SimilarityQueries {
     })
   )
 
+  /** Unrolled greedy-MMR replay (q_mmr_diversify): candidate pool +
+    * pairwise sims MATERIALIZED once, then `kOut − 1` rounds of
+    * (max-sim-to-selected → 0.5·rel − 0.5·mx → per-query argmax),
+    * cumulative selection unioned per round. Same IEEE op order as the
+    * operator (two multiplies and a subtract on engine-identical sims),
+    * same (score desc, neighbor asc) tie rule.
+    */
+  private def mmrOracle(kCand: Int, kOut: Int): String = {
+    val head =
+      s"""WITH e AS MATERIALIZED (SELECT vec_id,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    list_inner_product(q.v, c.v) /
+         |    (sqrt(list_inner_product(q.v, q.v)) *
+         |     sqrt(list_inner_product(c.v, c.v))) AS rel
+         |  FROM e q JOIN e c ON c.vec_id <> q.vec_id WHERE q.vec_id < 5),
+         |cand AS MATERIALIZED (SELECT query_id, neighbor_id, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS rn FROM p)
+         |  WHERE rn <= $kCand),
+         |ps AS MATERIALIZED (SELECT a.query_id, a.neighbor_id AS cand_id,
+         |    b.neighbor_id AS other_id,
+         |    list_inner_product(ea.v, eb.v) /
+         |    (sqrt(list_inner_product(ea.v, ea.v)) *
+         |     sqrt(list_inner_product(eb.v, eb.v))) AS psim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id
+         |    AND a.neighbor_id <> b.neighbor_id
+         |  JOIN e ea ON ea.vec_id = a.neighbor_id
+         |  JOIN e eb ON eb.vec_id = b.neighbor_id),
+         |sel1 AS (SELECT query_id, neighbor_id, 1 AS mmr_rank,
+         |    rel AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, neighbor_id) AS rn FROM cand) WHERE rn = 1),
+         |selu1 AS MATERIALIZED (SELECT * FROM sel1)""".stripMargin
+    val rounds = (2 to kOut).map { r =>
+      s"""sc$r AS (SELECT c.query_id, c.neighbor_id,
+         |    0.5 * c.rel - 0.5 * m.mx AS score
+         |  FROM cand c
+         |  JOIN (SELECT ps.query_id, ps.cand_id, max(ps.psim) AS mx
+         |    FROM ps JOIN selu${r - 1} s ON s.query_id = ps.query_id
+         |      AND s.neighbor_id = ps.other_id
+         |    GROUP BY 1, 2) m
+         |    ON m.query_id = c.query_id AND m.cand_id = c.neighbor_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} s2
+         |    WHERE s2.query_id = c.query_id
+         |      AND s2.neighbor_id = c.neighbor_id)),
+         |sel$r AS (SELECT query_id, neighbor_id, $r AS mmr_rank, score
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rn FROM sc$r)
+         |  WHERE rn = 1),
+         |selu$r AS MATERIALIZED (SELECT * FROM selu${r - 1}
+         |  UNION ALL SELECT * FROM sel$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT query_id, neighbor_id, CAST(mmr_rank AS BIGINT) AS mmr_rank,
+         |  score FROM selu$kOut ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mmr_diversify" -> mmrOracle(kCand = 20, kOut = 5),
+
     "q_ppjoin" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
@@ -785,6 +879,39 @@ object SimilarityQueries {
         |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
         |  JOIN e qe ON qe.vec_id = p.vec_id
         |  JOIN e ce ON ce.vec_id = a.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |SELECT query_id, neighbor_id, rank, sim FROM r
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the IVF replay with the label predicate applied to candidates
+    // between the posting-list probe and the rank window — the exact
+    // SQL image of the post-filtering strategy.
+    "q_ann_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    v AS c
+        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d) WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d WHERE vec_id < 5) WHERE rn <= 3),
+        |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        |  JOIN e qe ON qe.vec_id = p.vec_id
+        |  JOIN e ce ON ce.vec_id = a.vec_id
+        |  WHERE ce.label <= 4),
         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
         |SELECT query_id, neighbor_id, rank, sim FROM r

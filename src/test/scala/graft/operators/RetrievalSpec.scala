@@ -146,4 +146,55 @@ class RetrievalSpec extends AnyFunSuite {
     assert(fused.size == 3 && !fused.contains(12L)) // 1/63 loses to 1/62
     assert(fused.values.map(_._4).toSet == Set(1, 2, 3))
   }
+
+  test("mmr: redundancy loses to a slightly-less-relevant diverse doc") {
+    import org.apache.spark.sql.functions._
+    // query q near doc 1; docs 1 and 2 are near-identical; doc 3 is
+    // orthogonal-ish but still relevant. Plain top-2 = (1, 2); MMR must
+    // pick (1, 3) because 2's redundancy penalty sinks it.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val rows = Seq(
+      (100L, v(1.0, 0.0, 0.05)), // the query
+      (1L, v(1.0, 0.0, 0.0)),
+      (2L, v(0.999, 0.01, 0.0)), // near-dup of 1
+      (3L, v(0.5, 0.86, 0.0))) // diverse, moderately relevant
+    val df = rows.toDF("id", "embedding")
+    val r = Retrieval.mmrDiversify(df.filter(col("id") === 100L),
+      df.filter(col("id") < 100L), kCand = 3, kOut = 2)
+      .orderBy("mmr_rank")
+      .select("neighbor_id", "mmr_rank")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 1L), (3L, 2L)))
+  }
+
+  test("mmr: rank 1 is pure relevance; ranks are per query; " +
+      "deterministic under repartition") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+    val df = rows.toDF("id", "embedding")
+    val qs = df.filter(col("id") < 3)
+    val a = Retrieval.mmrDiversify(qs, df, kCand = 10, kOut = 4)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Retrieval.mmrDiversify(qs, df.repartition(9), kCand = 10,
+        kOut = 4)
+      .orderBy("query_id", "mmr_rank")
+      .select("query_id", "neighbor_id", "mmr_rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b)
+    assert(a.groupBy(_._1).forall { case (_, s) =>
+      s.map(_._3).sorted == Seq(1L, 2L, 3L, 4L) &&
+        s.map(_._2).distinct.size == 4
+    })
+    // rank 1 equals brute-force rank 1
+    val top1 = Similarity.bruteForceTopK(qs, df, 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    a.filter(_._3 == 1L).foreach { case (q, n, _) =>
+      assert(top1(q) == n)
+    }
+  }
 }
