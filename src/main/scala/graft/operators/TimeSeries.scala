@@ -199,4 +199,86 @@ object TimeSeries {
         passThrough.map(col) ++
         Seq(col("t0"), col("v0"), col("t1"), col("v1"), col("v_interp")): _*)
   }
+
+  /** Classical additive seasonal decomposition of a bucketed series —
+    * the pipeline-health primitive ("is this drop an anomaly or just
+    * Sunday?") run over event volumes/values before alerting on them.
+    *
+    *   - `x_t`: per-bucket exact DECIMAL(18,4) sum of `valueCol` (order
+    *     free), emitted as double.
+    *   - `trend_t`: centered 2×m moving average — the textbook
+    *     even-period form, computed as
+    *     `(Σ_{[t−m/2, t+m/2−1]} + Σ_{[t−m/2+1, t+m/2]}) / 2m` on exact
+    *     decimal sums with ONE double division at the edge. Emitted
+    *     only for interior buckets (full window present).
+    *   - `seasonal_p` (p = t mod m): the phase-profile form — phase
+    *     mean minus grand mean, each a `CAST(decimal AS DOUBLE)/count`
+    *     with a fixed op order. (The detrended-mean form would average
+    *     DOUBLES, whose sum order no relational engine pins; the
+    *     phase-profile variant keeps every aggregation exact-decimal,
+    *     which is what makes the face hash-checkable. For near-constant
+    *     trend the two coincide.)
+    *   - `remainder_t = x_t − trend_t − seasonal_p`: two subtractions
+    *     in fixed order.
+    *
+    * Scale shape: one shuffle for the bucket aggregation (map-side
+    * combined), one single-partitioning window pass over the BUCKETED
+    * series (cardinality = time range / bucket, thousands — not the raw
+    * events), one broadcastable phase-profile join. RANGE frames on the
+    * integer bucket index tolerate gaps; a bucket only gets a trend
+    * when all 2·(m/2)+1 neighbors exist.
+    *
+    * @param period  buckets per season (must be even — the 2×m form),
+    *                e.g. 24 one-hour buckets for a daily cycle.
+    */
+  def seasonalDecompose(df: DataFrame, usCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, bucketUs: Long,
+      period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 0,
+      s"period must be even and >= 2 (the 2xm moving average), got $period")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val half = period / 2
+    // one row per bucket (time range / bucketUs — thousands, not the
+    // raw events), eagerly checkpointed: three consumers below (trend
+    // windows, phase profile, grand mean) must not each re-scan the
+    // raw event table
+    val buckets = df
+      .withColumn("__us", usCol.cast(LongType))
+      .withColumn("__v", valueCol.cast(DecimalType(18, 4)))
+      .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+      .groupBy(col("t"))
+      .agg(sum(col("__v")).as("__xd"), count(lit(1)).as("n_events"))
+      .localCheckpoint(true)
+    val ord = Window.orderBy(col("t"))
+    val left = ord.rangeBetween(-half, half - 1)
+    val right = ord.rangeBetween(-half + 1, half)
+    val full = ord.rangeBetween(-half, half)
+    val withTrend = buckets
+      .withColumn("__s1", sum(col("__xd")).over(left))
+      .withColumn("__n1", count(lit(1)).over(left))
+      .withColumn("__s2", sum(col("__xd")).over(right))
+      .withColumn("__n2", count(lit(1)).over(right))
+      .withColumn("__nf", count(lit(1)).over(full))
+      .filter(col("__nf") === (period + 1) &&
+        col("__n1") === period && col("__n2") === period)
+      .withColumn("trend", (col("__s1") + col("__s2")).cast(DoubleType) /
+        lit(2.0 * period))
+    val phase = buckets
+      .groupBy(pmod(col("t"), lit(period.toLong)).as("phase"))
+      .agg(sum(col("__xd")).as("__ps"), count(lit(1)).as("__pn"))
+    val grand = buckets.agg(sum(col("__xd")).as("__gs"),
+      count(lit(1)).as("__gn"))
+    withTrend
+      .withColumn("phase", pmod(col("t"), lit(period.toLong)))
+      .join(broadcast(phase), Seq("phase"))
+      .crossJoin(broadcast(grand))
+      .withColumn("x", col("__xd").cast(DoubleType))
+      .withColumn("seasonal",
+        col("__ps").cast(DoubleType) / col("__pn").cast(DoubleType) -
+          col("__gs").cast(DoubleType) / col("__gn").cast(DoubleType))
+      .withColumn("remainder",
+        col("x") - col("trend") - col("seasonal"))
+      .select(col("t"), col("phase"), col("n_events"), col("x"),
+        col("trend"), col("seasonal"), col("remainder"))
+  }
 }

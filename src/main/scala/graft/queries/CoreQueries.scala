@@ -752,6 +752,20 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // classical additive seasonal decomposition of hourly event value:
+    // exact-decimal bucket sums, 2×24 centered-MA trend (interior
+    // buckets only), phase-profile seasonal, fixed-order remainder —
+    // every double a single rounding of exact decimal/integer inputs.
+    "q_seasonal" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      graft.operators.TimeSeries.seasonalDecompose(ev0, Q.usCol(ev0),
+        col("value"), bucketUs = 3600000000L, period = 24)
+        .select(col("t"), col("phase"),
+          asLong(col("n_events")).as("n_events"), col("x"), col("trend"),
+          col("seasonal"), col("remainder"))
+        .orderBy("t")
+    }),
+
     // fixed-point integer PageRank over the supply DAG (supplier → part →
     // order; offsets keep the key spaces disjoint). Orders are dangling —
     // their mass redistributes uniformly — and every rank is exact
@@ -1379,6 +1393,42 @@ object CoreQueries {
         |SELECT user_id, n_points,
         |  list_reduce(vs, (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // decimal bucket sums → the same two offset RANGE windows for the
+    // 2×m trend, phase/grand decimal means, identical division and
+    // subtraction order.
+    "q_seasonal" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 3600000000 AS t,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS xd,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT t, xd, n_events,
+        |    SUM(xd) OVER (ORDER BY t
+        |      RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS s1,
+        |    COUNT(*) OVER (ORDER BY t
+        |      RANGE BETWEEN 12 PRECEDING AND 11 FOLLOWING) AS n1,
+        |    SUM(xd) OVER (ORDER BY t
+        |      RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS s2,
+        |    COUNT(*) OVER (ORDER BY t
+        |      RANGE BETWEEN 11 PRECEDING AND 12 FOLLOWING) AS n2,
+        |    COUNT(*) OVER (ORDER BY t
+        |      RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS nf
+        |  FROM b),
+        |ph AS (SELECT t % 24 AS phase, SUM(xd) AS ps, COUNT(*) AS pn
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT SUM(xd) AS gs, COUNT(*) AS gn FROM b)
+        |SELECT w.t, w.t % 24 AS phase, n_events,
+        |  CAST(xd AS DOUBLE) AS x,
+        |  CAST(s1 + s2 AS DOUBLE) / 48.0 AS trend,
+        |  CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE) -
+        |    CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) AS seasonal,
+        |  CAST(xd AS DOUBLE) - CAST(s1 + s2 AS DOUBLE) / 48.0 -
+        |    (CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE) -
+        |     CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)) AS remainder
+        |FROM w JOIN ph ON ph.phase = w.t % 24, g
+        |WHERE nf = 25 AND n1 = 24 AND n2 = 24
+        |ORDER BY t""".stripMargin,
 
     // the union-and-two-running-windows replay of interpolateAt: the
     // same sort keys (ts, is_probe, value tiebreak) in both directions,

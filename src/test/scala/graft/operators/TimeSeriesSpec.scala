@@ -146,4 +146,59 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!plan.contains("unboundedfollowing"),
       s"forward neighbor must not re-aggregate to partition end:\n$plan")
   }
+
+  test("seasonal: pure sine-like cycle has flat trend, zero remainder") {
+    import org.apache.spark.sql.functions.col
+    // period 4, value depends only on phase: x = (10, 20, 30, 40)
+    // repeating over 12 buckets of 1000 us. Trend = grand mean = 25,
+    // seasonal = phase mean - 25, remainder = 0 exactly.
+    val rows = (0 until 12).map(t =>
+      (t * 1000L + 1, Seq(10.0, 20.0, 30.0, 40.0)(t % 4)))
+    val df = rows.toDF("us", "v")
+    val r = TimeSeries.seasonalDecompose(df, col("us"), col("v"),
+        bucketUs = 1000L, period = 4)
+      .orderBy("t")
+      .select("t", "phase", "x", "trend", "seasonal", "remainder")
+      .as[(Long, Long, Double, Double, Double, Double)].collect()
+    assert(r.length == 12 - 4) // 2 edge buckets lost each side
+    r.foreach { case (t, ph, x, trend, seas, rem) =>
+      assert(ph == t % 4)
+      assert(x == Seq(10.0, 20.0, 30.0, 40.0)((t % 4).toInt))
+      assert(trend == 25.0)
+      assert(seas == x - 25.0)
+      assert(rem == 0.0)
+    }
+  }
+
+  test("seasonal: a level shift shows up in the trend, not the seasonal") {
+    import org.apache.spark.sql.functions.col
+    // constant 10 then constant 30: seasonal ~ 0 (all phases equal mass),
+    // trend ramps through the shift, remainder bounded
+    val rows = (0 until 24).map(t => (t * 10L, if (t < 12) 10.0 else 30.0))
+    val df = rows.toDF("us", "v")
+    val r = TimeSeries.seasonalDecompose(df, col("us"), col("v"),
+        bucketUs = 10L, period = 4)
+      .orderBy("t")
+      .select("t", "trend", "seasonal")
+      .as[(Long, Double, Double)].collect()
+    assert(r.head._2 == 10.0 && r.last._2 == 30.0)
+    // phases see 3 lows + 3 highs each -> seasonal exactly 0
+    r.foreach { case (_, _, s) => assert(math.abs(s) < 1e-12) }
+    // trend is monotone non-decreasing through the shift
+    assert(r.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("seasonal: gaps suppress trend rows; odd period refused") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0 until 12).filter(_ != 6).map(t => (t * 10L, 1.0))
+    val df = rows.toDF("us", "v")
+    val r = TimeSeries.seasonalDecompose(df, col("us"), col("v"),
+        bucketUs = 10L, period = 4).select("t")
+      .as[Long].collect().toSet
+    // interior buckets whose full 5-window exists and excludes the gap
+    assert(!r.contains(6L) && !r.exists(t => math.abs(t - 6) <= 2))
+    intercept[IllegalArgumentException] {
+      TimeSeries.seasonalDecompose(df, col("us"), col("v"), 10L, 5)
+    }
+  }
 }
