@@ -752,6 +752,22 @@ object CoreQueries {
         .orderBy("user_id")
     }),
 
+    // declarative data-quality gate: six rule types over lineitem in
+    // three passes total (ALL row-local rules ride ONE aggregation),
+    // exact BIGINT violation counts. Thresholds chosen so some rules
+    // FAIL on the testdata — the report must count, not just bless.
+    "q_data_checks" -> ((s, dir) => {
+      import graft.operators.DataChecks.Check._
+      graft.operators.DataChecks.validate(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        NotNull("l_partkey"),
+        InRange("l_quantity", 1, 30),
+        Accepted("l_returnflag", Seq("A", "N")),
+        Satisfies("discount_le_tax", col("l_discount") <= col("l_tax")),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ForeignKey("l_partkey", t(s, dir, "part"), "p_partkey")))
+    }),
+
     // classical additive seasonal decomposition of hourly event value:
     // exact-decimal bucket sums, 2×24 centered-MA trend (interior
     // buckets only), phase-profile seasonal, fixed-order remainder —
@@ -1393,6 +1409,52 @@ object CoreQueries {
         |SELECT user_id, n_points,
         |  list_reduce(vs, (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma
         |FROM g ORDER BY user_id""".stripMargin,
+
+    // the rule set replayed as plain conditional counts.
+    "q_data_checks" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem),
+        |t AS (
+        |SELECT 'accepted_values' AS rule, 'l_returnflag' AS target,
+        |  (SELECT n FROM n) AS n_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_returnflag IS NOT NULL
+        |      AND l_returnflag NOT IN ('A', 'N')) AS n_violations
+        |UNION ALL
+        |SELECT 'foreign_key', 'l_partkey',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_partkey IS NOT NULL),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |    WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+        |      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |UNION ALL
+        |SELECT 'in_range', 'l_quantity', (SELECT n FROM n),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_quantity IS NOT NULL
+        |      AND NOT (l_quantity >= 1 AND l_quantity <= 30))
+        |UNION ALL
+        |SELECT 'not_null', 'l_orderkey', (SELECT n FROM n),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_orderkey IS NULL)
+        |UNION ALL
+        |SELECT 'not_null', 'l_partkey', (SELECT n FROM n),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE l_partkey IS NULL)
+        |UNION ALL
+        |SELECT 'satisfies', 'discount_le_tax', (SELECT n FROM n),
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |    WHERE NOT COALESCE(l_discount <= l_tax, FALSE))
+        |UNION ALL
+        |SELECT 'unique', 'l_orderkey,l_linenumber',
+        |  (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber)),
+        |  (SELECT CAST(COALESCE(sum(c - 1), 0) AS BIGINT) FROM (
+        |    SELECT count(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber))
+        |)
+        |SELECT rule, target, n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM t ORDER BY rule, target""".stripMargin,
 
     // decimal bucket sums → the same two offset RANGE windows for the
     // 2×m trend, phase/grand decimal means, identical division and

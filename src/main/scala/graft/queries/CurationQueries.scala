@@ -101,7 +101,24 @@ object CurationQueries {
     "q_contrastive_pairs" -> ((s, dir) =>
       graft.operators.Contrastive.negativePairs(
         t(s, dir, "documents"), "doc_id", "source", k = 4, buckets = 64)
-        .orderBy("anchor_id", "j"))
+        .orderBy("anchor_id", "j")),
+
+    // distribution drift (PSI + KL) of each source's doc-length profile
+    // vs the src0 baseline: ONE (group, bin) count pass over the corpus,
+    // Laplace-1 smoothing, bin-ordered double fold. Gate face emits the
+    // metrics quantized to parts-per-billion BIGINTs: JVM Math.log and
+    // libm ln disagree by 1 ulp on some inputs (the q_dsir_weights
+    // finding), and ppb integers absorb that while still pinning 9
+    // significant decimals of the metric.
+    "q_drift_psi" -> ((s, dir) =>
+      graft.operators.Drift.psiKl(t(s, dir, "documents"), "source",
+        baseline = "src0", expr("n_chars div 50"))
+        .select(col("group"), asLong(col("n_bins")).as("n_bins"),
+          asLong(col("n_base")).as("n_base"),
+          asLong(col("n_cmp")).as("n_cmp"),
+          asLong(round(col("psi") * lit(1e9))).as("psi_ppb"),
+          asLong(round(col("kl") * lit(1e9))).as("kl_ppb"))
+        .orderBy("group"))
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -125,6 +142,46 @@ object CurationQueries {
       |  FROM r)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the PSI/KL replay: same Laplace-1 terms from exact counts, same
+    // ln-of-quotient form, bin-ordered sequential list_reduce fold;
+    // output quantized to ppb BIGINTs because engine ln implementations
+    // differ by 1 ulp on some term inputs (see the query comment).
+    "q_drift_psi" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT source AS g, n_chars // 50 AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1, 2),
+        |base AS (SELECT bin, c AS cb FROM b WHERE g = 'src0'),
+        |cmp AS (SELECT g, bin, c AS cc FROM b WHERE g <> 'src0'),
+        |nb AS (SELECT CAST(COALESCE(sum(cb), 0) AS BIGINT) AS n_base
+        |  FROM base),
+        |gs AS (SELECT DISTINCT g FROM cmp),
+        |ab AS (SELECT g, bin FROM gs CROSS JOIN (SELECT bin FROM base) bb
+        |  UNION SELECT g, bin FROM cmp),
+        |prof AS (SELECT ab.g, ab.bin, COALESCE(base.cb, 0) AS cb,
+        |    COALESCE(cmp.cc, 0) AS cc
+        |  FROM ab LEFT JOIN base USING (bin) LEFT JOIN cmp USING (g, bin)),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(sum(cc) AS BIGINT) AS n_cmp FROM prof GROUP BY g),
+        |terms AS (SELECT p.g, p.bin,
+        |    CAST(p.cb + 1 AS DOUBLE) / CAST(n.n_base + t.n_bins AS DOUBLE)
+        |      AS pp,
+        |    CAST(p.cc + 1 AS DOUBLE) / CAST(t.n_cmp + t.n_bins AS DOUBLE)
+        |      AS qq
+        |  FROM prof p JOIN tot t USING (g), nb n),
+        |sums AS (SELECT g,
+        |    list_reduce(list((pp - qq) * ln(pp / qq) ORDER BY bin),
+        |      (a, b) -> a + b) AS psi,
+        |    list_reduce(list(pp * ln(pp / qq) ORDER BY bin),
+        |      (a, b) -> a + b) AS kl
+        |  FROM terms GROUP BY g)
+        |SELECT s.g AS "group", t.n_bins,
+        |  (SELECT n_base FROM nb) AS n_base, t.n_cmp,
+        |  CAST(round(s.psi * 1e9) AS BIGINT) AS psi_ppb,
+        |  CAST(round(s.kl * 1e9) AS BIGINT) AS kl_ppb
+        |FROM sums s JOIN tot t USING (g) ORDER BY "group"""".stripMargin,
+
     // the SQL image of Contrastive.negativePairs(k=4, buckets=64):
     // same md5-52 hash, same golden-ratio bucket stride, same prime
     // slot stride — the draw is a pure integer function of doc_id.
