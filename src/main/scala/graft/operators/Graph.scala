@@ -342,4 +342,59 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection for corpus curation: near-dup / citation / co-purchase
+    * communities surface template farms and boilerplate families that
+    * pairwise dedup misses.
+    *
+    * Each node starts labeled with its own id; every round ALL nodes
+    * simultaneously adopt the most frequent label among their
+    * neighbors, ties broken by the SMALLEST label — fully deterministic
+    * (the classic async/random-order variant is not), so a fixed round
+    * count unrolls into an exact relational oracle. Runs EXACTLY
+    * `rounds` rounds, no early stop, no driver action in the loop.
+    *
+    * Scale shape: the symmetrized simple edge set (parallel edges
+    * collapse to one vote, self-loops dropped) is materialized once;
+    * each round is one edge⋈label hash join, one map-side-combined
+    * (node, label) count, and one per-node argmax window — every
+    * shuffled row is a bounded-width integer triple, never the
+    * adjacency itself. Label state stays lazy (single consumer per
+    * round), matching [[shortestPaths]]'s one-job loop.
+    *
+    * Output: `(node, label)`, one row per endpoint in `edges`.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20,
+      s"rounds must be in [1,20], got $rounds")
+    val half = edges
+      .select(col(srcCol).cast(LongType).as("a"),
+        col(dstCol).cast(LongType).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+    val und = half
+      .unionByName(half.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .localCheckpoint(true) // standing layout for every round's join
+    var labels = und.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    val byNode = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+    var i = 0
+    while (i < rounds) {
+      labels = und
+        .join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(byNode))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(false) // lazy: one consumer until the final action
+      i += 1
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
 }

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** ExactSubstr-style duplicate-substring detection (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): find
+  * every maximal character span of length ≥ `minLen` that occurs at
+  * two or more positions anywhere in the corpus, then account for (or
+  * strip) the covered text per document.
+  *
+  * The paper builds one giant suffix array; the relational reduction
+  * is exact and shuffles far less: a span of length ≥ L is duplicated
+  * iff every fixed-length L-gram inside it is duplicated, so
+  * duplicated-span detection ≡ "which L-gram start positions have a
+  * gram occurring ≥ `minOcc` times", followed by a per-document merge
+  * of the (equal-length, hence sorted-by-end) surviving intervals.
+  *
+  * Scale shape for 100 TB:
+  *   - stage 1 groups positions by the 8-byte `xxhash64` of the gram —
+  *     map-side combined, so the shuffle carries one (hash, partial
+  *     count) row per DISTINCT gram per partition, never L raw chars
+  *     per corpus position;
+  *   - stage 2 re-keys only the CANDIDATE positions (those whose hash
+  *     survived) by the real gram string to confirm — hash collisions
+  *     can only create candidates, never drop a true duplicate, and
+  *     the confirm join touches the duplicated sliver, not the corpus;
+  *   - the interval merge is one window pass keyed by doc id, sort
+  *     bounded by per-document duplicated-position count.
+  *
+  * Unlike [[Dedup.winnowFingerprints]] (sampled sketch, probabilistic
+  * localization) and [[CorpusOps.dupSpans]] (per-position word-gram
+  * accounting), this returns the exact MAXIMAL character intervals the
+  * suffix-array method returns.
+  */
+object SuffixDedup {
+
+  /** Maximal duplicated spans `(doc_id, span_start, span_len,
+    * n_positions)`: `span_start` is 1-based, spans are disjoint per
+    * document, every span has `span_len >= minLen`, and `n_positions`
+    * counts the duplicated L-gram start positions merged into the span.
+    * A gram is duplicated when it occurs at ≥ `minOcc` positions
+    * corpus-wide (two occurrences inside one document count — the
+    * paper's within-doc repeats are duplicates too).
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOcc: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
+    val hits = duplicatedPositions(docs, idCol, textCol, minLen, minOcc)
+
+    // Equal-length intervals sorted by start are sorted by end too, so
+    // the classic running-max-of-end island rule degenerates to "break
+    // when the gap to the previous start exceeds L" (lag = null on the
+    // first row → otherwise-branch → new island).
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    hits
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) <= minLen, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("__island", sum(col("__brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(
+        min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(minLen))
+          .cast(LongType).as("span_len"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_positions"))
+  }
+
+  /** Per-document strip accounting `(doc_id, n_chars, n_spans,
+    * covered_chars, kept_chars)` under the remove-every-occurrence
+    * policy (the conservative ExactSubstr variant): spans from
+    * [[duplicatedSpans]] are disjoint, so covered = Σ span_len exactly.
+    * Documents with no duplicated span pass through with zeros.
+    */
+  def stripStats(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOcc: Long = 2L): DataFrame = {
+    val perDoc = duplicatedSpans(docs, idCol, textCol, minLen, minOcc)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__ns"), sum(col("span_len")).as("__cov"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast(LongType).as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("__ns"), lit(0L)).as("n_spans"),
+        coalesce(col("__cov"), lit(0L)).as("covered_chars"),
+        (col("n_chars") - coalesce(col("__cov"), lit(0L))).as("kept_chars"))
+  }
+
+  /** Duplicated L-gram start positions `(doc_id, pos)` — the two-stage
+    * hash-prefilter + exact-gram confirm described in the object doc.
+    */
+  private def duplicatedPositions(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minOcc: Long): DataFrame = {
+    val grams = docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(1), length(col("__t")) - lit(minLen - 1)))
+          .as("pos"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(__t, pos, $minLen)").as("gram"))
+      .withColumn("h", xxhash64(col("gram")))
+
+    // Stage 1: candidate hashes (8-byte shuffle keys, partial-agg'd).
+    val dupHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") >= minOcc)
+      .select(col("h"))
+
+    // Stage 2: exact confirm among candidate positions only. The gram
+    // string is shuffled here, but only for positions whose hash
+    // already has ≥ minOcc occurrences — the duplicated sliver.
+    val candidates = grams.join(dupHash, Seq("h"))
+    val dupGram = candidates.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__ng"))
+      .filter(col("__ng") >= minOcc)
+      .select(col("gram"))
+    candidates.join(dupGram, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+  }
+}

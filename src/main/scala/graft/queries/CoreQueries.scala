@@ -450,6 +450,19 @@ object CoreQueries {
         .agg(asLong(count(lit(1))).as("n"))
         .orderBy(col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // explicit GROUPING SETS with an asymmetric set list — (status,
+    // priority), (priority), grand total — the shape neither rollup nor
+    // cube expresses; one expand + one partial-agg'd shuffle in Spark.
+    "q_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderpriority")), Seq.empty[org.apache.spark.sql.Column]),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(asLong(count(lit(1))).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
 
     // §2.10 streaming-shaped: tumbling 1-hour window aggregation (batch
     // equivalence of the Structured Streaming daily-poll pipeline).
@@ -824,6 +837,24 @@ object CoreQueries {
         .orderBy("node")
     }),
 
+    // deterministic synchronous label propagation over the part
+    // co-purchase graph (same key-capped edge set as q_triangles):
+    // 4 rounds of most-frequent-neighbor-label with min-label
+    // tie-break — template-family detection for curation. The round
+    // count unrolls into an exact relational oracle (one vote-count +
+    // argmax CTE pair per round).
+    "q_lpa_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 5000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 4)
+        .orderBy("node")
+    }),
+
     // exact triangle census of the part co-purchase graph (parts sharing
     // an order) via degree orientation — wedge fan-out bounded by O(√m)
     // out-degrees, each triangle counted at its orientation-minimal
@@ -1144,7 +1175,37 @@ object CoreQueries {
       s"\nSELECT node, CAST(r AS BIGINT) AS rank_pp FROM r$iterations ORDER BY node"
   }
 
+  /** Round-unrolled image of [[graft.operators.Graph.labelPropagation]]
+    * over the q_triangles co-purchase edge set: one (vote-count,
+    * argmax) CTE pair per synchronous round, `row_number() ORDER BY c
+    * DESC, lbl` replaying the min-label tie-break exactly.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_orderkey <= 5000 AND a.l_partkey < b.l_partkey),
+        |und AS MATERIALIZED (
+        |  SELECT pa AS a, pb AS b FROM e0 UNION SELECT pb, pa FROM e0),
+        |l0 AS MATERIALIZED (
+        |  SELECT DISTINCT a AS node, a AS lbl FROM und)""".stripMargin
+    val iters = (1 to rounds).map { i =>
+      s"""v$i AS MATERIALIZED (SELECT u.a AS node, l.lbl AS lbl,
+         |    count(*) AS c
+         |  FROM und u JOIN l${i - 1} l ON u.b = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (SELECT node, lbl FROM (
+         |    SELECT node, lbl, row_number() OVER (
+         |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n") +
+      s"\nSELECT node, lbl AS label FROM l$rounds ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_lpa_communities" -> lpaOracle(rounds = 4),
+
     "q_idx_parse" ->
       s"""WITH raw(line_no, line) AS (VALUES $idxFixtureSqlValues),
          |parsed AS (
@@ -1339,6 +1400,14 @@ object CoreQueries {
     "q_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY GROUPING SETS (
+        |  (o_orderstatus, o_orderpriority), (o_orderpriority), ())
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_tumbling_window" ->

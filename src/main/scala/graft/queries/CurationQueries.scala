@@ -118,7 +118,29 @@ object CurationQueries {
           asLong(col("n_cmp")).as("n_cmp"),
           asLong(round(col("psi") * lit(1e9))).as("psi_ppb"),
           asLong(round(col("kl") * lit(1e9))).as("kl_ppb"))
-        .orderBy("group"))
+        .orderBy("group")),
+
+    // ExactSubstr dedup (Lee et al. 2022) re-expressed relationally:
+    // every MAXIMAL character span ≥ 25 chars that occurs at ≥ 2
+    // positions corpus-wide, found by the two-stage 8-byte-hash
+    // prefilter + exact-gram confirm and merged per doc in one window
+    // pass — the exact intervals the paper's suffix array returns.
+    "q_suffix_spans" -> ((s, dir) =>
+      graft.operators.SuffixDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 25)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          asLong(col("n_positions")).as("n_positions"))
+        .orderBy("doc_id", "span_start")),
+
+    // the strip ledger over those spans (remove-every-occurrence
+    // policy): per doc, how many chars the duplicated spans cover and
+    // how many survive — spans are disjoint by construction, so
+    // covered = Σ span_len exactly; span-free docs pass through with
+    // zeros via the left join.
+    "q_suffix_strip" -> ((s, dir) =>
+      graft.operators.SuffixDedup.stripStats(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 25)
+        .orderBy("doc_id"))
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -141,7 +163,53 @@ object CurationQueries {
       |      THEN 1 ELSE 0 END AS BIGINT) AS quota
       |  FROM r)""".stripMargin
 
+  /** Shared duplicated-span CTE chain (L-gram positions → duplicated
+    * grams → surviving positions → equal-length interval merge),
+    * mirroring [[graft.operators.SuffixDedup]] step for step; the NULL
+    * lag on each doc's first row falls to the ELSE branch exactly like
+    * Spark's `when(...).otherwise(1)`.
+    */
+  private val SuffixSpanCte =
+    """pos0 AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+      |  FROM documents WHERE length(text) >= 25),
+      |pos AS (SELECT doc_id, pos,
+      |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+      |hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
+      |mark AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+      |           <= 25
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |isl AS (SELECT doc_id, pos,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM mark),
+      |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |    CAST(MAX(pos) + 25 - MIN(pos) AS BIGINT) AS span_len,
+      |    CAST(count(*) AS BIGINT) AS n_positions
+      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_suffix_spans" ->
+      s"""WITH $SuffixSpanCte
+         |SELECT doc_id, span_start, span_len, n_positions
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_suffix_strip" ->
+      s"""WITH $SuffixSpanCte,
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(span_len) AS BIGINT) AS covered_chars
+         |  FROM sp GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(COALESCE(a.covered_chars, 0) AS BIGINT) AS covered_chars,
+         |  CAST(length(d.text) - COALESCE(a.covered_chars, 0) AS BIGINT)
+         |    AS kept_chars
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // the PSI/KL replay: same Laplace-1 terms from exact counts, same
     // ln-of-quotient form, bin-ordered sequential list_reduce fold;
     // output quantized to ppb BIGINTs because engine ln implementations

@@ -34,7 +34,8 @@ class PlanFactsSpec extends AnyFunSuite {
     "q_window_frames", "q_running_count_partitioned", "q_cosine_topk",
     "q_bm25", "q_tfidf_keywords", "q_token_stats", "q_quality_deciles",
     "q_strat_sample", "q_ppjoin", "q_dedup_exact", "q_ngram_jaccard",
-    "q_ewma", "q_rolling", "q_contrastive_pairs")
+    "q_ewma", "q_rolling", "q_contrastive_pairs",
+    "q_suffix_spans", "q_suffix_strip", "q_grouping_sets")
 
   private case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
 

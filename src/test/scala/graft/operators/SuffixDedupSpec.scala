@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SuffixDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def spans(docs: Seq[(Long, String)], minLen: Int,
+      minOcc: Long = 2L) =
+    SuffixDedup.duplicatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, minOcc)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+  test("a planted cross-doc duplicate is returned as one maximal span") {
+    // "shared phrase here" (18 chars) sits inside distinct padding; with
+    // L=10 every covering 10-gram is duplicated, and the merge must
+    // return exactly the 18-char maximal interval in both docs.
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"))
+    val got = spans(docs, minLen = 10)
+    // span starts at 11 (1-based), 9 duplicated 10-gram positions merge
+    assert(got == Set((1L, 11L, 18L, 9L), (2L, 11L, 18L, 9L)))
+  }
+
+  test("within-doc repeats are duplicates; disjoint islands stay split") {
+    // the same 12-char block appears twice in ONE doc with a >L gap
+    // (the filler's 31 chars are pairwise distinct, so it contributes
+    // no duplicated grams itself), so both occurrences are spans (two
+    // islands, not one).
+    val block = "zxcvbnmasdfg"
+    val docs = Seq((7L, block + "0123456789ABCDEFGHIJKLMNOPQRSTU" + block))
+    val got = spans(docs, minLen = 12)
+    assert(got == Set((7L, 1L, 12L, 1L), (7L, 44L, 12L, 1L)))
+  }
+
+  test("adjacent and overlapping hits merge; sub-threshold text is silent") {
+    // no duplicated substring of length >= L anywhere → empty output,
+    // even though shorter repeats exist.
+    val docs = Seq((1L, "abcabcabcX"), (2L, "defdefdefY"))
+    assert(spans(docs, minLen = 10).isEmpty)
+  }
+
+  test("minOcc > 2 requires the higher multiplicity") {
+    val docs = Seq(
+      (1L, "PAD1PAD1PAD1" + "needle-exactly-here!" + "XXRANDOMTAIL"),
+      (2L, "PAD2PAD2PAD2" + "needle-exactly-here!" + "YYRANDOMTAIL"),
+      (3L, "PAD3PAD3PAD3" + "other-content-header" + "ZZRANDOMTAIL"))
+    val atLeast2 = spans(docs, minLen = 20, minOcc = 2L)
+    val atLeast3 = spans(docs, minLen = 20, minOcc = 3L)
+    assert(atLeast2 == Set((1L, 13L, 20L, 1L), (2L, 13L, 20L, 1L)))
+    assert(atLeast3.isEmpty)
+  }
+
+  test("stripStats ledger: disjoint spans, zeros for clean docs") {
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"),
+      (3L, "totally unique text with no repeats at all"))
+    val got = SuffixDedup.stripStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 39L, 1L, 18L, 21L),
+      (2L, 39L, 1L, 18L, 21L),
+      (3L, 42L, 0L, 0L, 42L)))
+  }
+
+  test("periodic self-overlap stays one island covering the whole run") {
+    // "ababab...": every L-gram equals every other aligned gram; the
+    // merged span must be the full periodic run, counted once.
+    val run = "ab" * 20 // 40 chars
+    val got = spans(Seq((5L, run + "QRSTUVWXYZ0123")), minLen = 10)
+    assert(got == Set((5L, 1L, 40L, 31L)))
+  }
+
+  test("docs shorter than minLen are skipped, not errored") {
+    val docs = Seq((1L, "tiny"), (2L, "alsotiny"))
+    assert(spans(docs, minLen = 10).isEmpty)
+    val stats = SuffixDedup.stripStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(stats == Set((1L, 4L, 0L, 0L, 4L), (2L, 8L, 0L, 0L, 8L)))
+  }
+}
