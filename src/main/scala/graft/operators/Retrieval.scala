@@ -446,4 +446,62 @@ object Retrieval {
     }
     selected
   }
+
+  /** Retrieval-quality scorecard: per query, recall@k, MRR, and nDCG@k
+    * of a system `run` against a ground-truth `truth` ranking — the
+    * harness that turns every ANN family here into a measurable
+    * quality/latency trade-off (truth is usually
+    * [[Similarity.bruteForceTopK]]; run is an IVF/PQ/LSH serving path).
+    *
+    * Both inputs carry `(query_id, neighbor_id, rank)`; rows with
+    * `rank > k` are ignored, so full top-N tables can be passed as-is.
+    * Binary relevance: a run row is relevant iff its neighbor appears
+    * in the query's truth top-k.
+    *
+    * Determinism contract (driver hash-compare): recall and MRR are
+    * single exact IEEE divisions of small integers; the nDCG fold sums
+    * `1/log2(rank+1)` in ascending-rank order on both engines, and the
+    * caller should quantize `ndcg` to ppb (engine `log2` can differ by
+    * 1 ulp — the q_drift_psi finding). One shuffle per aggregation,
+    * grouped by query — cost ∝ |queries|·k, never the corpus.
+    *
+    * Output: `(query_id, n_truth, n_run, n_hits, recall, mrr, ndcg)`,
+    * one row per query present in `truth`; a query missing from `run`
+    * scores zeros.
+    */
+  def evalTopK(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tK = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val rK = run.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast(LongType).as("rank"))
+    val marked = rK.join(tK.withColumn("rel", lit(1)),
+      Seq("query_id", "neighbor_id"), "left")
+    val perRun = marked.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_run"),
+      sum(coalesce(col("rel"), lit(0))).cast(LongType).as("n_hits"),
+      min(when(col("rel") === 1, col("rank"))).as("fhr"),
+      sort_array(collect_list(when(col("rel") === 1, col("rank"))))
+        .as("hit_ranks"))
+      .withColumn("dcg", expr(
+        "aggregate(hit_ranks, CAST(0.0 AS DOUBLE), " +
+          "(acc, r) -> acc + CAST(1.0 AS DOUBLE) / log2(CAST(r AS DOUBLE) + 1.0))"))
+    val perTruth = tK.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"))
+    perTruth.join(perRun, Seq("query_id"), "left")
+      .withColumn("idcg", expr(
+        s"aggregate(sequence(1L, least(n_truth, ${k}L)), CAST(0.0 AS DOUBLE), " +
+          "(acc, i) -> acc + CAST(1.0 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0))"))
+      .select(col("query_id"), col("n_truth"),
+        coalesce(col("n_run"), lit(0L)).as("n_run"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / col("n_truth"))
+          .as("recall"),
+        when(col("fhr").isNull, lit(0.0))
+          .otherwise(lit(1.0).cast(DoubleType) / col("fhr")).as("mrr"),
+        when(col("idcg") === 0.0, lit(0.0))
+          .otherwise(coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .as("ndcg"))
+  }
 }

@@ -108,21 +108,22 @@ object SuffixDedup {
         expr(s"substring(__t, pos, $minLen)").as("gram"))
       .withColumn("h", xxhash64(col("gram")))
 
-    // Stage 1: candidate hashes (8-byte shuffle keys, partial-agg'd).
+    // Stage 1: candidate hashes (8-byte shuffle keys, partial-agg'd —
+    // the shuffle carries one (hash, count) row per distinct gram per
+    // partition, never the positions).
     val dupHash = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__nh"))
       .filter(col("__nh") >= minOcc)
       .select(col("h"))
 
-    // Stage 2: exact confirm among candidate positions only. The gram
-    // string is shuffled here, but only for positions whose hash
+    // Stage 2: exact confirm among candidate positions only — ONE
+    // count-window keyed by the gram string (instead of a groupBy +
+    // join-back, which would recompute the candidate subtree). Gram
+    // strings are shuffled here, but only for positions whose hash
     // already has ≥ minOcc occurrences — the duplicated sliver.
-    val candidates = grams.join(dupHash, Seq("h"))
-    val dupGram = candidates.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__ng"))
+    grams.join(dupHash, Seq("h"))
+      .withColumn("__ng", count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("__ng") >= minOcc)
-      .select(col("gram"))
-    candidates.join(dupGram, Seq("gram"))
       .select(col("doc_id"), col("pos"))
   }
 }

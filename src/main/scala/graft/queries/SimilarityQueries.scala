@@ -232,6 +232,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // retrieval-quality scorecard: recall@10 / MRR / nDCG@10 of the
+    // fixture-centroid IVF serving path against the brute-force truth
+    // — the eval harness behind every ANN quality/latency trade-off.
+    // recall and MRR are exact small-integer divisions; nDCG is an
+    // ascending-rank log2 fold quantized to ppb (the q_drift_psi ulp
+    // finding).
+    "q_retrieval_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val truth = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("id") < 5), e, 10)
+      val run = graft.operators.IvfAnn.ivfTopK(e.filter(col("id") < 5),
+        e, 10, nlist = 8, nprobe = 3, centroids = Some(cents))
+      graft.operators.Retrieval.evalTopK(truth, run, k = 10)
+        .select(col("query_id"), asLong(col("n_truth")).as("n_truth"),
+          asLong(col("n_run")).as("n_run"),
+          asLong(col("n_hits")).as("n_hits"),
+          col("recall"), col("mrr"),
+          asLong(round(col("ndcg") * lit(1e9))).as("ndcg_ppb"))
+        .orderBy("query_id")
+    }),
+
     // MMR diversified retrieval: greedy λ=0.5 relevance-vs-redundancy
     // top-5 over a 20-candidate pool — near-dup-aware result lists.
     // Bounded pairwise table, kOut−1 join+window rounds, no driver loop
@@ -851,6 +876,77 @@ object SimilarityQueries {
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM exact)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // brute-force truth top-10 ⋈ fixture-centroid IVF run top-10, then
+    // the scorecard: recall/MRR as exact divisions, nDCG as the same
+    // ascending-rank `1/log2(rank+1)` fold as the engine (list_reduce
+    // with no seed == Spark's 0.0-seeded fold bitwise, since 0.0 + x
+    // is exact), quantized to ppb BIGINTs for the ulp gap.
+    "q_retrieval_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |bq AS (SELECT * FROM e WHERE vec_id < 5),
+        |bp AS (SELECT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_inner_product(bq.v, c.v) /
+        |    (sqrt(list_inner_product(bq.v, bq.v)) *
+        |     sqrt(list_inner_product(c.v, c.v))) AS sim
+        |  FROM bq JOIN e c ON c.vec_id <> bq.vec_id),
+        |truth AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM bp)
+        |  WHERE rank <= 10),
+        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+        |    v AS c
+        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+        |d AS (SELECT e.vec_id, c.cell,
+        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+        |  FROM e CROSS JOIN cents c),
+        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d) WHERE rn = 1),
+        |probes AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+        |      AS rn FROM d WHERE vec_id < 5) WHERE rn <= 3),
+        |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+        |    list_inner_product(qe.v, ce.v) /
+        |    (sqrt(list_inner_product(qe.v, qe.v)) *
+        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+        |  FROM probes p
+        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+        |  JOIN e qe ON qe.vec_id = p.vec_id
+        |  JOIN e ce ON ce.vec_id = a.vec_id),
+        |run AS (SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+        |  WHERE rank <= 10),
+        |mk AS (SELECT r.query_id, r.rank,
+        |    CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM run r LEFT JOIN truth t USING (query_id, neighbor_id)),
+        |pr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_run,
+        |    CAST(sum(rel) AS BIGINT) AS n_hits,
+        |    min(CASE WHEN rel = 1 THEN rank END) AS fhr,
+        |    COALESCE(list_reduce(
+        |      list(CAST(1 AS DOUBLE) / log2(CAST(rank AS DOUBLE) + 1.0)
+        |        ORDER BY rank) FILTER (rel = 1),
+        |      (a, b) -> a + b), CAST(0 AS DOUBLE)) AS dcg
+        |  FROM mk GROUP BY query_id),
+        |pt AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_truth
+        |  FROM truth GROUP BY query_id),
+        |m AS (SELECT pt.query_id, pt.n_truth,
+        |    COALESCE(pr.n_run, 0) AS n_run,
+        |    COALESCE(pr.n_hits, 0) AS n_hits,
+        |    CAST(COALESCE(pr.n_hits, 0) AS DOUBLE) / pt.n_truth AS recall,
+        |    CASE WHEN pr.fhr IS NULL THEN CAST(0 AS DOUBLE)
+        |         ELSE CAST(1 AS DOUBLE) / pr.fhr END AS mrr,
+        |    COALESCE(pr.dcg, CAST(0 AS DOUBLE)) /
+        |      list_reduce(list_transform(range(1, least(pt.n_truth, 10) + 1),
+        |        i -> CAST(1 AS DOUBLE) / log2(CAST(i AS DOUBLE) + 1.0)),
+        |        (a, b) -> a + b) AS ndcg
+        |  FROM pt LEFT JOIN pr USING (query_id))
+        |SELECT query_id, n_truth, n_run, n_hits, recall, mrr,
+        |  CAST(round(ndcg * 1e9) AS BIGINT) AS ndcg_ppb
+        |FROM m ORDER BY query_id""".stripMargin,
 
     // fixture-centroid IVF replay: same sequential (c-v)² accumulation,
     // same first-index-wins argmin (ORDER BY dist, cell), same
