@@ -397,4 +397,62 @@ object Graph {
     }
     labels.select(col("node"), col("lbl").as("label"))
   }
+
+  /** Newman modularity scorecard of a node labeling (Newman & Girvan
+    * 2004) — "how community-like is this partition", the standard
+    * quality gate on [[labelPropagation]] output before acting on it
+    * (e.g. collapsing a template family).
+    *
+    * Over the simple undirected graph (unordered-pair dedup, self-loops
+    * dropped; m edges), per community c with `e_in` intra-community
+    * edges and `d_sum` total degree:
+    * {{{
+    *   Q = Σ_c ( e_in/m − (d_sum/2m)² )  =  Σ_c q_num_c / (4m²),
+    *   q_num_c = 4·m·e_in − d_sum²       (exact BIGINT)
+    * }}}
+    * so the per-community evidence is pure integer arithmetic and the
+    * double contribution is ONE exact IEEE division (4m² ≤ 2^53 for
+    * any graph this runs on). Shuffle profile: two bounded joins of
+    * edges⋈labels, map-side-combined aggregations, and one broadcast
+    * one-row join for m — never an all-pairs anything.
+    *
+    * Output: `(label, n_nodes, e_in, d_sum, q_num, q_contrib)`, one row
+    * per community; Σ q_contrib is the partition's modularity.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast(LongType).as("s"),
+        col(dstCol).cast(LongType).as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull &&
+        col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .localCheckpoint(true) // consumed by m, degrees, and both label joins
+    val mRow = e.agg(count(lit(1)).as("m")) // one row, broadcast below
+    val nl = labels.select(col("node"), col("label"))
+    val deg = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dSum = deg.join(nl, Seq("node"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("d_sum"))
+    val eIn = e
+      .join(nl.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(nl.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("e_in"))
+    dSum.join(eIn, Seq("label"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(mRow))
+      .select(col("label"), col("n_nodes"), col("e_in"), col("d_sum"),
+        (lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .as("q_num"),
+        ((lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .cast(org.apache.spark.sql.types.DoubleType) /
+          (lit(4L) * col("m") * col("m"))
+            .cast(org.apache.spark.sql.types.DoubleType)).as("q_contrib"))
+  }
 }

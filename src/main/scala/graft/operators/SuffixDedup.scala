@@ -49,12 +49,32 @@ object SuffixDedup {
       minLen: Int, minOcc: Long = 2L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
-    val hits = duplicatedPositions(docs, idCol, textCol, minLen, minOcc)
+    mergeSpans(
+      duplicatedPositions(docs, idCol, textCol, minLen, minOcc), minLen)
+  }
 
-    // Equal-length intervals sorted by start are sorted by end too, so
-    // the classic running-max-of-end island rule degenerates to "break
-    // when the gap to the previous start exceeds L" (lag = null on the
-    // first row → otherwise-branch → new island).
+  /** Like [[duplicatedSpans]], but under the paper's KEEP-FIRST policy:
+    * the globally first occurrence of each duplicated gram (smallest
+    * `(doc_id, pos)`) is not a removal candidate, so the returned spans
+    * cover only the REDUNDANT copies — strip them and every duplicated
+    * substring still survives exactly once in the corpus.
+    */
+  def redundantSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOcc: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
+    mergeSpans(
+      duplicatedPositions(docs, idCol, textCol, minLen, minOcc)
+        .filter(col("occ") >= 2), minLen)
+  }
+
+  /** Merge equal-length hit intervals into maximal disjoint spans.
+    * Equal-length intervals sorted by start are sorted by end too, so
+    * the classic running-max-of-end island rule degenerates to "break
+    * when the gap to the previous start exceeds L" (lag = null on the
+    * first row → otherwise-branch → new island).
+    */
+  private def mergeSpans(hits: DataFrame, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     hits
       .withColumn("__brk",
@@ -73,14 +93,21 @@ object SuffixDedup {
   }
 
   /** Per-document strip accounting `(doc_id, n_chars, n_spans,
-    * covered_chars, kept_chars)` under the remove-every-occurrence
-    * policy (the conservative ExactSubstr variant): spans from
-    * [[duplicatedSpans]] are disjoint, so covered = Σ span_len exactly.
-    * Documents with no duplicated span pass through with zeros.
+    * covered_chars, kept_chars)`. With `keepFirst = false` (default)
+    * every occurrence of a duplicated substring counts as covered (the
+    * conservative remove-all variant); with `keepFirst = true` only
+    * the REDUNDANT copies from [[redundantSpans]] do (the paper's
+    * policy — each duplicated substring survives once). Spans are
+    * disjoint either way, so covered = Σ span_len exactly; documents
+    * with no covered span pass through with zeros.
     */
   def stripStats(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int, minOcc: Long = 2L): DataFrame = {
-    val perDoc = duplicatedSpans(docs, idCol, textCol, minLen, minOcc)
+      minLen: Int, minOcc: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
+    val spans =
+      if (keepFirst) redundantSpans(docs, idCol, textCol, minLen, minOcc)
+      else duplicatedSpans(docs, idCol, textCol, minLen, minOcc)
+    val perDoc = spans
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("__ns"), sum(col("span_len")).as("__cov"))
     docs
@@ -93,8 +120,11 @@ object SuffixDedup {
         (col("n_chars") - coalesce(col("__cov"), lit(0L))).as("kept_chars"))
   }
 
-  /** Duplicated L-gram start positions `(doc_id, pos)` — the two-stage
-    * hash-prefilter + exact-gram confirm described in the object doc.
+  /** Duplicated L-gram start positions `(doc_id, pos, occ)` — the
+    * two-stage hash-prefilter + exact-gram confirm described in the
+    * object doc; `occ` is the position's 1-based rank in its gram's
+    * global `(doc_id, pos)` occurrence order (1 = the copy keep-first
+    * retains).
     */
   private def duplicatedPositions(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, minOcc: Long): DataFrame = {
@@ -118,12 +148,17 @@ object SuffixDedup {
 
     // Stage 2: exact confirm among candidate positions only — ONE
     // count-window keyed by the gram string (instead of a groupBy +
-    // join-back, which would recompute the candidate subtree). Gram
-    // strings are shuffled here, but only for positions whose hash
-    // already has ≥ minOcc occurrences — the duplicated sliver.
+    // join-back, which would recompute the candidate subtree), plus
+    // the global occurrence rank each gram's keep-first policy needs
+    // (same exchange, one sort of the sliver). Gram strings are
+    // shuffled here, but only for positions whose hash already has
+    // ≥ minOcc occurrences — the duplicated sliver.
+    val byGram = Window.partitionBy("gram")
     grams.join(dupHash, Seq("h"))
-      .withColumn("__ng", count(lit(1)).over(Window.partitionBy("gram")))
+      .withColumn("__ng", count(lit(1)).over(byGram))
       .filter(col("__ng") >= minOcc)
-      .select(col("doc_id"), col("pos"))
+      .withColumn("occ",
+        row_number().over(byGram.orderBy("doc_id", "pos")))
+      .select(col("doc_id"), col("pos"), col("occ"))
   }
 }

@@ -855,6 +855,26 @@ object CoreQueries {
         .orderBy("node")
     }),
 
+    // Newman modularity scorecard of that LPA partition: per community,
+    // intra-edge count, degree mass, and the exact-integer contribution
+    // q_num = 4·m·e_in − d_sum² (q_contrib = q_num/4m² is ONE exact
+    // IEEE division) — the quality gate on a community detection run.
+    "q_modularity" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") <= 5000)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      val edges = li.select(col("o"), col("p").as("pa"))
+        .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+        .filter(col("pa") < col("pb"))
+        .select(col("pa").as("src"), col("pb").as("dst"))
+      val labels = graft.operators.Graph.labelPropagation(
+        edges, "src", "dst", rounds = 4)
+      graft.operators.Graph.modularity(edges, "src", "dst", labels)
+        .select(col("label"), asLong(col("n_nodes")).as("n_nodes"),
+          asLong(col("e_in")).as("e_in"), asLong(col("d_sum")).as("d_sum"),
+          asLong(col("q_num")).as("q_num"), col("q_contrib"))
+        .orderBy("label")
+    }),
+
     // exact triangle census of the part co-purchase graph (parts sharing
     // an order) via degree orientation — wedge fan-out bounded by O(√m)
     // out-degrees, each triangle counted at its orientation-minimal
@@ -1175,12 +1195,14 @@ object CoreQueries {
       s"\nSELECT node, CAST(r AS BIGINT) AS rank_pp FROM r$iterations ORDER BY node"
   }
 
-  /** Round-unrolled image of [[graft.operators.Graph.labelPropagation]]
-    * over the q_triangles co-purchase edge set: one (vote-count,
-    * argmax) CTE pair per synchronous round, `row_number() ORDER BY c
-    * DESC, lbl` replaying the min-label tie-break exactly.
+  /** Round-unrolled WITH-chain image of
+    * [[graft.operators.Graph.labelPropagation]] over the q_triangles
+    * co-purchase edge set: one (vote-count, argmax) CTE pair per
+    * synchronous round, `row_number() ORDER BY c DESC, lbl` replaying
+    * the min-label tie-break exactly. Final labels land in CTE
+    * `l<rounds>`; callers append their own SELECT.
     */
-  private def lpaOracle(rounds: Int): String = {
+  private def lpaCte(rounds: Int): String = {
     val head =
       """WITH e0 AS MATERIALIZED (
         |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -1199,12 +1221,43 @@ object CoreQueries {
          |      PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM v$i)
          |  WHERE rn = 1)""".stripMargin
     }
-    (head +: iters).mkString(",\n") +
-      s"\nSELECT node, lbl AS label FROM l$rounds ORDER BY node"
+    (head +: iters).mkString(",\n")
   }
+
+  private def lpaOracle(rounds: Int): String =
+    lpaCte(rounds) +
+      s"\nSELECT node, lbl AS label FROM l$rounds ORDER BY node"
+
+  /** Modularity replay over the final LPA labeling: integer q_num per
+    * community, one exact division for the double contribution —
+    * mirrors [[graft.operators.Graph.modularity]] term for term.
+    */
+  private def modularityOracle(rounds: Int): String =
+    lpaCte(rounds) + s""",
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+       |  FROM und GROUP BY a),
+       |ds AS (SELECT l.lbl AS label, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d.deg) AS BIGINT) AS d_sum
+       |  FROM deg d JOIN l$rounds l ON d.node = l.node GROUP BY 1),
+       |ei AS (SELECT la.lbl AS label, CAST(count(*) AS BIGINT) AS e_in
+       |  FROM e0 JOIN l$rounds la ON e0.pa = la.node
+       |  JOIN l$rounds lb ON e0.pb = lb.node
+       |  WHERE la.lbl = lb.lbl GROUP BY 1)
+       |SELECT ds.label, ds.n_nodes,
+       |  CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in, ds.d_sum,
+       |  CAST(4 * (SELECT m FROM mm) * COALESCE(ei.e_in, 0)
+       |    - ds.d_sum * ds.d_sum AS BIGINT) AS q_num,
+       |  CAST(4 * (SELECT m FROM mm) * COALESCE(ei.e_in, 0)
+       |    - ds.d_sum * ds.d_sum AS DOUBLE) /
+       |    CAST(4 * (SELECT m FROM mm) * (SELECT m FROM mm) AS DOUBLE)
+       |    AS q_contrib
+       |FROM ds LEFT JOIN ei USING (label) ORDER BY ds.label""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_lpa_communities" -> lpaOracle(rounds = 4),
+
+    "q_modularity" -> modularityOracle(rounds = 4),
 
     "q_idx_parse" ->
       s"""WITH raw(line_no, line) AS (VALUES $idxFixtureSqlValues),

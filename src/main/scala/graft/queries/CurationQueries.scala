@@ -140,6 +140,16 @@ object CurationQueries {
     "q_suffix_strip" -> ((s, dir) =>
       graft.operators.SuffixDedup.stripStats(
         t(s, dir, "documents"), "doc_id", "text", minLen = 25)
+        .orderBy("doc_id")),
+
+    // the same ledger under the paper's KEEP-FIRST policy: the
+    // globally first copy of each duplicated gram survives, so only
+    // redundant occurrences count as covered — kept_chars here is what
+    // an ExactSubstr pass actually leaves in the corpus.
+    "q_suffix_keepfirst" -> ((s, dir) =>
+      graft.operators.SuffixDedup.stripStats(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 25,
+        keepFirst = true)
         .orderBy("doc_id"))
   )
 
@@ -164,32 +174,55 @@ object CurationQueries {
       |  FROM r)""".stripMargin
 
   /** Shared duplicated-span CTE chain (L-gram positions → duplicated
-    * grams → surviving positions → equal-length interval merge),
-    * mirroring [[graft.operators.SuffixDedup]] step for step; the NULL
-    * lag on each doc's first row falls to the ELSE branch exactly like
-    * Spark's `when(...).otherwise(1)`.
+    * grams → surviving positions, ranked per gram in global
+    * `(doc_id, pos)` order → equal-length interval merge), mirroring
+    * [[graft.operators.SuffixDedup]] step for step; the NULL lag on
+    * each doc's first row falls to the ELSE branch exactly like
+    * Spark's `when(...).otherwise(1)`. With `keepFirst` the mark step
+    * drops each gram's rank-1 occurrence — the copy the paper's
+    * keep-first policy retains.
     */
-  private val SuffixSpanCte =
-    """pos0 AS (
-      |  SELECT doc_id,
-      |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
-      |  FROM documents WHERE length(text) >= 25),
-      |pos AS (SELECT doc_id, pos,
-      |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
-      |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-      |hits AS (SELECT doc_id, pos FROM pos JOIN dup USING (gram)),
-      |mark AS (SELECT doc_id, pos,
-      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-      |           <= 25
-      |         THEN 0 ELSE 1 END AS brk
-      |  FROM hits),
-      |isl AS (SELECT doc_id, pos,
-      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-      |  FROM mark),
-      |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-      |    CAST(MAX(pos) + 25 - MIN(pos) AS BIGINT) AS span_len,
-      |    CAST(count(*) AS BIGINT) AS n_positions
-      |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  private def suffixSpanCte(keepFirst: Boolean): String = {
+    val markFilter = if (keepFirst) "\n  WHERE occ >= 2" else ""
+    s"""pos0 AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+       |  FROM documents WHERE length(text) >= 25),
+       |pos AS (SELECT doc_id, pos,
+       |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |hits AS (SELECT doc_id, pos, row_number() OVER (
+       |    PARTITION BY gram ORDER BY doc_id, pos) AS occ
+       |  FROM pos JOIN dup USING (gram)),
+       |mark AS (SELECT doc_id, pos,
+       |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |           <= 25
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM hits$markFilter),
+       |isl AS (SELECT doc_id, pos,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM mark),
+       |sp AS (SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       |    CAST(MAX(pos) + 25 - MIN(pos) AS BIGINT) AS span_len,
+       |    CAST(count(*) AS BIGINT) AS n_positions
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
+  }
+
+  private val SuffixSpanCte = suffixSpanCte(keepFirst = false)
+
+  /** The per-doc strip ledger over a span CTE chain. */
+  private def suffixStripSql(cte: String): String =
+    s"""WITH $cte,
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(span_len) AS BIGINT) AS covered_chars
+       |  FROM sp GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(a.covered_chars, 0) AS BIGINT) AS covered_chars,
+       |  CAST(length(d.text) - COALESCE(a.covered_chars, 0) AS BIGINT)
+       |    AS kept_chars
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_suffix_spans" ->
@@ -197,18 +230,9 @@ object CurationQueries {
          |SELECT doc_id, span_start, span_len, n_positions
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
-    "q_suffix_strip" ->
-      s"""WITH $SuffixSpanCte,
-         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-         |    CAST(sum(span_len) AS BIGINT) AS covered_chars
-         |  FROM sp GROUP BY doc_id)
-         |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
-         |  CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
-         |  CAST(COALESCE(a.covered_chars, 0) AS BIGINT) AS covered_chars,
-         |  CAST(length(d.text) - COALESCE(a.covered_chars, 0) AS BIGINT)
-         |    AS kept_chars
-         |FROM documents d LEFT JOIN agg a USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+    "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
+
+    "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
 
     // the PSI/KL replay: same Laplace-1 terms from exact counts, same
     // ln-of-quotient form, bin-ordered sequential list_reduce fold;

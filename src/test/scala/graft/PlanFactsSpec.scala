@@ -35,7 +35,8 @@ class PlanFactsSpec extends AnyFunSuite {
     "q_bm25", "q_tfidf_keywords", "q_token_stats", "q_quality_deciles",
     "q_strat_sample", "q_ppjoin", "q_dedup_exact", "q_ngram_jaccard",
     "q_ewma", "q_rolling", "q_contrastive_pairs",
-    "q_suffix_spans", "q_suffix_strip", "q_grouping_sets")
+    "q_suffix_spans", "q_suffix_strip", "q_suffix_keepfirst",
+    "q_grouping_sets")
 
   private case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
 

@@ -77,6 +77,41 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got == Set((5L, 1L, 40L, 31L)))
   }
 
+  test("keep-first: only redundant copies are spans") {
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"))
+    // every shared gram's first occurrence is in doc 1 (smaller id), so
+    // doc 1 keeps its copy and only doc 2's is redundant
+    val got = SuffixDedup.redundantSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 11L, 18L, 9L)))
+  }
+
+  test("keep-first stripStats keeps one copy corpus-wide") {
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"),
+      (3L, "totally unique text with no repeats at all"))
+    val got = SuffixDedup.stripStats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10, keepFirst = true)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 39L, 0L, 0L, 39L), // the retained first copy
+      (2L, 39L, 1L, 18L, 21L),
+      (3L, 42L, 0L, 0L, 42L)))
+  }
+
+  test("keep-first within one doc: the later occurrence is redundant") {
+    val block = "zxcvbnmasdfg"
+    val docs = Seq((7L, block + "0123456789ABCDEFGHIJKLMNOPQRSTU" + block))
+    val got = SuffixDedup.redundantSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 12)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((7L, 44L, 12L, 1L)))
+  }
+
   test("docs shorter than minLen are skipped, not errored") {
     val docs = Seq((1L, "tiny"), (2L, "alsotiny"))
     assert(spans(docs, minLen = 10).isEmpty)
