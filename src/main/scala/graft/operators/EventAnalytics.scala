@@ -78,4 +78,39 @@ object EventAnalytics {
       .select((col("user") +: col("depth") +:
         steps.indices.map(i => col(s"t_${i + 1}"))): _*)
   }
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * each user's events in strict `(ts, id)` order form consecutive
+    * `(from_type, to_type)` pairs, aggregated corpus-wide to counts and
+    * row-normalized probabilities — the next-event model behind
+    * session simulation and anomaly scoring.
+    *
+    * `idCol` must be a per-event unique tiebreaker so the ordering
+    * (and therefore every count) is total and deterministic. `p` is
+    * ONE exact IEEE division of two counts, so the face hash-compares.
+    * Shuffle shape: one per-user window sort (the only full-stream
+    * pass), one map-side-combined pair count; the `n_from` normalizer
+    * is a broadcast-sized type×type table joined back.
+    *
+    * Output: `(from_type, to_type, n, n_from, p)`.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy("us", "eid")
+    val pairs = events
+      .select(col(userCol).as("user"), col(tsCol).cast(LongType).as("us"),
+        col(idCol).as("eid"), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    // n_from via a window over the tiny type×type count table — a
+    // groupBy + self-join would recompute the full-stream pair subtree
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+          col("n_from")).as("p"))
+  }
 }

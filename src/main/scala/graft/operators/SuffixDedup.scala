@@ -120,15 +120,55 @@ object SuffixDedup {
         (col("n_chars") - coalesce(col("__cov"), lit(0L))).as("kept_chars"))
   }
 
+  /** Materialized gram index of a corpus: `(h, gram, n_occ)`, one row
+    * per DISTINCT L-gram with its corpus-wide occurrence count. The
+    * 100 TB shape: write it once partitioned by a band of `h` (e.g.
+    * `pmod(h, 1024)`), and [[incrementalSpans]]' probe join prunes to
+    * matching bands instead of re-scanning the corpus — the same
+    * index-once/probe-increment contract as `Dedup.minhashIndex`.
+    * Storing the gram string beside the hash keeps the probe EXACT
+    * (hash collisions confirm against the gram, never against text).
+    */
+  def suffixIndex(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    grams(docs, idCol, textCol, minLen)
+      .groupBy(col("h"), col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** Duplicated spans of a NEW batch against an existing corpus
+    * [[suffixIndex]] — the daily-increment shape: a batch position is
+    * duplicated when its gram's batch count plus indexed corpus count
+    * reaches `minOcc`, so the result equals [[duplicatedSpans]] over
+    * corpus + batch RESTRICTED to batch documents, without touching
+    * corpus text (the index is scanned, the corpus never re-grammed).
+    * Batch and corpus id spaces must be disjoint.
+    */
+  def incrementalSpans(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, minLen: Int, minOcc: Long = 2L): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
+    val byGram = Window.partitionBy("gram")
+    val hits = grams(batch, idCol, textCol, minLen)
+      .withColumn("__nb", count(lit(1)).over(byGram))
+      .join(index.select(col("h"), col("gram"), col("n_occ")),
+        Seq("h", "gram"), "left")
+      .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
+      .select(col("doc_id"), col("pos"))
+    mergeSpans(hits, minLen)
+  }
+
   /** Duplicated L-gram start positions `(doc_id, pos, occ)` — the
     * two-stage hash-prefilter + exact-gram confirm described in the
     * object doc; `occ` is the position's 1-based rank in its gram's
     * global `(doc_id, pos)` occurrence order (1 = the copy keep-first
     * retains).
     */
-  private def duplicatedPositions(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int, minOcc: Long): DataFrame = {
-    val grams = docs
+  /** Every L-gram start position: `(doc_id, pos, gram, h)`. */
+  private def grams(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    docs
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .select(col("doc_id"), col("__t"),
@@ -138,10 +178,14 @@ object SuffixDedup {
         expr(s"substring(__t, pos, $minLen)").as("gram"))
       .withColumn("h", xxhash64(col("gram")))
 
+  private def duplicatedPositions(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, minOcc: Long): DataFrame = {
+    val g = grams(docs, idCol, textCol, minLen)
+
     // Stage 1: candidate hashes (8-byte shuffle keys, partial-agg'd —
     // the shuffle carries one (hash, count) row per distinct gram per
     // partition, never the positions).
-    val dupHash = grams.groupBy(col("h"))
+    val dupHash = g.groupBy(col("h"))
       .agg(count(lit(1)).as("__nh"))
       .filter(col("__nh") >= minOcc)
       .select(col("h"))
@@ -154,7 +198,7 @@ object SuffixDedup {
     // shuffled here, but only for positions whose hash already has
     // ≥ minOcc occurrences — the duplicated sliver.
     val byGram = Window.partitionBy("gram")
-    grams.join(dupHash, Seq("h"))
+    g.join(dupHash, Seq("h"))
       .withColumn("__ng", count(lit(1)).over(byGram))
       .filter(col("__ng") >= minOcc)
       .withColumn("occ",

@@ -658,6 +658,19 @@ object CoreQueries {
 
     // cohort retention matrix: first-event-day cohorts × day offsets,
     // distinct users — two bounded-key shuffles, no window, no self-join
+    // first-order Markov next-event matrix: per-user strict
+    // (ts, event_id)-ordered consecutive pairs → corpus-wide counts and
+    // row-normalized probabilities (one exact division each) — the
+    // next-event model behind session simulation and anomaly scoring.
+    "q_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev)) },
+        "user_id", "us", "event_id", "event_type")
+        .select(col("from_type"), col("to_type"), asLong(col("n")).as("n"),
+          asLong(col("n_from")).as("n_from"), col("p"))
+        .orderBy("from_type", "to_type")),
+
     "q_cohort_retention" -> ((s, dir) =>
       graft.operators.EventAnalytics.cohortRetention(
         locally { val ev = t(s, dir, "events")
@@ -1258,6 +1271,22 @@ object CoreQueries {
     "q_lpa_communities" -> lpaOracle(rounds = 4),
 
     "q_modularity" -> modularityOracle(rounds = 4),
+
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, f.n_from,
+        |  CAST(c.n AS DOUBLE) / f.n_from AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_idx_parse" ->
       s"""WITH raw(line_no, line) AS (VALUES $idxFixtureSqlValues),

@@ -150,7 +150,23 @@ object CurationQueries {
       graft.operators.SuffixDedup.stripStats(
         t(s, dir, "documents"), "doc_id", "text", minLen = 25,
         keepFirst = true)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // the daily-increment shape: docs < 250 are the indexed corpus
+    // (suffixIndex scanned, corpus text never re-grammed), docs ≥ 250
+    // the new batch — result equals duplicatedSpans over corpus+batch
+    // restricted to batch docs, which is exactly what the oracle
+    // replays.
+    "q_suffix_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.operators.SuffixDedup.suffixIndex(
+        d.filter(col("doc_id") < 250), "doc_id", "text", minLen = 25)
+      graft.operators.SuffixDedup.incrementalSpans(
+        d.filter(col("doc_id") >= 250), "doc_id", "text", idx, minLen = 25)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          asLong(col("n_positions")).as("n_positions"))
+        .orderBy("doc_id", "span_start")
+    })
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -182,8 +198,13 @@ object CurationQueries {
     * drops each gram's rank-1 occurrence — the copy the paper's
     * keep-first policy retains.
     */
-  private def suffixSpanCte(keepFirst: Boolean): String = {
-    val markFilter = if (keepFirst) "\n  WHERE occ >= 2" else ""
+  private def suffixSpanCte(keepFirst: Boolean,
+      hitsWhere: String = ""): String = {
+    val conds = Seq(
+      if (keepFirst) Some("occ >= 2") else None,
+      if (hitsWhere.nonEmpty) Some(hitsWhere) else None).flatten
+    val markFilter =
+      if (conds.isEmpty) "" else "\n  WHERE " + conds.mkString(" AND ")
     s"""pos0 AS (
        |  SELECT doc_id,
        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
@@ -233,6 +254,13 @@ object CurationQueries {
     "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
 
     "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
+
+    // incremental = whole-corpus spans restricted to batch documents
+    // (the equality contract in the query comment)
+    "q_suffix_incremental" ->
+      s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id >= 250")}
+         |SELECT doc_id, span_start, span_len, n_positions
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
     // the PSI/KL replay: same Laplace-1 terms from exact counts, same
     // ln-of-quotient form, bin-ordered sequential list_reduce fold;

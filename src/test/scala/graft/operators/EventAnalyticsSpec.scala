@@ -71,4 +71,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
       EventAnalytics.funnel(ev, "user_id", "us", "et", Seq.empty)
     }
   }
+
+  test("transition matrix: per-user pairs, row-normalized") {
+    // A: x→y→x; B: x→x  ⇒  counts (x,y)=1 (y,x)=1 (x,x)=1; from-x = 2
+    val ev = Seq(
+      (1L, 1L, 10L, "x"), (1L, 2L, 20L, "y"), (1L, 3L, 30L, "x"),
+      (2L, 4L, 10L, "x"), (2L, 5L, 20L, "x"))
+      .toDF("user_id", "event_id", "us", "et")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "us",
+        "event_id", "et")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("x", "y", 1L, 2L, 0.5), ("x", "x", 1L, 2L, 0.5),
+      ("y", "x", 1L, 1L, 1.0)))
+  }
+
+  test("transition matrix: equal timestamps order by the id tiebreaker") {
+    val ev = Seq((7L, 1L, 50L, "a"), (7L, 2L, 50L, "b"))
+      .toDF("user_id", "event_id", "us", "et")
+    val got = EventAnalytics.transitionMatrix(ev, "user_id", "us",
+        "event_id", "et")
+      .as[(String, String, Long, Long, Double)].collect().toSet
+    assert(got == Set(("a", "b", 1L, 1L, 1.0)))
+  }
+
+  test("transition matrix: users never mix") {
+    val ev = Seq((1L, 1L, 10L, "x"), (2L, 2L, 20L, "y"))
+      .toDF("user_id", "event_id", "us", "et")
+    assert(EventAnalytics.transitionMatrix(ev, "user_id", "us",
+      "event_id", "et").count() == 0L)
+  }
 }

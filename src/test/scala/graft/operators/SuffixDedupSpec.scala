@@ -112,6 +112,38 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got == Set((7L, 44L, 12L, 1L)))
   }
 
+  test("incremental: batch spans against an indexed corpus") {
+    val phrase = "shared phrase here"
+    val corpus = Seq(
+      (1L, "aaaabbbbcc" + phrase + "ddddeeeefff"),
+      // a corpus-internal duplicate the batch does NOT contain — must
+      // never surface in the incremental result
+      (2L, "corpus-only duplicate run XYZ1"),
+      (3L, "corpus-only duplicate run XYZ2"))
+    val batch = Seq(
+      (100L, "qqqqwwwwrr" + phrase + "ttttyyyyuuu"),
+      (101L, "completely novel batch text!!"))
+    val idx = SuffixDedup.suffixIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 10)
+    val got = SuffixDedup.incrementalSpans(batch.toDF("doc_id", "text"),
+        "doc_id", "text", idx, minLen = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((100L, 11L, 18L, 9L)))
+  }
+
+  test("incremental: batch-internal duplicates count without the corpus") {
+    val corpus = Seq((1L, "nothing in common with batch"))
+    val batch = Seq(
+      (100L, "AAAA" + "twin paragraph body" + "BBBB"),
+      (101L, "CCCC" + "twin paragraph body" + "DDDD"))
+    val idx = SuffixDedup.suffixIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 10)
+    val got = SuffixDedup.incrementalSpans(batch.toDF("doc_id", "text"),
+        "doc_id", "text", idx, minLen = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((100L, 5L, 19L, 10L), (101L, 5L, 19L, 10L)))
+  }
+
   test("docs shorter than minLen are skipped, not errored") {
     val docs = Seq((1L, "tiny"), (2L, "alsotiny"))
     assert(spans(docs, minLen = 10).isEmpty)
