@@ -120,6 +120,50 @@ object SuffixDedup {
         (col("n_chars") - coalesce(col("__cov"), lit(0L))).as("kept_chars"))
   }
 
+  /** The deduplicated corpus itself: each document's text with its
+    * covered spans REMOVED — `(doc_id, kept_text, kept_chars)`. Under
+    * `keepFirst` (the production policy) each duplicated substring
+    * survives exactly once corpus-wide; otherwise every occurrence is
+    * cut. Span-free documents pass through verbatim; fully-covered
+    * documents yield the empty string (filter on `kept_chars` to drop
+    * them).
+    *
+    * The surgery is ONE expression per document: spans collect into a
+    * sorted per-doc array (bounded by doc length / L), and the kept
+    * text is the concatenation of the n+1 gap substrings around n
+    * spans — no per-segment row explosion, no extra pass over the
+    * span subtree.
+    */
+  def stripText(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, minOcc: Long = 2L,
+      keepFirst: Boolean = false): DataFrame = {
+    val spans =
+      if (keepFirst) redundantSpans(docs, idCol, textCol, minLen, minOcc)
+      else duplicatedSpans(docs, idCol, textCol, minLen, minOcc)
+    val perDoc = spans
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").as("s"),
+        (col("span_start") + col("span_len") - 1).as("e")))).as("__sp"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        length(col(textCol)).cast(LongType).as("__n"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("__sp",
+        coalesce(col("__sp"), expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)")))
+      .withColumn("kept_text", expr(
+        """array_join(transform(sequence(0, size(__sp)), i -> substring(__t,
+          |  CASE WHEN i = 0 THEN 1L ELSE element_at(__sp, i).e + 1L END,
+          |  greatest(0L,
+          |    (CASE WHEN i = size(__sp) THEN __n
+          |          ELSE element_at(__sp, i + 1).s - 1L END)
+          |    - (CASE WHEN i = 0 THEN 1L
+          |            ELSE element_at(__sp, i).e + 1L END) + 1L))), '')"""
+          .stripMargin))
+      .select(col("doc_id"), col("kept_text"),
+        length(col("kept_text")).cast(LongType).as("kept_chars"))
+  }
+
   /** Materialized gram index of a corpus: `(h, gram, n_occ)`, one row
     * per DISTINCT L-gram with its corpus-wide occurrence count. The
     * 100 TB shape: write it once partitioned by a band of `h` (e.g.

@@ -166,7 +166,18 @@ object CurationQueries {
         .select(col("doc_id"), col("span_start"), col("span_len"),
           asLong(col("n_positions")).as("n_positions"))
         .orderBy("doc_id", "span_start")
-    })
+    }),
+
+    // the deduplicated corpus ITSELF under keep-first: per doc, the
+    // text with redundant spans spliced out (one gap-concat expression
+    // over the sorted span array) — the oracle rebuilds every kept
+    // string character-for-character via per-gap rows + ordered
+    // string_agg, so the hash compare covers the actual surgery.
+    "q_suffix_rewrite" -> ((s, dir) =>
+      graft.operators.SuffixDedup.stripText(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 25,
+        keepFirst = true)
+        .orderBy("doc_id"))
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -254,6 +265,39 @@ object CurationQueries {
     "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
 
     "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
+
+    // keep-first span chain → per-gap segment rows (lag for interior
+    // gaps, max-end for the tail) → ordered string_agg rebuilds each
+    // kept string; span-free docs fall through the left join verbatim,
+    // fully-covered docs coalesce to ''
+    "q_suffix_rewrite" ->
+      s"""WITH ${suffixSpanCte(keepFirst = true)},
+         |sp2 AS (SELECT doc_id, span_start AS s,
+         |    span_start + span_len - 1 AS e FROM sp),
+         |gaps AS (SELECT doc_id,
+         |    COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+         |      AS gs,
+         |    s - 1 AS ge
+         |  FROM sp2),
+         |tails AS (SELECT doc_id, MAX(e) + 1 AS gs FROM sp2 GROUP BY doc_id),
+         |segs AS (SELECT doc_id, gs, ge FROM gaps WHERE ge >= gs
+         |  UNION ALL
+         |  SELECT t.doc_id, t.gs, CAST(length(d.text) AS BIGINT) AS ge
+         |  FROM tails t JOIN documents d USING (doc_id)
+         |  WHERE length(d.text) >= t.gs),
+         |sa AS (SELECT s.doc_id,
+         |    string_agg(substr(d.text, CAST(s.gs AS INT),
+         |      CAST(s.ge - s.gs + 1 AS INT)), '' ORDER BY s.gs) AS txt
+         |  FROM segs s JOIN documents d USING (doc_id) GROUP BY s.doc_id),
+         |cov AS (SELECT DISTINCT doc_id FROM sp2)
+         |SELECT d.doc_id,
+         |  CASE WHEN c.doc_id IS NULL THEN d.text
+         |       ELSE COALESCE(sa.txt, '') END AS kept_text,
+         |  CAST(length(CASE WHEN c.doc_id IS NULL THEN d.text
+         |       ELSE COALESCE(sa.txt, '') END) AS BIGINT) AS kept_chars
+         |FROM documents d LEFT JOIN cov c USING (doc_id)
+         |LEFT JOIN sa USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // incremental = whole-corpus spans restricted to batch documents
     // (the equality contract in the query comment)

@@ -36,7 +36,8 @@ class PlanFactsSpec extends AnyFunSuite {
     "q_strat_sample", "q_ppjoin", "q_dedup_exact", "q_ngram_jaccard",
     "q_ewma", "q_rolling", "q_contrastive_pairs",
     "q_suffix_spans", "q_suffix_strip", "q_suffix_keepfirst",
-    "q_suffix_incremental", "q_transitions", "q_grouping_sets")
+    "q_suffix_incremental", "q_suffix_rewrite", "q_transitions",
+    "q_grouping_sets")
 
   private case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
 

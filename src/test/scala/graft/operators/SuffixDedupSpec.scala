@@ -112,6 +112,66 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got == Set((7L, 44L, 12L, 1L)))
   }
 
+  private def stripText(docs: Seq[(Long, String)], minLen: Int,
+      keepFirst: Boolean) =
+    SuffixDedup.stripText(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen, keepFirst = keepFirst)
+      .as[(Long, String, Long)].collect().toSet
+
+  test("stripText removes every copy; clean docs pass verbatim") {
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"),
+      (3L, "totally unique text with no repeats at all"))
+    assert(stripText(docs, minLen = 10, keepFirst = false) == Set(
+      (1L, "aaaabbbbcc" + "ddddeeeefff", 21L),
+      (2L, "qqqqwwwwrr" + "ttttyyyyuuu", 21L),
+      (3L, "totally unique text with no repeats at all", 42L)))
+  }
+
+  test("stripText keep-first retains the first copy, empties a clone") {
+    val docs = Seq(
+      (1L, "the very same document body"),
+      (2L, "the very same document body"))
+    assert(stripText(docs, minLen = 10, keepFirst = true) == Set(
+      (1L, "the very same document body", 27L),
+      (2L, "", 0L)))
+    // remove-all empties both clones
+    assert(stripText(docs, minLen = 10, keepFirst = false) == Set(
+      (1L, "", 0L), (2L, "", 0L)))
+  }
+
+  test("stripText interior spans splice the flanks together") {
+    val block = "zxcvbnmasdfg"
+    val filler = "0123456789ABCDEFGHIJKLMNOPQRSTU"
+    val docs = Seq((7L, block + filler + block))
+    // keep-first: first block survives, second is cut
+    assert(stripText(docs, minLen = 12, keepFirst = true) == Set(
+      (7L, block + filler, 43L)))
+    // remove-all: both copies cut, the filler remains
+    assert(stripText(docs, minLen = 12, keepFirst = false) == Set(
+      (7L, filler, 31L)))
+  }
+
+  test("stripText agrees with the stripStats ledger") {
+    val docs = Seq(
+      (1L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"),
+      (2L, "qqqqwwwwrr" + "shared phrase here" + "ttttyyyyuuu"),
+      (3L, "totally unique text with no repeats at all"),
+      (4L, "aaaabbbbcc" + "shared phrase here" + "ddddeeeefff"))
+    for (kf <- Seq(true, false)) {
+      val text = SuffixDedup.stripText(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 10, keepFirst = kf)
+        .select("doc_id", "kept_chars")
+        .as[(Long, Long)].collect().toMap
+      val ledger = SuffixDedup.stripStats(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 10, keepFirst = kf)
+        .select("doc_id", "kept_chars")
+        .as[(Long, Long)].collect().toMap
+      assert(text == ledger, s"keepFirst=$kf")
+    }
+  }
+
   test("incremental: batch spans against an indexed corpus") {
     val phrase = "shared phrase here"
     val corpus = Seq(
