@@ -574,6 +574,36 @@ object CoreQueries {
     // harness, watermarked window(6h, 3h) aggregation in append mode —
     // every slot a row lands in must emit once with the exact decimal
     // sum the batch oracle computes.
+    // the STREAMING face of the transition matrix: per-user LastEvent
+    // state via flatMapGroupsWithState chains pairs ACROSS micro-batch
+    // boundaries (the state a batch window can't carry); emitted pairs
+    // run the batch face's count/normalize aggregation and must equal
+    // the batch oracle on the same user slice. Pairs emit per batch —
+    // no flush sentinel needed.
+    "q_stream_transitions" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(col("user_id").cast(LongType), Q.usCol(ev0).cast(LongType),
+          col("event_id").cast(LongType), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+        .sortBy(r => (r._2, r._3))
+      val batches = rows.grouped(math.max(1, (rows.size + 3) / 4)).toSeq
+      emitted[(Long, Long, Long, String)](s, "graft_stream_transitions",
+        batches,
+        in => graft.streaming.StreamingTransitions.pairs(
+          in.toDF("user_id", "us", "event_id", "event_type")).toDF())
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("from_type")))
+        .select(col("from_type"), col("to_type"), asLong(col("n")).as("n"),
+          asLong(col("n_from")).as("n_from"),
+          (col("n").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_from")).as("p"))
+        .orderBy("from_type", "to_type")
+    }),
+
     // REAL stream-stream interval join through two lockstep
     // MemoryStreams: purchases join the same user's views in the
     // strictly preceding 24 h — inner matches emit per micro-batch with
@@ -1271,6 +1301,24 @@ object CoreQueries {
     "q_lpa_communities" -> lpaOracle(rounds = 4),
 
     "q_modularity" -> modularityOracle(rounds = 4),
+
+    // identical matrix to q_transitions on the streamed slice — the
+    // equality IS the cross-batch-state correctness statement
+    "q_stream_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events WHERE user_id < 100),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS to_type
+        |  FROM e),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, f.n_from,
+        |  CAST(c.n AS DOUBLE) / f.n_from AS p
+        |FROM c JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
