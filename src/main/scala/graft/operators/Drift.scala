@@ -84,4 +84,61 @@ object Drift {
             (col("p") * col("lr")).as("t")))),
           lit(0.0), (acc, x) => acc + x.getField("t")).as("kl"))
   }
+
+  /** EMBEDDING-space drift: how far each group's centroid moved from
+    * the baseline group's — the monitor that catches a semantic shift
+    * (new topic mix, encoder change) that scalar histograms like
+    * [[psiKl]] cannot see.
+    *
+    * Exact-integer evidence face: each float coordinate quantizes to
+    * `round(v·scale)` (scale = 1e6 keeps ~7 significant digits — well
+    * past float32's precision), per-(group, dim) sums S and group
+    * counts n are exact BIGINTs, and the squared centroid distance
+    * scaled by `(n_g·n_b)²` is the integer
+    *
+    *   drift_num = Σ_d (S_g[d]·n_b − S_b[d]·n_g)²
+    *
+    * carried in DECIMAL(38,0) (the q_dsir_modweights wide-integer
+    * pattern), so the gate hash-compares with no float summation
+    * anywhere. The actual distance² is drift_num / (scale·n_g·n_b)².
+    *
+    * Scale shape: ONE explode pass over the corpus into the (group,
+    * dim) sum table — map-side combined, groups × dims rows,
+    * localCheckpointed so the baseline/comparison split doesn't
+    * re-explode — then joins on that tiny profile only.
+    *
+    * Output: `(group, n_vecs, n_base, n_dims, drift_num)`, one row per
+    * non-baseline group.
+    */
+  def centroidDrift(emb: DataFrame, vecCol: String, groupCol: String,
+      baseline: Long, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val sums = emb
+      .select(col(groupCol).cast(LongType).as("grp"),
+        posexplode(col(vecCol)).as(Seq("dim0", "v")))
+      .select(col("grp"), (col("dim0") + 1).as("dim"),
+        round(col("v").cast(DoubleType) * lit(scale.toDouble))
+          .cast(LongType).as("qv"))
+      .groupBy(col("grp"), col("dim"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("nd"))
+      .localCheckpoint(true) // groups × dims rows, one corpus pass
+    val ns = sums.groupBy(col("grp")).agg(max(col("nd")).as("n"))
+    val sb = sums.filter(col("grp") === baseline)
+      .select(col("dim"), col("s").as("s_b"))
+    val nb = ns.filter(col("grp") === baseline)
+      .select(col("n").as("n_b"))
+    sums.filter(col("grp") =!= baseline)
+      .join(sb, Seq("dim"))
+      .join(ns, Seq("grp"))
+      .crossJoin(broadcast(nb))
+      .withColumn("diff", col("s").cast(d19) * col("n_b").cast(d19) -
+        col("s_b").cast(d19) * col("n").cast(d19))
+      .groupBy(col("grp").as("group"))
+      .agg(first(col("n")).as("n_vecs"), first(col("n_b")).as("n_base"),
+        count(lit(1)).as("n_dims"),
+        sum(col("diff") * col("diff"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          .as("drift_num"))
+  }
 }

@@ -168,6 +168,18 @@ object CurationQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // embedding-space drift: per label, the scaled squared distance of
+    // its centroid from label-0's — quantized coordinates, exact
+    // BIGINT sums, DECIMAL(38,0) cross-multiplied evidence; catches the
+    // semantic shift scalar histograms (q_drift_psi) can't see.
+    "q_embedding_drift" -> ((s, dir) =>
+      graft.operators.Drift.centroidDrift(
+        t(s, dir, "embeddings"), "embedding", "label", baseline = 0L)
+        .select(col("group"), asLong(col("n_vecs")).as("n_vecs"),
+          asLong(col("n_base")).as("n_base"),
+          asLong(col("n_dims")).as("n_dims"), col("drift_num"))
+        .orderBy("group")),
+
     // the deduplicated corpus ITSELF under keep-first: per doc, the
     // text with redundant spans spliced out (one gap-concat expression
     // over the sorted span array) — the oracle rebuilds every kept
@@ -265,6 +277,33 @@ object CurationQueries {
     "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
 
     "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
+
+    // same quantize → BIGINT sums → HUGEINT cross-multiply chain; the
+    // final CAST to DECIMAL(38,0) matches Spark's decimal output type
+    "q_embedding_drift" ->
+      """WITH q AS (SELECT CAST(label AS BIGINT) AS grp, dim,
+        |    CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS qv
+        |  FROM (SELECT label, embedding,
+        |      unnest(range(1, len(embedding) + 1)) AS dim
+        |    FROM embeddings)),
+        |s AS (SELECT grp, dim, CAST(sum(qv) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+        |ns AS (SELECT grp, max(n) AS n FROM s GROUP BY 1),
+        |b AS (SELECT dim, s AS s_b FROM s WHERE grp = 0),
+        |nb AS (SELECT n AS n_b FROM ns WHERE grp = 0)
+        |SELECT s.grp AS "group", ns.n AS n_vecs,
+        |  (SELECT n_b FROM nb) AS n_base,
+        |  CAST(count(*) AS BIGINT) AS n_dims,
+        |  CAST(sum((CAST(s.s AS HUGEINT) * (SELECT n_b FROM nb)
+        |      - CAST(b.s_b AS HUGEINT) * ns.n)
+        |    * (CAST(s.s AS HUGEINT) * (SELECT n_b FROM nb)
+        |      - CAST(b.s_b AS HUGEINT) * ns.n)) AS DECIMAL(38,0))
+        |    AS drift_num
+        |FROM s JOIN b USING (dim) JOIN ns USING (grp)
+        |WHERE s.grp <> 0
+        |GROUP BY s.grp, ns.n
+        |ORDER BY "group"""".stripMargin,
 
     // keep-first span chain → per-gap segment rows (lag for interior
     // gaps, max-end for the tail) → ordered string_agg rebuilds each

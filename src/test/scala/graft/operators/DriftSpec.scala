@@ -71,4 +71,39 @@ class DriftSpec extends AnyFunSuite {
     val b = run(df.repartition(17))
     assert(a == b)
   }
+
+  private def embDf(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("label", "embedding")
+
+  test("centroid drift: hand-computed integer evidence") {
+    // base label 0: centroid (0.5, 0.5) over 2 vecs; label 1: (1, 1)
+    // S_b = (1e6, 1e6), n_b = 2; S_g = (1e6, 1e6), n_g = 1
+    // per dim: (1e6·2 − 1e6·1)² = 1e12 → drift_num = 2e12
+    val df = embDf(Seq(
+      (0L, Seq(1.0f, 0.0f)), (0L, Seq(0.0f, 1.0f)),
+      (1L, Seq(1.0f, 1.0f))))
+    val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
+      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 2L, BigDecimal(2000000000000L))))
+  }
+
+  test("centroid drift: identical distribution scores exactly zero") {
+    val df = embDf(Seq(
+      (0L, Seq(0.25f, -0.5f)), (0L, Seq(-0.25f, 0.5f)),
+      (2L, Seq(0.25f, -0.5f)), (2L, Seq(-0.25f, 0.5f))))
+    val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
+      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
+    assert(got == Set((2L, 2L, 2L, 2L, BigDecimal(0))))
+  }
+
+  test("centroid drift is count-normalized, not sum-sensitive") {
+    // label 3 has the SAME centroid as base but twice the vectors —
+    // cross-multiplication by counts must cancel to zero
+    val df = embDf(Seq(
+      (0L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.5f, 0.5f)), (3L, Seq(0.5f, 0.5f))))
+    val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
+      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
+    assert(got == Set((3L, 2L, 1L, 2L, BigDecimal(0))))
+  }
 }
