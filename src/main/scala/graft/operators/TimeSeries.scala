@@ -281,4 +281,71 @@ object TimeSeries {
       .select(col("t"), col("phase"), col("n_events"), col("x"),
         col("trend"), col("seasonal"), col("remainder"))
   }
+
+  /** Sample autocorrelation of the bucketed series at lags
+    * `1..maxLag` — the diagnostic that puts a NUMBER on periodicity
+    * before committing to a [[seasonalDecompose]] period:
+    * {{{
+    *   r_l = Σ_t (x_t − m)(x_{t+l} − m)  /  Σ_t (x_t − m)²
+    * }}}
+    * over the observed bucket sequence (lag in bucket units; a pair
+    * contributes only when both endpoints exist, so gaps shrink
+    * `n_pairs` rather than fabricating zeros; denominators span all
+    * observed buckets — the standard n-denominator sample ACF). A
+    * constant series (zero denominator) scores 0 by definition.
+    *
+    * Determinism: bucket sums are exact DECIMAL images of ≤4-decimal
+    * values; the mean is one exact-decimal-to-double cast and one
+    * division; numerator and denominator fold their double terms in
+    * ascending-`t` order (the [[Drift.psiKl]] sorted-array pattern), so
+    * any engine replays `acf` bit-for-bit — quantize to ppb at the
+    * gate for the usual ulp margin. Bucket table is checkpointed: one
+    * pass over the raw events, everything after touches
+    * time-range/bucket rows only.
+    *
+    * Output: `(lag, n_pairs, n_buckets, acf)`.
+    */
+  def autocorrelation(df: DataFrame, usCol: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, bucketUs: Long,
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1,1000], got $maxLag")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val buckets = df
+      .withColumn("__us", usCol.cast(LongType))
+      .withColumn("__v", valueCol.cast(DecimalType(18, 4)))
+      .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+      .groupBy(col("t"))
+      .agg(sum(col("__v")).as("__xd"))
+      .localCheckpoint(true) // one raw pass; bucket rows from here on
+    val stats = buckets.agg(
+      (sum(col("__xd")).cast(DoubleType) /
+        count(lit(1)).cast(DoubleType)).as("__m"),
+      count(lit(1)).as("n_buckets"))
+    val dev = buckets.crossJoin(broadcast(stats))
+      .select(col("t"),
+        (col("__xd").cast(DoubleType) - col("__m")).as("d"),
+        col("n_buckets"))
+    val den = dev.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("t"),
+          (col("d") * col("d")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as("__den"),
+      max(col("n_buckets")).as("n_buckets"))
+    dev.select(col("t"), col("d"))
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("t2", col("t") + col("lag"))
+      .join(dev.select(col("t").as("t2"), col("d").as("d2")), Seq("t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        aggregate(
+          sort_array(collect_list(struct(col("t"),
+            (col("d") * col("d2")).as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("__num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag").cast(LongType).as("lag"), col("n_pairs"),
+        col("n_buckets"),
+        when(col("__den") === 0.0, lit(0.0))
+          .otherwise(col("__num") / col("__den")).as("acf"))
+  }
 }

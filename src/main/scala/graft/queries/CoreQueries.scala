@@ -838,6 +838,20 @@ object CoreQueries {
         .orderBy("t")
     }),
 
+    // sample ACF of the hourly value series at lags 1..24 — the
+    // periodicity diagnostic behind q_seasonal's period choice. Exact
+    // decimal buckets, one mean division, t-ordered double folds;
+    // gate face quantizes acf to ppb.
+    "q_acf" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      graft.operators.TimeSeries.autocorrelation(ev0, Q.usCol(ev0),
+        col("value"), bucketUs = 3600000000L, maxLag = 24)
+        .select(col("lag"), asLong(col("n_pairs")).as("n_pairs"),
+          asLong(col("n_buckets")).as("n_buckets"),
+          asLong(round(col("acf") * lit(1e9))).as("acf_ppb"))
+        .orderBy("lag")
+    }),
+
     // fixed-point integer PageRank over the supply DAG (supplier → part →
     // order; offsets keep the key spaces disjoint). Orders are dangling —
     // their mass redistributes uniformly — and every rank is exact
@@ -1658,6 +1672,32 @@ object CoreQueries {
     // decimal bucket sums → the same two offset RANGE windows for the
     // 2×m trend, phase/grand decimal means, identical division and
     // subtraction order.
+    // same bucket→mean→t-ordered-fold chain; list_reduce with no seed
+    // equals Spark's 0.0-seeded fold bitwise (0.0 + x is exact)
+    "q_acf" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 3600000000 AS t,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(sum(xd) AS DOUBLE) / count(*) AS m,
+        |    CAST(count(*) AS BIGINT) AS n_buckets FROM b),
+        |dd AS MATERIALIZED (SELECT t,
+        |    CAST(xd AS DOUBLE) - (SELECT m FROM st) AS d FROM b),
+        |den AS (SELECT COALESCE(list_reduce(
+        |    list(d * d ORDER BY t), (a, b) -> a + b), 0) AS den FROM dd),
+        |lags AS (SELECT unnest(range(1, 25)) AS lag),
+        |pr AS (SELECT l.lag, a.t, a.d AS d1, c.d AS d2
+        |  FROM lags l JOIN dd a ON TRUE JOIN dd c ON c.t = a.t + l.lag),
+        |nm AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_reduce(list(d1 * d2 ORDER BY t), (a, b) -> a + b) AS num
+        |  FROM pr GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  (SELECT n_buckets FROM st) AS n_buckets,
+        |  CAST(round((CASE WHEN (SELECT den FROM den) = 0 THEN 0
+        |    ELSE num / (SELECT den FROM den) END) * 1e9) AS BIGINT)
+        |    AS acf_ppb
+        |FROM nm ORDER BY lag""".stripMargin,
+
     "q_seasonal" ->
       """WITH b AS MATERIALIZED (
         |  SELECT epoch_us(ts) // 3600000000 AS t,

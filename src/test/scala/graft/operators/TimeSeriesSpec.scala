@@ -201,4 +201,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       TimeSeries.seasonalDecompose(df, col("us"), col("v"), 10L, 5)
     }
   }
+
+  private def acf(rows: Seq[(Long, Double)], maxLag: Int) = {
+    import org.apache.spark.sql.functions.col
+    TimeSeries.autocorrelation(rows.toDF("us", "v"), col("us"), col("v"),
+        bucketUs = 10L, maxLag = maxLag)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+  }
+
+  test("acf: alternating series, exact hand values") {
+    // x = [1,-1,1,-1]: mean 0, den 4; lag1 = -3/4, lag2 = +2/4
+    val got = acf(Seq((0L, 1.0), (10L, -1.0), (20L, 1.0), (30L, -1.0)),
+      maxLag = 2)
+    assert(got(1L) == ((3L, 4L, -0.75)))
+    assert(got(2L) == ((2L, 4L, 0.5)))
+  }
+
+  test("acf: gaps shrink n_pairs instead of fabricating zeros") {
+    // buckets 0,1,3 — lag 1 pairs only (0,1); lag 2 only (1,3)
+    val got = acf(Seq((0L, 2.0), (10L, 4.0), (30L, 8.0)), maxLag = 3)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(got.values.forall(_._2 == 3L))
+  }
+
+  test("acf: constant series scores zero by definition") {
+    val got = acf(Seq((0L, 5.0), (10L, 5.0), (20L, 5.0)), maxLag = 2)
+    assert(got(1L)._3 == 0.0 && got(2L)._3 == 0.0)
+  }
 }
