@@ -209,6 +209,42 @@ object SuffixDedup {
     * global `(doc_id, pos)` occurrence order (1 = the copy keep-first
     * retains).
     */
+  /** Document pairs `(id_a, id_b, n_shared)` connected by at least one
+    * duplicated gram — the edge list behind template-FAMILY resolution
+    * (feed it to `Dedup.connectedComponents`; a boilerplate header
+    * shared by 500 docs makes them one family even though no two are
+    * whole-document near-dups).
+    *
+    * Same two-stage shape as span detection, then pairing follows the
+    * `Dedup.winnowPairs` recipe: per gram the DISTINCT doc list,
+    * bucket-capped at `maxDocsPerGram` — a gram shared by more
+    * documents than the cap (universal boilerplate) is EXCLUDED rather
+    * than exploded into O(n²) pairs; lower the gram length or raise
+    * the cap deliberately, never implicitly.
+    */
+  def spanPairs(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    val g = grams(docs, idCol, textCol, minLen)
+    val dupHash = g.groupBy(col("h")).agg(count(lit(1)).as("__nh"))
+      .filter(col("__nh") >= 2L).select(col("h"))
+    val docGrams = g.join(dupHash, Seq("h"))
+      .select(col("gram"), col("doc_id")).distinct()
+    docGrams
+      .withColumn("__nd",
+        count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Every L-gram start position: `(doc_id, pos, gram, h)`. */
   private def grams(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame =

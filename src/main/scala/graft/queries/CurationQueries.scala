@@ -180,6 +180,18 @@ object CurationQueries {
           asLong(col("n_dims")).as("n_dims"), col("drift_num"))
         .orderBy("group")),
 
+    // template-family resolution: docs connected by any shared
+    // duplicated 25-gram (bucket-capped pair generation) collapse into
+    // min-label components — the "same boilerplate family" signal that
+    // pairwise whole-doc near-dup scoring misses.
+    "q_suffix_families" -> ((s, dir) => {
+      val pairs = graft.operators.SuffixDedup.spanPairs(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 25)
+      graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+        .orderBy("id")
+    }),
+
     // the deduplicated corpus ITSELF under keep-first: per doc, the
     // text with redundant spans spliced out (one gap-concat expression
     // over the sorted span array) — the oracle rebuilds every kept
@@ -304,6 +316,31 @@ object CurationQueries {
         |WHERE s.grp <> 0
         |GROUP BY s.grp, ns.n
         |ORDER BY "group"""".stripMargin,
+
+    // doc-gram pairs (≥2 distinct docs, ≤1000 cap) → symmetric edges →
+    // recursive-CTE reachability with min-label (the q_cc_components
+    // oracle shape, UNION-dedup bounds the row space)
+    "q_suffix_families" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
+        |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     // keep-first span chain → per-gap segment rows (lag for interior
     // gaps, max-end for the tail) → ordered string_agg rebuilds each

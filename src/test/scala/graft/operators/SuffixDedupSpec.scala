@@ -172,6 +172,36 @@ class SuffixDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("spanPairs: shared phrases connect docs, transitively distinct") {
+    val X = "SHARED-PHRASE-X!"
+    val Y = "COMMON-SEGMENT-Y"
+    val docs = Seq(
+      (1L, "abcdefghij" + X + "klmnopqrst"),
+      (2L, "uvwxyz0123" + X + Y + "4567"),
+      (3L, "ABCDEFGHIJ" + Y + "KLMNOPQRST"))
+    val got = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // 7 interior 10-grams of each 16-char phrase; no (1,3) edge
+    assert(got == Set((1L, 2L, 7L), (2L, 3L, 7L)))
+  }
+
+  test("spanPairs: the docs-per-gram cap excludes universal boilerplate") {
+    val Z = "BOILERPLATE-RUN!"
+    val docs = Seq(
+      (5L, "aaaaabbbbb" + Z + "cccccddddd"),
+      (6L, "eeeeefffff" + Z + "ggggghhhhh"),
+      (7L, "iiiiijjjjj" + Z + "kkkkklllll"))
+    val capped = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10, maxDocsPerGram = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.isEmpty)
+    val full = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(full == Set((5L, 6L, 7L), (5L, 7L, 7L), (6L, 7L, 7L)))
+  }
+
   test("incremental: batch spans against an indexed corpus") {
     val phrase = "shared phrase here"
     val corpus = Seq(
