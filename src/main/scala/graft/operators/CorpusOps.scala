@@ -852,4 +852,74 @@ object CorpusOps {
         col("mad4").cast("double").as("mad4"),
         (lit(2) * col("__dev2") > lit(k) * col("mad4")).as("is_outlier"))
   }
+
+  /** Per-group Gini concentration of a non-negative integer measure —
+    * "is this source's size (or length, or token mass) dominated by a
+    * few items?", the balance check a mixture designer runs beside
+    * [[Stratified.allocate]]. Exact-integer evidence: with the group's
+    * values sorted ascending (rank r, ties interchangeable — equal
+    * values contribute identically whichever rank they take),
+    * {{{
+    *   gini_num = 2·Σ r·x_r − (n+1)·Σ x,   gini_den = n·Σ x,
+    *   gini     = gini_num / gini_den      (ONE exact IEEE division)
+    * }}}
+    * 0 = perfectly even, → 1 = one item holds everything. One window
+    * rank + one map-side-combined aggregation per group.
+    *
+    * Output: `(group, n_items, sum_val, gini_num, gini_den, gini)`.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("group"),
+        col(valCol).cast(LongType).as("__x"))
+      .filter(col("__x").isNotNull && col("__x") >= 0L)
+    base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("group").orderBy(col("__x"))))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_items"), sum(col("__x")).as("sum_val"),
+        sum(col("__r") * col("__x")).as("__rx"))
+      .select(col("group"), col("n_items"), col("sum_val"),
+        (lit(2L) * col("__rx") - (col("n_items") + 1L) * col("sum_val"))
+          .as("gini_num"),
+        (col("n_items") * col("sum_val")).as("gini_den"),
+        when(col("sum_val") === 0L, lit(0.0))
+          .otherwise(
+            (lit(2L) * col("__rx") - (col("n_items") + 1L) * col("sum_val"))
+              .cast(org.apache.spark.sql.types.DoubleType) /
+              (col("n_items") * col("sum_val"))
+                .cast(org.apache.spark.sql.types.DoubleType))
+          .as("gini"))
+  }
+
+  /** Per-group trimmed mean of a ≤4-decimal measure: drop the lowest
+    * and highest `⌊n·trimPpm/1e6⌋` values (integer-exact cut points,
+    * value-ties broken by rank so both engines cut identically — equal
+    * values are interchangeable anyway), exact DECIMAL sum over the
+    * kept middle, ONE division at the edge. The robust location
+    * estimate that survives the corrupted-length outliers
+    * [[madOutliers]] flags.
+    *
+    * Output: `(group, n_items, n_kept, trimmed_mean)`.
+    */
+  def trimmedMeanByGroup(df: DataFrame, groupCol: String, valCol: String,
+      trimPpm: Long = 100000L): DataFrame = {
+    require(trimPpm >= 0L && trimPpm < 500000L,
+      s"trimPpm must be in [0, 500000), got $trimPpm")
+    val base = df.select(col(groupCol).as("group"),
+        col(valCol).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("__x"))
+      .filter(col("__x").isNotNull)
+    base
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("group").orderBy(col("__x"))))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("group")))
+      .withColumn("__cut", expr(s"(__n * ${trimPpm}L) div 1000000L"))
+      .filter(col("__r") > col("__cut") && col("__r") <= col("__n") - col("__cut"))
+      .groupBy(col("group"))
+      .agg(max(col("__n")).as("n_items"), count(lit(1)).as("n_kept"),
+        (sum(col("__x")).cast(org.apache.spark.sql.types.DoubleType) /
+          count(lit(1)).cast(org.apache.spark.sql.types.DoubleType))
+          .as("trimmed_mean"))
+  }
 }

@@ -168,6 +168,29 @@ object CurationQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // per-source Gini concentration of doc lengths: exact-integer
+    // evidence (2Σr·x − (n+1)Σx over the sorted ranks; ties are
+    // rank-interchangeable) plus the single-division double — the
+    // balance check beside Hamilton allocation.
+    "q_gini" -> ((s, dir) =>
+      graft.operators.CorpusOps.giniByGroup(
+        t(s, dir, "documents"), "source", "n_chars")
+        .select(col("group"), asLong(col("n_items")).as("n_items"),
+          asLong(col("sum_val")).as("sum_val"),
+          asLong(col("gini_num")).as("gini_num"),
+          asLong(col("gini_den")).as("gini_den"), col("gini"))
+        .orderBy("group")),
+
+    // per-source 10%-trimmed mean length: integer-exact cut points,
+    // exact decimal sum over the kept middle, one division — the
+    // robust location estimate beside q_mad_outliers.
+    "q_trimmed_mean" -> ((s, dir) =>
+      graft.operators.CorpusOps.trimmedMeanByGroup(
+        t(s, dir, "documents"), "source", "n_chars")
+        .select(col("group"), asLong(col("n_items")).as("n_items"),
+          asLong(col("n_kept")).as("n_kept"), col("trimmed_mean"))
+        .orderBy("group")),
+
     // embedding-space drift: per label, the scaled squared distance of
     // its centroid from label-0's — quantized coordinates, exact
     // BIGINT sums, DECIMAL(38,0) cross-multiplied evidence; catches the
@@ -289,6 +312,39 @@ object CurationQueries {
     "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
 
     "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
+
+    "q_gini" ->
+      """WITH b AS (SELECT source AS "group", CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0),
+        |r AS (SELECT "group", x, row_number() OVER (
+        |    PARTITION BY "group" ORDER BY x) AS r FROM b),
+        |a AS (SELECT "group", CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(x) AS BIGINT) AS sum_val,
+        |    CAST(sum(r * x) AS BIGINT) AS rx
+        |  FROM r GROUP BY 1)
+        |SELECT "group", n_items, sum_val,
+        |  CAST(2 * rx - (n_items + 1) * sum_val AS BIGINT) AS gini_num,
+        |  CAST(n_items * sum_val AS BIGINT) AS gini_den,
+        |  CASE WHEN sum_val = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(2 * rx - (n_items + 1) * sum_val AS DOUBLE)
+        |      / CAST(n_items * sum_val AS DOUBLE) END AS gini
+        |FROM a ORDER BY "group"""".stripMargin,
+
+    "q_trimmed_mean" ->
+      """WITH b AS (SELECT source AS "group",
+        |    CAST(n_chars AS DECIMAL(18,4)) AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT "group", x,
+        |    row_number() OVER (PARTITION BY "group" ORDER BY x) AS r,
+        |    count(*) OVER (PARTITION BY "group") AS n FROM b),
+        |k AS (SELECT "group", x, n FROM r
+        |  WHERE r > (n * 100000) // 1000000
+        |    AND r <= n - (n * 100000) // 1000000)
+        |SELECT "group", CAST(max(n) AS BIGINT) AS n_items,
+        |  CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS trimmed_mean
+        |FROM k GROUP BY 1 ORDER BY "group"""".stripMargin,
 
     // same quantize → BIGINT sums → HUGEINT cross-multiply chain; the
     // final CAST to DECIMAL(38,0) matches Spark's decimal output type

@@ -468,4 +468,29 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("A", "C", 3L, 2L, 0L, 0.0, 0.0, 0.0),
       ("B", "C", 3L, 2L, 0L, 0.0, 0.0, 0.0)))
   }
+
+  test("gini: even group scores 0, concentrated group 2/3, empty-mass 0") {
+    val df = Seq(("a", 1L), ("a", 1L), ("a", 1L),
+      ("b", 0L), ("b", 0L), ("b", 10L),
+      ("z", 0L), ("z", 0L)).toDF("source", "v")
+    val got = CorpusOps.giniByGroup(df, "source", "v")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 3L, 3L, 0L, 9L, 0.0),
+      // rx = 30, num = 60 − 40 = 20, den = 30
+      ("b", 3L, 10L, 20L, 30L, 20.0 / 30.0),
+      ("z", 2L, 0L, 0L, 0L, 0.0)))
+  }
+
+  test("trimmed mean drops exactly the floor(n·p) tails per side") {
+    val df = ((1L to 9L) :+ 1000L).map(("s", _)).toDF("source", "v")
+    val got = CorpusOps.trimmedMeanByGroup(df, "source", "v")
+      .as[(String, Long, Long, Double)].collect().toSet
+    // n = 10, cut = 1 per side → keep ranks 2..9 = values 2..9
+    assert(got == Set(("s", 10L, 8L, 5.5)))
+    val untrimmed = CorpusOps.trimmedMeanByGroup(df, "source", "v",
+        trimPpm = 0L)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(untrimmed == Set(("s", 10L, 10L, 104.5)))
+  }
 }
