@@ -377,7 +377,12 @@ object Graph {
     val und = half
       .unionByName(half.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .localCheckpoint(true) // standing layout for every round's join
+      // hash(b) is the per-round join key: checkpointing THIS layout
+      // (distinct alone would leave hash(a,b)) lets every round's
+      // edge⋈label join reuse it, so only the label side — 16-byte
+      // rows — shuffles after round 0
+      .repartition(col("b"))
+      .localCheckpoint(true)
     var labels = und.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint(true)
