@@ -892,6 +892,59 @@ object CorpusOps {
           .as("gini"))
   }
 
+  /** Quantile normalization of a per-group score onto the GLOBAL
+    * distribution — the cross-domain calibration step before a single
+    * threshold is applied to quality scores from differently-scaled
+    * sources (a 0.9 from a lenient scorer and a 0.6 from a harsh one
+    * land on comparable global quantiles).
+    *
+    * Each row's within-group percentile maps to the global value at
+    * the same percentile. All arithmetic is integer-exact: with
+    * within-group rank r of n (ties broken by `idCol`, so both engines
+    * rank identically — equal values map to equal targets anyway) and
+    * N global rows, the target global rank is round-half-up of
+    * `1 + (r−1)(N−1)/(n−1)` computed as
+    * `1 + (2(r−1)(N−1) + (n−1)) div (2(n−1))`; a singleton group maps
+    * to the global median rank `1 + (N−1) div 2`.
+    *
+    * Shuffle shape: one window per group, one global rank window (the
+    * one inherently-global sort — same cost class as
+    * [[globalRank:*]]-style ops), one join on the integer target rank.
+    *
+    * Output: `(id, group, val, src_rank, n_group, target_rank,
+    * norm_val)`.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("group"),
+        col(valCol).cast(LongType).as("val"))
+      .filter(col("val").isNotNull)
+    val ranked = base
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy("group").orderBy(col("val"), col("id"))))
+      .withColumn("n_group",
+        count(lit(1)).over(Window.partitionBy("group")))
+    val globalSorted = base
+      .select(col("val").as("norm_val"))
+      .withColumn("target_rank", row_number().over(
+        Window.orderBy(col("norm_val"))))
+      .withColumn("__n_total", count(lit(1)).over())
+    val nTotal = globalSorted.agg(max(col("__n_total")).as("n_total"))
+    ranked.crossJoin(broadcast(nTotal))
+      // `div`, not `/`: Spark's `/` is true division even on longs
+      .withColumn("target_rank",
+        when(col("n_group") === 1L,
+          expr("1L + (n_total - 1L) div 2L"))
+          .otherwise(expr(
+            "1L + (2L * (CAST(src_rank AS BIGINT) - 1L) * (n_total - 1L)" +
+              " + (n_group - 1L)) div (2L * (n_group - 1L))")))
+      .join(globalSorted.select(col("target_rank"), col("norm_val")),
+        Seq("target_rank"))
+      .select(col("id"), col("group"), col("val"),
+        col("src_rank"), col("n_group"), col("target_rank"),
+        col("norm_val"))
+  }
+
   /** Per-group trimmed mean of a ≤4-decimal measure: drop the lowest
     * and highest `⌊n·trimPpm/1e6⌋` values (integer-exact cut points,
     * value-ties broken by rank so both engines cut identically — equal

@@ -348,4 +348,75 @@ object TimeSeries {
         when(col("__den") === 0.0, lit(0.0))
           .otherwise(col("__num") / col("__den")).as("acf"))
   }
+
+  /** Sample cross-correlation between two bucketed series at lags
+    * `-maxLag..maxLag` — the lead–lag diagnostic ("do purchases follow
+    * views by ~2 hours?"):
+    * {{{
+    *   r_l = Σ_t (a_t − m_a)(b_{t+l} − m_b)
+    *         / sqrt( Σ_t (a_t − m_a)² · Σ_t (b_t − m_b)² )
+    * }}}
+    * positive lag = `b` trails `a`. Same contract as
+    * [[autocorrelation]]: observed-bucket pairs only, n-denominator
+    * moments over all observed buckets of each series, a constant
+    * series scores 0, t-ordered folds + exactly-rounded IEEE sqrt so
+    * the ppb-quantized gate hash-compares.
+    *
+    * Inputs are pre-filtered frames of the SAME event table (or any
+    * two frames with a µs column and a ≤4-decimal value column).
+    * Output: `(lag, n_pairs, n_a, n_b, ccf)`.
+    */
+  def crossCorrelation(a: DataFrame, aUs: org.apache.spark.sql.Column,
+      aVal: org.apache.spark.sql.Column, b: DataFrame,
+      bUs: org.apache.spark.sql.Column, bVal: org.apache.spark.sql.Column,
+      bucketUs: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 1000,
+      s"maxLag must be in [1,1000], got $maxLag")
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    def dev(df: DataFrame, us: org.apache.spark.sql.Column,
+        v: org.apache.spark.sql.Column, nOut: String): DataFrame = {
+      val buckets = df
+        .withColumn("__us", us.cast(LongType))
+        .withColumn("__v", v.cast(DecimalType(18, 4)))
+        .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+        .groupBy(col("t"))
+        .agg(sum(col("__v")).as("__xd"))
+        .localCheckpoint(true) // one raw pass per side
+      val stats = buckets.agg(
+        (sum(col("__xd")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("__m"),
+        count(lit(1)).as(nOut))
+      buckets.crossJoin(broadcast(stats))
+        .select(col("t"),
+          (col("__xd").cast(DoubleType) - col("__m")).as("d"), col(nOut))
+    }
+    def sq(df: DataFrame, out: String): DataFrame = df.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("t"),
+          (col("d") * col("d")).as("v")))),
+        lit(0.0), (acc, x) => acc + x.getField("v")).as(out))
+    val da = dev(a, aUs, aVal, "n_a")
+    val db = dev(b, bUs, bVal, "n_b")
+    val den = sq(da, "__da").crossJoin(sq(db, "__db"))
+      .select(sqrt(col("__da") * col("__db")).as("__den"))
+    val nA = da.agg(max(col("n_a")).as("n_a"))
+    val nB = db.agg(max(col("n_b")).as("n_b"))
+    da.select(col("t"), col("d"))
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("t2", col("t") + col("lag"))
+      .join(db.select(col("t").as("t2"), col("d").as("d2")), Seq("t2"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        aggregate(
+          sort_array(collect_list(struct(col("t"),
+            (col("d") * col("d2")).as("v")))),
+          lit(0.0), (acc, x) => acc + x.getField("v")).as("__num"))
+      .crossJoin(broadcast(den))
+      .crossJoin(broadcast(nA))
+      .crossJoin(broadcast(nB))
+      .select(col("lag").cast(LongType).as("lag"), col("n_pairs"),
+        col("n_a"), col("n_b"),
+        when(col("__den") === 0.0, lit(0.0))
+          .otherwise(col("__num") / col("__den")).as("ccf"))
+  }
 }

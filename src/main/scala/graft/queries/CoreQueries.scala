@@ -852,6 +852,26 @@ object CoreQueries {
         .orderBy("lag")
     }),
 
+    // lead–lag cross-correlation between the hourly purchase-value and
+    // view-value series at lags −6..6 (positive lag = views trail
+    // purchases): same exact-decimal buckets, one mean division per
+    // side, t-ordered folds, exactly-rounded sqrt; ccf quantized to
+    // ppb at the gate.
+    "q_ccf" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val withUs = ev0.withColumn("__eus", Q.usCol(ev0))
+      graft.operators.TimeSeries.crossCorrelation(
+        withUs.filter(col("event_type") === "purchase"), col("__eus"),
+        col("value"),
+        withUs.filter(col("event_type") === "view"), col("__eus"),
+        col("value"),
+        bucketUs = 3600000000L, maxLag = 6)
+        .select(col("lag"), asLong(col("n_pairs")).as("n_pairs"),
+          asLong(col("n_a")).as("n_a"), asLong(col("n_b")).as("n_b"),
+          asLong(round(col("ccf") * lit(1e9))).as("ccf_ppb"))
+        .orderBy("lag")
+    }),
+
     // fixed-point integer PageRank over the supply DAG (supplier → part →
     // order; offsets keep the key spaces disjoint). Orders are dangling —
     // their mass redistributes uniformly — and every rank is exact
@@ -1672,6 +1692,44 @@ object CoreQueries {
     // decimal bucket sums → the same two offset RANGE windows for the
     // 2×m trend, phase/grand decimal means, identical division and
     // subtraction order.
+    // two per-side bucket→mean chains, shared-fold numerator, sqrt of
+    // the product of the two t-ordered sums of squares
+    "q_ccf" ->
+      """WITH a0 AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 3600000000 AS t,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |b0 AS MATERIALIZED (
+        |  SELECT epoch_us(ts) // 3600000000 AS t,
+        |    sum(CAST(value AS DECIMAL(18,4))) AS xd
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |sa AS (SELECT CAST(sum(xd) AS DOUBLE) / count(*) AS m,
+        |    CAST(count(*) AS BIGINT) AS n FROM a0),
+        |sb AS (SELECT CAST(sum(xd) AS DOUBLE) / count(*) AS m,
+        |    CAST(count(*) AS BIGINT) AS n FROM b0),
+        |da AS MATERIALIZED (SELECT t,
+        |    CAST(xd AS DOUBLE) - (SELECT m FROM sa) AS d FROM a0),
+        |db AS MATERIALIZED (SELECT t,
+        |    CAST(xd AS DOUBLE) - (SELECT m FROM sb) AS d FROM b0),
+        |qa AS (SELECT COALESCE(list_reduce(
+        |    list(d * d ORDER BY t), (x, y) -> x + y), 0) AS s FROM da),
+        |qb AS (SELECT COALESCE(list_reduce(
+        |    list(d * d ORDER BY t), (x, y) -> x + y), 0) AS s FROM db),
+        |den AS (SELECT sqrt((SELECT s FROM qa) * (SELECT s FROM qb))
+        |    AS den),
+        |lags AS (SELECT unnest(range(-6, 7)) AS lag),
+        |pr AS (SELECT l.lag, a.t, a.d AS d1, c.d AS d2
+        |  FROM lags l JOIN da a ON TRUE JOIN db c ON c.t = a.t + l.lag),
+        |nm AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    list_reduce(list(d1 * d2 ORDER BY t), (x, y) -> x + y) AS num
+        |  FROM pr GROUP BY lag)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  (SELECT n FROM sa) AS n_a, (SELECT n FROM sb) AS n_b,
+        |  CAST(round((CASE WHEN (SELECT den FROM den) = 0 THEN 0
+        |    ELSE num / (SELECT den FROM den) END) * 1e9) AS BIGINT)
+        |    AS ccf_ppb
+        |FROM nm ORDER BY lag""".stripMargin,
+
     // same bucket→mean→t-ordered-fold chain; list_reduce with no seed
     // equals Spark's 0.0-seeded fold bitwise (0.0 + x is exact)
     "q_acf" ->

@@ -191,6 +191,20 @@ object CurationQueries {
           asLong(col("n_kept")).as("n_kept"), col("trimmed_mean"))
         .orderBy("group")),
 
+    // cross-source quantile normalization of doc length onto the
+    // global distribution: integer-exact percentile→rank mapping
+    // (round-half-up via 2x-scaled div), so a harsh source's scores
+    // become globally comparable before one threshold is applied.
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.operators.CorpusOps.quantileNormalize(
+        t(s, dir, "documents"), "source", "doc_id", "n_chars")
+        .select(col("id"), col("group"), asLong(col("val")).as("val"),
+          asLong(col("src_rank")).as("src_rank"),
+          asLong(col("n_group")).as("n_group"),
+          asLong(col("target_rank")).as("target_rank"),
+          asLong(col("norm_val")).as("norm_val"))
+        .orderBy("id")),
+
     // embedding-space drift: per label, the scaled squared distance of
     // its centroid from label-0's — quantized coordinates, exact
     // BIGINT sums, DECIMAL(38,0) cross-multiplied evidence; catches the
@@ -312,6 +326,34 @@ object CurationQueries {
     "q_suffix_strip" -> suffixStripSql(SuffixSpanCte),
 
     "q_suffix_keepfirst" -> suffixStripSql(suffixSpanCte(keepFirst = true)),
+
+    // norm_val is deterministic even though global row_number breaks
+    // value-ties arbitrarily: every rank inside a tie block carries the
+    // same value, and target_rank itself is a pure integer formula
+    "q_quantile_norm" ->
+      """WITH b AS (SELECT doc_id AS id, source AS "group",
+        |    CAST(n_chars AS BIGINT) AS val
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT id, "group", val,
+        |    row_number() OVER (PARTITION BY "group" ORDER BY val, id)
+        |      AS src_rank,
+        |    count(*) OVER (PARTITION BY "group") AS n_group FROM b),
+        |g AS (SELECT val AS norm_val,
+        |    row_number() OVER (ORDER BY val) AS target_rank FROM b),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+        |tr AS (SELECT id, "group", val,
+        |    CAST(src_rank AS BIGINT) AS src_rank,
+        |    CAST(n_group AS BIGINT) AS n_group,
+        |    CASE WHEN n_group = 1
+        |      THEN 1 + ((SELECT n_total FROM nt) - 1) // 2
+        |      ELSE 1 + (2 * (src_rank - 1) * ((SELECT n_total FROM nt) - 1)
+        |        + (n_group - 1)) // (2 * (n_group - 1)) END AS target_rank
+        |  FROM r)
+        |SELECT t.id, t."group", t.val, t.src_rank, t.n_group,
+        |  CAST(t.target_rank AS BIGINT) AS target_rank,
+        |  CAST(g.norm_val AS BIGINT) AS norm_val
+        |FROM tr t JOIN g ON g.target_rank = t.target_rank
+        |ORDER BY t.id""".stripMargin,
 
     "q_gini" ->
       """WITH b AS (SELECT source AS "group", CAST(n_chars AS BIGINT) AS x

@@ -482,6 +482,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("z", 2L, 0L, 0L, 0L, 0.0)))
   }
 
+  test("quantile normalization maps group percentiles onto global values") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L),
+      (3L, "b", 5L), (4L, "b", 6L), (5L, "b", 7L))
+      .toDF("doc_id", "source", "v")
+    val got = CorpusOps.quantileNormalize(df, "source", "doc_id", "v")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    // global sorted = [5,6,7,10,20]; endpoints map to endpoints, b's
+    // median maps to the global median
+    assert(got == Set(
+      (1L, "a", 10L, 1L, 2L, 1L, 5L),
+      (2L, "a", 20L, 2L, 2L, 5L, 20L),
+      (3L, "b", 5L, 1L, 3L, 1L, 5L),
+      (4L, "b", 6L, 2L, 3L, 3L, 7L),
+      (5L, "b", 7L, 3L, 3L, 5L, 20L)))
+  }
+
+  test("quantile normalization: a singleton group lands on the median") {
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (9L, "s", 999L))
+      .toDF("doc_id", "source", "v")
+    val got = CorpusOps.quantileNormalize(df, "source", "doc_id", "v")
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10L, 1L, 2L, 1L, 10L),
+      (2L, "a", 20L, 2L, 2L, 3L, 999L),
+      (9L, "s", 999L, 1L, 1L, 2L, 20L)))
+  }
+
   test("trimmed mean drops exactly the floor(n·p) tails per side") {
     val df = ((1L to 9L) :+ 1000L).map(("s", _)).toDF("source", "v")
     val got = CorpusOps.trimmedMeanByGroup(df, "source", "v")

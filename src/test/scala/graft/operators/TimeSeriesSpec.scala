@@ -229,4 +229,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     val got = acf(Seq((0L, 5.0), (10L, 5.0), (20L, 5.0)), maxLag = 2)
     assert(got(1L)._3 == 0.0 && got(2L)._3 == 0.0)
   }
+
+  private def ccf(a: Seq[(Long, Double)], b: Seq[(Long, Double)],
+      maxLag: Int) = {
+    import org.apache.spark.sql.functions.col
+    TimeSeries.crossCorrelation(
+        a.toDF("us", "v"), col("us"), col("v"),
+        b.toDF("us", "v"), col("us"), col("v"),
+        bucketUs = 10L, maxLag = maxLag)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._5)).toMap
+  }
+
+  test("ccf: a series perfectly trailing by one bucket peaks at lag +1") {
+    val a = Seq((0L, 1.0), (10L, 2.0), (20L, 3.0), (30L, 4.0))
+    val b = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0), (40L, 4.0))
+    val got = ccf(a, b, maxLag = 2)
+    assert(got(1L) == ((4L, 1.0))) // all four pairs line up exactly
+    assert(got(0L) == ((3L, 0.25))) // hand-computed partial overlap
+  }
+
+  test("ccf: a constant side scores zero everywhere") {
+    val a = Seq((0L, 1.0), (10L, 2.0), (20L, 3.0))
+    val b = Seq((0L, 7.0), (10L, 7.0), (20L, 7.0))
+    val got = ccf(a, b, maxLag = 1)
+    assert(got.values.forall(_._2 == 0.0))
+  }
 }
