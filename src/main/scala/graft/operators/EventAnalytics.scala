@@ -79,6 +79,50 @@ object EventAnalytics {
         steps.indices.map(i => col(s"t_${i + 1}"))): _*)
   }
 
+  /** Per-type burstiness (Fano factor) of event arrivals over fixed
+    * time buckets: with T buckets spanning the GLOBAL observed range
+    * (empty buckets count as zero — that's where burstiness lives) and
+    * per-bucket counts c_t,
+    * {{{
+    *   fano = Var(c)/Mean(c) = (T·Σc² − (Σc)²) / (T·Σc)
+    * }}}
+    * 1 ≈ Poisson arrivals, > 1 bursty, < 1 regular — the stream-health
+    * check run before sizing streaming state stores. Entirely
+    * exact-integer evidence plus ONE IEEE division; one
+    * map-side-combined (type, bucket) count pass, everything after on
+    * the tiny profile.
+    *
+    * Output: `(event_type, n_events, t_span, sum_sq, fano_num,
+    * fano_den, fano)`.
+    */
+  def burstiness(events: DataFrame, typeCol: String, tsCol: String,
+      bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val buckets = events
+      .select(col(typeCol).as("event_type"),
+        col(tsCol).cast(LongType).as("__us"))
+      .selectExpr("event_type", s"__us div ${bucketUs}L as t")
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // types × buckets profile, one raw pass
+    val span = buckets.agg(
+      (max(col("t")) - min(col("t")) + lit(1L)).as("t_span"))
+    buckets.groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), col("n_events"), col("t_span"),
+        col("sum_sq"),
+        (col("t_span") * col("sum_sq") - col("n_events") * col("n_events"))
+          .as("fano_num"),
+        (col("t_span") * col("n_events")).as("fano_den"),
+        ((col("t_span") * col("sum_sq") -
+          col("n_events") * col("n_events")).cast(
+            org.apache.spark.sql.types.DoubleType) /
+          (col("t_span") * col("n_events")).cast(
+            org.apache.spark.sql.types.DoubleType)).as("fano"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * each user's events in strict `(ts, id)` order form consecutive
     * `(from_type, to_type)` pairs, aggregated corpus-wide to counts and

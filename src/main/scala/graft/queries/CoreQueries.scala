@@ -688,6 +688,21 @@ object CoreQueries {
 
     // cohort retention matrix: first-event-day cohorts × day offsets,
     // distinct users — two bounded-key shuffles, no window, no self-join
+    // per-type arrival burstiness (Fano factor) over hourly buckets,
+    // empty buckets counted across the global observed span — pure
+    // integer evidence (T·Σc² − (Σc)²) plus one division.
+    "q_burstiness" -> ((s, dir) =>
+      graft.operators.EventAnalytics.burstiness(
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev)) },
+        "event_type", "us", bucketUs = 3600000000L)
+        .select(col("event_type"), asLong(col("n_events")).as("n_events"),
+          asLong(col("t_span")).as("t_span"),
+          asLong(col("sum_sq")).as("sum_sq"),
+          asLong(col("fano_num")).as("fano_num"),
+          asLong(col("fano_den")).as("fano_den"), col("fano"))
+        .orderBy("event_type")),
+
     // first-order Markov next-event matrix: per-user strict
     // (ts, event_id)-ordered consecutive pairs → corpus-wide counts and
     // row-normalized probabilities (one exact division each) — the
@@ -1335,6 +1350,26 @@ object CoreQueries {
     "q_lpa_communities" -> lpaOracle(rounds = 4),
 
     "q_modularity" -> modularityOracle(rounds = 4),
+
+    "q_burstiness" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS t,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT CAST(max(t) - min(t) + 1 AS BIGINT) AS t_span
+        |  FROM b),
+        |a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_sq
+        |  FROM b GROUP BY 1)
+        |SELECT event_type, n_events, (SELECT t_span FROM sp) AS t_span,
+        |  sum_sq,
+        |  CAST((SELECT t_span FROM sp) * sum_sq - n_events * n_events
+        |    AS BIGINT) AS fano_num,
+        |  CAST((SELECT t_span FROM sp) * n_events AS BIGINT) AS fano_den,
+        |  CAST((SELECT t_span FROM sp) * sum_sq - n_events * n_events
+        |      AS DOUBLE)
+        |    / CAST((SELECT t_span FROM sp) * n_events AS DOUBLE) AS fano
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // identical matrix to q_transitions on the streamed slice — the
     // equality IS the cross-batch-state correctness statement

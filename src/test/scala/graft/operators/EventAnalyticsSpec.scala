@@ -95,6 +95,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got == Set(("a", "b", 1L, 1L, 1.0)))
   }
 
+  test("burstiness: regular arrivals score 0, bursty arrivals > 1") {
+    // global span = buckets 0..3 (T = 4)
+    // x: one event per bucket, c = [1,1,1,1] → num = 4·4 − 16 = 0
+    // y: c = [3,0,0,1] → Σc = 4, Σc² = 10 → num = 40 − 16 = 24, den 16
+    val ev = Seq(
+      (10L, "x"), (110L, "x"), (210L, "x"), (310L, "x"),
+      (1L, "y"), (2L, "y"), (3L, "y"), (399L, "y"))
+      .toDF("us", "et")
+    val got = EventAnalytics.burstiness(ev, "et", "us", bucketUs = 100L)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("x") == (("x", 4L, 4L, 4L, 0L, 16L, 0.0)))
+    assert(got("y") == (("y", 4L, 4L, 10L, 24L, 16L, 1.5)))
+  }
+
   test("transition matrix: users never mix") {
     val ev = Seq((1L, 1L, 10L, "x"), (2L, 2L, 20L, "y"))
       .toDF("user_id", "event_id", "us", "et")
