@@ -229,6 +229,29 @@ object CurationQueries {
         .orderBy("id")
     }),
 
+    // leakage-safe split assignment: the WHOLE template family lands
+    // in one split (split = hash of the family's min-label, docs with
+    // no family are their own), so near-identical docs can never
+    // straddle train/test — the group-aware split decontamination
+    // best practice, as a first-class face.
+    "q_family_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.operators.SuffixDedup.spanPairs(
+        docs, "doc_id", "text", minLen = 25)
+      val fams = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a"), col("id_b")))
+        .withColumnRenamed("id", "doc_id")
+      val withFam = docs.select(col("doc_id"))
+        .join(fams, Seq("doc_id"), "left")
+        .withColumn("family", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), col("family"))
+      graft.operators.CorpusOps.splitAssign(withFam, "family",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+        .select(col("doc_id"), asLong(col("family")).as("family"),
+          col("split"))
+        .orderBy("doc_id")
+    }),
+
     // the deduplicated corpus ITSELF under keep-first: per doc, the
     // text with redundant spans spliced out (one gap-concat expression
     // over the sorted span array) — the oracle rebuilds every kept
@@ -414,6 +437,40 @@ object CurationQueries {
         |WHERE s.grp <> 0
         |GROUP BY s.grp, ns.n
         |ORDER BY "group"""".stripMargin,
+
+    // the family chain again, then the q_split_assign md5 rule keyed by
+    // the family label — every member of a family shares its bucket
+    "q_family_split" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id),
+        |alldocs AS (SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |  FROM documents d LEFT JOIN fam f USING (doc_id))
+        |SELECT doc_id, family,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id, family,
+        |    ('0x' || substr(md5(CAST(family AS VARCHAR)), 18, 15))::BIGINT
+        |      % 100 AS b
+        |  FROM alldocs)
+        |ORDER BY doc_id""".stripMargin,
 
     // doc-gram pairs (≥2 distinct docs, ≤1000 cap) → symmetric edges →
     // recursive-CTE reachability with min-label (the q_cc_components

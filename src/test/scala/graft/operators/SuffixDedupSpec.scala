@@ -202,6 +202,31 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(full == Set((5L, 6L, 7L), (5L, 7L, 7L), (6L, 7L, 7L)))
   }
 
+  test("family split: all members of a family share one split") {
+    val X = "SHARED-PHRASE-X!"
+    val docs = Seq(
+      (1L, "abcdefghij" + X + "klmnopqrst"),
+      (2L, "uvwxyz0123" + X + "45670123ab"),
+      (3L, "a doc with no duplicate at all"))
+    val pairs = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", minLen = 10)
+    val fams = Dedup.connectedComponents(
+      pairs.select($"id_a", $"id_b")).withColumnRenamed("id", "doc_id")
+    val withFam = docs.toDF("doc_id", "text").select($"doc_id")
+      .join(fams, Seq("doc_id"), "left")
+      .withColumn("family",
+        org.apache.spark.sql.functions.coalesce($"label", $"doc_id"))
+    val split = CorpusOps.splitAssign(
+        withFam.select($"doc_id", $"family"), "family",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select($"doc_id", $"family", $"split")
+      .as[(Long, Long, String)].collect()
+      .map { case (d, f, s) => d -> ((f, s)) }.toMap
+    assert(split(1L)._1 == 1L && split(2L)._1 == 1L)
+    assert(split(1L)._2 == split(2L)._2, "family must share a split")
+    assert(split(3L)._1 == 3L)
+  }
+
   test("incremental: batch spans against an indexed corpus") {
     val phrase = "shared phrase here"
     val corpus = Seq(
