@@ -907,9 +907,13 @@ object CorpusOps {
     * `1 + (2(r−1)(N−1) + (n−1)) div (2(n−1))`; a singleton group maps
     * to the global median rank `1 + (N−1) div 2`.
     *
-    * Shuffle shape: one window per group, one global rank window (the
-    * one inherently-global sort — same cost class as
-    * [[globalRank:*]]-style ops), one join on the integer target rank.
+    * Shuffle shape: one window per group for the source ranks; the
+    * GLOBAL rank side goes through [[prefixBefore]]'s two-phase prefix
+    * sum (bucket by approximate quantiles, tiny per-bucket totals to
+    * the driver, broadcast offsets back) — the same machinery as
+    * [[globalOrderIndex]], because `row_number() OVER (ORDER BY val)`
+    * is a single-partition sort at 100 TB; then one join on the
+    * integer target rank.
     *
     * Output: `(id, group, val, src_rank, n_group, target_rank,
     * norm_val)`.
@@ -924,12 +928,13 @@ object CorpusOps {
         Window.partitionBy("group").orderBy(col("val"), col("id"))))
       .withColumn("n_group",
         count(lit(1)).over(Window.partitionBy("group")))
-    val globalSorted = base
-      .select(col("val").as("norm_val"))
-      .withColumn("target_rank", row_number().over(
-        Window.orderBy(col("norm_val"))))
-      .withColumn("__n_total", count(lit(1)).over())
-    val nTotal = globalSorted.agg(max(col("__n_total")).as("n_total"))
+    // two-phase global rank; the id tiebreak only disambiguates equal
+    // values, whose target values are identical anyway
+    val globalSorted = prefixBefore(
+        base.select(col("id"), col("val").as("norm_val")),
+        "norm_val", lit(1L), "__idx", tiebreak = Some("id"))
+      .select((col("__idx") + 1L).as("target_rank"), col("norm_val"))
+    val nTotal = base.agg(count(lit(1)).as("n_total"))
     ranked.crossJoin(broadcast(nTotal))
       // `div`, not `/`: Spark's `/` is true division even on longs
       .withColumn("target_rank",

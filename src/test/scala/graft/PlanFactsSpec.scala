@@ -37,7 +37,7 @@ class PlanFactsSpec extends AnyFunSuite {
     "q_ewma", "q_rolling", "q_contrastive_pairs",
     "q_suffix_spans", "q_suffix_strip", "q_suffix_keepfirst",
     "q_suffix_incremental", "q_suffix_rewrite", "q_transitions",
-    "q_grouping_sets", "q_gini", "q_trimmed_mean", "q_quantile_norm")
+    "q_grouping_sets", "q_gini", "q_trimmed_mean")
 
   private case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
 
