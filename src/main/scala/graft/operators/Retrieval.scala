@@ -469,6 +469,56 @@ object Retrieval {
     * one row per query present in `truth`; a query missing from `run`
     * scores zeros.
     */
+  /** Truncated rank-biased overlap (Webber et al. 2010) between two
+    * top-k rankings — the rank-SENSITIVE agreement measure beside
+    * [[evalTopK]]'s set metrics: two lists that agree at the top score
+    * near 1 even if their tails diverge,
+    * {{{
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^{d−1} · |A_{1..d} ∩ B_{1..d}| / d
+    * }}}
+    * (no extrapolation term — the truncated form, so two identical
+    * lists score (1−p)·Σ p^{d−1} < 1 by design). A common item enters
+    * the overlap at depth max(rank_a, rank_b), so the depth profile is
+    * one `sequence(m, k)` explode over the |Q|·k-bounded common table —
+    * never a per-depth self-join. The d-ordered fold keeps the double
+    * deterministic; quantize to ppb at the gate (`pow` is libm
+    * territory). `1−p` is computed as a double SUBTRACTION on both
+    * engines so the weight matches bit-for-bit.
+    *
+    * Output: `(query_id, n_common, rbo)`, one row per query in `runA`.
+    */
+  def rankBiasedOverlap(runA: DataFrame, runB: DataFrame, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"p must be in (0,1), got $p")
+    val a = runA.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast(LongType).as("ra"))
+    val b = runB.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast(LongType).as("rb"))
+    val common = a.join(b, Seq("query_id", "neighbor_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val contrib = common
+      .withColumn("d", explode(sequence(col("m"), lit(k.toLong))))
+      .groupBy(col("query_id"), col("d"))
+      .agg(count(lit(1)).as("x"))
+    val grid = a.select(col("query_id")).distinct()
+      .withColumn("d", explode(sequence(lit(1L), lit(k.toLong))))
+      .join(contrib, Seq("query_id", "d"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+    grid
+      .withColumn("term",
+        pow(lit(p), col("d") - lit(1L)) * col("x") / col("d"))
+      .groupBy(col("query_id"))
+      .agg(max(col("x")).as("n_common"),
+        aggregate(
+          sort_array(collect_list(struct(col("d"), col("term")))),
+          lit(0.0), (acc, t) => acc + t.getField("term")).as("__s"))
+      .select(col("query_id"), col("n_common"),
+        ((lit(1.0) - lit(p)) * col("__s")).as("rbo"))
+  }
+
   def evalTopK(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tK = truth.filter(col("rank") <= k)

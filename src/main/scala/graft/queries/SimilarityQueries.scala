@@ -257,6 +257,25 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // rank-biased overlap between the brute-force and IVF top-10
+    // rankings (truncated RBO@10, p=0.9) — the rank-SENSITIVE agreement
+    // measure beside q_retrieval_eval's set metrics; ppb-quantized.
+    "q_rbo" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centIds = (0 until 8).map(_ * 7L)
+      val cents = e.filter(col("id").isin(centIds: _*)).orderBy("id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      val truth = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("id") < 5), e, 10)
+      val run = graft.operators.IvfAnn.ivfTopK(e.filter(col("id") < 5),
+        e, 10, nlist = 8, nprobe = 3, centroids = Some(cents))
+      graft.operators.Retrieval.rankBiasedOverlap(truth, run, k = 10)
+        .select(col("query_id"), asLong(col("n_common")).as("n_common"),
+          asLong(round(col("rbo") * lit(1e9))).as("rbo_ppb"))
+        .orderBy("query_id")
+    }),
+
     // MMR diversified retrieval: greedy λ=0.5 relevance-vs-redundancy
     // top-5 over a 20-candidate pool — near-dup-aware result lists.
     // Bounded pairwise table, kOut−1 join+window rounds, no driver loop
@@ -601,7 +620,74 @@ object SimilarityQueries {
          |  score FROM selu$kOut ORDER BY query_id, mmr_rank""".stripMargin
   }
 
+  /** Shared brute-force-truth + fixture-centroid-IVF-run CTE chain
+    * (ends with `truth` and `run`, both `(query_id, neighbor_id,
+    * rank)` top-10) — the common front of the retrieval-quality
+    * oracles (`q_retrieval_eval`, `q_rbo`).
+    */
+  private val TruthRunCte =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |bq AS (SELECT * FROM e WHERE vec_id < 5),
+      |bp AS (SELECT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_inner_product(bq.v, c.v) /
+      |    (sqrt(list_inner_product(bq.v, bq.v)) *
+      |     sqrt(list_inner_product(c.v, c.v))) AS sim
+      |  FROM bq JOIN e c ON c.vec_id <> bq.vec_id),
+      |truth AS (SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank FROM bp)
+      |  WHERE rank <= 10),
+      |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+      |    v AS c
+      |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
+      |d AS (SELECT e.vec_id, c.cell,
+      |    list_aggregate(list_transform(range(1, len(e.v) + 1),
+      |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
+      |  FROM e CROSS JOIN cents c),
+      |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+      |      AS rn FROM d) WHERE rn = 1),
+      |probes AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
+      |      AS rn FROM d WHERE vec_id < 5) WHERE rn <= 3),
+      |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+      |    list_inner_product(qe.v, ce.v) /
+      |    (sqrt(list_inner_product(qe.v, qe.v)) *
+      |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
+      |  FROM probes p
+      |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+      |  JOIN e qe ON qe.vec_id = p.vec_id
+      |  JOIN e ce ON ce.vec_id = a.vec_id),
+      |run AS (SELECT query_id, neighbor_id, rank FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
+      |  WHERE rank <= 10)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // common-item entry depth m = max(rank_a, rank_b); the d-ordered
+    // list_reduce fold and the double SUBTRACTION for 1−p mirror the
+    // engine exactly (pow is libm territory → ppb quantization)
+    "q_rbo" ->
+      s"""WITH $TruthRunCte,
+         |cm AS (SELECT t.query_id, greatest(t.rank, r.rank) AS m
+         |  FROM truth t JOIN run r USING (query_id, neighbor_id)),
+         |ds AS (SELECT unnest(range(1, 11)) AS d),
+         |xd AS (SELECT query_id, d, CAST(count(*) AS BIGINT) AS x
+         |  FROM cm JOIN ds ON cm.m <= ds.d GROUP BY 1, 2),
+         |qq AS (SELECT DISTINCT query_id FROM truth),
+         |grid AS (SELECT qq.query_id, ds.d, COALESCE(xd.x, 0) AS x
+         |  FROM qq CROSS JOIN ds LEFT JOIN xd USING (query_id, d)),
+         |sm AS (SELECT query_id, CAST(max(x) AS BIGINT) AS n_common,
+         |    list_reduce(
+         |      list(pow(CAST(0.9 AS DOUBLE), d - 1) * x / d ORDER BY d),
+         |      (u, v) -> u + v) AS s
+         |  FROM grid GROUP BY 1)
+         |SELECT query_id, n_common,
+         |  CAST(round((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s * 1e9)
+         |    AS BIGINT) AS rbo_ppb
+         |FROM sm ORDER BY query_id""".stripMargin,
+
     "q_mmr_diversify" -> mmrOracle(kCand = 20, kOut = 5),
 
     "q_ppjoin" ->
@@ -883,43 +969,7 @@ object SimilarityQueries {
     // with no seed == Spark's 0.0-seeded fold bitwise, since 0.0 + x
     // is exact), quantized to ppb BIGINTs for the ulp gap.
     "q_retrieval_eval" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |  FROM embeddings),
-        |bq AS (SELECT * FROM e WHERE vec_id < 5),
-        |bp AS (SELECT bq.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |    list_inner_product(bq.v, c.v) /
-        |    (sqrt(list_inner_product(bq.v, bq.v)) *
-        |     sqrt(list_inner_product(c.v, c.v))) AS sim
-        |  FROM bq JOIN e c ON c.vec_id <> bq.vec_id),
-        |truth AS (SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank FROM bp)
-        |  WHERE rank <= 10),
-        |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
-        |    v AS c
-        |  FROM e WHERE vec_id IN (0, 7, 14, 21, 28, 35, 42, 49)),
-        |d AS (SELECT e.vec_id, c.cell,
-        |    list_aggregate(list_transform(range(1, len(e.v) + 1),
-        |      i -> (c.c[i] - e.v[i]) * (c.c[i] - e.v[i])), 'sum') AS dist
-        |  FROM e CROSS JOIN cents c),
-        |assign AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
-        |      AS rn FROM d) WHERE rn = 1),
-        |probes AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell)
-        |      AS rn FROM d WHERE vec_id < 5) WHERE rn <= 3),
-        |cand AS (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
-        |    list_inner_product(qe.v, ce.v) /
-        |    (sqrt(list_inner_product(qe.v, qe.v)) *
-        |     sqrt(list_inner_product(ce.v, ce.v))) AS sim
-        |  FROM probes p
-        |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.vec_id
-        |  JOIN e qe ON qe.vec_id = p.vec_id
-        |  JOIN e ce ON ce.vec_id = a.vec_id),
-        |run AS (SELECT query_id, neighbor_id, rank FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY query_id
-        |      ORDER BY sim DESC, neighbor_id) AS rank FROM cand)
-        |  WHERE rank <= 10),
+      s"""WITH $TruthRunCte,
         |mk AS (SELECT r.query_id, r.rank,
         |    CASE WHEN t.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
         |  FROM run r LEFT JOIN truth t USING (query_id, neighbor_id)),

@@ -56,4 +56,36 @@ class RetrievalEvalSpec extends AnyFunSuite {
     assert((got._4, got._5, got._6) == (3L, 1.0, 1.0))
     assert(math.abs(got._7 - 1.0) < 1e-15)
   }
+
+  private def rbo(a: Seq[(Long, Long, Int)], b: Seq[(Long, Long, Int)],
+      k: Int) =
+    Retrieval.rankBiasedOverlap(df(a), df(b), k)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("rbo: identical lists reach the truncated maximum") {
+    val rows = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val got = rbo(rows, rows, k = 3)(1L)
+    val exp = 0.1 * (1.0 + math.pow(0.9, 1) + math.pow(0.9, 2))
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - exp) < 1e-12)
+  }
+
+  test("rbo: top agreement outweighs tail agreement") {
+    // both share the top item; X = [1, 1, 2] vs tail-only X = [0, 1, 2]
+    val base = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val topMatch = rbo(base,
+      Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 3)), k = 3)(1L)
+    val tailMatch = rbo(base,
+      Seq((1L, 99L, 1), (1L, 10L, 2), (1L, 12L, 3)), k = 3)(1L)
+    assert(topMatch._1 == 2L && tailMatch._1 == 2L)
+    assert(topMatch._2 > tailMatch._2)
+  }
+
+  test("rbo: disjoint lists score zero") {
+    val got = rbo(
+      Seq((2L, 1L, 1), (2L, 2L, 2)),
+      Seq((2L, 8L, 1), (2L, 9L, 2)), k = 2)(2L)
+    assert(got == ((0L, 0.0)))
+  }
 }
