@@ -91,16 +91,25 @@ object Drift {
     * [[psiKl]] cannot see.
     *
     * Exact-integer evidence face: each float coordinate quantizes to
-    * `round(v·scale)` (scale = 1e6 keeps ~7 significant digits — well
-    * past float32's precision), per-(group, dim) sums S and group
-    * counts n are exact BIGINTs, and the squared centroid distance
-    * scaled by `(n_g·n_b)²` is the integer
+    * `floor(v·scale + 0.5)` (scale = 1e6 keeps ~7 significant digits —
+    * well past float32's precision; the floor form is a pure IEEE op
+    * sequence both engines replay bit-identically, unlike `round()`
+    * whose tie behavior on doubles is engine/version-dependent),
+    * per-(group, dim) sums S and group counts n are exact BIGINTs, and
+    * the squared centroid distance scaled by `(n_g·n_b)²` is the integer
     *
     *   drift_num = Σ_d (S_g[d]·n_b − S_b[d]·n_g)²
     *
     * carried in DECIMAL(38,0) (the q_dsir_modweights wide-integer
     * pattern), so the gate hash-compares with no float summation
     * anywhere. The actual distance² is drift_num / (scale·n_g·n_b)².
+    *
+    * Operand bound, enforced loudly: DECIMAL(38,0) squares overflow once
+    * |S_g·n_b − S_b·n_g| ≥ 1e19, and non-ANSI Spark would silently NULL
+    * the product — so any |diff| past the bound raises instead of
+    * returning a wrong row. Inputs are validated the same way: a NULL
+    * coordinate or ragged per-group dimensionality raises rather than
+    * skewing the sums.
     *
     * Scale shape: ONE explode pass over the corpus into the (group,
     * dim) sum table — map-side combined, groups × dims rows,
@@ -114,20 +123,42 @@ object Drift {
       baseline: Long, scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val sums = emb
       .select(col(groupCol).cast(LongType).as("grp"),
         posexplode(col(vecCol)).as(Seq("dim0", "v")))
       .select(col("grp"), (col("dim0") + 1).as("dim"),
-        round(col("v").cast(DoubleType) * lit(scale.toDouble))
-          .cast(LongType).as("qv"))
+        // a NULL coordinate would silently vanish from sum(qv) while
+        // still counting toward nd — raise instead of skewing S
+        coalesce(
+          floor(col("v").cast(DoubleType) * lit(scale.toDouble) + lit(0.5)),
+          raise_error(lit("centroidDrift: NULL embedding coordinate"))
+            .cast(LongType)).as("qv"))
       .groupBy(col("grp"), col("dim"))
       .agg(sum(col("qv")).as("s"), count(lit(1)).as("nd"))
       .localCheckpoint(true) // groups × dims rows, one corpus pass
-    val ns = sums.groupBy(col("grp")).agg(max(col("nd")).as("n"))
+    // n_vecs per group: per-dim counts must agree (ragged arrays would
+    // make the cross-product use an inconsistent n) — validate, loudly
+    val ns = sums.groupBy(col("grp"))
+      .agg(min(col("nd")).as("n_min"), max(col("nd")).as("n_max"))
+      .select(col("grp"),
+        when(col("n_min") === col("n_max"), col("n_max"))
+          .otherwise(raise_error(concat(
+            lit("centroidDrift: ragged dimensionality in group "),
+            col("grp").cast(org.apache.spark.sql.types.StringType)))
+            .cast(LongType)).as("n"))
     val sb = sums.filter(col("grp") === baseline)
       .select(col("dim"), col("s").as("s_b"))
     val nb = ns.filter(col("grp") === baseline)
       .select(col("n").as("n_b"))
+    // |diff| < 1e19 keeps diff² inside DECIMAL(38,0); past it, non-ANSI
+    // Spark would silently NULL the product — fail loudly instead
+    val sqBound = lit(BigDecimal("10000000000000000000")).cast(d38)
+    val sq = when(abs(col("diff")) < sqBound, col("diff") * col("diff"))
+      .otherwise(raise_error(concat(
+        lit("centroidDrift: |S_g*n_b - S_b*n_g| >= 1e19 overflows the "),
+        lit("DECIMAL(38,0) square; lower `scale` or shard the group")))
+        .cast(d38))
     sums.filter(col("grp") =!= baseline)
       .join(sb, Seq("dim"))
       .join(ns, Seq("grp"))
@@ -137,8 +168,6 @@ object Drift {
       .groupBy(col("grp").as("group"))
       .agg(first(col("n")).as("n_vecs"), first(col("n_b")).as("n_base"),
         count(lit(1)).as("n_dims"),
-        sum(col("diff") * col("diff"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))
-          .as("drift_num"))
+        sum(sq).cast(d38).as("drift_num"))
   }
 }

@@ -16,6 +16,16 @@ object EventAnalytics {
 
   private val UsPerDay = 86400000000L
 
+  /** Floored epoch bucket `x floorDiv b` as a SQL fragment. Spark `div`
+    * truncates toward zero, so pre-1970 (negative) timestamps would
+    * collide bucket −0 with 0 and shift every negative bucket by one;
+    * subtracting the non-negative `pmod` remainder first makes the
+    * numerator exactly divisible, where truncating and flooring division
+    * agree — one codegen'd expression, engine-definition-independent.
+    */
+  private def floorBucket(x: String, b: Long): String =
+    s"($x - pmod($x, ${b}L)) div ${b}L"
+
   /** Cohort retention matrix: cohort a user by their FIRST event day,
     * then count distinct users of each cohort active again `day_offset`
     * days later: `(cohort_day, day_offset, n_users)`, offset 0 = the
@@ -31,7 +41,7 @@ object EventAnalytics {
       tsCol: String): DataFrame = {
     val days = events.select(col(userCol).as("user"),
       col(tsCol).cast(LongType).as("us"))
-      .select(col("user"), expr(s"us div ${UsPerDay}L").as("day"))
+      .select(col("user"), expr(floorBucket("us", UsPerDay)).as("day"))
     val cohorts = days.groupBy(col("user"))
       .agg(min(col("day")).as("cohort_day"))
     days.join(cohorts, Seq("user"))
@@ -49,11 +59,68 @@ object EventAnalytics {
     * view is not a converted funnel), which is exactly what the naive
     * per-step `min(ts)` gets wrong.
     *
-    * One filtered groupBy(user) per step (k is small and fixed), each
-    * producing a one-row-per-user frame that joins back broadcast-ish;
-    * no windows over the full event stream.
+    * ONE scan of the event log, ONE shuffle: all users survive the
+    * `groupBy(user)` while only step events survive into the per-user
+    * sorted array (`collect_list` skips the null struct non-step events
+    * map to), then a linear left-to-right fold over ascending `(us,
+    * step)` assigns each `t_i` at the first step-i event strictly after
+    * the already-fixed `t_{i-1}` — which IS the sequential min-chain,
+    * since `t_{i-1}` never moves once set and ascending order makes the
+    * first qualifying event the minimum. Per-user state is k longs; the
+    * collected array is bounded by the user's step-event count. The
+    * k-scans-of-the-fact-table formulation this replaces is kept as
+    * [[funnelChained]] (it mirrors the SQL oracle's shape; a spec pins
+    * the two bitwise-equal).
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 8,
+      s"steps must be 1..8, got ${steps.size}")
+    val k = steps.size
+    val si = steps.zipWithIndex.foldLeft(
+      lit(null).cast(org.apache.spark.sql.types.IntegerType)) {
+      case (acc, (step, i)) =>
+        when(col("et") === step, lit(i + 1)).otherwise(acc)
+    }
+    val evs = events.select(col(userCol).as("user"),
+      col(tsCol).cast(LongType).as("us"), col(typeCol).as("et"))
+      .withColumn("si", si)
+      .groupBy(col("user"))
+      .agg(sort_array(collect_list(when(col("si").isNotNull &&
+        col("us").isNotNull, struct(col("us"), col("si"))))).as("evs"))
+    val zero = struct((1 to k).map(i =>
+      lit(null).cast(LongType).as(s"t_$i")): _*)
+    val folded = aggregate(col("evs"), zero, (acc, x) =>
+      struct((1 to k).map { i =>
+        val prevOk =
+          if (i == 1) lit(true)
+          else acc.getField(s"t_${i - 1}").isNotNull &&
+            x.getField("us") > acc.getField(s"t_${i - 1}")
+        when(acc.getField(s"t_$i").isNotNull, acc.getField(s"t_$i"))
+          .otherwise(when(x.getField("si") === i && prevOk,
+            x.getField("us")))
+          .as(s"t_$i")
+      }: _*))
+    evs.withColumn("__t", folded)
+      .select((col("user") +: (1 to k).map(i =>
+        col("__t").getField(s"t_$i").as(s"t_$i"))): _*)
+      .withColumn("depth",
+        steps.indices.foldLeft(lit(0L)) { (d, i) =>
+          when(col(s"t_${i + 1}").isNotNull, lit((i + 1).toLong))
+            .otherwise(d)
+        })
+      .select((col("user") +: col("depth") +:
+        steps.indices.map(i => col(s"t_${i + 1}"))): _*)
+  }
+
+  /** The per-step join-chain funnel — k filtered `groupBy(user)` passes
+    * over the event log, each joining back to the prior depth. Same
+    * semantics as [[funnel]] (a spec pins them bitwise-equal) and the
+    * same shape as the SQL oracle's step CTEs, but it scans the fact
+    * table k+1 times — kept as the oracle-parity face and as the
+    * cross-check, NOT the plan to run at 100 TB.
+    */
+  def funnelChained(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 8,
       s"steps must be 1..8, got ${steps.size}")
@@ -101,7 +168,7 @@ object EventAnalytics {
     val buckets = events
       .select(col(typeCol).as("event_type"),
         col(tsCol).cast(LongType).as("__us"))
-      .selectExpr("event_type", s"__us div ${bucketUs}L as t")
+      .selectExpr("event_type", s"${floorBucket("__us", bucketUs)} as t")
       .groupBy(col("event_type"), col("t"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // types × buckets profile, one raw pass

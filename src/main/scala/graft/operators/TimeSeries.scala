@@ -245,7 +245,8 @@ object TimeSeries {
     val buckets = df
       .withColumn("__us", usCol.cast(LongType))
       .withColumn("__v", valueCol.cast(DecimalType(18, 4)))
-      .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+      .selectExpr(s"(__us - pmod(__us, ${bucketUs}L)) div ${bucketUs}L" +
+        " as t", "__v")
       .groupBy(col("t"))
       .agg(sum(col("__v")).as("__xd"), count(lit(1)).as("n_events"))
       .localCheckpoint(true)
@@ -314,7 +315,8 @@ object TimeSeries {
     val buckets = df
       .withColumn("__us", usCol.cast(LongType))
       .withColumn("__v", valueCol.cast(DecimalType(18, 4)))
-      .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+      .selectExpr(s"(__us - pmod(__us, ${bucketUs}L)) div ${bucketUs}L" +
+        " as t", "__v")
       .groupBy(col("t"))
       .agg(sum(col("__v")).as("__xd"))
       .localCheckpoint(true) // one raw pass; bucket rows from here on
@@ -378,7 +380,8 @@ object TimeSeries {
       val buckets = df
         .withColumn("__us", us.cast(LongType))
         .withColumn("__v", v.cast(DecimalType(18, 4)))
-        .selectExpr(s"__us div ${bucketUs}L as t", "__v")
+        .selectExpr(s"(__us - pmod(__us, ${bucketUs}L)) div ${bucketUs}L" +
+        " as t", "__v")
         .groupBy(col("t"))
         .agg(sum(col("__v")).as("__xd"))
         .localCheckpoint(true) // one raw pass per side

@@ -863,7 +863,7 @@ object CoreQueries {
         col("value"), bucketUs = 3600000000L, maxLag = 24)
         .select(col("lag"), asLong(col("n_pairs")).as("n_pairs"),
           asLong(col("n_buckets")).as("n_buckets"),
-          asLong(round(col("acf") * lit(1e9))).as("acf_ppb"))
+          Q.ppb(col("acf")).as("acf_ppb"))
         .orderBy("lag")
     }),
 
@@ -883,7 +883,7 @@ object CoreQueries {
         bucketUs = 3600000000L, maxLag = 6)
         .select(col("lag"), asLong(col("n_pairs")).as("n_pairs"),
           asLong(col("n_a")).as("n_a"), asLong(col("n_b")).as("n_b"),
-          asLong(round(col("ccf") * lit(1e9))).as("ccf_ppb"))
+          Q.ppb(col("ccf")).as("ccf_ppb"))
         .orderBy("lag")
     }),
 
@@ -1760,8 +1760,8 @@ object CoreQueries {
         |  FROM pr GROUP BY lag)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
         |  (SELECT n FROM sa) AS n_a, (SELECT n FROM sb) AS n_b,
-        |  CAST(round((CASE WHEN (SELECT den FROM den) = 0 THEN 0
-        |    ELSE num / (SELECT den FROM den) END) * 1e9) AS BIGINT)
+        |  CAST(floor((CASE WHEN (SELECT den FROM den) = 0 THEN 0
+        |    ELSE num / (SELECT den FROM den) END) * 1e9 + 0.5) AS BIGINT)
         |    AS ccf_ppb
         |FROM nm ORDER BY lag""".stripMargin,
 
@@ -1786,8 +1786,8 @@ object CoreQueries {
         |  FROM pr GROUP BY lag)
         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
         |  (SELECT n_buckets FROM st) AS n_buckets,
-        |  CAST(round((CASE WHEN (SELECT den FROM den) = 0 THEN 0
-        |    ELSE num / (SELECT den FROM den) END) * 1e9) AS BIGINT)
+        |  CAST(floor((CASE WHEN (SELECT den FROM den) = 0 THEN 0
+        |    ELSE num / (SELECT den FROM den) END) * 1e9 + 0.5) AS BIGINT)
         |    AS acf_ppb
         |FROM nm ORDER BY lag""".stripMargin,
 

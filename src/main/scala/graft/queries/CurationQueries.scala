@@ -116,8 +116,8 @@ object CurationQueries {
         .select(col("group"), asLong(col("n_bins")).as("n_bins"),
           asLong(col("n_base")).as("n_base"),
           asLong(col("n_cmp")).as("n_cmp"),
-          asLong(round(col("psi") * lit(1e9))).as("psi_ppb"),
-          asLong(round(col("kl") * lit(1e9))).as("kl_ppb"))
+          Q.ppb(col("psi")).as("psi_ppb"),
+          Q.ppb(col("kl")).as("kl_ppb"))
         .orderBy("group")),
 
     // ExactSubstr dedup (Lee et al. 2022) re-expressed relationally:
@@ -415,8 +415,8 @@ object CurationQueries {
     // final CAST to DECIMAL(38,0) matches Spark's decimal output type
     "q_embedding_drift" ->
       """WITH q AS (SELECT CAST(label AS BIGINT) AS grp, dim,
-        |    CAST(round(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
-        |      * 1000000) AS BIGINT) AS qv
+        |    CAST(floor(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS qv
         |  FROM (SELECT label, embedding,
         |      unnest(range(1, len(embedding) + 1)) AS dim
         |    FROM embeddings)),
@@ -573,8 +573,8 @@ object CurationQueries {
         |  FROM terms GROUP BY g)
         |SELECT s.g AS "group", t.n_bins,
         |  (SELECT n_base FROM nb) AS n_base, t.n_cmp,
-        |  CAST(round(s.psi * 1e9) AS BIGINT) AS psi_ppb,
-        |  CAST(round(s.kl * 1e9) AS BIGINT) AS kl_ppb
+        |  CAST(floor(s.psi * 1e9 + 0.5) AS BIGINT) AS psi_ppb,
+        |  CAST(floor(s.kl * 1e9 + 0.5) AS BIGINT) AS kl_ppb
         |FROM sums s JOIN tot t USING (g) ORDER BY "group"""".stripMargin,
 
     // the SQL image of Contrastive.negativePairs(k=4, buckets=64):

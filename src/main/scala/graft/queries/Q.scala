@@ -49,6 +49,19 @@ object Q {
     df.withColumn("ts", timestamp_micros(usCol(df)))
   }
 
+  /** Engine-portable parts-per-billion quantization of a double.
+    *
+    * `floor(x·1e9 + 0.5)` is a fixed IEEE op sequence (multiply, add,
+    * floor) that every engine computes bit-identically; `round()` is NOT
+    * portable — Spark rounds HALF_UP on the shortest-decimal repr
+    * (`BigDecimal.valueOf`) while DuckDB's tie behavior on doubles has
+    * changed across versions, which cost round 9 the `q_embedding_drift`
+    * gate. Oracle side must spell the SAME form:
+    * `CAST(floor(x * 1e9 + 0.5) AS BIGINT)`.
+    */
+  def ppb(c: Column): Column =
+    floor(c.cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType)
+
   /** Exact decimal image of a ≤4-decimal double. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 

@@ -253,7 +253,7 @@ object SimilarityQueries {
           asLong(col("n_run")).as("n_run"),
           asLong(col("n_hits")).as("n_hits"),
           col("recall"), col("mrr"),
-          asLong(round(col("ndcg") * lit(1e9))).as("ndcg_ppb"))
+          Q.ppb(col("ndcg")).as("ndcg_ppb"))
         .orderBy("query_id")
     }),
 
@@ -272,7 +272,7 @@ object SimilarityQueries {
         e, 10, nlist = 8, nprobe = 3, centroids = Some(cents))
       graft.operators.Retrieval.rankBiasedOverlap(truth, run, k = 10)
         .select(col("query_id"), asLong(col("n_common")).as("n_common"),
-          asLong(round(col("rbo") * lit(1e9))).as("rbo_ppb"))
+          Q.ppb(col("rbo")).as("rbo_ppb"))
         .orderBy("query_id")
     }),
 
@@ -684,8 +684,8 @@ object SimilarityQueries {
          |      (u, v) -> u + v) AS s
          |  FROM grid GROUP BY 1)
          |SELECT query_id, n_common,
-         |  CAST(round((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s * 1e9)
-         |    AS BIGINT) AS rbo_ppb
+         |  CAST(floor((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * s * 1e9
+         |    + 0.5) AS BIGINT) AS rbo_ppb
          |FROM sm ORDER BY query_id""".stripMargin,
 
     "q_mmr_diversify" -> mmrOracle(kCand = 20, kOut = 5),
@@ -995,7 +995,7 @@ object SimilarityQueries {
         |        (a, b) -> a + b) AS ndcg
         |  FROM pt LEFT JOIN pr USING (query_id))
         |SELECT query_id, n_truth, n_run, n_hits, recall, mrr,
-        |  CAST(round(ndcg * 1e9) AS BIGINT) AS ndcg_ppb
+        |  CAST(floor(ndcg * 1e9 + 0.5) AS BIGINT) AS ndcg_ppb
         |FROM m ORDER BY query_id""".stripMargin,
 
     // fixture-centroid IVF replay: same sequential (c-v)² accumulation,

@@ -65,6 +65,37 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.getLong(1) == 1L)
   }
 
+  test("funnel == funnelChained bitwise on a dense mixed stream") {
+    // deterministic pseudo-random stream: 40 users × 25 events, types
+    // drawn from steps + noise, timestamps with collisions
+    val types = Vector("signup", "view", "click", "purchase", "noise")
+    val rows = for {
+      u <- 1L to 40L
+      i <- 0 until 25
+    } yield {
+      val h = (u * 2654435761L + i * 40503L) & 0x7fffffffL
+      (u, (h % 97L) * 10L, types((h % types.size).toInt))
+    }
+    val ev = rows.toDF("user_id", "us", "et")
+    val steps = Seq("signup", "view", "click", "purchase")
+    val a = EventAnalytics.funnel(ev, "user_id", "us", "et", steps)
+      .orderBy("user").collect().map(_.toSeq).toSeq
+    val b = EventAnalytics.funnelChained(ev, "user_id", "us", "et", steps)
+      .orderBy("user").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("funnel: single scan of the event source, one aggregate") {
+    val ev = Seq((1L, 10L, "view")).toDF("user_id", "us", "et")
+    val plan = EventAnalytics.funnel(ev, "user_id", "us", "et",
+      Seq("view", "click")).queryExecution.optimizedPlan
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
+  }
+
   test("funnel step contract is enforced") {
     val ev = Seq((1L, 10L, "view")).toDF("user_id", "us", "et")
     intercept[IllegalArgumentException] {
@@ -108,6 +139,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(got("x") == (("x", 4L, 4L, 4L, 0L, 16L, 0.0)))
     assert(got("y") == (("y", 4L, 4L, 10L, 24L, 16L, 1.5)))
+  }
+
+  test("cohort/burstiness day buckets FLOOR negative epochs") {
+    // us = −1 (pre-1970) belongs to day −1, not day 0: truncating div
+    // would fold it into day 0 and break the offset arithmetic
+    val ev = Seq((1L, -1L), (1L, 5L)).toDF("user_id", "us")
+    val got = EventAnalytics.cohortRetention(ev, "user_id", "us")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((-1L, 0L), (-1L, 1L)))
+    val b = EventAnalytics.burstiness(
+      Seq((-1L, "x"), (5L, "x")).toDF("us", "et"), "et", "us", 100L)
+      .select("t_span").as[Long].collect().head
+    assert(b == 2L) // buckets −1 and 0
   }
 
   test("transition matrix: users never mix") {
