@@ -447,28 +447,6 @@ object Retrieval {
     selected
   }
 
-  /** Retrieval-quality scorecard: per query, recall@k, MRR, and nDCG@k
-    * of a system `run` against a ground-truth `truth` ranking — the
-    * harness that turns every ANN family here into a measurable
-    * quality/latency trade-off (truth is usually
-    * [[Similarity.bruteForceTopK]]; run is an IVF/PQ/LSH serving path).
-    *
-    * Both inputs carry `(query_id, neighbor_id, rank)`; rows with
-    * `rank > k` are ignored, so full top-N tables can be passed as-is.
-    * Binary relevance: a run row is relevant iff its neighbor appears
-    * in the query's truth top-k.
-    *
-    * Determinism contract (driver hash-compare): recall and MRR are
-    * single exact IEEE divisions of small integers; the nDCG fold sums
-    * `1/log2(rank+1)` in ascending-rank order on both engines, and the
-    * caller should quantize `ndcg` to ppb (engine `log2` can differ by
-    * 1 ulp — the q_drift_psi finding). One shuffle per aggregation,
-    * grouped by query — cost ∝ |queries|·k, never the corpus.
-    *
-    * Output: `(query_id, n_truth, n_run, n_hits, recall, mrr, ndcg)`,
-    * one row per query present in `truth`; a query missing from `run`
-    * scores zeros.
-    */
   /** Truncated rank-biased overlap (Webber et al. 2010) between two
     * top-k rankings — the rank-SENSITIVE agreement measure beside
     * [[evalTopK]]'s set metrics: two lists that agree at the top score
@@ -519,6 +497,28 @@ object Retrieval {
         ((lit(1.0) - lit(p)) * col("__s")).as("rbo"))
   }
 
+  /** Retrieval-quality scorecard: per query, recall@k, MRR, and nDCG@k
+    * of a system `run` against a ground-truth `truth` ranking — the
+    * harness that turns every ANN family here into a measurable
+    * quality/latency trade-off (truth is usually
+    * [[Similarity.bruteForceTopK]]; run is an IVF/PQ/LSH serving path).
+    *
+    * Both inputs carry `(query_id, neighbor_id, rank)`; rows with
+    * `rank > k` are ignored, so full top-N tables can be passed as-is.
+    * Binary relevance: a run row is relevant iff its neighbor appears
+    * in the query's truth top-k.
+    *
+    * Determinism contract (driver hash-compare): recall and MRR are
+    * single exact IEEE divisions of small integers; the nDCG fold sums
+    * `1/log2(rank+1)` in ascending-rank order on both engines, and the
+    * caller should quantize `ndcg` to ppb (engine `log2` can differ by
+    * 1 ulp — the q_drift_psi finding). One shuffle per aggregation,
+    * grouped by query — cost ∝ |queries|·k, never the corpus.
+    *
+    * Output: `(query_id, n_truth, n_run, n_hits, recall, mrr, ndcg)`,
+    * one row per query present in `truth`; a query missing from `run`
+    * scores zeros.
+    */
   def evalTopK(truth: DataFrame, run: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val tK = truth.filter(col("rank") <= k)

@@ -56,8 +56,14 @@ object SuffixDedup {
   /** Like [[duplicatedSpans]], but under the paper's KEEP-FIRST policy:
     * the globally first occurrence of each duplicated gram (smallest
     * `(doc_id, pos)`) is not a removal candidate, so the returned spans
-    * cover only the REDUNDANT copies — strip them and every duplicated
-    * substring still survives exactly once in the corpus.
+    * cover only the REDUNDANT copies — strip them and each duplicated
+    * substring survives in the corpus. Caveat (shared with the
+    * ExactSubstr paper's suffix-array variant): when occurrences
+    * OVERLAP — including a string overlapping itself, e.g. text `aaaa`
+    * with L=3 keeps `[1,3]` but strips the overlapping `[2,4]` —
+    * stripping a redundant span may truncate part of the retained
+    * first copy, so overlapping duplicates are not guaranteed to
+    * survive byte-intact.
     */
   def redundantSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, minOcc: Long = 2L): DataFrame = {
@@ -203,12 +209,6 @@ object SuffixDedup {
     mergeSpans(hits, minLen)
   }
 
-  /** Duplicated L-gram start positions `(doc_id, pos, occ)` — the
-    * two-stage hash-prefilter + exact-gram confirm described in the
-    * object doc; `occ` is the position's 1-based rank in its gram's
-    * global `(doc_id, pos)` occurrence order (1 = the copy keep-first
-    * retains).
-    */
   /** Document pairs `(id_a, id_b, n_shared)` connected by at least one
     * duplicated gram — the edge list behind template-FAMILY resolution
     * (feed it to `Dedup.connectedComponents`; a boilerplate header
@@ -221,23 +221,39 @@ object SuffixDedup {
     * documents than the cap (universal boilerplate) is EXCLUDED rather
     * than exploded into O(n²) pairs; lower the gram length or raise
     * the cap deliberately, never implicitly.
+    *
+    * Shuffle shape: ONE pass over the gram explosion, ONE exchange.
+    * Unlike span detection, pair generation never needs within-doc
+    * occurrence counts — a gram seen in a single document yields no
+    * pair no matter how often it repeats there — so the two-stage
+    * hash-prefilter (whose whole point is pruning before the
+    * position-carrying confirm) would only buy a second full explode
+    * of the corpus. Instead the distinct `(gram, doc)` postings
+    * aggregate straight into per-hash buckets: the exchange is keyed
+    * by the 8-byte `h`, `collect_set` partials dedup repeats map-side,
+    * and the exact-gram split into per-gram doc lists happens INSIDE
+    * the (one gram per hash, barring 64-bit collisions) bucket with
+    * array expressions — no window sort, no string-keyed exchange, the
+    * gram text crosses the wire once per distinct posting. Bucket
+    * memory is bounded by the most-shared gram's distinct doc count;
+    * the cap then drops such universal boilerplate from the output.
     */
   def spanPairs(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    val g = grams(docs, idCol, textCol, minLen)
-    val dupHash = g.groupBy(col("h")).agg(count(lit(1)).as("__nh"))
-      .filter(col("__nh") >= 2L).select(col("h"))
-    val docGrams = g.join(dupHash, Seq("h"))
-      .select(col("gram"), col("doc_id")).distinct()
-    docGrams
-      .withColumn("__nd",
-        count(lit(1)).over(Window.partitionBy("gram")))
-      .filter(col("__nd") >= 2 && col("__nd") <= maxDocsPerGram)
-      .groupBy(col("gram"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("__ids"))
+    grams(docs, idCol, textCol, minLen)
+      .groupBy(col("h"))
+      .agg(collect_set(struct(col("gram"), col("doc_id"))).as("__items"))
+      .filter(size(col("__items")) >= 2)
+      .select(explode(expr(
+        s"""filter(
+           |  transform(array_distinct(transform(__items, x -> x.gram)),
+           |    gg -> array_sort(transform(
+           |      filter(__items, x -> x.gram = gg), x -> x.doc_id))),
+           |  ds -> size(ds) >= 2 AND size(ds) <= $maxDocsPerGram)"""
+          .stripMargin)).as("__ids"))
       .select(explode(col("__ids")).as("id_a"), col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
@@ -245,27 +261,57 @@ object SuffixDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
-  /** Every L-gram start position: `(doc_id, pos, gram, h)`. */
+  /** Every L-gram start position: `(doc_id, pos, gram, h)`. The hash
+    * comes from the one-pass [[graft.expressions.GramHashes]] kernel
+    * (bitwise `xxhash64(gram)`), so only the gram STRING costs an
+    * allocation here — consumers that need just the hash use
+    * [[gramHashes]] instead and skip that cost entirely.
+    */
   private def grams(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame =
     docs
       .filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"))
       .select(col("doc_id"), col("__t"),
-        explode(sequence(lit(1), length(col("__t")) - lit(minLen - 1)))
-          .as("pos"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(__t, pos, $minLen)").as("gram"))
-      .withColumn("h", xxhash64(col("gram")))
+        posexplode(gramHashCol(col("__t"), minLen)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+        expr(s"substring(__t, pos0 + 1, $minLen)").as("gram"), col("h"))
 
+  /** Hash-only L-gram positions `(doc_id, pos, h)` — the prefilter
+    * projection: no gram string is ever allocated, the corpus pass is
+    * one in-place byte scan per document.
+    */
+  private def gramHashes(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        posexplode(gramHashCol(col(textCol), minLen)).as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+
+  private def gramHashCol(text: org.apache.spark.sql.Column,
+      minLen: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.GramHashes(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+        minLen))
+
+  /** Duplicated L-gram start positions `(doc_id, pos, occ)` — the
+    * two-stage hash-prefilter + exact-gram confirm described in the
+    * object doc; `occ` is the position's 1-based rank in its gram's
+    * global `(doc_id, pos)` occurrence order (1 = the copy keep-first
+    * retains).
+    */
   private def duplicatedPositions(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, minOcc: Long): DataFrame = {
     val g = grams(docs, idCol, textCol, minLen)
 
     // Stage 1: candidate hashes (8-byte shuffle keys, partial-agg'd —
     // the shuffle carries one (hash, count) row per distinct gram per
-    // partition, never the positions).
-    val dupHash = g.groupBy(col("h"))
+    // partition, never the positions). This pass never builds a gram
+    // string: the hash-only projection is one in-place byte scan.
+    val dupHash = gramHashes(docs, idCol, textCol, minLen)
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("__nh"))
       .filter(col("__nh") >= minOcc)
       .select(col("h"))
