@@ -28,8 +28,10 @@ object PlanAudit {
     graft.queries.ParseQueries.companyMirrorDir
     names.foreach { n =>
       try {
+        val t0 = System.nanoTime()
         val plan = SparkEntry.queries(n)(spark, sfDir)
           .queryExecution.executedPlan.toString
+        val ms = (System.nanoTime() - t0) / 1000000
         // pre-execution AQE plans carry no codegen markers, so count
         // the structural facts that survive: shuffles, broadcast joins,
         // window sorts, and file scans
@@ -37,8 +39,11 @@ object PlanAudit {
         val bhj = "BroadcastHashJoin".r.findAllIn(plan).length
         val win = "Window".r.findAllIn(plan).length
         val scans = "FileScan".r.findAllIn(plan).length
+        // buildMs tells PlanFactsSpec's Audited list which queries are
+        // construction-lazy (plan compile only) vs eager (checkpoint /
+        // fixture work at build time) — the spec guards the lazy ones
         println(s"PLAN $n exchanges=$ex broadcastJoins=$bhj " +
-          s"windows=$win fileScans=$scans")
+          s"windows=$win fileScans=$scans buildMs=$ms")
         if (sys.env.contains("SPARK_GRAFT_PLAN_DUMP")) println(plan)
       } catch {
         case e: Throwable => println(s"PLAN $n ERROR ${e.getMessage}")

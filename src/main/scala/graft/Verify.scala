@@ -26,13 +26,21 @@ object Verify {
     graft.queries.ParseQueries.companyMirrorDir
     // local-iteration subset (driver leaves this unset → full run)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // per-query execution verdicts, dumped beside the parquet so the
+    // round ledger is generated from artifacts, never hand-counted
+    // (r9 lesson: a hand-written tally drifted from the driver's gate)
+    val status = scala.collection.mutable.SortedMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        status(name) = "ok"
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        status(name) =
+          s"error: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -50,6 +58,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = status
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_status.json"), statusJson)
     spark.stop()
   }
 }

@@ -42,29 +42,51 @@ object Fetcher {
     }
   }
 
+  /** Raw transport: `(url, userAgent) → (status, body)`. The default is
+    * the real `java.net.http` client; a record/replay harness swaps in a
+    * canned session via [[httpTransport]].
+    */
+  type HttpTransport = (String, String) => (Int, Array[Byte])
+
+  /** Record/replay seam for the http tier: when set, [[http]] routes
+    * requests through this transport instead of the network but still
+    * runs the REAL response-validation branches (429 ban / 404
+    * terminator / ≥400 quarantine), so a spec can drive the full
+    * `http(s)://` path — pagination, rate limiting, User-Agent
+    * propagation — with zero egress (the sandbox never sees a live SEC
+    * server; the replay is the permanent adjudication of that gap).
+    * Production code never sets this. Single-JVM scope: executors in
+    * `local[*]` share it; on a real cluster it stays None everywhere.
+    */
+  @volatile var httpTransport: Option[HttpTransport] = None
+
   /** HTTP fetcher via `java.net.http` with the SEC-required User-Agent
     * (`client.py` mandates one; SEC fair-access policy).
     */
   def http(userAgent: String, timeoutSec: Int = 30): FetchFn = {
     url =>
-      val client = HttpHolder.client
-      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-        .header("User-Agent", userAgent)
-        .timeout(java.time.Duration.ofSeconds(timeoutSec))
-        .build()
-      val resp = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      val (status, body) = httpTransport match {
+        case Some(t) => t(url, userAgent)
+        case None =>
+          val client = HttpHolder.client
+          val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .header("User-Agent", userAgent)
+            .timeout(java.time.Duration.ofSeconds(timeoutSec))
+            .build()
+          val resp = client.send(req,
+            java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+          (resp.statusCode(), resp.body())
+      }
       // response validation (`client.py:154-177`): 429 means the SEC has
       // rate-banned this IP for ~10 minutes
-      if (resp.statusCode() == 429)
+      if (status == 429)
         throw new RateBannedException(
           "Request rate exceeded SEC limit; IP banned ~10 minutes")
-      if (resp.statusCode() == 404)
+      if (status == 404)
         throw new NotFoundException(s"HTTP 404 for $url")
-      if (resp.statusCode() >= 400)
-        throw new FetchException(s"HTTP ${resp.statusCode()} for $url",
-          resp.statusCode())
-      resp.body()
+      if (status >= 400)
+        throw new FetchException(s"HTTP $status for $url", status)
+      body
   }
 
   /** One HttpClient per executor JVM (connection reuse across tasks). */

@@ -64,6 +64,65 @@ object CorpusOps {
       .drop("__before")
   }
 
+  /** NEXT-FIT sequence packing: place documents (ascending `orderCol`)
+    * into fixed-capacity training sequences of `seqLen` tokens — the
+    * packing step between [[packShards]] (which lets a shard boundary
+    * fall mid-document) and the trainer, where short documents share a
+    * context window instead of wasting it on padding. A document that
+    * does not fit the current sequence's remainder starts a new one; a
+    * document of ≥ `seqLen` tokens sits alone (the uniform overflow
+    * rule — its successor necessarily overflows too).
+    *
+    * Parallel shape: packing is a sequential fold, so it runs
+    * independently per BUCKET of `bucketDocs` order-contiguous docs
+    * (sequences never span buckets — each bucket is a worker's slice,
+    * exactly how a shard writer consumes it): one map-side-combinable
+    * `groupBy(bucket)` shuffle, then an in-bucket sorted fold whose
+    * state is two longs plus the emitted list (the array-append fold
+    * copies O(bucketDocs²) struct slots worst-case — `bucketDocs`
+    * bounds that constant, keep it ≤ a few thousand).
+    *
+    * Determinism: pure integer arithmetic over exact token counts —
+    * every engine replays the same packing. Output: `(orderCol,
+    * n_tokens, bucket, seq, seq_offset)`; `seq` is 0-based within the
+    * bucket, `seq_offset` the token offset of the doc inside its
+    * sequence.
+    */
+  def packSequences(df: DataFrame, orderCol: String, tokenCol: String,
+      seqLen: Long, bucketDocs: Long = 1024L): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(bucketDocs > 0, s"bucketDocs must be positive, got $bucketDocs")
+    val emptyOut = "CAST(array() AS " +
+      "ARRAY<STRUCT<o: BIGINT, t: BIGINT, s: BIGINT, off: BIGINT>>)"
+    df
+      .select(col(orderCol).cast(LongType).as("__ord"),
+        col(tokenCol).cast(LongType).as("__tok"))
+      .withColumn("__bucket", expr(
+        s"(__ord - pmod(__ord, ${bucketDocs}L)) div ${bucketDocs}L"))
+      .groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(
+        struct(col("__ord"), col("__tok")))).as("__ds"))
+      .withColumn("__packed", aggregate(
+        col("__ds"),
+        struct(lit(0L).as("seq"), lit(0L).as("fill"),
+          expr(emptyOut).as("out")),
+        (acc, x) => {
+          val newSeq = acc.getField("fill") > 0 &&
+            acc.getField("fill") + x.getField("__tok") > lit(seqLen)
+          val seq = when(newSeq, acc.getField("seq") + 1)
+            .otherwise(acc.getField("seq"))
+          val off = when(newSeq, lit(0L)).otherwise(acc.getField("fill"))
+          struct(seq.as("seq"), (off + x.getField("__tok")).as("fill"),
+            concat(acc.getField("out"), array(struct(
+              x.getField("__ord").as("o"), x.getField("__tok").as("t"),
+              seq.as("s"), off.as("off")))).as("out"))
+        }))
+      .select(col("__bucket"), explode(col("__packed").getField("out")).as("__e"))
+      .select(col("__e.o").as(orderCol), col("__e.t").as("n_tokens"),
+        col("__bucket").as("bucket"), col("__e.s").as("seq"),
+        col("__e.off").as("seq_offset"))
+  }
+
   /** Contiguous 0-based global order index ("rank") over `orderCol`
     * without a global sort — `row_number() OVER (ORDER BY x) - 1` is a
     * single-partition sort at 100 TB; this is the same deterministic
@@ -153,6 +212,44 @@ object CorpusOps {
       .withColumn(outCol,
         coalesce(sum(col("__v")).over(w), lit(0L)) + col("__offset"))
       .drop("__b", "__v", "__offset")
+  }
+
+  /** N-gram novelty of each document against a REFERENCE corpus: how
+    * many of the doc's distinct word n-grams the reference has never
+    * seen — the measuring complement of [[decontaminate]] (that one
+    * drops overlap with a tiny eval set; this one scores freshness
+    * against a corpus-sized reference: "how much does this crawl add
+    * over what we already have?"). The standard new-data-value signal
+    * beside [[graft.operators.ImportanceResampling]]'s target-fit
+    * score.
+    *
+    * Scale shape: both sides reduce to DISTINCT gram tables (two-level
+    * map-side-combinable aggregations), and the membership probe is an
+    * equi-join keyed on the 8-byte `xxhash64(gram)` — the [[dupSpans]]
+    * adjudication: grams never cross the wire as strings, and a 64-bit
+    * collision can only mark a truly-novel gram as known (never
+    * invents novelty). Only docs with ≥ 1 gram (≥ n tokens) appear.
+    *
+    * Determinism: exact BIGINT counts plus one integral-division ppm.
+    * Output: `(idCol, n_grams, n_known, n_novel, novelty_ppm)`.
+    */
+  def noveltyScore(corpus: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    val cg = corpus.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("__h"))
+    val rg = reference.select(
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("__g"))
+      .select(xxhash64(col("__g")).as("__h"))
+      .distinct()
+    cg.join(rg.withColumn("__known", lit(1L)), Seq("__h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__known")), lit(0L)).as("n_known"))
+      .withColumn("n_novel", col("n_grams") - col("n_known"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000L div n_grams"))
   }
 
   /** Benchmark decontamination: for every (corpus doc, eval doc) pair

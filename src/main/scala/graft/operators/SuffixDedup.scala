@@ -222,29 +222,44 @@ object SuffixDedup {
     * than exploded into O(n²) pairs; lower the gram length or raise
     * the cap deliberately, never implicitly.
     *
-    * Shuffle shape: ONE pass over the gram explosion, ONE exchange.
-    * Unlike span detection, pair generation never needs within-doc
-    * occurrence counts — a gram seen in a single document yields no
-    * pair no matter how often it repeats there — so the two-stage
-    * hash-prefilter (whose whole point is pruning before the
-    * position-carrying confirm) would only buy a second full explode
-    * of the corpus. Instead the distinct `(gram, doc)` postings
-    * aggregate straight into per-hash buckets: the exchange is keyed
-    * by the 8-byte `h`, `collect_set` partials dedup repeats map-side,
-    * and the exact-gram split into per-gram doc lists happens INSIDE
-    * the (one gram per hash, barring 64-bit collisions) bucket with
-    * array expressions — no window sort, no string-keyed exchange, the
-    * gram text crosses the wire once per distinct posting. Bucket
-    * memory is bounded by the most-shared gram's distinct doc count;
-    * the cap then drops such universal boilerplate from the output.
+    * Shuffle shape: the string-carrying exchange happens ONCE either
+    * way — distinct `(gram, doc)` postings aggregate into per-hash
+    * buckets keyed by the 8-byte `h` (`collect_set` partials dedup
+    * repeats map-side), and the exact-gram split into per-gram doc
+    * lists happens INSIDE the (one gram per hash, barring 64-bit
+    * collisions) bucket with array expressions — no window sort. With
+    * `prefilter = true` (default) a hash-ONLY corpus pass (the
+    * zero-allocation [[graft.expressions.GramHashes]] kernel, 8-byte
+    * rows, map-side combined) first drops every singleton gram, so
+    * only the duplicated sliver's strings ever cross the wire and the
+    * bucket `groupBy(h)` REUSES the confirm join's clustering (no
+    * third exchange). Measured trade-off at sf1 (A/B, same JVM): at a
+    * realistic ~30% near-dup density the prefilter wins ~1.5-2×
+    * (singletons dominate, pruning pays); at the 90%-replica fixture
+    * density it costs ~1.3× (nothing to prune, the extra hash pass is
+    * pure overhead) — set `prefilter = false` only for corpora known
+    * to be duplicate-saturated. Bucket memory is bounded by the
+    * most-shared gram's distinct doc count; the cap then drops such
+    * universal boilerplate from the output.
     */
   def spanPairs(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
+      minLen: Int, maxDocsPerGram: Int = 1000,
+      prefilter: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    grams(docs, idCol, textCol, minLen)
-      .groupBy(col("h"))
+    val g = grams(docs, idCol, textCol, minLen)
+      .select(col("h"), col("gram"), col("doc_id"))
+    val postings =
+      if (!prefilter) g
+      else {
+        val dupHash = gramHashes(docs, idCol, textCol, minLen)
+          .groupBy(col("h")).agg(count(lit(1)).as("__nh"))
+          .filter(col("__nh") >= 2L).select(col("h"))
+        g.join(dupHash, Seq("h"))
+      }
+    postings
+      .groupBy(col("h")) // reuses the join clustering when prefiltered
       .agg(collect_set(struct(col("gram"), col("doc_id"))).as("__items"))
       .filter(size(col("__items")) >= 2)
       .select(explode(expr(

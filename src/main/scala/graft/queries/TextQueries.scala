@@ -280,6 +280,34 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy("doc_id")),
 
+    // NEXT-FIT sequence packing: short docs share a fixed 256-token
+    // training sequence instead of wasting it on padding; packing is a
+    // per-bucket (128 order-contiguous docs) sorted integer fold, so
+    // sequences never span buckets and the oracle replays the exact
+    // same recurrence as a recursive CTE.
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.operators.CorpusOps.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 256L, bucketDocs = 128L)
+        .select(col("doc_id"), col("n_tokens"), col("bucket"), col("seq"),
+          col("seq_offset"))
+        .orderBy("doc_id")),
+
+    // n-gram novelty vs the src0 reference slice: how much does each
+    // non-src0 doc add over what the reference corpus has seen — exact
+    // BIGINT distinct-gram counts, 8-byte hash membership probe in the
+    // engine, one integral ppm division.
+    "q_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.CorpusOps.noveltyScore(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("n_grams"), col("n_known"),
+          col("n_novel"), col("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // overlapping token-window chunking (context-window packing): 64-token
     // chunks every 48 tokens (16-token overlap); map-side only, no shuffle.
     "q_chunk_docs" -> ((s, dir) =>
@@ -911,6 +939,58 @@ object TextQueries {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // the same next-fit recurrence as the engine's per-bucket fold,
+    // replayed row-by-row as a recursive CTE (doc ids are non-negative
+    // in the fixtures, so `//` bucketing equals the engine's
+    // pmod floor form)
+    "q_pack_sequences" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |    CAST(doc_id // 128 AS BIGINT) AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, t, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM d),
+        |p(bucket, rn, doc_id, t, seq, off, fill) AS (
+        |  SELECT bucket, rn, doc_id, t, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), t
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.bucket, r.rn, r.doc_id, r.t,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |         THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |         THEN 0 ELSE p.fill END,
+        |    (CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |          THEN 0 ELSE p.fill END) + r.t
+        |  FROM r JOIN p ON r.bucket = p.bucket AND r.rn = p.rn + 1)
+        |SELECT doc_id, t AS n_tokens, bucket, seq, off AS seq_offset
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    // same trigram construction as the q_ppjoin oracle; membership by
+    // exact gram string (the engine probes by xxhash64 — the dupSpans
+    // adjudication), counts exact either way
+    "q_novelty" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE source <> 'src0'),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM ct),
+        |rt AS (SELECT string_split(text, ' ') AS w
+        |  FROM documents WHERE source = 'src0'),
+        |rg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM rt)
+        |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(rg.g) AS BIGINT) AS n_known,
+        |  CAST(count(*) - count(rg.g) AS BIGINT) AS n_novel,
+        |  CAST((count(*) - count(rg.g)) * 1000000 // count(*) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM cg LEFT JOIN rg ON cg.g = rg.g
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
 
     // starts = 0, 48, 96, … < n_tokens, keeping a tail start only if it
     // contributes tokens beyond the previous chunk (start + 16 < n).

@@ -26,6 +26,54 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(math.abs(frac("test") - 0.05) < 0.02)
   }
 
+  test("packSequences: next-fit packing against a hand-run reference") {
+    // bucketDocs=100 → one bucket for ids 0..5; seqLen=10:
+    //  id0 t4 → seq0 off0 (fill 4)
+    //  id1 t5 → seq0 off4 (fill 9)
+    //  id2 t2 → overflow → seq1 off0 (fill 2)
+    //  id3 t12 → overflow → seq2 off0 (oversize sits alone, fill 12)
+    //  id4 t1 → overflow → seq3 off0 (fill 1)
+    //  id5 t9 → fits → seq3 off1 (fill 10, exactly at capacity)
+    val docs = Seq((0L, 4L), (1L, 5L), (2L, 2L), (3L, 12L), (4L, 1L),
+      (5L, 9L)).toDF("doc_id", "toks")
+    val got = CorpusOps.packSequences(docs, "doc_id", "toks",
+      seqLen = 10L, bucketDocs = 100L)
+      .select("doc_id", "bucket", "seq", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L, 0L, 0L), (1L, 0L, 0L, 4L), (2L, 0L, 1L, 0L),
+      (3L, 0L, 2L, 0L), (4L, 0L, 3L, 0L), (5L, 0L, 3L, 1L)))
+  }
+
+  test("packSequences: sequences never span buckets; row order and " +
+    "partitioning are irrelevant") {
+    val docs = (0L until 50L).map(i => (i, 7L)).toDF("doc_id", "toks")
+    val a = CorpusOps.packSequences(docs, "doc_id", "toks", 20L, 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val b = CorpusOps.packSequences(docs.orderBy(rand(7)).repartition(5),
+      "doc_id", "toks", 20L, 10L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+    // 7-token docs, capacity 20 → 2 per sequence; each 10-doc bucket
+    // restarts at seq 0 with its first doc at offset 0
+    assert(a.filter(_._1 % 10 == 0)
+      .forall { case (_, _, b_, s, off) => s == 0 && off == 0 })
+    val perBucketSeqs = a.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    assert(perBucketSeqs.values.forall(_ == 4)) // ceil(10/2)-1
+  }
+
+  test("noveltyScore: exact known/novel split against the reference") {
+    val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    // doc 1: grams {a b c, b c d} both known → 0 novel
+    // doc 2: grams {b c d, c d X, d X e} → 1 known, 2 novel
+    // doc 3: too short → absent
+    val corpus = Seq((1L, "a b c d"), (2L, "b c d X e"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.noveltyScore(corpus, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, 0L, 0L),
+      (2L, 3L, 1L, 2L, 666666L)))
+  }
+
   test("packShards: two-phase range-partitioned form equals the naive " +
     "global-window cumsum, and shard token totals respect the budget") {
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37) % 400))

@@ -32,6 +32,11 @@ def normalize(rows, cols):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    # the driver's DuckDB may differ — r9's q_embedding_drift passed here
+    # on 1.0.0 and failed at the gate (round() tie behavior). Surface the
+    # version so any local-green/gate-red divergence is diagnosable, and
+    # keep every oracle free of engine-version-dependent ops (Q.ppb rule).
+    print(f"duckdb {duckdb.__version__}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

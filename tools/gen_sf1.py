@@ -12,8 +12,15 @@ TIMESTAMP(NANOS) physical type via pyarrow (Spark reads it through
 nanosAsLong; DuckDB as TIMESTAMP) — parity with the driver-generated
 originals.
 
-Usage: python3 tools/gen_sf1.py [src_dir] [dst_dir]
-Defaults: /root/testdata/sf0.1 -> /tmp/sf1
+The duplication knob (third arg, percent, default 100) controls what
+fraction of each replica copy's documents remain near-dups of copy 0:
+the rest get a marker interleaved every 20 characters, which breaks
+every 25-char gram they shared with the original — so the suffix-dedup
+soak can separate STRUCTURAL scaling from the by-construction ~90%
+duplicate density of the default replica corpus (round-9 verdict #5).
+
+Usage: python3 tools/gen_sf1.py [src_dir] [dst_dir] [dup_pct]
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1, dup_pct=100
 """
 import sys
 
@@ -23,6 +30,7 @@ import pyarrow.parquet as pq
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+DUP_PCT = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 COPIES = 10
 OFF = 100_000_000
 
@@ -55,6 +63,20 @@ def perturb_documents(table, k):
         return table
     text = pc.binary_join_element_wise(
         pc.cast(table.column("text"), pa.string()), f" c{k}", "")
+    if DUP_PCT < 100:
+        # uniquify the (100-DUP_PCT)% tail: a per-(copy, doc) marker
+        # every 20 chars leaves no 25-char window of original text
+        ids = table.column("doc_id").to_pylist()
+        txts = text.to_pylist()
+        out = []
+        for did, t in zip(ids, txts):
+            if t is None or (did % 100) < DUP_PCT:
+                out.append(t)
+            else:
+                m = f"~{k}.{did % 997}~"
+                out.append(m.join(t[i:i + 20]
+                                  for i in range(0, max(len(t), 1), 20)))
+        text = pa.array(out, type=pa.string())
     return table.set_column(table.column_names.index("text"), "text", text)
 
 
