@@ -214,6 +214,35 @@ object CorpusOps {
       .drop("__b", "__v", "__offset")
   }
 
+  /** k-anonymity audit over quasi-identifier columns: every row joined
+    * with its quasi-group's size and a `suppressed` flag for groups
+    * smaller than `k` — the release rule that a record's
+    * quasi-identifier combination must be shared by at least k records
+    * (Sweeney 2002), as suppression (the generalization-hierarchy
+    * variant is policy-specific and belongs to the caller). Suppressed
+    * rows are FLAGGED, not dropped — the audit face reports them, the
+    * release face filters.
+    *
+    * Scale shape: one map-side-combined group count over the quasi
+    * columns (distinct-combination cardinality, usually broadcastable)
+    * joined back to the rows — no window, no second scan of wide
+    * columns.
+    *
+    * Output: `(idCol, quasiCols…, group_size, suppressed)`.
+    */
+  def kAnonymity(df: DataFrame, idCol: String, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val counts = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+    df.select((idCol +: quasiCols).map(col): _*)
+      .join(counts, quasiCols)
+      .withColumn("suppressed", col("group_size") < k)
+      .select((col(idCol) +: quasiCols.map(col)) ++
+        Seq(col("group_size"), col("suppressed")): _*)
+  }
+
   /** N-gram novelty of each document against a REFERENCE corpus: how
     * many of the doc's distinct word n-grams the reference has never
     * seen — the measuring complement of [[decontaminate]] (that one

@@ -190,6 +190,62 @@ object EventAnalytics {
             org.apache.spark.sql.types.DoubleType)).as("fano"))
   }
 
+  /** LAST-TOUCH attribution: each conversion event credits the most
+    * recent touch event by the same user STRICTLY before it (ties at
+    * the same timestamp break on the `idCol` tiebreaker, same total
+    * order as [[transitionMatrix]]), optionally within a lookback
+    * window — the attribution shape behind every "which campaign gets
+    * this purchase" report, and the join-free complement of [[funnel]].
+    *
+    * ONE window pass over the user's merged touch+conversion stream:
+    * `last(touch, ignoreNulls)` over `rowsBetween(unboundedPreceding,
+    * -1)` picks the latest preceding touch without a self-join or a
+    * per-conversion scan; the lookback filter is a residual predicate.
+    * Conversions with no (in-window) preceding touch surface with null
+    * touch columns — unattributed conversions are data, not dropped
+    * rows.
+    *
+    * Output: `(user, conv_id, conv_us, touch_id, touch_type, touch_us,
+    * lag_us)`, one row per conversion event.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackUs: Option[Long] = None): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    lookbackUs.foreach(w => require(w > 0, s"lookbackUs must be > 0, got $w"))
+    // within one timestamp, conversions sort BEFORE touches (__tk), so
+    // the rows-frame ending at -1 can never hand a conversion a
+    // same-instant touch, while every strictly-earlier touch — including
+    // an earlier one behind a same-us touch — stays in the frame; eid
+    // keeps the order (and thus the winning touch among equal
+    // timestamps) total and deterministic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy(col("us"), col("__tk"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = events
+      .select(col(userCol).as("user"), col(tsCol).cast(LongType).as("us"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+      .filter(col("et").isin((convType +: touchTypes): _*))
+      .withColumn("__tk", when(col("et") === convType, lit(0)).otherwise(lit(1)))
+    val attributed = base
+      .withColumn("__touch", last(
+        when(col("__tk") === 1, struct(col("us"), col("eid"), col("et"))),
+        ignoreNulls = true).over(w))
+      .filter(col("et") === convType)
+    val windowed = lookbackUs match {
+      case Some(lb) => attributed.withColumn("__touch",
+        when(col("us") - col("__touch.us") <= lb, col("__touch")))
+      case None => attributed
+    }
+    windowed.select(col("user"), col("eid").as("conv_id"),
+      col("us").as("conv_us"), col("__touch.eid").as("touch_id"),
+      col("__touch.et").as("touch_type"), col("__touch.us").as("touch_us"),
+      (col("us") - col("__touch.us")).as("lag_us"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * each user's events in strict `(ts, id)` order form consecutive
     * `(from_type, to_type)` pairs, aggregated corpus-wide to counts and

@@ -604,6 +604,38 @@ object CoreQueries {
         .orderBy("from_type", "to_type")
     }),
 
+    // streaming funnel through a real MemoryStream: per-user chain
+    // state advances across 4 time-ordered micro-batches
+    // (flatMapGroupsWithState), each batch emits a versioned snapshot,
+    // and the max-version row per user must equal the batch funnel —
+    // the oracle is the same step-chain SQL as q_funnel on the slice.
+    "q_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(col("user_id").cast(LongType), Q.usCol(ev0).cast(LongType),
+          col("event_id").cast(LongType), col("event_type"))
+        .as[(Long, Long, Long, String)].collect().toSeq
+        .sortBy(r => (r._2, r._3))
+      val batches = rows.grouped(math.max(1, (rows.size + 3) / 4)).toSeq
+      val snaps = emitted[(Long, Long, Long, String)](s,
+        "graft_stream_funnel", batches,
+        in => graft.streaming.StreamingFunnel.chains(
+          in.toDF("user_id", "us", "event_id", "event_type"),
+          Seq("signup", "view", "click", "purchase")).toDF())
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        .orderBy(col("version").desc)
+      val cols = asLong(col("user_id")).as("user_id") +:
+        asLong(col("depth")).as("depth") +:
+        (1 to 4).map(i => when(
+          element_at(col("ts"), i) =!= lit(Long.MinValue),
+          element_at(col("ts"), i)).as(s"t_$i"))
+      snaps.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(cols: _*)
+        .orderBy("user_id")
+    }),
+
     // REAL stream-stream interval join through two lockstep
     // MemoryStreams: purchases join the same user's views in the
     // strictly preceding 24 h — inner matches emit per micro-batch with
@@ -736,6 +768,21 @@ object CoreQueries {
         .select(asLong(col("user")).as("user_id"), col("depth"),
           col("t_1"), col("t_2"), col("t_3"), col("t_4"))
         .orderBy("user_id")),
+
+    // last-touch attribution: each purchase credits the user's latest
+    // strictly-preceding view/click within 24h — one window pass, no
+    // self-join; unattributed purchases surface with null touch columns
+    "q_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.lastTouchAttribution(
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev)) },
+        "user_id", "us", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackUs = Some(86400000000L))
+        .select(asLong(col("user")).as("user"), asLong(col("conv_id")).as("conv_id"),
+          col("conv_us"), asLong(col("touch_id")).as("touch_id"),
+          col("touch_type"), col("touch_us"), col("lag_us"))
+        .orderBy("conv_id")),
 
     // interval join: views within the hour before each purchase —
     // bucketized (width = span) so it is an equi-join + filter, never a
@@ -1373,6 +1420,36 @@ object CoreQueries {
 
     // identical matrix to q_transitions on the streamed slice — the
     // equality IS the cross-batch-state correctness statement
+    // the batch funnel's step-chain CTEs restricted to the streamed
+    // slice — stream state across micro-batches must land exactly here
+    "q_stream_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE user_id < 100),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(us) AS t_1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t_2 FROM e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'view' AND e.us > s1.t_1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t_3 FROM e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'click' AND e.us > s2.t_2
+        |  GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, min(e.us) AS t_4 FROM e
+        |  JOIN s3 ON e.user_id = s3.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > s3.t_3
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_4 IS NOT NULL THEN 4
+        |    WHEN t_3 IS NOT NULL THEN 3
+        |    WHEN t_2 IS NOT NULL THEN 2
+        |    WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth,
+        |  t_1, t_2, t_3, t_4
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "q_stream_transitions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
         |    event_type FROM events WHERE user_id < 100),
@@ -1997,6 +2074,29 @@ object CoreQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+
+    // latest = max (us, event_id) among strictly-earlier in-window
+    // touches, the same total order as the engine's window frame; a
+    // stale latest touch implies all are stale, so filter-then-rank
+    // equals the engine's rank-then-window-check
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id, us, event_type FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT c.conv_id, t.event_id AS touch_id,
+        |    t.event_type AS touch_type, t.us AS touch_us,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.us DESC, t.event_id DESC) AS rn
+        |  FROM c JOIN t ON t.user_id = c.user_id AND t.us < c.conv_us
+        |    AND c.conv_us - t.us <= 86400000000)
+        |SELECT CAST(c.user_id AS BIGINT) AS "user", c.conv_id, c.conv_us,
+        |  CAST(j.touch_id AS BIGINT) AS touch_id, j.touch_type,
+        |  j.touch_us, c.conv_us - j.touch_us AS lag_us
+        |FROM c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (conv_id)
+        |ORDER BY conv_id""".stripMargin,
 
     "q_range_join" ->
       """WITH p AS (SELECT user_id, epoch_us(ts) AS ts, event_id

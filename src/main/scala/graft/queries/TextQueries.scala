@@ -308,6 +308,19 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // k-anonymity audit over (source, lang, length-bucket) quasi
+    // identifiers: every doc with its quasi-group size, suppressed flag
+    // for groups under k=5 — one group count joined back, no window.
+    "q_k_anonymity" -> ((s, dir) =>
+      graft.operators.CorpusOps.kAnonymity(
+        t(s, dir, "documents")
+          .withColumn("len_bucket", expr("n_chars div 100")),
+        "doc_id", Seq("source", "lang", "len_bucket"), k = 5L)
+        .select(col("doc_id"), col("source"), col("lang"),
+          asLong(col("len_bucket")).as("len_bucket"),
+          col("group_size"), col("suppressed"))
+        .orderBy("doc_id")),
+
     // overlapping token-window chunking (context-window packing): 64-token
     // chunks every 48 tokens (16-token overlap); map-side only, no shuffle.
     "q_chunk_docs" -> ((s, dir) =>
@@ -991,6 +1004,19 @@ object TextQueries {
         |    AS novelty_ppm
         |FROM cg LEFT JOIN rg ON cg.g = rg.g
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // n_chars is non-negative in the fixtures, so `//` equals the
+    // engine's `div` bucketing
+    "q_k_anonymity" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(n_chars // 100 AS BIGINT) AS len_bucket FROM documents),
+        |g AS (SELECT source, lang, len_bucket,
+        |    CAST(count(*) AS BIGINT) AS group_size
+        |  FROM d GROUP BY 1, 2, 3)
+        |SELECT d.doc_id, d.source, d.lang, d.len_bucket, g.group_size,
+        |  g.group_size < 5 AS suppressed
+        |FROM d JOIN g USING (source, lang, len_bucket)
+        |ORDER BY doc_id""".stripMargin,
 
     // starts = 0, 48, 96, … < n_tokens, keeping a tail start only if it
     // contributes tokens beyond the previous chunk (start + 16 < n).

@@ -61,6 +61,18 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(perBucketSeqs.values.forall(_ == 4)) // ceil(10/2)-1
   }
 
+  test("kAnonymity: groups below k flag suppressed, others pass") {
+    val rows = Seq(
+      (1L, "us", "en"), (2L, "us", "en"), (3L, "us", "en"),
+      (4L, "fr", "fr"), (5L, "fr", "fr"),
+      (6L, "de", "de")).toDF("id", "region", "lang")
+    val got = CorpusOps.kAnonymity(rows, "id", Seq("region", "lang"), 3L)
+      .select("id", "group_size", "suppressed")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, false), (2L, 3L, false), (3L, 3L, false),
+      (4L, 2L, true), (5L, 2L, true), (6L, 1L, true)))
+  }
+
   test("noveltyScore: exact known/novel split against the reference") {
     val ref = Seq((100L, "a b c d")).toDF("doc_id", "text")
     // doc 1: grams {a b c, b c d} both known → 0 novel

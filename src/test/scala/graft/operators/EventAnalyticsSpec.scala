@@ -154,6 +154,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(b == 2L) // buckets −1 and 0
   }
 
+  test("last-touch attribution: latest strictly-preceding touch wins, " +
+    "same-instant touches never attribute, lookback nulls stale ones") {
+    val ev = Seq(
+      // u1: ad@10, email@20, buy@30 → email credited, lag 10
+      (1L, 1L, 10L, "ad"), (1L, 2L, 20L, "email"), (1L, 3L, 30L, "buy"),
+      // u2: ad@50 arrives AT the purchase instant; ad@40 earlier →
+      // the same-instant ad must NOT win, the @40 one must
+      (2L, 4L, 40L, "ad"), (2L, 5L, 50L, "ad"), (2L, 6L, 50L, "buy"),
+      // u3: no touch at all → unattributed row, null touch columns
+      (3L, 7L, 60L, "buy"),
+      // u4: touch 100 us before the buy, lookback 50 → stale → null
+      (4L, 8L, 100L, "ad"), (4L, 9L, 200L, "buy"))
+      .toDF("user_id", "event_id", "us", "et")
+    val got = EventAnalytics.lastTouchAttribution(ev, "user_id", "us",
+      "event_id", "et", Seq("ad", "email"), "buy", lookbackUs = None)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(4)), Option(r.get(6)))).toMap
+    assert(got(1L) == ((Some(2L), Some("email"), Some(10L))))
+    assert(got(2L) == ((Some(4L), Some("ad"), Some(10L))))
+    assert(got(3L) == ((None, None, None)))
+    assert(got(4L) == ((Some(8L), Some("ad"), Some(100L))))
+    val windowed = EventAnalytics.lastTouchAttribution(ev, "user_id", "us",
+      "event_id", "et", Seq("ad", "email"), "buy", lookbackUs = Some(50L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+    assert(windowed(1L) == Some(2L) && windowed(4L).isEmpty)
+  }
+
   test("transition matrix: users never mix") {
     val ev = Seq((1L, 1L, 10L, "x"), (2L, 2L, 20L, "y"))
       .toDF("user_id", "event_id", "us", "et")
