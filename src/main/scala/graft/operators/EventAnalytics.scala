@@ -246,6 +246,67 @@ object EventAnalytics {
       (col("us") - col("__touch.us")).as("lag_us"))
   }
 
+  /** LINEAR (multi-touch) attribution: every touch strictly before a
+    * conversion within the lookback window shares its credit equally —
+    * `credit_ppm = 1 000 000 div n_touches`, exact integers, one row
+    * per (conversion, touch) pair plus a null-touch row for
+    * unattributed conversions. The equal-credit complement of
+    * [[lastTouchAttribution]]'s winner-takes-all.
+    *
+    * Scale shape: the conv×touch pairing is a BUCKETIZED interval join
+    * (the `q_range_join` recipe) — conversions explode into their
+    * lookback bucket and its predecessor, equi-join on `(user,
+    * bucket)`, residual time predicate — never a per-user nested loop;
+    * `n_touches` rides a window over the (bounded: touches within one
+    * lookback) per-conversion group.
+    *
+    * Output: `(user, conv_id, conv_us, touch_id, touch_type, touch_us,
+    * n_touches, credit_ppm)`.
+    */
+  def linearAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      touchTypes: Seq[String], convType: String,
+      lookbackUs: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "touchTypes must be non-empty")
+    require(!touchTypes.contains(convType),
+      s"convType $convType cannot also be a touch type")
+    require(lookbackUs > 0, s"lookbackUs must be > 0, got $lookbackUs")
+    val base = events
+      .select(col(userCol).as("user"), col(tsCol).cast(LongType).as("us"),
+        col(idCol).as("eid"), col(typeCol).as("et"))
+    def bucket(c: String) =
+      expr(s"($c - pmod($c, ${lookbackUs}L)) div ${lookbackUs}L")
+    val convs = base.filter(col("et") === convType)
+      .select(col("user"), col("eid").as("conv_id"), col("us").as("conv_us"))
+    val touches = base.filter(col("et").isin(touchTypes: _*))
+      .select(col("user"), col("eid").as("touch_id"),
+        col("et").as("touch_type"), col("us").as("touch_us"))
+      .withColumn("__jb", bucket("touch_us"))
+    val matched = convs
+      .withColumn("__b", bucket("conv_us"))
+      .withColumn("__jb", explode(array(col("__b"), col("__b") - 1)))
+      .join(touches, Seq("user", "__jb"))
+      .filter(col("touch_us") < col("conv_us") &&
+        col("conv_us") - col("touch_us") <= lookbackUs)
+      .select(col("user"), col("conv_id"), col("conv_us"), col("touch_id"),
+        col("touch_type"), col("touch_us"))
+    // one null-touch MARKER row per conversion rides the same window
+    // frame, so unattributed conversions fall out of the count(touch)
+    // directly — no anti-join, no re-execution of the pair subtree
+    val markers = convs.select(col("user"), col("conv_id"), col("conv_us"),
+      lit(null).cast(touches.schema("touch_id").dataType).as("touch_id"),
+      lit(null).cast(org.apache.spark.sql.types.StringType)
+        .as("touch_type"),
+      lit(null).cast(LongType).as("touch_us"))
+    matched.unionByName(markers)
+      .withColumn("n_touches", count(col("touch_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("conv_id")))
+      .filter(col("touch_id").isNotNull || col("n_touches") === 0L)
+      .withColumn("credit_ppm",
+        when(col("n_touches") > 0L, expr("1000000L div n_touches"))
+          .cast(LongType))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * each user's events in strict `(ts, id)` order form consecutive
     * `(from_type, to_type)` pairs, aggregated corpus-wide to counts and

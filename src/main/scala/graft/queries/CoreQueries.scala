@@ -784,6 +784,24 @@ object CoreQueries {
           col("touch_type"), col("touch_us"), col("lag_us"))
         .orderBy("conv_id")),
 
+    // linear multi-touch attribution: every view/click in the 24h
+    // before a purchase shares equal credit (exact ppm) — bucketized
+    // interval join, never a per-user nested loop; unattributed
+    // purchases surface with n_touches=0
+    "q_attribution_linear" -> ((s, dir) =>
+      graft.operators.EventAnalytics.linearAttribution(
+        locally { val ev = t(s, dir, "events")
+          ev.withColumn("us", Q.usCol(ev))
+            .filter(col("user_id") < 200) },
+        "user_id", "us", "event_id", "event_type",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackUs = 86400000000L)
+        .select(asLong(col("user")).as("user"),
+          asLong(col("conv_id")).as("conv_id"), col("conv_us"),
+          asLong(col("touch_id")).as("touch_id"), col("touch_type"),
+          col("touch_us"), col("n_touches"), col("credit_ppm"))
+        .orderBy("conv_id", "touch_id")),
+
     // interval join: views within the hour before each purchase —
     // bucketized (width = span) so it is an equi-join + filter, never a
     // per-key nested loop; oracle is the naive BETWEEN join.
@@ -2074,6 +2092,34 @@ object CoreQueries {
         |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
         |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
         |ORDER BY u.user_id""".stripMargin,
+
+    // the naive BETWEEN join the engine's bucketized form must equal;
+    // credit = integral ppm division of the per-conv touch count
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    event_type FROM events WHERE user_id < 200),
+        |c AS (SELECT user_id, event_id AS conv_id, us AS conv_us
+        |  FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id, us, event_type FROM e
+        |  WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT c.user_id, c.conv_id, c.conv_us,
+        |    t.event_id AS touch_id, t.event_type AS touch_type,
+        |    t.us AS touch_us,
+        |    CAST(count(*) OVER (PARTITION BY c.conv_id) AS BIGINT)
+        |      AS n_touches
+        |  FROM c JOIN t ON t.user_id = c.user_id AND t.us < c.conv_us
+        |    AND c.conv_us - t.us <= 86400000000)
+        |SELECT CAST(user_id AS BIGINT) AS "user", conv_id, conv_us,
+        |  CAST(touch_id AS BIGINT) AS touch_id, touch_type, touch_us,
+        |  n_touches, 1000000 // n_touches AS credit_ppm
+        |FROM p
+        |UNION ALL
+        |SELECT CAST(c.user_id AS BIGINT) AS "user", c.conv_id, c.conv_us,
+        |  NULL, NULL, NULL, CAST(0 AS BIGINT), NULL
+        |FROM c LEFT JOIN (SELECT DISTINCT conv_id FROM p) x
+        |  USING (conv_id)
+        |WHERE x.conv_id IS NULL
+        |ORDER BY conv_id, touch_id""".stripMargin,
 
     // latest = max (us, event_id) among strictly-earlier in-window
     // touches, the same total order as the engine's window frame; a

@@ -308,6 +308,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // packing-efficiency report over the next-fit packing: per bucket,
+    // sequences used, token capacity, waste (negative when oversize
+    // docs overflow their lone sequence), and exact ppm efficiency —
+    // the metric that decides whether seqLen/bucketDocs are right
+    // before a training run burns the padding.
+    "q_pack_efficiency" -> ((s, dir) =>
+      graft.operators.CorpusOps.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          asLong(tokenCountWs(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 256L, bucketDocs = 128L)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq")) + lit(1L)).as("n_seqs"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .withColumn("capacity", col("n_seqs") * lit(256L))
+        .withColumn("waste", col("capacity") - col("sum_tokens"))
+        .withColumn("efficiency_ppm",
+          expr("sum_tokens * 1000000L div capacity"))
+        .orderBy("bucket")),
+
     // k-anonymity audit over (source, lang, length-bucket) quasi
     // identifiers: every doc with its quasi-group size, suppressed flag
     // for groups under k=5 — one group count joined back, no window.
@@ -1004,6 +1024,39 @@ object TextQueries {
         |    AS novelty_ppm
         |FROM cg LEFT JOIN rg ON cg.g = rg.g
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // same recursive next-fit recurrence as q_pack_sequences, folded to
+    // the per-bucket capacity/waste report
+    "q_pack_efficiency" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS t,
+        |    CAST(doc_id // 128 AS BIGINT) AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, t, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+        |  FROM d),
+        |p(bucket, rn, doc_id, t, seq, off, fill) AS (
+        |  SELECT bucket, rn, doc_id, t, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), t
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.bucket, r.rn, r.doc_id, r.t,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |         THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |         THEN 0 ELSE p.fill END,
+        |    (CASE WHEN p.fill > 0 AND p.fill + r.t > 256
+        |          THEN 0 ELSE p.fill END) + r.t
+        |  FROM r JOIN p ON r.bucket = p.bucket AND r.rn = p.rn + 1),
+        |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(max(seq) + 1 AS BIGINT) AS n_seqs,
+        |    CAST(sum(t) AS BIGINT) AS sum_tokens
+        |  FROM p GROUP BY bucket)
+        |SELECT bucket, n_docs, n_seqs, sum_tokens,
+        |  n_seqs * 256 AS capacity,
+        |  n_seqs * 256 - sum_tokens AS waste,
+        |  sum_tokens * 1000000 // (n_seqs * 256) AS efficiency_ppm
+        |FROM a ORDER BY bucket""".stripMargin,
 
     // n_chars is non-negative in the fixtures, so `//` equals the
     // engine's `div` bucketing

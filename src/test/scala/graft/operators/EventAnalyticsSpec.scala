@@ -181,6 +181,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(windowed(1L) == Some(2L) && windowed(4L).isEmpty)
   }
 
+  test("linear attribution: in-window touches share credit, bucket " +
+    "boundaries don't lose pairs, unattributed convs surface") {
+    val lb = 100L
+    val ev = Seq(
+      // u1: touches at 10, 60; buy at 110 → both in window (lag 100, 50)
+      (1L, 1L, 10L, "ad"), (1L, 2L, 60L, "ad"), (1L, 3L, 110L, "buy"),
+      // u2: touch at 199, buy at 250 — different lookback buckets
+      // (1 vs 2), must still pair via the bucket-1 explode
+      (2L, 4L, 199L, "ad"), (2L, 5L, 250L, "buy"),
+      // u3: touch too old (lag 101) → unattributed
+      (3L, 6L, 0L, "ad"), (3L, 7L, 101L, "buy"),
+      // u4: same-instant touch only → unattributed (strictly before)
+      (4L, 8L, 300L, "ad"), (4L, 9L, 300L, "buy"))
+      .toDF("user_id", "event_id", "us", "et")
+    val got = EventAnalytics.linearAttribution(ev, "user_id", "us",
+      "event_id", "et", Seq("ad"), "buy", lookbackUs = lb)
+      .collect().map(r => (r.getLong(1), Option(r.get(3))) ->
+        (r.getLong(6), Option(r.get(7)))).toMap
+    assert(got((3L, Some(1L))) == ((2L, Some(500000L))))
+    assert(got((3L, Some(2L))) == ((2L, Some(500000L))))
+    assert(got((5L, Some(4L))) == ((1L, Some(1000000L))))
+    assert(got((7L, None)) == ((0L, None)))
+    assert(got((9L, None)) == ((0L, None)))
+    assert(got.size == 5)
+  }
+
   test("transition matrix: users never mix") {
     val ev = Seq((1L, 1L, 10L, "x"), (2L, 2L, 20L, "y"))
       .toDF("user_id", "event_id", "us", "et")
