@@ -281,6 +281,45 @@ object CorpusOps {
         expr("n_novel * 1000000L div n_grams"))
   }
 
+  /** Materialized novelty index of a reference corpus: one row per
+    * DISTINCT gram hash, `(h, n_docs)`. The 100 TB shape: build it
+    * once (write partitioned by `pmod(h, bands)` like
+    * `Dedup.minhashIndex`), then [[noveltyAgainstIndex]] probes a new
+    * batch without ever re-shingling the reference — the same
+    * index-once / probe-increment contract as the MinHash, ANN, and
+    * suffix indexes. `n_docs` rides along so callers can also weight
+    * novelty by reference rarity.
+    */
+  def noveltyIndex(reference: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    reference.select(col(idCol).as("__id"),
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** [[noveltyScore]] of a batch against a prebuilt [[noveltyIndex]] —
+    * equal output to scoring against the reference directly, with the
+    * reference never re-read: the probe join touches the index table
+    * only. Same schema as [[noveltyScore]].
+    */
+  def noveltyAgainstIndex(batch: DataFrame, index: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3): DataFrame = {
+    import graft.functions.TextFunctions
+    batch.select(col(idCol),
+      explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("__g"))
+      .select(col(idCol), xxhash64(col("__g")).as("h"))
+      .join(index.select(col("h"), lit(1L).as("__known")), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__known")), lit(0L)).as("n_known"))
+      .withColumn("n_novel", col("n_grams") - col("n_known"))
+      .withColumn("novelty_ppm",
+        expr("n_novel * 1000000L div n_grams"))
+  }
+
   /** Benchmark decontamination: for every (corpus doc, eval doc) pair
     * sharing word shingles, the distinct-shingle overlap and the
     * containment ratio `overlap / |eval shingles|` — the standard

@@ -308,6 +308,22 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental novelty: the src0 reference is INDEXED once (distinct
+    // gram hashes + doc counts) and the src1 batch probes the index —
+    // the daily-increment shape where the reference is never re-read;
+    // the oracle scores the same batch against the reference directly,
+    // so the gate proves index-probe ≡ direct.
+    "q_novelty_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idx = graft.operators.CorpusOps.noveltyIndex(
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      graft.operators.CorpusOps.noveltyAgainstIndex(
+        docs.filter(col("source") === "src1"), idx, "doc_id", "text")
+        .select(col("doc_id"), col("n_grams"), col("n_known"),
+          col("n_novel"), col("novelty_ppm"))
+        .orderBy("doc_id")
+    }),
+
     // packing-efficiency report over the next-fit packing: per bucket,
     // sequences used, token capacity, waste (negative when oversize
     // docs overflow their lone sequence), and exact ppm efficiency —
@@ -1007,6 +1023,28 @@ object TextQueries {
     "q_novelty" ->
       """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE source <> 'src0'),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM ct),
+        |rt AS (SELECT string_split(text, ' ') AS w
+        |  FROM documents WHERE source = 'src0'),
+        |rg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+        |  FROM rt)
+        |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(rg.g) AS BIGINT) AS n_known,
+        |  CAST(count(*) - count(rg.g) AS BIGINT) AS n_novel,
+        |  CAST((count(*) - count(rg.g)) * 1000000 // count(*) AS BIGINT)
+        |    AS novelty_ppm
+        |FROM cg LEFT JOIN rg ON cg.g = rg.g
+        |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the DIRECT score of the same batch — index-probe must equal it
+    "q_novelty_incremental" ->
+      """WITH ct AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE source = 'src1'),
         |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 1, 1)),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g

@@ -86,6 +86,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, 3L, 1L, 2L, 666666L)))
   }
 
+  test("noveltyAgainstIndex == noveltyScore, reference never re-read") {
+    val ref = Seq((100L, "a b c d e"), (101L, "b c d f")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "a b c d X"), (2L, "p q r s"), (3L, "b c d f g"))
+      .toDF("doc_id", "text")
+    val direct = CorpusOps.noveltyScore(corpus, ref, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val viaIndex = CorpusOps.noveltyAgainstIndex(corpus,
+      CorpusOps.noveltyIndex(ref, "doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(direct == viaIndex)
+    assert(direct.nonEmpty)
+    // index counts distinct docs per gram: "b c d" appears in both refs
+    val n = CorpusOps.noveltyIndex(ref, "doc_id", "text")
+      .filter(col("n_docs") === 2L).count()
+    assert(n == 1L)
+  }
+
   test("packShards: two-phase range-partitioned form equals the naive " +
     "global-window cumsum, and shard token totals respect the budget") {
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37) % 400))
