@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Corpus-management operators for the training-data tier: deterministic
   * split assignment, token-budget shard packing, vocabulary building.
@@ -158,6 +158,31 @@ object CorpusOps {
           lit("utf-8"))), 18, 15), 16, 10).cast(LongType)),
       "__shuf", lit(1L), outCol, tiebreak = Some(keyCol))
       .drop("__shuf")
+
+  /** Curriculum training order: contiguous 0-based rank sorted by a
+    * coarse `difficulty` bucket (easy first), hash-shuffled WITHIN each
+    * bucket — the practical curriculum-learning schedule (Bengio 2009):
+    * a total order on difficulty would overfit the metric's noise and
+    * serialize same-score runs, so difficulty is bucketed and the
+    * in-bucket order is the [[shuffleOrder]] md5 permutation (a fresh
+    * one per `seed`/epoch). Same two-phase prefix machinery — no global
+    * single-partition sort; the composite decimal key
+    * `bucket·2⁶⁰ + shuffle_hash` keeps (bucket, hash) lexicographic in
+    * one numeric the bucket-boundary sampler can quantile.
+    * `keyCol` must be unique (it tiebreaks hash collisions).
+    */
+  def curriculumOrder(df: DataFrame, keyCol: String, difficulty: Column,
+      seed: String = "", outCol: String = "curriculum_rank"): DataFrame =
+    prefixBefore(
+      df.withColumn("__shuf", conv(
+          substring(md5(to_binary(
+            concat(col(keyCol).cast("string"), lit(":" + seed)),
+            lit("utf-8"))), 18, 15), 16, 10).cast(LongType))
+        .withColumn("__ck",
+          difficulty.cast(DecimalType(38, 0))
+            * lit(1152921504606846976L) + col("__shuf")),
+      "__ck", lit(1L), outCol, tiebreak = Some(keyCol))
+      .drop("__shuf", "__ck")
 
   /** Exclusive running sum of `value` in `orderCol` order, as `outCol`.
     *

@@ -431,6 +431,34 @@ object Dedup {
     labels
   }
 
+  /** Near-dup arbitration: resolve `pairs` to clusters and keep the
+    * BEST-scoring member of each — score desc, id asc on ties — rather
+    * than the first (RefinedWeb keeps the longest copy, reference-free
+    * quality filters keep the highest-scoring one; keep-lowest-id is
+    * [[exactDedup]]'s policy). Docs in no pair pass through as their
+    * own singleton cluster. One row per cluster:
+    * `(label, n_members, keeper_id, keeper_score)`.
+    *
+    * 100 TB shape: cluster labels come from [[resolveKeepers]] (swap in
+    * [[connectedComponents]] upstream for chain-shaped graphs) and the
+    * label table is only the docs that appear in a pair — tiny next to
+    * the corpus, so the attach join broadcasts under AQE. Arbitration is
+    * a single `max(struct(score, -id))` groupBy: the lexicographic
+    * struct max IS the total keeper order, no window sort over members.
+    */
+  def keepBest(scored: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val labels = resolveKeepers(pairs)
+    scored.select(col(idCol).as("id"), col(scoreCol).as("score"))
+      .join(labels, Seq("id"), "left")
+      .withColumn("label", coalesce(col("label"), col("id")))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("id")).as("negid"))).as("b"))
+      .select(col("label"), col("n_members"),
+        (-col("b.negid")).as("keeper_id"), col("b.score").as("keeper_score"))
+  }
+
   /** Connected components by alternating large-star / small-star — the
     * SCALE path beside [[resolveKeepers]] (Kiveris et al. 2014, "Connected
     * Components in MapReduce and Beyond", the algorithm behind GraphFrames'

@@ -499,6 +499,24 @@ object SimilarityQueries {
       Dedup.resolveKeepers(pairs).orderBy("id")
     }),
 
+    // near-dup arbitration end-to-end on the real corpus: exact
+    // n-gram-Jaccard pairs at >= 0.6 → min-label clusters → keep the
+    // LONGEST member (n_chars desc, id asc), not the first — the
+    // RefinedWeb keeper policy. Singletons pass through; the oracle
+    // replays pairs + recursive closure + the same argmax.
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.6).select(col("id_a"), col("id_b"))
+      Dedup.keepBest(docs.select(col("doc_id"), col("n_chars")),
+        pairs, "doc_id", "n_chars")
+        .select(asLong(col("label")).as("label"),
+          asLong(col("n_members")).as("n_members"),
+          asLong(col("keeper_id")).as("keeper_id"),
+          asLong(col("keeper_score")).as("keeper_score"))
+        .orderBy("label")
+    }),
+
     // the SCALE path for cluster resolution: alternating large-star /
     // small-star (O(log n) rounds vs min-label's O(diameter)) on a graph
     // whose 17-deep chain makes the difference observable; same
@@ -797,6 +815,42 @@ object SimilarityQueries {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // pairs >= 0.6 (the q_ngram_jaccard shape, full corpus) → recursive
+    // transitive closure → per-cluster argmax (n_chars desc, id asc)
+    "q_dedup_keepbest" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6),
+        |edges(src, dst) AS (
+        |  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+        |m AS (SELECT COALESCE(lab.label, d.doc_id) AS label, d.doc_id AS id,
+        |    d.n_chars
+        |  FROM documents d LEFT JOIN lab ON lab.id = d.doc_id),
+        |rk AS (SELECT label, id, n_chars,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY n_chars DESC, id) AS rn,
+        |    count(*) OVER (PARTITION BY label) AS nm
+        |  FROM m)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(nm AS BIGINT) AS n_members,
+        |  CAST(id AS BIGINT) AS keeper_id, CAST(n_chars AS BIGINT) AS keeper_score
+        |FROM rk WHERE rn = 1 ORDER BY label""".stripMargin,
 
     "q_winnow" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -324,6 +324,88 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // per-source corpus card (the "datasheet" block a curation run
+    // publishes): docs, exact-dup ppm, token/vocab totals, TTR,
+    // tokens-per-doc, and source-level word-distribution entropy —
+    // lexicalStats reused at source granularity plus ONE
+    // (source, content-hash) pass for doc/dup counts; 2 corpus scans
+    // total, all integers except the ppb entropy.
+    "q_corpus_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.Lexical.corpusCard(
+        graft.operators.Lexical.wordCounts(docs, "source", "text"),
+        graft.operators.Lexical.dupLedger(docs, "source", "text"))
+        .select(col("group").as("source"),
+          asLong(col("n_docs")).as("n_docs"),
+          asLong(col("n_distinct")).as("n_distinct"),
+          col("dup_ppm"), asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("n_types")).as("n_types"), col("ttr_ppm"),
+          col("tokens_per_doc"),
+          Q.ppb(col("entropy")).as("entropy_ppb"))
+        .orderBy("source")
+    }),
+
+    // lexical-entropy quality gate (RefinedWeb/Gopher "natural
+    // language" filters): per doc, word-distribution Shannon entropy,
+    // type-token ratio, and modal word frequency. Entropy folds c·ln c
+    // in word-ascending order and quantizes to ppb; TTR is an exact
+    // integral ppm.
+    "q_lexical_entropy" -> ((s, dir) =>
+      graft.operators.Lexical.lexicalStats(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"),
+          asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("n_types")).as("n_types"),
+          expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+          asLong(col("max_freq")).as("max_freq"),
+          Q.ppb(col("entropy")).as("entropy_ppb"))
+        .orderBy("doc_id")),
+
+    // bigram/conditional entropy per source — the predictability/
+    // templatedness gate: cond = H(bigram) − H(unigram) ≈ H(w2|w1);
+    // boilerplate sources collapse toward 0. Gram-ascending folds, ppb
+    // edge.
+    "q_bigram_entropy" -> ((s, dir) =>
+      graft.operators.Lexical.bigramEntropy(
+        t(s, dir, "documents"), "source", "text")
+        .select(col("group"),
+          asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("n_bigrams")).as("n_bigrams"),
+          Q.ppb(col("uni_entropy")).as("uni_ppb"),
+          Q.ppb(col("bi_entropy")).as("bi_ppb"),
+          Q.ppb(col("cond_entropy")).as("cond_ppb"))
+        .orderBy("group")),
+
+    // Heaps'-law vocabulary growth per source: beta from OLS of ln V
+    // on ln N over 10 doc-id-threshold sample points — no windows, no
+    // per-source prefix sort; beta near 0 = exhausted/templated
+    // vocabulary, near 1 = key-smash.
+    "q_heaps_law" -> ((s, dir) =>
+      graft.operators.Lexical.heapsLaw(
+        t(s, dir, "documents"), "source", "doc_id", "text")
+        .select(col("group"),
+          asLong(col("n_points")).as("n_points"),
+          asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("n_types")).as("n_types"),
+          Q.ppb(col("beta")).as("beta_ppb"),
+          Q.ppb(col("lnk")).as("lnk_ppb"))
+        .orderBy("group")),
+
+    // Zipf rank-frequency fit per source: OLS slope of ln(count) on
+    // ln(rank) over the top-64 vocabulary (two-phase bounded top-V —
+    // no reducer ever sorts a whole vocabulary). Natural text sits
+    // near slope −1; the oracle replays the exact rank order and the
+    // rank-ascending sum folds.
+    "q_zipf_slope" -> ((s, dir) =>
+      graft.operators.Lexical.zipfSlope(
+        t(s, dir, "documents"), "source", "text", topV = 64)
+        .select(col("group"),
+          asLong(col("n_points")).as("n_points"),
+          asLong(col("c1")).as("c1"),
+          Q.ppb(col("slope")).as("slope_ppb"),
+          Q.ppb(col("intercept")).as("intercept_ppb"))
+        .orderBy("group")),
+
     // packing-efficiency report over the next-fit packing: per bucket,
     // sequences used, token capacity, waste (negative when oversize
     // docs overflow their lone sequence), and exact ppm efficiency —
@@ -701,6 +783,18 @@ object TextQueries {
         .select(col("doc_id"), col("rank"))
         .orderBy("doc_id")),
 
+    // curriculum schedule: easy-first by length bucket, md5-shuffled
+    // within each bucket (a fresh permutation per epoch seed), rank via
+    // the same two-phase prefix — no global sort.
+    "q_curriculum" -> ((s, dir) =>
+      graft.operators.CorpusOps.curriculumOrder(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", expr("n_chars div 50"), seed = "epoch1")
+        .select(col("doc_id"),
+          expr("n_chars div 50").as("bucket"),
+          col("curriculum_rank"))
+        .orderBy("doc_id")),
+
     // deterministic per-epoch corpus shuffle: contiguous rank under the
     // md5(key, seed) order — stable across reruns/partitionings, a fresh
     // permutation per seed; no global sort (two-phase prefix sum).
@@ -1062,6 +1156,175 @@ object TextQueries {
         |    AS novelty_ppm
         |FROM cg LEFT JOIN rg ON cg.g = rg.g
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same two passes: (source, md5) dup ledger + source-level
+    // word fold; entropy identical to q_lexical_entropy's form
+    "q_corpus_card" ->
+      """WITH d AS (SELECT source, md5(text) AS h, count(*) AS c
+        |  FROM documents GROUP BY source, h),
+        |counts AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_distinct
+        |  FROM d GROUP BY source),
+        |w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w GROUP BY source, w),
+        |lex AS (SELECT source,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY w),
+        |      (a, b) -> a + b) AS s
+        |  FROM c GROUP BY source)
+        |SELECT counts.source, n_docs, n_distinct,
+        |  (n_docs - n_distinct) * 1000000 // n_docs AS dup_ppm,
+        |  n_tokens, n_types,
+        |  n_types * 1000000 // n_tokens AS ttr_ppm,
+        |  n_tokens // n_docs AS tokens_per_doc,
+        |  CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+        |    - s / CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    AS entropy_ppb
+        |FROM counts JOIN lex ON counts.source = lex.source
+        |ORDER BY counts.source""".stripMargin,
+
+    // word-ascending c·ln c fold, entropy = ln N − S/N, ppb edge —
+    // the same fixed IEEE sequence Lexical.lexicalStats runs
+    "q_lexical_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w GROUP BY doc_id, w),
+        |a AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(max(c) AS BIGINT) AS max_freq,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY w),
+        |      (a, b) -> a + b) AS s
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, n_types,
+        |  n_types * 1000000 // n_tokens AS ttr_ppm, max_freq,
+        |  CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+        |    - s / CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    AS entropy_ppb
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // both ladder rungs replayed: unigram and multiplicity-preserving
+    // adjacent bigram counts, gram-ordered folds, identical
+    // ln N − S/N edges, cond = bi − uni before the shared ppb edge
+    "q_bigram_entropy" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |u AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(w) AS g FROM w) GROUP BY source, g),
+        |b AS (SELECT source, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS g FROM w)
+        |  GROUP BY source, g),
+        |ru AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY g),
+        |      (a, x) -> a + x) AS s1
+        |  FROM u GROUP BY source),
+        |rb AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY g),
+        |      (a, x) -> a + x) AS s2
+        |  FROM b GROUP BY source),
+        |e AS (SELECT ru.source, n_tokens, n_bigrams,
+        |    ln(CAST(n_tokens AS DOUBLE)) - s1 / CAST(n_tokens AS DOUBLE)
+        |      AS uni,
+        |    ln(CAST(n_bigrams AS DOUBLE)) - s2 / CAST(n_bigrams AS DOUBLE)
+        |      AS bi
+        |  FROM ru JOIN rb ON ru.source = rb.source)
+        |SELECT source AS "group", n_tokens, n_bigrams,
+        |  CAST(floor(uni * 1e9 + 0.5) AS BIGINT) AS uni_ppb,
+        |  CAST(floor(bi * 1e9 + 0.5) AS BIGINT) AS bi_ppb,
+        |  CAST(floor((bi - uni) * 1e9 + 0.5) AS BIGINT) AS cond_ppb
+        |FROM e ORDER BY "group"""".stripMargin,
+
+    // first-occurrence vocab + per-doc token tables crossed with the
+    // 10 integer thresholds, zero-point filter, k-ordered OLS folds,
+    // beta-then-intercept in the same op order
+    "q_heaps_law" ->
+      """WITH w AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS w FROM documents),
+        |fd AS (SELECT source, w, min(doc_id) AS fd
+        |  FROM w GROUP BY source, w),
+        |dt AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS t
+        |  FROM w GROUP BY source, doc_id),
+        |mx AS (SELECT source, max(doc_id) AS mx
+        |  FROM documents GROUP BY source),
+        |th AS (SELECT source, k, mx * k // 10 AS thr
+        |  FROM mx, unnest(generate_series(1, 10)) u(k)),
+        |v AS (SELECT th.source, k,
+        |    sum(CASE WHEN fd <= thr THEN 1 ELSE 0 END) AS v
+        |  FROM th JOIN fd ON th.source = fd.source GROUP BY th.source, k),
+        |n AS (SELECT th.source, k,
+        |    sum(CASE WHEN doc_id <= thr THEN t ELSE 0 END) AS n
+        |  FROM th JOIN dt ON th.source = dt.source GROUP BY th.source, k),
+        |pts AS (SELECT v.source, v.k, v.v, n.n
+        |  FROM v JOIN n ON v.source = n.source AND v.k = n.k
+        |  WHERE v.v > 0 AND n.n > 0),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+        |    list_reduce(list(ln(CAST(n AS DOUBLE)) ORDER BY k),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list(ln(CAST(v AS DOUBLE)) ORDER BY k),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list(ln(CAST(n AS DOUBLE)) * ln(CAST(v AS DOUBLE))
+        |      ORDER BY k), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list(ln(CAST(n AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+        |      ORDER BY k), (a, b) -> a + b) AS sxx
+        |  FROM pts GROUP BY source HAVING count(*) >= 2),
+        |tot AS (SELECT dt.source, CAST(sum(t) AS BIGINT) AS n_tokens
+        |  FROM dt GROUP BY dt.source),
+        |ty AS (SELECT fd.source, CAST(count(*) AS BIGINT) AS n_types
+        |  FROM fd GROUP BY fd.source),
+        |f AS (SELECT s.source, n_points,
+        |    (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS beta,
+        |    sx, sy
+        |  FROM s)
+        |SELECT f.source AS "group", n_points, n_tokens, n_types,
+        |  CAST(floor(beta * 1e9 + 0.5) AS BIGINT) AS beta_ppb,
+        |  CAST(floor((sy - beta * sx) / CAST(n_points AS DOUBLE) * 1e9
+        |    + 0.5) AS BIGINT) AS lnk_ppb
+        |FROM f JOIN tot ON f.source = tot.source
+        |JOIN ty ON f.source = ty.source
+        |ORDER BY "group"""".stripMargin,
+
+    // exact top-64 rank (count desc, word asc) per source, the four OLS
+    // sums folded in rank order, closed-form slope/intercept, ppb edge
+    "q_zipf_slope" ->
+      """WITH c AS (SELECT source AS g, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY g, w),
+        |r AS (SELECT g, c,
+        |    row_number() OVER (PARTITION BY g ORDER BY c DESC, w) AS rank
+        |  FROM c QUALIFY rank <= 64),
+        |s AS (SELECT g,
+        |    CAST(count(*) AS BIGINT) AS n_points,
+        |    max(CASE WHEN rank = 1 THEN c END) AS c1,
+        |    list_reduce(list(ln(CAST(rank AS DOUBLE)) ORDER BY rank),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list(ln(CAST(c AS DOUBLE)) ORDER BY rank),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list(ln(CAST(rank AS DOUBLE)) * ln(CAST(c AS DOUBLE))
+        |      ORDER BY rank), (a, b) -> a + b) AS sxy,
+        |    list_reduce(list(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+        |      ORDER BY rank), (a, b) -> a + b) AS sxx
+        |  FROM r GROUP BY g),
+        |f AS (SELECT g, n_points, c1,
+        |    (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_points AS DOUBLE) * sxx - sx * sx) AS slope,
+        |    sx, sy
+        |  FROM s)
+        |SELECT g AS "group", n_points, CAST(c1 AS BIGINT) AS c1,
+        |  CAST(floor(slope * 1e9 + 0.5) AS BIGINT) AS slope_ppb,
+        |  CAST(floor((sy - slope * sx) / CAST(n_points AS DOUBLE) * 1e9 + 0.5)
+        |    AS BIGINT) AS intercept_ppb
+        |FROM f ORDER BY "group"""".stripMargin,
 
     // same recursive next-fit recurrence as q_pack_sequences, folded to
     // the per-bucket capacity/waste report
@@ -1804,6 +2067,14 @@ object TextQueries {
       """SELECT doc_id, CAST(row_number() OVER (ORDER BY
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
         |      18, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS shuffle_rank
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // (bucket, md5 shuffle hash, doc_id) total order replayed flat
+    "q_curriculum" ->
+      """SELECT doc_id, CAST(n_chars // 50 AS BIGINT) AS bucket,
+        |  CAST(row_number() OVER (ORDER BY n_chars // 50,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
+        |      18, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS curriculum_rank
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // pmi_ratio = (c_ab·n_tok·n_tok) / (n_pairs·c_a·c_b) with the exact

@@ -103,6 +103,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("curriculumOrder: 0..n-1 permutation, bucket-monotone, equal to " +
+    "the naive global window, stable under repartitioning") {
+    val docs = (0L until 300L).map(i => (i, 10L + (i * 13) % 170))
+      .toDF("doc_id", "n_chars")
+    val out = CorpusOps.curriculumOrder(docs, "doc_id",
+      expr("n_chars div 50"), seed = "e1")
+      .select(col("doc_id"), expr("n_chars div 50").as("b"),
+        col("curriculum_rank"))
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == (0L until 300L))
+    // all of bucket b precedes all of bucket b+1
+    val byRank = out.sortBy(_._3).map(_._2).toSeq
+    assert(byRank == byRank.sorted)
+    val naive = docs.withColumn("__h", conv(substring(md5(to_binary(
+        concat(col("doc_id").cast("string"), lit(":e1")), lit("utf-8"))),
+        18, 15), 16, 10).cast("long"))
+      .withColumn("r", row_number().over(Window.orderBy(
+        expr("n_chars div 50"), col("__h"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("r").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(out.map(r => r._1 -> r._3).toMap == naive)
+    val reparted = CorpusOps.curriculumOrder(docs.repartition(7), "doc_id",
+      expr("n_chars div 50"), seed = "e1")
+      .select(col("doc_id"), col("curriculum_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(reparted == naive)
+  }
+
   test("packShards: two-phase range-partitioned form equals the naive " +
     "global-window cumsum, and shard token totals respect the budget") {
     val docs = (0L until 500L).map(i => (i, 1L + (i * 37) % 400))

@@ -70,6 +70,17 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 10L, 99L)) // keepers + the unpaired doc
   }
 
+  test("keepBest arbitration: per-cluster argmax (score desc, id asc), " +
+    "singletons pass through as their own keeper") {
+    val scored = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L))
+      .toDF("doc_id", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(scored, pairs, "doc_id", "quality")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cluster 1 = {1,2,3}: max score 9 ties on 2 and 3 -> keeper 2
+    assert(out == Seq((1L, 3L, 2L, 9L), (4L, 1L, 4L, 1L)))
+  }
+
   test("LSH bucket guard caps degenerate buckets") {
     val boiler = (0L until 50L).map(i => (i, base.trim)).toDF("doc_id", "text")
     // with maxBucketSize 10, the 50-identical-docs bucket must produce no pairs
