@@ -234,6 +234,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Sketch-calibration report: precision/recall of the portable
+    * MinHash/LSH candidate set against exact n-gram Jaccard, one row
+    * per similarity tier — the PR curve an operator reads BEFORE
+    * committing (k, bands, cap) to a production dedup run. One row per
+    * `thresholdsPpm` entry:
+    * `(t_ppm, n_exact, n_candidates, n_tp, precision_ppm, recall_ppm)`
+    * where exact similarity is the ALL-INTEGER
+    * `|∩|·10⁶ div |∪|` (no double compares anywhere), `n_candidates`
+    * counts every LSH pair (band collisions with zero real overlap
+    * included — they charge precision), and empty tiers yield null
+    * ratios rather than dividing by zero.
+    *
+    * Eval-harness contract: the exact side is the quadratic-per-shingle
+    * [[ngramJaccardPairs]] machinery — at 100 TB this runs on a SAMPLE
+    * (the calibration estimate needs thousands of pairs, not all of
+    * them); the candidate side is the production-shaped banded join.
+    * Tiers attach via a broadcast nested-loop over a literal handful of
+    * rows — the only non-equi join, over `|tiers|` rows.
+    */
+  def candidateQuality(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 8, bands: Int = 4,
+      maxBucketSize: Int = 1000,
+      thresholdsPpm: Seq[Long] = Seq(200000L, 400000L, 600000L, 800000L))
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    val common = inv.groupBy(col("s"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val cand = portableMinhashPairs(df, idCol, textCol, shingleN, k,
+      bands, maxBucketSize)
+      .select(col("id_a"), col("id_b"), lit(true).as("is_cand"))
+      .localCheckpoint(true) // consumed by the tier join AND the total
+    val exact = common
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jppm",
+        expr("n_common * 1000000L div (n_a + n_b - n_common)"))
+      .join(cand, Seq("id_a", "id_b"), "left")
+      .withColumn("is_cand", coalesce(col("is_cand"), lit(false)))
+    val tiers = thresholdsPpm.toDF("t_ppm")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    // inner theta join so the broadcast side is the |tiers| literal rows
+    // (a left-outer would have to build the pair table instead); empty
+    // tiers re-attach with zero counts afterwards
+    val perTier = exact.join(broadcast(tiers), col("jppm") >= col("t_ppm"))
+      .groupBy(col("t_ppm"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_tp"))
+    tiers.join(perTier, Seq("t_ppm"), "left")
+      .select(col("t_ppm"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+      .crossJoin(broadcast(nCand))
+      .select(col("t_ppm"), col("n_exact"), col("n_candidates"), col("n_tp"),
+        when(col("n_candidates") > 0,
+          expr("n_tp * 1000000L div n_candidates")).as("precision_ppm"),
+        when(col("n_exact") > 0,
+          expr("n_tp * 1000000L div n_exact")).as("recall_ppm"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS sketch):
     * per document, the DISTINCT window-minimum hashes over consecutive
     * word n-grams — any two documents sharing a run of at least

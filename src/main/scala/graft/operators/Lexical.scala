@@ -254,12 +254,18 @@ object Lexical {
     * standard closed forms evaluated in one fixed expression each.
     */
   def zipfSlope(df: DataFrame, groupCol: String, textCol: String,
-      topV: Int = 64, buckets: Int = 32): DataFrame = {
-    val counts = df
-      .select(col(groupCol).as("group"),
-        explode(split(col(textCol), " ")).as("__w"))
-      .groupBy(col("group"), col("__w"))
-      .agg(count(lit(1)).as("c"))
+      topV: Int = 64, buckets: Int = 32): DataFrame =
+    zipfSlopeFromCounts(wordCounts(df, groupCol, textCol), topV, buckets)
+
+  /** [[zipfSlope]] over a prebuilt (group, w, c) table — multi-part
+    * tables (the [[graft.streaming.StreamingLexical]] store) merge by
+    * per-key sum first, so the incremental fit equals the batch fit
+    * exactly.
+    */
+  def zipfSlopeFromCounts(wc: DataFrame, topV: Int = 64,
+      buckets: Int = 32): DataFrame = {
+    val counts = wc.groupBy(col("group"), col("w").as("__w"))
+      .agg(sum(col("c")).as("c"))
     // phase 1: bounded local top-V per (group, bucket); struct(-c, w)
     // ascending == (c desc, w asc), the global total order
     val local = counts

@@ -499,6 +499,21 @@ object SimilarityQueries {
       Dedup.resolveKeepers(pairs).orderBy("id")
     }),
 
+    // sketch calibration: the PR curve of the portable MinHash/LSH
+    // candidate set vs exact Jaccard per similarity tier, all-integer
+    // ppm arithmetic — the report read before committing (k, bands,
+    // cap) to a production dedup run. Band collisions with zero real
+    // overlap still charge precision via the standalone candidate
+    // count.
+    "q_sketch_pr" -> ((s, dir) =>
+      Dedup.candidateQuality(
+        t(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", shingleN = 3, k = 8, bands = 4,
+        maxBucketSize = 200)
+        .select(col("t_ppm"), col("n_exact"), col("n_candidates"),
+          col("n_tp"), col("precision_ppm"), col("recall_ppm"))
+        .orderBy("t_ppm")),
+
     // near-dup arbitration end-to-end on the real corpus: exact
     // n-gram-Jaccard pairs at >= 0.6 → min-label clusters → keep the
     // LONGEST member (n_chars desc, id asc), not the first — the
@@ -815,6 +830,58 @@ object SimilarityQueries {
         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id)
         |SELECT CAST(id AS BIGINT) AS id, CAST(min(r) AS BIGINT) AS label
         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // the q_ngram_jaccard exact pairs (integral ppm) + the
+    // q_minhash_portable candidate replay, tier counts via a theta
+    // join, guarded integral ratios
+    "q_sketch_pr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 500),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |hx AS (SELECT doc_id, seed,
+        |    min(('0x' || substr(md5(seed::VARCHAR || '|' || s), 20, 13))::BIGINT) AS h
+        |  FROM sh, range(0, 8) r(seed) GROUP BY doc_id, seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |    string_agg(h::VARCHAR, ',' ORDER BY seed) AS bucket
+        |  FROM hx GROUP BY doc_id, seed // 2),
+        |bsz AS (SELECT band, bucket, count(*) AS sz FROM bk GROUP BY 1, 2),
+        |ok AS (SELECT bk.doc_id, bk.band, bk.bucket FROM bk
+        |  JOIN bsz USING (band, bucket) WHERE sz <= 200),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ok a JOIN ok b ON a.band = b.band AND a.bucket = b.bucket
+        |    AND a.doc_id < b.doc_id),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+        |ex AS (SELECT common.id_a, common.id_b,
+        |    c * 1000000 // (sa.n + sb.n - c) AS jppm,
+        |    CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = common.id_a
+        |  JOIN sizes sb ON sb.doc_id = common.id_b
+        |  LEFT JOIN cand ON cand.id_a = common.id_a
+        |    AND cand.id_b = common.id_b),
+        |tiers AS (SELECT unnest([200000, 400000, 600000, 800000]) AS t_ppm),
+        |pt AS (SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_exact,
+        |    CAST(sum(is_cand) AS BIGINT) AS n_tp
+        |  FROM tiers JOIN ex ON ex.jppm >= tiers.t_ppm GROUP BY t_ppm)
+        |SELECT CAST(t.t_ppm AS BIGINT) AS t_ppm,
+        |  CAST(COALESCE(pt.n_exact, 0) AS BIGINT) AS n_exact,
+        |  (SELECT n_candidates FROM nc) AS n_candidates,
+        |  CAST(COALESCE(pt.n_tp, 0) AS BIGINT) AS n_tp,
+        |  CASE WHEN (SELECT n_candidates FROM nc) > 0
+        |    THEN CAST(COALESCE(pt.n_tp, 0) * 1000000
+        |      // (SELECT n_candidates FROM nc) AS BIGINT) END AS precision_ppm,
+        |  CASE WHEN COALESCE(pt.n_exact, 0) > 0
+        |    THEN CAST(COALESCE(pt.n_tp, 0) * 1000000 // pt.n_exact AS BIGINT)
+        |    END AS recall_ppm
+        |FROM tiers t LEFT JOIN pt ON pt.t_ppm = t.t_ppm
+        |ORDER BY t_ppm""".stripMargin,
 
     // pairs >= 0.6 (the q_ngram_jaccard shape, full corpus) → recursive
     // transitive closure → per-cluster argmax (n_chars desc, id asc)

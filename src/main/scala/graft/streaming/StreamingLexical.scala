@@ -81,6 +81,16 @@ object StreamingLexical {
       standing(spark, path, "wc", Long.MinValue),
       standing(spark, path, "dl", Long.MinValue))
 
+  /** Zipf rank-frequency fit straight off the store's merged word
+    * counts — equal to the batch [[Lexical.zipfSlope]] of everything
+    * ingested (counts are additive; the fit reads only exact merged
+    * counts).
+    */
+  def zipfReport(spark: SparkSession, path: String,
+      topV: Int = 64): DataFrame =
+    Lexical.zipfSlopeFromCounts(
+      standing(spark, path, "wc", Long.MinValue), topV)
+
   /** Fold every standing partition back into `ingest_batch = -1`. */
   def compact(spark: SparkSession, path: String): Unit = {
     val spark0 = spark

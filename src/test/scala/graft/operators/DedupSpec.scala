@@ -81,6 +81,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 2L, 9L), (4L, 1L, 4L, 1L)))
   }
 
+  test("candidateQuality: exact-side tier counts are hand-checkable, " +
+    "identical docs are guaranteed TPs, empty tiers null their ratios") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical
+      (3L, "a b c d q r s t"), // partial overlap with 1/2
+      (4L, "m n o p u v w x")) // disjoint
+      .toDF("doc_id", "text")
+    val out = Dedup.candidateQuality(docs, "doc_id", "text",
+      thresholdsPpm = Seq(100000L, 1000000L, 1000001L))
+      .orderBy("t_ppm")
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+    // exact pairs: (1,2) jppm=1e6; (1,3),(2,3) share shingles abc,bcd
+    // c=2, n=6,6 -> 2e6 div 10 = 200000
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((100000L, 3L), (1000000L, 1L), (1000001L, 0L)))
+    // identical docs have identical signatures -> guaranteed candidate
+    val t1m = out(1)
+    assert(t1m._4 == 1L && t1m._6.contains(1000000L))
+    // tier above 1e6 is empty: recall is null, not a division by zero
+    assert(out(2)._4 == 0L && out(2)._6.isEmpty)
+    // precision denominator is the full candidate set and is constant
+    assert(out.map(_._3).distinct.size == 1 && out.head._3 >= 1L)
+  }
+
   test("LSH bucket guard caps degenerate buckets") {
     val boiler = (0L until 50L).map(i => (i, base.trim)).toDF("doc_id", "text")
     // with maxBucketSize 10, the 50-identical-docs bucket must produce no pairs

@@ -42,6 +42,19 @@ class StreamingLexicalSpec extends AnyFunSuite {
     assert(cardMap(StreamingLexical.report(spark, dir)) == inc)
   }
 
+  test("zipfReport off the store == batch zipfSlope of the concatenation") {
+    val dir = java.nio.file.Files.createTempDirectory("slexz").toString
+    StreamingLexical.initStore(boot, "source", "text", dir)
+    StreamingLexical.processBatch(b1, 1L, "source", "text", dir)
+    StreamingLexical.processBatch(b2, 2L, "source", "text", dir)
+    val inc = StreamingLexical.zipfReport(spark, dir, topV = 8)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    val batch = Lexical.zipfSlope(boot.union(b1).union(b2),
+      "source", "text", topV = 8)
+      .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(inc == batch && inc.nonEmpty)
+  }
+
   test("replay idempotence and compaction invariance") {
     val dir = java.nio.file.Files.createTempDirectory("slexr").toString
     StreamingLexical.initStore(boot, "source", "text", dir)
