@@ -234,6 +234,51 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Production near-dup pair generation: portable MinHash/LSH
+    * candidates CONFIRMED by exact n-gram Jaccard computed for the
+    * candidate pairs only — `(id_a, id_b, jppm)` with the all-integer
+    * `|∩|·10⁶ div |∪|` at or above `thresholdPpm`. This is the
+    * composition a 100 TB dedup run actually executes: by default the
+    * candidate graph is the [[starCandidateEdges]] sparsification
+    * (O(size) edges per bucket — dense replica clusters stay linear;
+    * `starEdges = false` restores the all-in-bucket-pairs graph), and
+    * the exact confirm touches only `O(|candidates|)` posting rows —
+    * [[ngramJaccardPairs]]' exhaustive posting-list expansion is the
+    * EVAL face ([[candidateQuality]] measures exactly what the LSH
+    * recall gives up; at the default k=32/bands=16, P(miss) at
+    * j ≥ 0.6 is (1−j²)¹⁶ < 8·10⁻⁴ per pair).
+    *
+    * Confirm shape: candidates joined to the per-doc distinct-shingle
+    * posting list on BOTH sides, intersection counted per pair, sizes
+    * re-attached — three equi-joins, all keyed on doc ids, each bounded
+    * by candidate count × doc shingle count.
+    */
+  def confirmedNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000, thresholdPpm: Long = 600000L,
+      starEdges: Boolean = true): DataFrame = {
+    val cand =
+      if (starEdges) starCandidateEdges(df, idCol, textCol, shingleN, k,
+        bands, maxBucketSize)
+      else portableMinhashPairs(df, idCol, textCol, shingleN, k,
+        bands, maxBucketSize).select(col("id_a"), col("id_b"))
+    val sh = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val inv = sh.select(col("id"), explode(col("sh")).as("s"))
+    cand
+      .join(inv.select(col("id").as("id_a"), col("s")), Seq("id_a"))
+      .join(inv.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jppm",
+        expr("n_common * 1000000L div (n_a + n_b - n_common)"))
+      .filter(col("jppm") >= thresholdPpm)
+      .select(col("id_a"), col("id_b"), col("jppm"))
+  }
+
   /** Sketch-calibration report: precision/recall of the portable
     * MinHash/LSH candidate set against exact n-gram Jaccard, one row
     * per similarity tier — the PR curve an operator reads BEFORE
@@ -773,22 +818,73 @@ object Dedup {
     */
   def portableMinhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 8, bands: Int = 4,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    bandPairs(portableBandKeys(df, idCol, textCol, shingleN, k, bands),
+      maxBucketSize, "portableMinhashPairs")
+
+  /** (id, band, bucket) rows of the portable-hash banded signature —
+    * the shared front half of [[portableMinhashPairs]] and
+    * [[starCandidateEdges]]. `doubleHash = false` is the original
+    * per-seed-md5 family (one md5 per shingle PER SEED — the
+    * `q_minhash_portable` gate pins it); `true` is the
+    * Kirsch–Mitzenmacher construction `h_i = (h1 + i·h2) mod 2⁶¹−1`
+    * (two md5s per shingle TOTAL, then k pure-long ops — i < 64 and
+    * h2 < 2⁵² keep i·h2 + h1 under 2⁶³, so the arithmetic is exact
+    * 64-bit integer in every engine, no decimal/HUGEINT): the k-seed
+    * signature cost stops scaling with k, which the r10 profile showed
+    * was ~90 % of the near-dup pipeline at sf1.
+    */
+  private def portableBandKeys(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int, k: Int, bands: Int,
+      doubleHash: Boolean = false): DataFrame = {
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    require(!doubleHash || k < 64, s"doubleHash caps k at 63, got $k")
     val rows = k / bands
-    val inv = df.select(col(idCol).as("id"),
+    val inv0 = df.select(col(idCol).as("id"),
       explode(TextFunctions.wordShingles(col(textCol), shingleN)).as("s"))
-    val aggs = (0 until k).map(i =>
-      min(md5Hash52(concat(lit(i.toString), lit("|"), col("s"))))
-        .as(s"__h$i"))
+    val inv =
+      if (doubleHash)
+        inv0.select(col("id"), md5Hash52(col("s")).as("__h1"),
+          md5Hash52(concat(lit("B|"), col("s"))).as("__h2"))
+      else inv0
+    def seedHash(i: Int) =
+      if (doubleHash)
+        expr(s"(__h1 + ${i}L * __h2) % ${ImportanceResampling.ModP}L")
+      else md5Hash52(concat(lit(i.toString), lit("|"), col("s")))
+    val aggs = (0 until k).map(i => min(seedHash(i)).as(s"__h$i"))
     val sig = inv.groupBy("id").agg(aggs.head, aggs.tail: _*)
-    val bk = sig.select(col("id"), explode(array((0 until bands).map { b =>
+    sig.select(col("id"), explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           concat_ws(",", (0 until rows).map(j =>
             col(s"__h${b * rows + j}").cast(StringType)): _*).as("bucket"))
       }: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-    bandPairs(bk, maxBucketSize, "portableMinhashPairs")
+  }
+
+  /** Sparsified LSH candidate graph: each capped (band, bucket) emits a
+    * STAR — every member paired with the bucket minimum — instead of
+    * all in-bucket pairs: O(size) edges per bucket, not O(size²), the
+    * sparsification that keeps dense near-dup clusters (boilerplate
+    * replicas, the common 100 TB pathology) from exploding candidate
+    * generation. Connectivity within a bucket is preserved (every
+    * member reaches the min), so downstream connected components see
+    * the same clusters for mutually-similar groups; what it gives up
+    * vs [[portableMinhashPairs]] is pairs between two members that are
+    * BOTH dissimilar to the bucket min yet similar to each other — a
+    * confirm-stage filter can therefore split such a cluster, which is
+    * the standard sparsification trade.
+    */
+  def starCandidateEdges(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bk = portableBandKeys(df, idCol, textCol, shingleN, k, bands,
+      doubleHash = true)
+    bk.groupBy(col("band"), col("bucket"))
+      .agg(min(col("id")).as("id_a"), collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
   }
 
   /** Content-defined chunking (the rsync/LBFS boundary rule, on word

@@ -514,15 +514,20 @@ object SimilarityQueries {
           col("n_tp"), col("precision_ppm"), col("recall_ppm"))
         .orderBy("t_ppm")),
 
-    // near-dup arbitration end-to-end on the real corpus: exact
-    // n-gram-Jaccard pairs at >= 0.6 → min-label clusters → keep the
-    // LONGEST member (n_chars desc, id asc), not the first — the
-    // RefinedWeb keeper policy. Singletons pass through; the oracle
-    // replays pairs + recursive closure + the same argmax.
+    // near-dup arbitration end-to-end on the real corpus, the
+    // PRODUCTION composition: capped portable-LSH candidates →
+    // exact-Jaccard confirm on candidates only (>= 0.6, integral ppm) →
+    // min-label clusters → keep the LONGEST member (n_chars desc, id
+    // asc), not the first — the RefinedWeb keeper policy. No all-pairs
+    // stage anywhere (the r10 soak caught the exhaustive-pair face at
+    // 13x on the 90%-dup sf1 corpus); q_sketch_pr quantifies the LSH
+    // recall this path trades. Singletons pass through; the oracle
+    // replays candidates + confirm + recursive closure + the argmax.
     "q_dedup_keepbest" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.6).select(col("id_a"), col("id_b"))
+      val pairs = Dedup.confirmedNearDupPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 32, bands = 16, maxBucketSize = 200,
+        thresholdPpm = 600000L).select(col("id_a"), col("id_b"))
       Dedup.keepBest(docs.select(col("doc_id"), col("n_chars")),
         pairs, "doc_id", "n_chars")
         .select(asLong(col("label")).as("label"),
@@ -883,8 +888,10 @@ object SimilarityQueries {
         |FROM tiers t LEFT JOIN pt ON pt.t_ppm = t.t_ppm
         |ORDER BY t_ppm""".stripMargin,
 
-    // pairs >= 0.6 (the q_ngram_jaccard shape, full corpus) → recursive
-    // transitive closure → per-cluster argmax (n_chars desc, id asc)
+    // capped portable-LSH candidates (k=32, 16 bands — the
+    // q_minhash_portable machinery) → candidate-bound exact confirm at
+    // integral ppm >= 600000 → recursive transitive closure →
+    // per-cluster argmax (n_chars desc, id asc)
     "q_dedup_keepbest" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -893,13 +900,31 @@ object SimilarityQueries {
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
         |  FROM toks),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |bh AS (SELECT doc_id,
+        |    ('0x' || substr(md5(s), 20, 13))::BIGINT AS h1,
+        |    ('0x' || substr(md5('B|' || s), 20, 13))::BIGINT AS h2
+        |  FROM sh),
+        |hx AS (SELECT doc_id, seed,
+        |    min((h1 + seed * h2) % 2305843009213693951) AS h
+        |  FROM bh, range(0, 32) r(seed) GROUP BY doc_id, seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |    string_agg(h::VARCHAR, ',' ORDER BY seed) AS bucket
+        |  FROM hx GROUP BY doc_id, seed // 2),
+        |grp AS (SELECT band, bucket, min(doc_id) AS id_a, count(*) AS sz
+        |  FROM bk GROUP BY band, bucket),
+        |cand AS (SELECT DISTINCT g.id_a, o.doc_id AS id_b
+        |  FROM grp g JOIN bk o ON o.band = g.band AND o.bucket = g.bucket
+        |    AND o.doc_id > g.id_a
+        |  WHERE g.sz BETWEEN 2 AND 200),
+        |common AS (SELECT cand.id_a, cand.id_b, count(*) AS c
+        |  FROM cand
+        |  JOIN sh a ON a.doc_id = cand.id_a
+        |  JOIN sh b ON b.doc_id = cand.id_b AND b.s = a.s
         |  GROUP BY 1, 2),
-        |p AS (SELECT id_a, id_b FROM common
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6),
+        |p AS (SELECT common.id_a, common.id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = common.id_a
+        |  JOIN sizes sb ON sb.doc_id = common.id_b
+        |  WHERE c * 1000000 // (sa.n + sb.n - c) >= 600000),
         |edges(src, dst) AS (
         |  SELECT id_a, id_b FROM p UNION SELECT id_b, id_a FROM p),
         |reach(id, r) AS (

@@ -81,6 +81,27 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Seq((1L, 3L, 2L, 9L), (4L, 1L, 4L, 1L)))
   }
 
+  test("confirmedNearDupPairs: identical docs confirm at exactly 1e6 ppm, " +
+    "sub-threshold and disjoint pairs are rejected, and the confirmed " +
+    "set is a subset of the exhaustive pairs with identical jppm") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // identical
+      (3L, "a b c d q r s t"), // jaccard 2/10 with 1,2 — below 0.6
+      (4L, "m n o p u v w x")) // disjoint
+      .toDF("doc_id", "text")
+    val confirmed = Dedup.confirmedNearDupPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(p => (p._1, p._2))
+    assert(confirmed == Seq((1L, 2L, 1000000L)))
+    // at threshold 0 the confirmed set is a subset of the exhaustive
+    // overlap pairs (LSH can miss low-sim pairs, never invent overlap)
+    val exhaustive = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = Dedup.confirmedNearDupPairs(docs, "doc_id", "text",
+      thresholdPpm = 0L).as[(Long, Long, Long)].collect()
+    assert(all.map(p => (p._1, p._2)).toSet.subsetOf(exhaustive))
+    assert(all.exists(p => p._1 == 1L && p._2 == 2L))
+  }
+
   test("candidateQuality: exact-side tier counts are hand-checkable, " +
     "identical docs are guaranteed TPs, empty tiers null their ratios") {
     val docs = Seq(
