@@ -239,6 +239,31 @@ object CorpusOps {
       .drop("__b", "__v", "__offset")
   }
 
+  /** Key-skew audit — the counts-of-counts report read before keying a
+    * 100 TB shuffle: per order-of-magnitude bucket of per-key row
+    * count (1–9, 10–99, …), how many keys land there, how many rows
+    * they carry, the largest key, and the rows' ppm share. A heavy top
+    * bucket says "salt this key or switch to an AQE skew join" BEFORE
+    * the job runs; the magnitude bucket is `length(CAST(c AS STRING))`
+    * — exact, monotone, and engine-identical (no float log2, whose
+    * power-of-two edges round differently across engines).
+    *
+    * Shape: one count shuffle on the key, then O(distinct keys) rows
+    * into a tiny magnitude groupBy — the audit never touches row
+    * payloads.
+    */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("__total"))
+    counts
+      .groupBy(length(col("c").cast("string")).as("magnitude"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_count"))
+      .crossJoin(broadcast(total))
+      .withColumn("share_ppm", expr("n_rows * 1000000L div __total"))
+      .drop("__total")
+  }
+
   /** k-anonymity audit over quasi-identifier columns: every row joined
     * with its quasi-group's size and a `suppressed` flag for groups
     * smaller than `k` — the release rule that a record's

@@ -279,6 +279,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jppm"))
   }
 
+  /** Cross-group duplicate-leakage matrix: confirmed near-dup pairs
+    * rolled up to unordered group pairs —
+    * `(group_a, group_b, n_pairs)` with `group_a <= group_b`. The
+    * provenance audit behind leakage-safe splits: a heavy off-diagonal
+    * cell means two sources share boilerplate/mirrored content, so a
+    * source-level train/test split leaks (the doc-level complement of
+    * [[graft.operators.CorpusOps]]' family split). Same scale shape as
+    * [[confirmedNearDupPairs]] plus two id-keyed group-attach joins
+    * and a tiny matrix groupBy.
+    */
+  def crossGroupDupMatrix(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000, thresholdPpm: Long = 600000L): DataFrame = {
+    val pairs = confirmedNearDupPairs(df, idCol, textCol, shingleN, k,
+      bands, maxBucketSize, thresholdPpm)
+    val g = df.select(col(idCol).as("__gid"), col(groupCol).as("__g"))
+    pairs
+      .join(g.select(col("__gid").as("id_a"), col("__g").as("ga")), Seq("id_a"))
+      .join(g.select(col("__gid").as("id_b"), col("__g").as("gb")), Seq("id_b"))
+      .select(least(col("ga"), col("gb")).as("group_a"),
+        greatest(col("ga"), col("gb")).as("group_b"))
+      .groupBy(col("group_a"), col("group_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Sketch-calibration report: precision/recall of the portable
     * MinHash/LSH candidate set against exact n-gram Jaccard, one row
     * per similarity tier — the PR curve an operator reads BEFORE

@@ -735,6 +735,22 @@ object CoreQueries {
           asLong(col("fano_den")).as("fano_den"), col("fano"))
         .orderBy("event_type")),
 
+    // key-skew audit before keying a shuffle (here on the Zipfian word
+    // column the dup-span pipeline shuffles): per order-of-magnitude
+    // bucket of per-key row count, keys/rows/max and the rows' ppm
+    // share — the "salt this key?" report; magnitude is the
+    // decimal-digit count (exact, no float log2 edges)
+    "q_key_skew" -> ((s, dir) =>
+      graft.operators.CorpusOps.keySkewReport(
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word")), "word")
+        .select(asLong(col("magnitude")).as("magnitude"),
+          asLong(col("n_keys")).as("n_keys"),
+          asLong(col("n_rows")).as("n_rows"),
+          asLong(col("max_count")).as("max_count"),
+          col("share_ppm"))
+        .orderBy("magnitude")),
+
     // first-order Markov next-event matrix: per-user strict
     // (ts, event_id)-ordered consecutive pairs → corpus-wide counts and
     // row-normalized probabilities (one exact division each) — the
@@ -1435,6 +1451,21 @@ object CoreQueries {
         |      AS DOUBLE)
         |    / CAST((SELECT t_span FROM sp) * n_events AS DOUBLE) AS fano
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // counts per key, decimal-digit magnitude bucket, integral shares
+    "q_key_skew" ->
+      """WITH c AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c)
+        |SELECT CAST(length(CAST(c AS VARCHAR)) AS BIGINT) AS magnitude,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  CAST(sum(c) * 1000000 // (SELECT total FROM t) AS BIGINT)
+        |    AS share_ppm
+        |FROM c GROUP BY magnitude ORDER BY magnitude""".stripMargin,
 
     // identical matrix to q_transitions on the streamed slice — the
     // equality IS the cross-batch-state correctness statement

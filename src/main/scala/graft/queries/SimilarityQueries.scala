@@ -537,6 +537,19 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // provenance-leakage audit: confirmed near-dup pairs rolled up to
+    // an unordered source-pair matrix — a heavy off-diagonal cell
+    // means a source-level split leaks shared content across the
+    // boundary. Same production candidate path as q_dedup_keepbest.
+    "q_cross_source_dups" -> ((s, dir) =>
+      Dedup.crossGroupDupMatrix(
+        t(s, dir, "documents"), "doc_id", "text", "source",
+        shingleN = 3, k = 32, bands = 16, maxBucketSize = 200,
+        thresholdPpm = 600000L)
+        .select(col("group_a"), col("group_b"),
+          asLong(col("n_pairs")).as("n_pairs"))
+        .orderBy("group_a", "group_b")),
+
     // the SCALE path for cluster resolution: alternating large-star /
     // small-star (O(log n) rounds vs min-label's O(diameter)) on a graph
     // whose 17-deep chain makes the difference observable; same
@@ -892,6 +905,49 @@ object SimilarityQueries {
     // q_minhash_portable machinery) → candidate-bound exact confirm at
     // integral ppm >= 600000 → recursive transitive closure →
     // per-cluster argmax (n_chars desc, id asc)
+    // the q_dedup_keepbest candidate+confirm chain (no closure),
+    // rolled up to the unordered source-pair matrix
+    "q_cross_source_dups" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |bh AS (SELECT doc_id,
+        |    ('0x' || substr(md5(s), 20, 13))::BIGINT AS h1,
+        |    ('0x' || substr(md5('B|' || s), 20, 13))::BIGINT AS h2
+        |  FROM sh),
+        |hx AS (SELECT doc_id, seed,
+        |    min((h1 + seed * h2) % 2305843009213693951) AS h
+        |  FROM bh, range(0, 32) r(seed) GROUP BY doc_id, seed),
+        |bk AS (SELECT doc_id, seed // 2 AS band,
+        |    string_agg(h::VARCHAR, ',' ORDER BY seed) AS bucket
+        |  FROM hx GROUP BY doc_id, seed // 2),
+        |grp AS (SELECT band, bucket, min(doc_id) AS id_a, count(*) AS sz
+        |  FROM bk GROUP BY band, bucket),
+        |cand AS (SELECT DISTINCT g.id_a, o.doc_id AS id_b
+        |  FROM grp g JOIN bk o ON o.band = g.band AND o.bucket = g.bucket
+        |    AND o.doc_id > g.id_a
+        |  WHERE g.sz BETWEEN 2 AND 200),
+        |common AS (SELECT cand.id_a, cand.id_b, count(*) AS c
+        |  FROM cand
+        |  JOIN sh a ON a.doc_id = cand.id_a
+        |  JOIN sh b ON b.doc_id = cand.id_b AND b.s = a.s
+        |  GROUP BY 1, 2),
+        |p AS (SELECT common.id_a, common.id_b FROM common
+        |  JOIN sizes sa ON sa.doc_id = common.id_a
+        |  JOIN sizes sb ON sb.doc_id = common.id_b
+        |  WHERE c * 1000000 // (sa.n + sb.n - c) >= 600000),
+        |m AS (SELECT least(a.source, b.source) AS group_a,
+        |    greatest(a.source, b.source) AS group_b
+        |  FROM p
+        |  JOIN documents a ON a.doc_id = p.id_a
+        |  JOIN documents b ON b.doc_id = p.id_b)
+        |SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_keepbest" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

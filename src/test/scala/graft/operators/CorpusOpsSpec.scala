@@ -103,6 +103,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(n == 1L)
   }
 
+  test("keySkewReport: magnitude buckets, totals, and shares on a " +
+    "hand-built skewed key set") {
+    // keys: 5 keys x 1 row, 2 keys x 10 rows, 1 key x 100 rows
+    val rows = (Seq.tabulate(5)(i => Seq.fill(1)(s"k$i")) ++
+      Seq.tabulate(2)(i => Seq.fill(10)(s"m$i")) :+
+      Seq.fill(100)("big")).flatten.toDF("k")
+    val out = CorpusOps.keySkewReport(rows, "k")
+      .as[(Int, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1, 5L, 5L, 1L, 5L * 1000000L / 125L),
+      (2, 2L, 20L, 10L, 20L * 1000000L / 125L),
+      (3, 1L, 100L, 100L, 100L * 1000000L / 125L)))
+  }
+
   test("curriculumOrder: 0..n-1 permutation, bucket-monotone, equal to " +
     "the naive global window, stable under repartitioning") {
     val docs = (0L until 300L).map(i => (i, 10L + (i * 13) % 170))

@@ -102,6 +102,18 @@ class DedupSpec extends AnyFunSuite {
     assert(all.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("crossGroupDupMatrix: identical cross-source pair lands " +
+    "off-diagonal, same-source pair on the diagonal, unordered keys") {
+    val docs = Seq(
+      (1L, "A", "a b c d e f g h"), (2L, "B", "a b c d e f g h"),
+      (3L, "A", "p q r s t u v w"), (4L, "A", "p q r s t u v w"),
+      (5L, "C", "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "src", "text")
+    val m = Dedup.crossGroupDupMatrix(docs, "doc_id", "text", "src")
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(("A", "B", 1L), ("A", "A", 1L)))
+  }
+
   test("candidateQuality: exact-side tier counts are hand-checkable, " +
     "identical docs are guaranteed TPs, empty tiers null their ratios") {
     val docs = Seq(
