@@ -181,19 +181,45 @@ object Lexical {
     * both engines; the four OLS sums fold in sample-point order.
     */
   def heapsLaw(df: DataFrame, groupCol: String, idCol: String,
-      textCol: String, points: Int = 10): DataFrame = {
-    val words = df.select(col(groupCol).as("group"), col(idCol).as("__id"),
-      explode(split(col(textCol), " ")).as("__w"))
-    // the two side tables are vocab-/doc-count-sized; checkpoint them
-    // once so the sample-point joins and the totals don't re-scan the
-    // corpus (each lazy reuse would replay the explode)
-    val firstDoc = words.groupBy(col("group"), col("__w"))
+      textCol: String, points: Int = 10): DataFrame =
+    heapsLawFromTables(wordFirstDoc(df, groupCol, idCol, textCol),
+      docTokenCounts(df, groupCol, idCol, textCol), points)
+
+  /** The (group, w, fd) first-occurrence table [[heapsLawFromTables]]
+    * folds over — additive under per-key MIN (the first occurrence in
+    * a concatenated corpus is the min of the parts' firsts), the
+    * property [[graft.streaming.StreamingLexical]] exploits.
+    */
+  def wordFirstDoc(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("group"), col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("group"), col("w"))
       .agg(min(col("__id")).as("fd"))
-      .localCheckpoint(true)
-    val docToks = words.groupBy(col("group"), col("__id"))
+
+  /** The (group, doc, t) per-doc token-count table — rows are unique
+    * per doc, so multi-part tables merge by per-key sum (a replayed
+    * doc overwrites its own partition in the streaming store).
+    */
+  def docTokenCounts(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(groupCol).as("group"), col(idCol).as("__id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy(col("group"), col("__id"))
       .agg(count(lit(1)).as("t"))
+
+  /** [[heapsLaw]] over prebuilt (possibly multi-part) side tables. */
+  def heapsLawFromTables(fw: DataFrame, dt: DataFrame,
+      points: Int = 10): DataFrame = {
+    // merge parts, then checkpoint once: the tables are vocab-/doc-
+    // count-sized and every sample-point join re-reads them
+    val firstDoc = fw.groupBy(col("group"), col("w"))
+      .agg(min(col("fd")).as("fd"))
       .localCheckpoint(true)
-    // max doc id per group off the checkpointed table — no third scan
+    val docToks = dt.groupBy(col("group"), col("__id"))
+      .agg(sum(col("t")).as("t"))
+      .localCheckpoint(true)
+    // max doc id per group off the checkpointed table — no extra scan
     val maxId = docToks.groupBy(col("group"))
       .agg(max(col("__id")).as("mx"))
     val ks = explode(sequence(lit(1), lit(points))).as("k")

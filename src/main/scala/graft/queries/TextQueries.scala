@@ -66,6 +66,23 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // language-ID evaluation against the labeled lang column: the
+    // confusion matrix plus per-label recall (exact integral ppm) —
+    // the accuracy report a curation run publishes with its lang gate.
+    "q_langid_confusion" -> ((s, dir) => {
+      val preds = t(s, dir, "documents")
+        .select(col("lang"), langIdHeuristic(col("text")).as("predicted"))
+      preds.groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_labeled", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .select(col("lang"), col("predicted"), asLong(col("n")).as("n"),
+          asLong(col("n_labeled")).as("n_labeled"),
+          when(col("lang") === col("predicted"),
+            expr("n * 1000000L div n_labeled")).as("recall_ppm"))
+        .orderBy("lang", "predicted")
+    }),
+
     // markup stripping (SEC filings embed HTML/SGML) + char-shingle
     // near-dup blocking unit for short texts.
     "q_text_clean" -> ((s, _) => {
@@ -1872,6 +1889,37 @@ object TextQueries {
         |    WHEN s_fr >= s_zh THEN 'fr'
         |    ELSE 'zh' END AS predicted
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // the q_lang_id prediction CASE, folded to the confusion matrix
+    // with windowed per-label totals and diagonal-only integral recall
+    "q_langid_confusion" ->
+      """WITH scored AS (SELECT doc_id, lang,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('the','and','of','to','in','is','it','that','was','for'))) AS s_en,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('le','la','les','et','des','un','une','du','est','dans'))) AS s_fr,
+        |  len(list_filter(string_split(text,' '), t -> t IN
+        |    ('的','了','是','我','不','在','有','人','这','他'))) AS s_zh
+        |FROM documents),
+        |pred AS (SELECT lang,
+        |  CASE
+        |    WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |    WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr >= s_zh THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM scored),
+        |m AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY lang, predicted)
+        |SELECT lang, predicted, n,
+        |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_labeled,
+        |  CASE WHEN lang = predicted THEN CAST(n * 1000000
+        |    // sum(n) OVER (PARTITION BY lang) AS BIGINT) END AS recall_ppm
+        |FROM m ORDER BY lang, predicted""".stripMargin,
 
     "q_text_clean" ->
       """WITH d(id, raw) AS (VALUES

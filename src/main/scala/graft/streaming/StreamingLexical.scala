@@ -44,15 +44,21 @@ object StreamingLexical {
       .filter(col("ingest_batch") =!= excludeBatch)
       .drop("ingest_batch")
 
-  /** One-time bootstrap: card tables of the standing corpus
-    * (`ingest_batch = -1`).
+  /** One-time bootstrap: card + growth tables of the standing corpus
+    * (`ingest_batch = -1`). `idCol` feeds the first-occurrence table
+    * behind [[heapsReport]] (first = per-key MIN, additive like the
+    * counts).
     */
-  def initStore(corpus: DataFrame, groupCol: String, textCol: String,
-      path: String): Unit = {
+  def initStore(corpus: DataFrame, groupCol: String, idCol: String,
+      textCol: String, path: String): Unit = {
     write(Lexical.wordCounts(corpus, groupCol, textCol), "wc", -1L, path,
       init = true)
     write(Lexical.dupLedger(corpus, groupCol, textCol), "dl", -1L, path,
       init = true)
+    write(Lexical.wordFirstDoc(corpus, groupCol, idCol, textCol), "fw",
+      -1L, path, init = true)
+    write(Lexical.docTokenCounts(corpus, groupCol, idCol, textCol), "dt",
+      -1L, path, init = true)
   }
 
   /** The foreachBatch body: append this batch's tables idempotently and
@@ -60,7 +66,7 @@ object StreamingLexical {
     * post-ingest state even if the append is replayed later).
     */
   def processBatch(batch: DataFrame, batchId: Long, groupCol: String,
-      textCol: String, path: String): DataFrame = {
+      idCol: String, textCol: String, path: String): DataFrame = {
     val spark = batch.sparkSession
     val wc = Lexical.wordCounts(batch, groupCol, textCol)
       .localCheckpoint(true) // consumed by the report AND the append
@@ -72,6 +78,10 @@ object StreamingLexical {
       .localCheckpoint(true) // eager: card before this batch lands
     write(wc, "wc", batchId, path, init = false)
     write(dl, "dl", batchId, path, init = false)
+    write(Lexical.wordFirstDoc(batch, groupCol, idCol, textCol), "fw",
+      batchId, path, init = false)
+    write(Lexical.docTokenCounts(batch, groupCol, idCol, textCol), "dt",
+      batchId, path, init = false)
     card
   }
 
@@ -91,17 +101,32 @@ object StreamingLexical {
     Lexical.zipfSlopeFromCounts(
       standing(spark, path, "wc", Long.MinValue), topV)
 
+  /** Heaps'-law vocabulary-growth fit off the store's merged
+    * first-occurrence and doc-token tables — equal to the batch
+    * [[Lexical.heapsLaw]] of everything ingested (first occurrence
+    * merges by MIN, token counts by SUM; the fit reads only the exact
+    * merged tables).
+    */
+  def heapsReport(spark: SparkSession, path: String,
+      points: Int = 10): DataFrame =
+    Lexical.heapsLawFromTables(
+      standing(spark, path, "fw", Long.MinValue),
+      standing(spark, path, "dt", Long.MinValue), points)
+
   /** Fold every standing partition back into `ingest_batch = -1`. */
   def compact(spark: SparkSession, path: String): Unit = {
     val spark0 = spark
-    def fold(table: String, keys: Seq[String]): Unit = {
+    def fold(table: String, keys: Seq[String], valueCol: String,
+        agg: org.apache.spark.sql.Column): Unit = {
       val merged = standing(spark0, path, table, Long.MinValue)
         .groupBy(keys.map(col): _*)
-        .agg(sum(col("c")).as("c"))
+        .agg(agg.as(valueCol))
         .localCheckpoint(true) // read fully before the overwrite
       write(merged, table, -1L, path, init = true)
     }
-    fold("wc", Seq("group", "w"))
-    fold("dl", Seq("group", "h"))
+    fold("wc", Seq("group", "w"), "c", sum(col("c")))
+    fold("dl", Seq("group", "h"), "c", sum(col("c")))
+    fold("fw", Seq("group", "w"), "fd", min(col("fd")))
+    fold("dt", Seq("group", "__id"), "t", sum(col("t")))
   }
 }

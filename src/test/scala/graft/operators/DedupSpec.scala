@@ -102,6 +102,32 @@ class DedupSpec extends AnyFunSuite {
     assert(all.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
+  test("star-sparsified confirmed clusters == exhaustive-pair clusters " +
+    "on a replica corpus (the semantic q_dedup_keepbest relies on)") {
+    // 15 bases of 40 distinct-ish words; each base gets 2 near-copies
+    // (one word swapped -> jaccard ~0.95) plus 15 unrelated docs
+    def words(seed: Int, n: Int) =
+      (0 until n).map(i => s"w${(seed * 131 + i * 17) % 997}").mkString(" ")
+    val docs = ((0 until 15).flatMap { b =>
+      val base = words(b, 40)
+      val mut = base.replace(s"w${(b * 131 + 5 * 17) % 997}", "MUT")
+      Seq((b * 10L, base), (b * 10L + 1, base + " tail"),
+        (b * 10L + 2, mut))
+    } ++ (0 until 15).map(i => (1000L + i, words(900 + i, 40))))
+      .toDF("doc_id", "text")
+    def components(pairs: org.apache.spark.sql.DataFrame) =
+      Dedup.resolveKeepers(pairs).as[(Long, Long)].collect()
+        .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    val exhaustive = components(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.6)
+        .select("id_a", "id_b"))
+    val sparsified = components(
+      Dedup.confirmedNearDupPairs(docs, "doc_id", "text")
+        .select("id_a", "id_b"))
+    assert(exhaustive.size == 15) // one cluster per base, none merged
+    assert(sparsified == exhaustive)
+  }
+
   test("crossGroupDupMatrix: identical cross-source pair lands " +
     "off-diagonal, same-source pair on the diagonal, unordered keys") {
     val docs = Seq(

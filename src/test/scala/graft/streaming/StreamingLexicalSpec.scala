@@ -29,10 +29,10 @@ class StreamingLexicalSpec extends AnyFunSuite {
 
   test("incremental card == batch card of the concatenation, bitwise") {
     val dir = java.nio.file.Files.createTempDirectory("slex").toString
-    StreamingLexical.initStore(boot, "source", "text", dir)
-    StreamingLexical.processBatch(b1, 1L, "source", "text", dir)
+    StreamingLexical.initStore(boot, "source", "doc_id", "text", dir)
+    StreamingLexical.processBatch(b1, 1L, "source", "doc_id", "text", dir)
     val inc = cardMap(
-      StreamingLexical.processBatch(b2, 2L, "source", "text", dir))
+      StreamingLexical.processBatch(b2, 2L, "source", "doc_id", "text", dir))
     val whole = boot.union(b1).union(b2)
     val batch = cardMap(Lexical.corpusCard(
       Lexical.wordCounts(whole, "source", "text"),
@@ -44,9 +44,9 @@ class StreamingLexicalSpec extends AnyFunSuite {
 
   test("zipfReport off the store == batch zipfSlope of the concatenation") {
     val dir = java.nio.file.Files.createTempDirectory("slexz").toString
-    StreamingLexical.initStore(boot, "source", "text", dir)
-    StreamingLexical.processBatch(b1, 1L, "source", "text", dir)
-    StreamingLexical.processBatch(b2, 2L, "source", "text", dir)
+    StreamingLexical.initStore(boot, "source", "doc_id", "text", dir)
+    StreamingLexical.processBatch(b1, 1L, "source", "doc_id", "text", dir)
+    StreamingLexical.processBatch(b2, 2L, "source", "doc_id", "text", dir)
     val inc = StreamingLexical.zipfReport(spark, dir, topV = 8)
       .as[(String, Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
     val batch = Lexical.zipfSlope(boot.union(b1).union(b2),
@@ -55,21 +55,41 @@ class StreamingLexicalSpec extends AnyFunSuite {
     assert(inc == batch && inc.nonEmpty)
   }
 
+  test("heapsReport off the store == batch heapsLaw of the concatenation") {
+    val dir = java.nio.file.Files.createTempDirectory("slexh").toString
+    // docs per group spread over ids so several thresholds are non-empty
+    val b0 = docs((1L, "g", "a b c d"), (5L, "g", "a b e f"))
+    val b1h = docs((8L, "g", "a g h i"), (10L, "g", "a b c j"))
+    StreamingLexical.initStore(b0, "source", "doc_id", "text", dir)
+    StreamingLexical.processBatch(b1h, 1L, "source", "doc_id", "text", dir)
+    val inc = StreamingLexical.heapsReport(spark, dir, points = 4)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    val batch = Lexical.heapsLaw(b0.union(b1h), "source", "doc_id",
+      "text", points = 4)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(inc == batch && inc.nonEmpty)
+  }
+
   test("replay idempotence and compaction invariance") {
     val dir = java.nio.file.Files.createTempDirectory("slexr").toString
-    StreamingLexical.initStore(boot, "source", "text", dir)
+    StreamingLexical.initStore(boot, "source", "doc_id", "text", dir)
     val e1 = cardMap(
-      StreamingLexical.processBatch(b1, 1L, "source", "text", dir))
+      StreamingLexical.processBatch(b1, 1L, "source", "doc_id", "text", dir))
     val e2 = cardMap(
-      StreamingLexical.processBatch(b1, 1L, "source", "text", dir))
+      StreamingLexical.processBatch(b1, 1L, "source", "doc_id", "text", dir))
     assert(e1 == e2)
     val rows = spark.read.parquet(s"$dir/wc").count()
-    StreamingLexical.processBatch(b1, 1L, "source", "text", dir)
+    StreamingLexical.processBatch(b1, 1L, "source", "doc_id", "text", dir)
     assert(spark.read.parquet(s"$dir/wc").count() == rows)
-    StreamingLexical.processBatch(b2, 2L, "source", "text", dir)
+    StreamingLexical.processBatch(b2, 2L, "source", "doc_id", "text", dir)
     val before = cardMap(StreamingLexical.report(spark, dir))
+    val heapsBefore = StreamingLexical.heapsReport(spark, dir, points = 3)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
     StreamingLexical.compact(spark, dir)
     assert(cardMap(StreamingLexical.report(spark, dir)) == before)
+    assert(StreamingLexical.heapsReport(spark, dir, points = 3)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSet
+      == heapsBefore)
     // compaction collapsed to the bootstrap partition only
     assert(spark.read.parquet(s"$dir/wc")
       .select("ingest_batch").distinct().as[Long].collect().toSeq == Seq(-1L))
