@@ -341,6 +341,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the round-10 end-to-end curation capstone: exact-dup arbitration
+    // keeping the LONGEST copy (struct-max, no window) → lexical
+    // entropy/TTR gate (the RefinedWeb-style filters, thresholds that
+    // bite: ~25-30% of docs fail) → curriculum training order over the
+    // survivors. Every stage individually oracle-checked elsewhere;
+    // this face proves the COMPOSITION end-to-end.
+    "q_corpus_prep2" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val keepers = docs
+        .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("__h"))
+        .agg(max(struct(col("n_chars").as("s"),
+          (-col("doc_id")).as("negid"))).as("b"))
+        .select((-col("b.negid")).as("doc_id"))
+      val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      val lex = graft.operators.Lexical.lexicalStats(kept, "doc_id", "text")
+        .select(col("doc_id"), Q.ppb(col("entropy")).as("e_ppb"),
+          expr("n_types * 1000000L div n_tokens").as("ttr_ppm"))
+      val gated = kept.select(col("doc_id"), col("n_chars"))
+        .join(lex, Seq("doc_id"))
+        .filter(col("e_ppb") >= 2900000000L && col("ttr_ppm") >= 350000L)
+      graft.operators.CorpusOps.curriculumOrder(gated, "doc_id",
+        expr("n_chars div 50"), seed = "epoch1")
+        .select(col("doc_id"), col("e_ppb"), col("ttr_ppm"),
+          expr("n_chars div 50").as("bucket"), col("curriculum_rank"))
+        .orderBy("doc_id")
+    }),
+
     // per-source corpus card (the "datasheet" block a curation run
     // publishes): docs, exact-dup ppm, token/vocab totals, TTR,
     // tokens-per-doc, and source-level word-distribution entropy —
@@ -1173,6 +1200,39 @@ object TextQueries {
         |    AS novelty_ppm
         |FROM cg LEFT JOIN rg ON cg.g = rg.g
         |GROUP BY cg.doc_id ORDER BY doc_id""".stripMargin,
+
+    // keep-longest window → the q_lexical_entropy arithmetic on the
+    // kept slice → the q_curriculum rank over the gated survivors
+    "q_corpus_prep2" ->
+      """WITH k AS (SELECT doc_id, n_chars, text FROM (
+        |    SELECT doc_id, n_chars, text, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id) AS rn
+        |    FROM documents) WHERE rn = 1),
+        |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM k),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM w GROUP BY doc_id, w),
+        |a AS (SELECT doc_id,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    list_reduce(
+        |      list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) ORDER BY w),
+        |      (a, b) -> a + b) AS s
+        |  FROM c GROUP BY doc_id),
+        |lx AS (SELECT doc_id,
+        |    CAST(floor((ln(CAST(n_tokens AS DOUBLE))
+        |      - s / CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |      AS e_ppb,
+        |    n_types * 1000000 // n_tokens AS ttr_ppm
+        |  FROM a),
+        |g AS (SELECT k.doc_id, k.n_chars, lx.e_ppb, lx.ttr_ppm
+        |  FROM k JOIN lx ON k.doc_id = lx.doc_id
+        |  WHERE e_ppb >= 2900000000 AND ttr_ppm >= 350000)
+        |SELECT doc_id, e_ppb, ttr_ppm,
+        |  CAST(n_chars // 50 AS BIGINT) AS bucket,
+        |  CAST(row_number() OVER (ORDER BY n_chars // 50,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch1'),
+        |      18, 15))::BIGINT, doc_id) - 1 AS BIGINT) AS curriculum_rank
+        |FROM g ORDER BY doc_id""".stripMargin,
 
     // the same two passes: (source, md5) dup ledger + source-level
     // word fold; entropy identical to q_lexical_entropy's form
