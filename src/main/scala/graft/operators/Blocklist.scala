@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.expressions.MultiPatternHits
+
+/** Blocklist screening over a document corpus: which documents contain
+  * which of a configured set of literal phrases, and which documents a
+  * severity-weighted policy would drop — the "bad-word / boilerplate /
+  * contamination-canary" gate every large-scale curation pipeline runs
+  * before training (the C4 and Gopher cleanup stages are exactly this
+  * shape: a fixed phrase list swept over every document).
+  *
+  * Both faces ride [[graft.expressions.MultiPatternHits]] — ONE
+  * Aho–Corasick scan per document for the whole pattern set (O(len),
+  * not O(patterns·len)) with replace-count semantics, so every output
+  * is exactly reproducible in ANSI SQL (`instr` + `replace`-length
+  * arithmetic) for the oracle. No shuffle happens until the caller's
+  * aggregation: the scan is a pure projection, embarrassingly parallel
+  * over whatever partitioning the 100 TB corpus already has.
+  */
+object Blocklist {
+
+  private def hitsCol(textCol: String, patterns: Seq[String]): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      MultiPatternHits(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+          col(textCol)), patterns))
+
+  /** Per-(document, pattern) hit table: `(id, pid, pattern, first_pos,
+    * n_hits)`, one row per pattern with ≥1 occurrence in the document.
+    * `n_hits` counts greedy non-overlapping occurrences; `first_pos` is
+    * the 1-based character position of the first occurrence.
+    */
+  def hits(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val names = array(patterns.map(lit): _*)
+    docs
+      .select(col(idCol), explode(hitsCol(textCol, patterns)).as("__h"))
+      .select(col(idCol), col("__h.pid").as("pid"),
+        element_at(names, (col("__h.pid") + 1).cast("int")).as("pattern"),
+        col("__h.first_pos").as("first_pos"),
+        col("__h.n_hits").as("n_hits"))
+  }
+
+  /** Severity-weighted keep/drop gate: each document's score is
+    * `Σ n_hits(p) · weight(p)` over the blocklist, and the document is
+    * kept iff `score < threshold`. Emits EVERY document (hit or not) as
+    * `(id, n_patterns_hit, n_hits_total, score, keep)` so the face
+    * doubles as the audit report ("how close is the corpus to the
+    * gate"), not just the filter.
+    *
+    * Weights ship with the patterns (mild boilerplate = 1, hard
+    * blockers = large); a drop-on-any-hit policy is `weight = threshold`
+    * on every pattern.
+    */
+  def gate(docs: DataFrame, idCol: String, textCol: String,
+      weighted: Seq[(String, Long)], threshold: Long): DataFrame = {
+    require(weighted.nonEmpty, "blocklist must be non-empty")
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    val weights = array(weighted.map { case (_, w) => lit(w) }: _*)
+    docs
+      .select(col(idCol),
+        hitsCol(textCol, weighted.map(_._1)).as("__hs"))
+      .select(col(idCol),
+        size(col("__hs")).cast(LongType).as("n_patterns_hit"),
+        coalesce(aggregate(col("__hs"), lit(0L),
+          (acc, h) => acc + h.getField("n_hits")), lit(0L))
+          .as("n_hits_total"),
+        coalesce(aggregate(col("__hs"), lit(0L),
+          (acc, h) => acc + h.getField("n_hits") *
+            element_at(weights, (h.getField("pid") + 1).cast("int"))),
+          lit(0L)).as("score"))
+      .withColumn("keep", col("score") < lit(threshold))
+  }
+}

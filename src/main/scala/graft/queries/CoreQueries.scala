@@ -1181,6 +1181,85 @@ object CoreQueries {
           graft.operators.Layout.pruneStats(lf, 100, 300, 1200, 1600)
             .select(lit("linear").as("layout"), col("*")))
         .orderBy("layout")
+    }),
+
+    // Benford first-digit audit over order totals — the classic
+    // fabricated-data screen a warehouse runs on any money column.
+    // Digit extraction is string-of-exact-integer (price quantized by
+    // the portable floor(x·1e4 + 0.5), never log-bucketed — engines'
+    // log10 at a power-of-ten boundary could disagree by 1 ulp);
+    // expected shares ARE log10-computed, but quantized to ppb where a
+    // 1-ulp input wobble cannot flip the floor (the nine products all
+    // land ≥0.1 away from an integer). 9-row result, one partial-agg
+    // shuffle.
+    "q_benford" -> ((s, dir) =>
+      t(s, dir, "orders").filter(col("o_totalprice") > 0)
+        .select(substring(
+          floor(col("o_totalprice") * lit(10000.0) + lit(0.5))
+            .cast(LongType).cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("n_total", sum(col("n")).over(Window.partitionBy(lit(1))))
+        .select(col("digit"), asLong(col("n")).as("n"),
+          asLong(col("n_total")).as("n_total"),
+          expr("n * 1000000000L div n_total").as("observed_ppb"),
+          floor(log10(lit(1.0) + lit(1.0) / col("digit").cast(DoubleType))
+            * lit(1.0e9) + lit(0.5)).cast(LongType).as("expected_ppb"))
+        .orderBy("digit")),
+
+    // URL-canonical dedup: two deliberately different raw shapes of the
+    // same logical page (uppercase scheme/host + www + default port +
+    // utm params + trailing slash + fragment vs the bare form) collapse
+    // to one canonical key — the pre-content dedup pass of a web-scale
+    // corpus. Pure codegen'd string built-ins (UrlFunctions), map-side
+    // until the one canonical-key aggregation.
+    "q_url_canonical" -> ((s, dir) => {
+      val k = (col("doc_id") % 50).cast(StringType)
+      val raw = when(col("doc_id") % 2 === 0,
+        concat(lit("HTTPS://WWW."), col("source"),
+          lit(".Example.COM:443/p/"), k, lit("/?id="), k,
+          lit("&utm_source=feed&utm_campaign=x#frag")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/p/"), k, lit("?id="), k, lit("&utm_medium=em")))
+      t(s, dir, "documents").select(col("doc_id"), raw.as("url"))
+        .select(col("doc_id"),
+          graft.functions.UrlFunctions.canonicalizeUrl(col("url"))
+            .as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .select(col("canonical"), asLong(col("n_docs")).as("n_docs"),
+          asLong(col("min_doc")).as("min_doc"))
+        .orderBy("canonical")
+    }),
+
+    // REAL streaming dedup through the MemoryStream harness:
+    // dropDuplicatesWithinWatermark over (user, type, day) carries seen
+    // keys ACROSS micro-batches (a batch-window distinct can't), emits
+    // each key once on first arrival, and evicts state by watermark in
+    // production (the 365-day delay here spans the fixture, so the
+    // stream's output must equal the batch DISTINCT exactly). Keys-only
+    // projection AFTER the dedup makes the surviving-row choice
+    // immaterial — the face is deterministic whatever the intra-batch
+    // arrival interleaving.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ev0 = t(s, dir, "events")
+      val rows = ev0.filter(col("user_id") < 100)
+        .select(col("user_id").cast(LongType), Q.usCol(ev0).cast(LongType),
+          col("event_type"))
+        .as[(Long, Long, String)].collect().toSeq
+        .sortBy(r => (r._2, r._1, r._3))
+      val batches = rows.grouped(math.max(1, (rows.size + 3) / 4)).toSeq
+      emitted[(Long, Long, String)](s, "graft_stream_dedup", batches,
+        in => in.toDF("user_id", "us", "event_type")
+          .withColumn("ts", expr("timestamp_micros(us)"))
+          .withColumn("day", expr("us div 86400000000L"))
+          .withWatermark("ts", "365 days")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+          .select(col("user_id"), col("event_type"), col("day")))
+        .select(asLong(col("user_id")).as("user_id"), col("event_type"),
+          asLong(col("day")).as("day"))
+        .orderBy("user_id", "event_type", "day")
     })
   )
 
@@ -2357,6 +2436,69 @@ object CoreQueries {
          |      OR max_y < y_lo OR min_y > y_hi) THEN n_rows ELSE 0 END)
          |    AS BIGINT)
          |FROM zf, probe
-         |ORDER BY layout""".stripMargin
+         |ORDER BY layout""".stripMargin,
+
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 10000
+        |      + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d
+        |  GROUP BY digit)
+        |SELECT digit, n, CAST(sum(n) OVER () AS BIGINT) AS n_total,
+        |  CAST(n * 1000000000 // sum(n) OVER () AS BIGINT) AS observed_ppb,
+        |  CAST(floor(log10(1 + 1.0 / digit) * 1000000000.0 + 0.5) AS BIGINT)
+        |    AS expected_ppb
+        |FROM g ORDER BY digit""".stripMargin,
+
+    // the same generic canonicalization chain the engine runs, step by
+    // step: fragment → scheme/authority split → host lowering + www +
+    // default-port strip → path/query split → utm/empty param filter →
+    // trailing-slash strip
+    "q_url_canonical" ->
+      """WITH raw AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'HTTPS://WWW.' || source || '.Example.COM:443/p/' ||
+        |      (doc_id % 50) || '/?id=' || (doc_id % 50) ||
+        |      '&utm_source=feed&utm_campaign=x#frag'
+        |    ELSE 'https://' || source || '.example.com/p/' ||
+        |      (doc_id % 50) || '?id=' || (doc_id % 50) || '&utm_medium=em'
+        |  END AS url FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag
+        |  FROM raw),
+        |s2 AS (SELECT doc_id,
+        |    lower(regexp_extract(nofrag,
+        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(nofrag,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest FROM s1),
+        |s3 AS (SELECT doc_id, scheme, split_part(rest, '/', 1) AS auth,
+        |    substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        |  FROM s2),
+        |s4 AS (SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'https' THEN regexp_replace(regexp_replace(
+        |        lower(auth), '^www\.', ''), ':443$', '')
+        |      WHEN scheme = 'http' THEN regexp_replace(regexp_replace(
+        |        lower(auth), '^www\.', ''), ':80$', '')
+        |      ELSE regexp_replace(lower(auth), '^www\.', '') END AS host,
+        |    split_part(pathq, '?', 1) AS path,
+        |    substr(pathq, length(split_part(pathq, '?', 1)) + 2) AS q
+        |  FROM s3),
+        |s5 AS (SELECT doc_id, scheme, host,
+        |    CASE WHEN length(path) > 1 THEN regexp_replace(path, '/+$', '')
+        |      ELSE path END AS pathn,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      x -> length(x) > 0 AND NOT starts_with(x, 'utm_')), '&')
+        |      AS kept FROM s4),
+        |c AS (SELECT doc_id, scheme || '://' || host || pathn ||
+        |    CASE WHEN length(kept) > 0 THEN '?' || kept ELSE '' END
+        |    AS canonical FROM s5)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type,
+        |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        |FROM events WHERE user_id < 100
+        |ORDER BY user_id, event_type, day""".stripMargin
   )
 }

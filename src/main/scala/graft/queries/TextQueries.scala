@@ -954,8 +954,63 @@ object TextQueries {
         // zero-fill AFTER the pivot to match the oracle's COALESCE
         .select(col("source") +: Seq("de", "en", "es", "fr", "zh")
           .map(l => coalesce(col(l), lit(0L)).as(s"${l}_tokens")): _*)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // blocklist sweep: ONE Aho–Corasick pass per document over the
+    // whole phrase set (overlapping families included — "join" inside
+    // "hash join", "table" inside "value table") vs the oracle's
+    // per-pattern instr/replace-count arithmetic.
+    "q_blocklist_hits" -> ((s, dir) =>
+      graft.operators.Blocklist.hits(
+        t(s, dir, "documents"), "doc_id", "text", BlockPatterns)
+        .select(col("doc_id"), asLong(col("pid")).as("pid"), col("pattern"),
+          asLong(col("first_pos")).as("first_pos"),
+          asLong(col("n_hits")).as("n_hits"))
+        .orderBy("doc_id", "pid")),
+
+    // the keep/drop policy face on the same scan: severity-weighted
+    // score per document, every document reported (the audit view a
+    // curation run publishes alongside the filter itself).
+    "q_blocklist_gate" -> ((s, dir) =>
+      graft.operators.Blocklist.gate(
+        t(s, dir, "documents"), "doc_id", "text",
+        BlockPatterns.zip(BlockWeights), threshold = 12L)
+        .select(col("doc_id"), asLong(col("n_patterns_hit")).as("n_patterns_hit"),
+          asLong(col("n_hits_total")).as("n_hits_total"),
+          asLong(col("score")).as("score"), col("keep"))
+        .orderBy("doc_id")),
+
+    // tokenizer-vocab coverage: out-of-vocabulary rate per document
+    // against the corpus top-25 token vocabulary (count-desc,
+    // token-asc tiebreak — deterministic on both engines). The vocab
+    // is a TakeOrdered 25-row table broadcast into the coverage join;
+    // the corpus explodes once per aggregation, never collects.
+    "q_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("tok")).limit(25)
+        .select(col("tok"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), asLong(col("n_tokens")).as("n_tokens"),
+          asLong(col("n_oov")).as("n_oov"),
+          expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+        .orderBy("doc_id")
+    })
   )
+
+  /** Blocklist fixture for `q_blocklist_hits`/`q_blocklist_gate`:
+    * corpus-vocabulary phrases chosen so the pattern set exercises the
+    * substring-family cases (a pattern inside another pattern) and a
+    * self-overlap-capable pattern ("a a"). Weights mirror a severity
+    * policy: hard blockers high, boilerplate low.
+    */
+  private val BlockPatterns: Seq[String] =
+    Seq("slow", "hash join", "join", "value table", "table", "a a")
+  private val BlockWeights: Seq[Long] = Seq(1L, 5L, 1L, 3L, 1L, 2L)
 
   /** The [[graft.operators.CorpusOps.greedyCoverage]] rounds unrolled:
     * per round, gains exclude previously selected ids and covered
@@ -2288,6 +2343,52 @@ object TextQueries {
         |  CAST(COALESCE(SUM(CASE WHEN lang = 'es' THEN n_tokens END), 0) AS BIGINT) AS es_tokens,
         |  CAST(COALESCE(SUM(CASE WHEN lang = 'fr' THEN n_tokens END), 0) AS BIGINT) AS fr_tokens,
         |  CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN n_tokens END), 0) AS BIGINT) AS zh_tokens
-        |FROM d GROUP BY source ORDER BY source""".stripMargin
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // replace-count semantics make the single-pass automaton exactly
+    // expressible: n_hits = (len - len(replace)) / len(pattern),
+    // first_pos = instr — greedy non-overlapping on both engines
+    "q_blocklist_hits" ->
+      """WITH pats(pid, pattern) AS (VALUES
+        |  (0, 'slow'), (1, 'hash join'), (2, 'join'),
+        |  (3, 'value table'), (4, 'table'), (5, 'a a')),
+        |h AS (SELECT d.doc_id, p.pid, p.pattern,
+        |    instr(d.text, p.pattern) AS fp,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) AS n_hits
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT doc_id, CAST(pid AS BIGINT) AS pid, pattern,
+        |  CAST(fp AS BIGINT) AS first_pos, CAST(n_hits AS BIGINT) AS n_hits
+        |FROM h WHERE n_hits > 0 ORDER BY doc_id, pid""".stripMargin,
+
+    "q_blocklist_gate" ->
+      """WITH pats(pid, pattern, w) AS (VALUES
+        |  (0, 'slow', 1), (1, 'hash join', 5), (2, 'join', 1),
+        |  (3, 'value table', 3), (4, 'table', 1), (5, 'a a', 2)),
+        |h AS (SELECT d.doc_id, p.w,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) AS n_hits
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT doc_id,
+        |  CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_patterns_hit,
+        |  CAST(sum(n_hits) AS BIGINT) AS n_hits_total,
+        |  CAST(sum(n_hits * w) AS BIGINT) AS score,
+        |  sum(n_hits * w) < 12 AS keep
+        |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT tok FROM (
+        |  SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 25)),
+        |agg AS (SELECT t.doc_id, count(*) AS n_tokens,
+        |    count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+        |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_oov AS BIGINT) AS n_oov,
+        |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

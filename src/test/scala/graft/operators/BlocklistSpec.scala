@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** [[graft.expressions.MultiPatternHits]] parity: the single-pass
+  * Aho–Corasick scan must agree EXACTLY with the per-pattern
+  * replace-count reference (`n_hits = (len − len(replace))/len(p)`,
+  * `first_pos = instr`) — the same arithmetic the DuckDB oracle runs —
+  * on randomized small-alphabet texts where overlaps, substring
+  * patterns, and self-overlapping patterns all occur constantly.
+  */
+class BlocklistSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Greedy left-to-right non-overlapping count + 1-based first pos. */
+  private def reference(text: String, p: String): (Long, Long) = {
+    var i = 0; var n = 0L; var first = 0L
+    while (i <= text.length - p.length) {
+      if (text.regionMatches(i, p, 0, p.length)) {
+        n += 1; if (first == 0L) first = i + 1L; i += p.length
+      } else i += 1
+    }
+    (first, n)
+  }
+
+  test("automaton matches replace-count reference on adversarial cases") {
+    val pats = Seq("aa", "aba", "a", "bb", "ab b", "b")
+    val texts = Seq("", "a", "aaaa", "abababa", "ab bab baa", "bbbbb",
+      "xyz", "aab baab b", "a b a b", "ab ba ab ba")
+    for (t <- texts) {
+      val got = Blocklist.hits(
+        Seq((1L, t)).toDF("id", "text"), "id", "text", pats)
+        .select("pid", "first_pos", "n_hits")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      pats.zipWithIndex.foreach { case (p, pid) =>
+        val (first, n) = reference(t, p)
+        val g = got.getOrElse(pid.toLong, (0L, 0L))
+        assert(g == ((first, n)), s"text='$t' pattern='$p': got $g, " +
+          s"want ($first, $n)")
+      }
+    }
+  }
+
+  test("automaton matches reference on 200 random small-alphabet texts") {
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("ab", "ba", "aab", "abab", "b", "aa a")
+    val rows = (0 until 200).map { i =>
+      val len = 1 + rnd.nextInt(60)
+      (i.toLong, (0 until len).map(_ => "ab "(rnd.nextInt(3))).mkString)
+    }
+    val got = Blocklist.hits(rows.toDF("id", "text"), "id", "text", pats)
+      .select("id", "pid", "first_pos", "n_hits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for ((id, t) <- rows; (p, pid) <- pats.zipWithIndex) {
+      val (first, n) = reference(t, p)
+      val g = got.getOrElse((id, pid.toLong), (0L, 0L))
+      assert(g == ((first, n)),
+        s"text='$t' pattern='$p': got $g, want ($first, $n)")
+    }
+  }
+
+  test("gate scores and keep flag follow the weighted policy") {
+    val docs = Seq(
+      (1L, "clean text with nothing flagged"),
+      (2L, "bad bad bad"),
+      (3L, "bad worse")).toDF("id", "text")
+    val g = Blocklist.gate(docs, "id", "text",
+      Seq(("bad", 2L), ("worse", 10L)), threshold = 7L)
+      .select("id", "n_patterns_hit", "n_hits_total", "score", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(g(0) == ((1L, 0L, 0L, 0L, true)))
+    assert(g(1) == ((2L, 1L, 3L, 6L, true)))
+    assert(g(2) == ((3L, 2L, 2L, 12L, false)))
+  }
+
+  test("multibyte text: positions are character-based") {
+    val got = Blocklist.hits(
+      Seq((1L, "é日本é日本語")).toDF("id", "text"), "id", "text",
+      Seq("日本", "é"))
+      .select("pid", "first_pos", "n_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((2L, 2L))) // 日本 at chars 2 and 5
+    assert(got(1L) == ((1L, 2L)))
+  }
+}
