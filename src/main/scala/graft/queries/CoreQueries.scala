@@ -1260,6 +1260,71 @@ object CoreQueries {
         .select(asLong(col("user_id")).as("user_id"), col("event_type"),
           asLong(col("day")).as("day"))
         .orderBy("user_id", "event_type", "day")
+    }),
+
+    // ABC / Pareto classification of parts by revenue: exact decimal
+    // sums quantized to integral cents, running share in exact ppm
+    // (DECIMAL(38,0) product ÷ BIGINT total — the q_dsir_modweights
+    // wide-integer pattern, no double in the chain), 70/95% class
+    // cuts. The fact table takes one partial-agg shuffle; the running
+    // window runs over the part DIM only (dim-sized even at 100 TB).
+    "q_abc_analysis" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .as("rev_dec"))
+        .select(col("partkey"),
+          (col("rev_dec") * lit(10000)).cast(LongType).as("rev_cents"))
+      val w = Window.orderBy(col("rev_cents").desc, col("partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .withColumn("cum_cents", sum(col("rev_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("tot_cents",
+          sum(col("rev_cents")).over(Window.partitionBy(lit(1))))
+        .select(col("partkey"),
+          (col("rev_cents").cast(DoubleType) / 10000.0).as("revenue"),
+          asLong(col("rnk")).as("rnk"),
+          expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000" +
+            " div tot_cents AS BIGINT)").as("cum_ppm"))
+        .withColumn("abc_class",
+          when(col("cum_ppm") <= 700000L, "A")
+            .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
+        .orderBy("rnk")
+    }),
+
+    // RFM segmentation: per-customer recency/frequency/monetary
+    // quartiles (ntile ties broken by custkey — deterministic on both
+    // engines), anchor = max order date so the face is fixture-stable.
+    // One fact shuffle to the customer grain; the three ntile windows
+    // run over the customer DIM.
+    "q_rfm" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val base = o.groupBy(col("o_custkey").as("custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).as("m_dec"))
+      val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+      val scored = base.crossJoin(broadcast(anchor))
+        .select(col("custkey"),
+          datediff(col("anchor").cast("date"), col("last_order").cast("date"))
+            .cast(LongType).as("r_days"),
+          asLong(col("n_orders")).as("n_orders"), col("m_dec"))
+      scored
+        .withColumn("r_score", ntile(4).over(
+          Window.orderBy(col("r_days"), col("custkey"))))
+        .withColumn("f_score", ntile(4).over(
+          Window.orderBy(col("n_orders").desc, col("custkey"))))
+        .withColumn("m_score", ntile(4).over(
+          Window.orderBy(col("m_dec").desc, col("custkey"))))
+        .select(col("custkey"), col("r_days"), col("n_orders"),
+          col("m_dec").cast(DoubleType).as("monetary"),
+          asLong(col("r_score")).as("r_score"),
+          asLong(col("f_score")).as("f_score"),
+          asLong(col("m_score")).as("m_score"),
+          concat(col("r_score").cast(StringType),
+            col("f_score").cast(StringType),
+            col("m_score").cast(StringType)).as("segment"))
+        .orderBy("custkey")
     })
   )
 
@@ -2499,6 +2564,51 @@ object CoreQueries {
       """SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type,
         |  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
         |FROM events WHERE user_id < 100
-        |ORDER BY user_id, event_type, day""".stripMargin
+        |ORDER BY user_id, event_type, day""".stripMargin,
+
+    "q_abc_analysis" ->
+      """WITH rev AS (SELECT l_partkey AS partkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS rev_cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT partkey, rev_cents,
+        |    row_number() OVER (ORDER BY rev_cents DESC, partkey) AS rnk,
+        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
+        |    sum(rev_cents) OVER () AS tot_cents
+        |  FROM rev)
+        |SELECT partkey, CAST(rev_cents AS DOUBLE) / 10000.0 AS revenue,
+        |  CAST(rnk AS BIGINT) AS rnk,
+        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents AS BIGINT)
+        |    AS cum_ppm,
+        |  CASE WHEN CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents
+        |      <= 700000 THEN 'A'
+        |    WHEN CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents
+        |      <= 950000 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM r ORDER BY rnk""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (SELECT o_custkey AS custkey,
+        |    max(o_orderdate) AS last_order, count(*) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,4))) AS m_dec
+        |  FROM orders GROUP BY 1),
+        |a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |sc AS (SELECT custkey,
+        |    date_diff('day', CAST(last_order AS DATE), CAST(anchor AS DATE))
+        |      AS r_days, n_orders, m_dec FROM base, a),
+        |k AS (SELECT custkey, r_days, n_orders, m_dec,
+        |    ntile(4) OVER (ORDER BY r_days, custkey) AS r_score,
+        |    ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+        |    ntile(4) OVER (ORDER BY m_dec DESC, custkey) AS m_score
+        |  FROM sc)
+        |SELECT custkey, CAST(r_days AS BIGINT) AS r_days,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(m_dec AS DOUBLE) AS monetary,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+        |    CAST(m_score AS VARCHAR) AS segment
+        |FROM k ORDER BY custkey""".stripMargin
   )
 }

@@ -999,8 +999,50 @@ object TextQueries {
           asLong(col("n_oov")).as("n_oov"),
           expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
         .orderBy("doc_id")
+    }),
+
+    // exact-canary decontamination (the GPT-3/Llama-report n-gram
+    // purge, word-boundary exact): every eval 4-gram becomes one
+    // automaton pattern, ONE O(len) pass flags each training doc —
+    // the blocklist engine composed with the contamination semantic
+    // (q_decontaminate keeps the fuzzy containment face). At 100 TB
+    // the eval set stays benchmark-sized, so the whole pattern set
+    // ships in the plan and the sweep is shuffle-free until the
+    // per-doc report.
+    "q_decontaminate_exact" -> ((s, dir) => {
+      val canaries = evalCanaries(s, dir)
+      graft.operators.Blocklist.gate(
+        t(s, dir, "documents").filter(col("doc_id") >= 10)
+          .withColumn("padded", concat(lit(" "), col("text"), lit(" "))),
+        "doc_id", "padded", canaries.map((_, 1L)), threshold = 1L)
+        .select(col("doc_id").as("corpus_id"),
+          asLong(col("n_patterns_hit")).as("n_canaries"),
+          asLong(col("n_hits_total")).as("n_hits_total"),
+          (!col("keep")).as("contaminated"))
+        .orderBy("corpus_id")
     })
   )
+
+  /** Exact-canary decontamination fixture: distinct space-padded word
+    * 4-grams of the eval slice (doc_id < 10), collected driver-side
+    * (bounded by contract — eval sets are benchmark-sized, not
+    * corpus-sized) and compiled into ONE automaton swept over every
+    * training document. Space padding enforces word boundaries ("a row
+    * scan x" must not match inside "data row scan x").
+    */
+  private def evalCanaries(s: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[String] = {
+    import s.implicits._
+    val w = split(col("text"), " ")
+    val idxs = when(size(w) >= 4, sequence(lit(1), size(w) - 3))
+      .otherwise(array().cast("array<int>"))
+    t(s, dir, "documents").filter(col("doc_id") < 10)
+      .select(explode(transform(idxs, i => concat_ws(" ",
+        element_at(w, i), element_at(w, i + 1),
+        element_at(w, i + 2), element_at(w, i + 3)))).as("g"))
+      .distinct().orderBy("g").as[String].collect().toSeq
+      .map(g => " " + g + " ")
+  }
 
   /** Blocklist fixture for `q_blocklist_hits`/`q_blocklist_gate`:
     * corpus-vocabulary phrases chosen so the pattern set exercises the
@@ -2389,6 +2431,29 @@ object TextQueries {
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_oov AS BIGINT) AS n_oov,
         |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // same padded-gram replace-count arithmetic as the engine's
+    // automaton; the space padding enforces word boundaries
+    "q_decontaminate_exact" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT g FROM (
+        |  SELECT unnest(list_transform(
+        |      CASE WHEN len(w) >= 4 THEN range(1, len(w) - 2) ELSE [] END,
+        |      i -> ' ' || w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+        |        || w[i+3] || ' ')) AS g
+        |    FROM toks WHERE doc_id < 10)),
+        |tr AS (SELECT doc_id, ' ' || text || ' ' AS padded
+        |  FROM documents WHERE doc_id >= 10),
+        |h AS (SELECT tr.doc_id, ev.g,
+        |    (length(padded) - length(replace(padded, g, '')))
+        |      // length(g) AS n_hits
+        |  FROM tr CROSS JOIN ev)
+        |SELECT doc_id AS corpus_id,
+        |  CAST(count(*) FILTER (WHERE n_hits > 0) AS BIGINT) AS n_canaries,
+        |  CAST(sum(n_hits) AS BIGINT) AS n_hits_total,
+        |  sum(n_hits) >= 1 AS contaminated
+        |FROM h GROUP BY doc_id ORDER BY corpus_id""".stripMargin
   )
 }
