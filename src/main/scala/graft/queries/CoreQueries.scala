@@ -1325,6 +1325,93 @@ object CoreQueries {
             col("f_score").cast(StringType),
             col("m_score").cast(StringType)).as("segment"))
         .orderBy("custkey")
+    }),
+
+    // semi-structured payload parsing: events.props is a JSON string;
+    // the engine parses it ONCE with a schema'd from_json (codegen'd,
+    // null on malformed — the Spark-idiomatic path for a 100 TB
+    // semi-structured column), then aggregates the typed field. The
+    // oracle extracts the same integer with a regex so the gate never
+    // depends on the oracle engine's JSON extension.
+    "q_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            StructType(Seq(StructField("k", IntegerType)))).getField("k")
+            .cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_parsed"),
+          sum(col("k")).as("k_sum"), min(col("k")).as("k_min"),
+          max(col("k")).as("k_max"),
+          countDistinct(col("k")).as("k_distinct"))
+        .select(col("event_type"), asLong(col("n")).as("n"),
+          asLong(col("n_parsed")).as("n_parsed"),
+          asLong(col("k_sum")).as("k_sum"),
+          asLong(col("k_min")).as("k_min"),
+          asLong(col("k_max")).as("k_max"),
+          asLong(col("k_distinct")).as("k_distinct"))
+        .orderBy("event_type")),
+
+    // burst debounce report: an event is KEPT iff it is ≥ 5 min after
+    // its predecessor in the same (user, type) lane (island heads —
+    // the predecessor-gap formulation both engines express with one
+    // lag window; the "previous KEPT" variant is recursive and
+    // deliberately out of scope). Output is the per-type keep-rate
+    // audit, integral ppm.
+    "q_debounce" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("us", "event_id")
+      ev0.select(col("user_id"), col("event_type"), col("event_id"),
+        Q.usCol(ev0).as("us"))
+        .withColumn("__prev", lag(col("us"), 1).over(w))
+        .withColumn("kept",
+          col("__prev").isNull || col("us") - col("__prev") >= lit(300000000L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .select(col("event_type"), asLong(col("n_raw")).as("n_raw"),
+          asLong(col("n_kept")).as("n_kept"),
+          expr("n_kept * 1000000L div n_raw").as("kept_ppm"))
+        .orderBy("event_type")
+    }),
+
+    // market-basket association rules a→b over order baskets:
+    // support/confidence in exact ppm, lift in exact ppm (integer
+    // cross-products, no float chain), top-20 by lift with a min
+    // co-count floor. Pair generation is the orderkey self-join —
+    // O(basket²) per order with TPC-H-ish basket sizes ≤7, so the
+    // shuffle stays ∝ facts; rule ranking runs over the tiny rule
+    // table.
+    "q_basket_rules" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val nOrd = items.agg(countDistinct(col("ok")).as("n_orders"))
+      val nPer = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+      val pairs = items.as("x").join(items.as("y"), Seq("ok"))
+        .filter(col("x.pk") =!= col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val scored = pairs
+        .join(nPer.select(col("pk").as("a"), col("n_p").as("n_a")), Seq("a"))
+        .join(nPer.select(col("pk").as("b"), col("n_p").as("n_b")), Seq("b"))
+        .crossJoin(broadcast(nOrd))
+        .withColumn("support_ppm", expr("n_ab * 1000000L div n_orders"))
+        .withColumn("conf_ppm", expr("n_ab * 1000000L div n_a"))
+        .withColumn("lift_ppm",
+          expr("n_ab * n_orders * 1000000L div (n_a * n_b)"))
+      scored
+        .withColumn("rnk", row_number().over(Window.orderBy(
+          col("lift_ppm").desc, col("a"), col("b"))))
+        .filter(col("rnk") <= 20)
+        .select(asLong(col("rnk")).as("rnk"), asLong(col("a")).as("a"),
+          asLong(col("b")).as("b"), asLong(col("n_ab")).as("n_ab"),
+          asLong(col("n_a")).as("n_a"), asLong(col("n_b")).as("n_b"),
+          asLong(col("n_orders")).as("n_orders"),
+          col("support_ppm"), col("conf_ppm"), col("lift_ppm"))
+        .orderBy("rnk")
     })
   )
 
@@ -2609,6 +2696,59 @@ object CoreQueries {
         |  CAST(m_score AS BIGINT) AS m_score,
         |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
         |    CAST(m_score AS VARCHAR) AS segment
-        |FROM k ORDER BY custkey""".stripMargin
+        |FROM k ORDER BY custkey""".stripMargin,
+
+    // regex extraction instead of JSON functions: the oracle must not
+    // depend on the DuckDB build's JSON extension
+    "q_json_props" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(k) AS BIGINT) AS n_parsed,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  CAST(min(k) AS BIGINT) AS k_min,
+        |  CAST(max(k) AS BIGINT) AS k_max,
+        |  CAST(count(DISTINCT k) AS BIGINT) AS k_distinct
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_debounce" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |l AS (SELECT event_type,
+        |    lag(us) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY us, event_id) AS prev, us FROM e),
+        |k AS (SELECT event_type,
+        |    (prev IS NULL OR us - prev >= 300000000) AS kept FROM l)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE kept) * 1000000 // count(*)
+        |    AS BIGINT) AS kept_ppm
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_basket_rules" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |no AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+        |np AS (SELECT pk, count(*) AS n_p FROM items GROUP BY pk),
+        |pr AS (SELECT x.pk AS a, y.pk AS b, count(*) AS n_ab
+        |  FROM items x JOIN items y ON x.ok = y.ok AND x.pk <> y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sc AS (SELECT a, b, n_ab, na.n_p AS n_a, nb.n_p AS n_b, n_orders,
+        |    n_ab * 1000000 // n_orders AS support_ppm,
+        |    n_ab * 1000000 // na.n_p AS conf_ppm,
+        |    n_ab * n_orders * 1000000 // (na.n_p * nb.n_p) AS lift_ppm
+        |  FROM pr JOIN np na ON pr.a = na.pk JOIN np nb ON pr.b = nb.pk,
+        |    no),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, a, b)
+        |    AS rnk FROM sc)
+        |SELECT CAST(rnk AS BIGINT) AS rnk, CAST(a AS BIGINT) AS a,
+        |  CAST(b AS BIGINT) AS b, CAST(n_ab AS BIGINT) AS n_ab,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(support_ppm AS BIGINT) AS support_ppm,
+        |  CAST(conf_ppm AS BIGINT) AS conf_ppm,
+        |  CAST(lift_ppm AS BIGINT) AS lift_ppm
+        |FROM rk WHERE rnk <= 20 ORDER BY rnk""".stripMargin
   )
 }
