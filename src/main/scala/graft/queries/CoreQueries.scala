@@ -1384,9 +1384,14 @@ object CoreQueries {
     // shuffle stays ∝ facts; rule ranking runs over the tiny rule
     // table.
     "q_basket_rules" -> ((s, dir) => {
+      // one fact scan: the distinct basket-item table feeds FOUR
+      // consumers (self-join both sides, per-part counts, order count)
+      // — materialize it once instead of re-scanning lineitem per
+      // consumer (the q_funnel scan-amplification lesson)
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint(true)
       val nOrd = items.agg(countDistinct(col("ok")).as("n_orders"))
       val nPer = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
       val pairs = items.as("x").join(items.as("y"), Seq("ok"))
