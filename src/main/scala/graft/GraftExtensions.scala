@@ -65,6 +65,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(args(1), "hyperplane_key nPlanes"),
           foldableInt(args(2), "hyperplane_key seed"))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("multi_pattern_hits"),
+      new ExpressionInfo(
+        classOf[graft.expressions.MultiPatternHits].getName,
+        "multi_pattern_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "multi_pattern_hits(text, pattern1 [, pattern2, ...])")
+        graft.expressions.MultiPatternHits(args(0),
+          args.tail.map(foldableString(_, "multi_pattern_hits pattern")))
+      }))
   }
 
   private def foldableString(e: Expression, what: String): String = {

@@ -45,6 +45,51 @@ object Blocklist {
         col("__h.n_hits").as("n_hits"))
   }
 
+  /** [[hits]] with the pattern set read from a TABLE — how a real
+    * deployment ships its blocklist (a curated dimension, not code).
+    * The pattern table is collected driver-side with a LOUD cap
+    * (blocklists are dimension-sized by contract; a runaway join
+    * result masquerading as a pattern table should fail, not compile
+    * a 10M-state automaton), sorted for deterministic pid assignment,
+    * then compiled once.
+    */
+  def hitsFromTable(docs: DataFrame, idCol: String, textCol: String,
+      patterns: DataFrame, patternCol: String,
+      maxPatterns: Int = 100000): DataFrame = {
+    val pats = patterns.select(col(patternCol).cast("string"))
+      .na.drop().distinct().orderBy(patternCol)
+      .limit(maxPatterns + 1)
+      .collect().map(_.getString(0)).toSeq
+    require(pats.size <= maxPatterns,
+      s"pattern table exceeds maxPatterns=$maxPatterns — not a blocklist")
+    require(pats.nonEmpty, "pattern table is empty")
+    hits(docs, idCol, textCol, pats)
+  }
+
+  /** Same-length masking scrub: every occurrence of every pattern is
+    * overwritten with `maskChar`, patterns applied IN ORDER with
+    * nested-replace semantics (each pattern sees the text as already
+    * masked by its predecessors — the exact semantics of the SQL
+    * `replace(replace(...))` chain, so the face is oracle-exact).
+    *
+    * This is deliberately NOT the single-pass automaton: a scrub must
+    * materialize the rewritten text anyway (output-dominated), and
+    * sequential nested-replace semantics cannot be reproduced in one
+    * pass when an earlier pattern's mask destroys a later pattern's
+    * match. [[hits]]/[[gate]] remain the O(len) detection path; scrub
+    * is the O(patterns·len) rewrite path you run on the (gated,
+    * far smaller) slice that actually needs masking.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[String], maskChar: String = "*"): DataFrame = {
+    require(patterns.nonEmpty, "blocklist must be non-empty")
+    require(maskChar.length == 1, "maskChar must be a single character")
+    val scrubbed = patterns.foldLeft(col(textCol)) { (c, p) =>
+      call_function("replace", c, lit(p), lit(maskChar * p.length))
+    }
+    docs.select(col(idCol), col(textCol), scrubbed.as("scrubbed"))
+  }
+
   /** Severity-weighted keep/drop gate: each document's score is
     * `Σ n_hits(p) · weight(p)` over the blocklist, and the document is
     * kept iff `score < threshold`. Emits EVERY document (hit or not) as

@@ -1001,6 +1001,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // the scrub face of the blocklist lifecycle: same-length masking
+    // with sequential nested-replace semantics, run on the gate's DROP
+    // slice only (scrub is the output-dominated rewrite; detection
+    // stays single-pass). Length is provably preserved.
+    "q_blocklist_scrub" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dropped = graft.operators.Blocklist.gate(
+        docs, "doc_id", "text", BlockPatterns.zip(BlockWeights),
+        threshold = 12L).filter(!col("keep")).select("doc_id")
+      graft.operators.Blocklist.scrub(
+        docs.join(dropped, Seq("doc_id"), "left_semi"),
+        "doc_id", "text", BlockPatterns)
+        .select(col("doc_id"), col("scrubbed"),
+          asLong(length(col("scrubbed"))).as("n_chars"),
+          asLong(length(col("scrubbed")) -
+            length(regexp_replace(col("scrubbed"), "\\*", "")))
+            .as("n_masked"))
+        .orderBy("doc_id")
+    }),
+
     // exact-canary decontamination (the GPT-3/Llama-report n-gram
     // purge, word-boundary exact): every eval 4-gram becomes one
     // automaton pattern, ONE O(len) pass flags each training doc —
@@ -2432,6 +2452,30 @@ object TextQueries {
         |  CAST(n_oov AS BIGINT) AS n_oov,
         |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_ppm
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // nested same-length replaces in declaration order — the exact
+    // sequential semantics the engine's scrub chain applies
+    "q_blocklist_scrub" ->
+      """WITH pats(pid, pattern, w) AS (VALUES
+        |  (0, 'slow', 1), (1, 'hash join', 5), (2, 'join', 1),
+        |  (3, 'value table', 3), (4, 'table', 1), (5, 'a a', 2)),
+        |h AS (SELECT d.doc_id, p.w,
+        |    (length(d.text) - length(replace(d.text, p.pattern, '')))
+        |      // length(p.pattern) AS n_hits
+        |  FROM documents d CROSS JOIN pats p),
+        |dropped AS (SELECT doc_id FROM h GROUP BY doc_id
+        |  HAVING sum(n_hits * w) >= 12),
+        |s AS (SELECT d.doc_id,
+        |    replace(replace(replace(replace(replace(replace(d.text,
+        |      'slow', '****'), 'hash join', '*********'),
+        |      'join', '****'), 'value table', '***********'),
+        |      'table', '*****'), 'a a', '***') AS scrubbed
+        |  FROM documents d JOIN dropped USING (doc_id))
+        |SELECT doc_id, scrubbed,
+        |  CAST(length(scrubbed) AS BIGINT) AS n_chars,
+        |  CAST(length(scrubbed) - length(replace(scrubbed, '*', ''))
+        |    AS BIGINT) AS n_masked
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // same padded-gram replace-count arithmetic as the engine's
     // automaton; the space padding enforces word boundaries

@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS r")
         .head().getDouble(0)
       assert(dr > 0.0 && dr < 0.5)
+      val mph = spark.sql(
+        "SELECT multi_pattern_hits('ab bab ba', 'ab', 'ba') AS h")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(mph == Seq((0L, 1L, 2L), (1L, 4L, 2L)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

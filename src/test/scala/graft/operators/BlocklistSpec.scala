@@ -78,6 +78,36 @@ class BlocklistSpec extends AnyFunSuite {
     assert(g(2) == ((3L, 2L, 2L, 12L, false)))
   }
 
+  test("hitsFromTable: table-sourced patterns, loud cap, dedup + sort") {
+    val docs = Seq((1L, "bad worse bad")).toDF("id", "text")
+    val pats = Seq("worse", "bad", "bad", "worse").toDF("p")
+    val got = Blocklist.hitsFromTable(docs, "id", "text", pats, "p")
+      .select("pattern", "n_hits").as[(String, Long)].collect().toSet
+    assert(got == Set(("bad", 2L), ("worse", 1L)))
+    val big = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS p")
+    val e = intercept[IllegalArgumentException] {
+      Blocklist.hitsFromTable(docs, "id", "text", big, "p", maxPatterns = 10)
+    }
+    assert(e.getMessage.contains("maxPatterns"))
+  }
+
+  test("scrub: same-length masking, sequential nested-replace semantics") {
+    val docs = Seq((1L, "abc ab c")).toDF("id", "text")
+    // 'ab' masks first, destroying the 'bc ' match 'b c'? no — order:
+    // pattern 1 = "ab" -> "** c ** c"? verify precisely below
+    val got = Blocklist.scrub(docs, "id", "text", Seq("ab", "b c"))
+      .select("scrubbed").as[String].head()
+    // "abc ab c" --replace(ab,**)--> "**c ** c" --replace(b c,***)--> unchanged
+    // ('b c' no longer occurs: the 'b's were masked)
+    assert(got == "**c ** c")
+    assert(got.length == "abc ab c".length)
+    // reversed order: 'b c' first -> "abc a***", then 'ab' -> "**c a***"
+    // — order-sensitive, exactly like the nested-replace oracle
+    val rev = Blocklist.scrub(docs, "id", "text", Seq("b c", "ab"))
+      .select("scrubbed").as[String].head()
+    assert(rev == "**c a***")
+  }
+
   test("multibyte text: positions are character-based") {
     val got = Blocklist.hits(
       Seq((1L, "é日本é日本語")).toDF("id", "text"), "id", "text",
