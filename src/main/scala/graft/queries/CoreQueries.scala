@@ -1394,11 +1394,16 @@ object CoreQueries {
         .localCheckpoint(true)
       val nOrd = items.agg(countDistinct(col("ok")).as("n_orders"))
       val nPer = items.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
-      val pairs = items.as("x").join(items.as("y"), Seq("ok"))
-        .filter(col("x.pk") =!= col("y.pk"))
+      // co-count is symmetric: generate each unordered pair ONCE
+      // (halves the pair-gen shuffle — the dominant cost at scale) and
+      // mirror the directions after the aggregation
+      val half = items.as("x").join(items.as("y"), Seq("ok"))
+        .filter(col("x.pk") < col("y.pk"))
         .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 3)
+      val pairs = half.unionByName(half.select(col("b").as("a"),
+        col("a").as("b"), col("n_ab")))
       val scored = pairs
         .join(nPer.select(col("pk").as("a"), col("n_p").as("n_a")), Seq("a"))
         .join(nPer.select(col("pk").as("b"), col("n_p").as("n_b")), Seq("b"))
