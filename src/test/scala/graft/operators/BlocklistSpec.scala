@@ -108,6 +108,27 @@ class BlocklistSpec extends AnyFunSuite {
     assert(rev == "**c a***")
   }
 
+  test("automaton matches reference on random MULTIBYTE texts") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "aé日 ß" // 1-, 2-, 3-byte UTF-8 + space + ß
+    val pats = Seq("aé", "é日", "日 a", "ßß", "é")
+    val rows = (0 until 80).map { i =>
+      val len = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = Blocklist.hits(rows.toDF("id", "text"), "id", "text", pats)
+      .select("id", "pid", "first_pos", "n_hits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for ((id, t) <- rows; (p, pid) <- pats.zipWithIndex) {
+      val (first, n) = reference(t, p)
+      val g = got.getOrElse((id, pid.toLong), (0L, 0L))
+      assert(g == ((first, n)),
+        s"text='$t' pattern='$p': got $g, want ($first, $n)")
+    }
+  }
+
   test("multibyte text: positions are character-based") {
     val got = Blocklist.hits(
       Seq((1L, "é日本é日本語")).toDF("id", "text"), "id", "text",
