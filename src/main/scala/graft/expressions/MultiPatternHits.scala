@@ -19,8 +19,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Output: `array<struct<pid:long, first_pos:long, n_hits:long>>`, one
   * element per pattern with ≥1 hit, ascending pid. `first_pos` is
-  * 1-based in characters (UTF-16 units — identical to code-point
-  * positions for BMP text; the gates feed ASCII).
+  * 1-based in CODE POINTS (the scan runs over UTF-16 units but carries
+  * a code-point counter alongside, so supplementary-plane text — emoji,
+  * astral CJK — positions agree with DuckDB's code-point `instr`).
   *
   * Count semantics are deliberately REPLACE-COUNT (greedy leftmost
   * non-overlapping, per pattern independently): `n_hits(p)` equals
@@ -107,23 +108,35 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
     (next.toArray, fail, outs.map(_.sorted.toArray))
   }
 
-  @transient private lazy val patLens: Array[Int] =
-    patterns.map(_.length).toArray
+  /** Pattern lengths in CODE POINTS — the unit first_pos and the greedy
+    * restart cursor are kept in, matching the oracle's instr/length.
+    */
+  @transient private lazy val patLensCp: Array[Int] =
+    patterns.map(p => p.codePointCount(0, p.length)).toArray
 
   override def nullSafeEval(input: Any): Any = {
     val (next, fail, outs) = automaton
     val s = input.asInstanceOf[UTF8String].toString
     val nPat = patterns.size
-    val lens = patLens
+    val lens = patLensCp
     val firstPos = new Array[Int](nPat) // 0 = unseen
     val counts = new Array[Long](nPat)
-    // next occurrence of pattern pid may start at char >= nextFree(pid)
+    // next occurrence of pattern pid may start at code point >= nextFree
     val nextFree = new Array[Int](nPat)
     var node = 0
     var i = 0
+    // code points in s[0..i] once char i is processed: a surrogate PAIR
+    // counts once (at its high unit); matches always end on a complete
+    // code point, so cp is exact at every emission site. Greedy
+    // accept/reject is order-isomorphic between code-unit and
+    // code-point positions, so counts are unchanged vs a unit-based
+    // cursor — only reported positions differ for astral text.
+    var cp = 0
     val len = s.length
     while (i < len) {
       val c = s.charAt(i)
+      if (!(Character.isLowSurrogate(c) && i > 0 &&
+          Character.isHighSurrogate(s.charAt(i - 1)))) cp += 1
       var nx = next(node).get(c)
       while (nx == null && node != 0) { node = fail(node); nx = next(node).get(c) }
       node = if (nx != null) nx.intValue() else 0
@@ -131,11 +144,11 @@ case class MultiPatternHits(child: Expression, patterns: Seq[String])
       var j = 0
       while (j < hits.length) {
         val pid = hits(j)
-        val start = i - lens(pid) + 1
-        if (start >= nextFree(pid)) {
+        val start = cp - lens(pid) + 1 // 1-based code-point start
+        if (start > nextFree(pid)) {
           counts(pid) += 1L
-          if (firstPos(pid) == 0) firstPos(pid) = start + 1
-          nextFree(pid) = i + 1
+          if (firstPos(pid) == 0) firstPos(pid) = start
+          nextFree(pid) = cp
         }
         j += 1
       }

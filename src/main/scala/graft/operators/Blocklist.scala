@@ -110,7 +110,10 @@ object Blocklist {
       .select(col(idCol),
         hitsCol(textCol, weighted.map(_._1)).as("__hs"))
       .select(col(idCol),
-        size(col("__hs")).cast(LongType).as("n_patterns_hit"),
+        // NULL text → NULL hits array; coalesce so the gate's 0-count
+        // (and keep=true via score 0) semantics hold for any corpus
+        coalesce(size(col("__hs")).cast(LongType), lit(0L))
+          .as("n_patterns_hit"),
         coalesce(aggregate(col("__hs"), lit(0L),
           (acc, h) => acc + h.getField("n_hits")), lit(0L))
           .as("n_hits_total"),

@@ -159,6 +159,14 @@ object Drift {
         lit("centroidDrift: |S_g*n_b - S_b*n_g| >= 1e19 overflows the "),
         lit("DECIMAL(38,0) square; lower `scale` or shard the group")))
         .cast(d38))
+    // gate-portable fold: DECIMAL(38,0) is the one output type whose
+    // rendering DuckDB versions disagree on (the q_shard_manifest
+    // lesson), so alongside the full-width numerator emit drift_mod =
+    // drift_num mod 2^61-1 as BIGINT — (Σ sq) mod p ≡ (Σ (sq mod p))
+    // mod p, each residue < 2^61 so the decimal intermediate sum is
+    // exact; registry queries hash-compare drift_mod, specs pin the
+    // full decimal.
+    val p = lit(ImportanceResampling.ModP).cast(d38)
     sums.filter(col("grp") =!= baseline)
       .join(sb, Seq("dim"))
       .join(ns, Seq("grp"))
@@ -168,6 +176,8 @@ object Drift {
       .groupBy(col("grp").as("group"))
       .agg(first(col("n")).as("n_vecs"), first(col("n_b")).as("n_base"),
         count(lit(1)).as("n_dims"),
-        sum(sq).cast(d38).as("drift_num"))
+        sum(sq).cast(d38).as("drift_num"),
+        ((sum((sq % p).cast(d38)).cast(d38) % p))
+          .cast(LongType).as("drift_mod"))
   }
 }

@@ -241,10 +241,23 @@ object SuffixDedup {
     * to be duplicate-saturated. Bucket memory is bounded by the
     * most-shared gram's distinct doc count; the cap then drops such
     * universal boilerplate from the output.
+    *
+    * Edge generation is STAR by default (`starEdges = true`): each doc
+    * in a gram's list pairs with the list's MIN doc_id only — O(size)
+    * edges per gram instead of O(size²), the
+    * [[Dedup.starCandidateEdges]] sparsification back-ported. Connected
+    * components over star edges are IDENTICAL to components over
+    * all-pairs (every member reaches the min, so the gram's whole doc
+    * list stays one component — StarVsAllPairsSpec pins the equality);
+    * at the 1000-doc cap that's 999 edge rows per boilerplate gram
+    * instead of 499,500 through the one string-free exchange. Set
+    * `starEdges = false` only when the exhaustive PAIR LIST itself is
+    * the product; `n_shared` counts shared grams per emitted edge in
+    * both modes.
     */
   def spanPairs(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, maxDocsPerGram: Int = 1000,
-      prefilter: Boolean = true): DataFrame = {
+      prefilter: Boolean = true, starEdges: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
@@ -269,7 +282,10 @@ object SuffixDedup {
            |      filter(__items, x -> x.gram = gg), x -> x.doc_id))),
            |  ds -> size(ds) >= 2 AND size(ds) <= $maxDocsPerGram)"""
           .stripMargin)).as("__ids"))
-      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(
+        (if (starEdges) col("__ids")(0) else explode(col("__ids")))
+          .as("id_a"),
+        col("__ids"))
       .select(col("id_a"), explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

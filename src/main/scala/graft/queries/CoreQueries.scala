@@ -1263,7 +1263,8 @@ object CoreQueries {
     }),
 
     // ABC / Pareto classification of parts by revenue: exact decimal
-    // sums quantized to integral cents, running share in exact ppm
+    // sums quantized to integral 1e-4 units (basis points, the *_e4
+    // aliases), running share in exact ppm
     // (DECIMAL(38,0) product ÷ BIGINT total — the q_dsir_modweights
     // wide-integer pattern, no double in the chain), 70/95% class
     // cuts. The fact table takes one partial-agg shuffle; the running
@@ -1274,18 +1275,18 @@ object CoreQueries {
         .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)))
           .as("rev_dec"))
         .select(col("partkey"),
-          (col("rev_dec") * lit(10000)).cast(LongType).as("rev_cents"))
-      val w = Window.orderBy(col("rev_cents").desc, col("partkey"))
+          (col("rev_dec") * lit(10000)).cast(LongType).as("rev_e4"))
+      val w = Window.orderBy(col("rev_e4").desc, col("partkey"))
       rev.withColumn("rnk", row_number().over(w))
-        .withColumn("cum_cents", sum(col("rev_cents")).over(
+        .withColumn("cum_e4", sum(col("rev_e4")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("tot_cents",
-          sum(col("rev_cents")).over(Window.partitionBy(lit(1))))
+        .withColumn("tot_e4",
+          sum(col("rev_e4")).over(Window.partitionBy(lit(1))))
         .select(col("partkey"),
-          (col("rev_cents").cast(DoubleType) / 10000.0).as("revenue"),
+          (col("rev_e4").cast(DoubleType) / 10000.0).as("revenue"),
           asLong(col("rnk")).as("rnk"),
-          expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000" +
-            " div tot_cents AS BIGINT)").as("cum_ppm"))
+          expr("CAST(CAST(cum_e4 AS DECIMAL(38,0)) * 1000000" +
+            " div tot_e4 AS BIGINT)").as("cum_ppm"))
         .withColumn("abc_class",
           when(col("cum_ppm") <= 700000L, "A")
             .when(col("cum_ppm") <= 950000L, "B").otherwise("C"))
@@ -1411,7 +1412,11 @@ object CoreQueries {
         .withColumn("support_ppm", expr("n_ab * 1000000L div n_orders"))
         .withColumn("conf_ppm", expr("n_ab * 1000000L div n_a"))
         .withColumn("lift_ppm",
-          expr("n_ab * n_orders * 1000000L div (n_a * n_b)"))
+          // numerator is count × count × 1e6 — Long wraps silently past
+          // ~9.2e18 (DuckDB raises); widen to DECIMAL(38,0) first, the
+          // q_abc_analysis cum_ppm pattern
+          expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000" +
+            " div (n_a * n_b) AS BIGINT)"))
       scored
         .withColumn("rnk", row_number().over(Window.orderBy(
           col("lift_ppm").desc, col("a"), col("b"))))
@@ -2666,21 +2671,21 @@ object CoreQueries {
     "q_abc_analysis" ->
       """WITH rev AS (SELECT l_partkey AS partkey,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000
-        |      AS BIGINT) AS rev_cents
+        |      AS BIGINT) AS rev_e4
         |  FROM lineitem GROUP BY 1),
-        |r AS (SELECT partkey, rev_cents,
-        |    row_number() OVER (ORDER BY rev_cents DESC, partkey) AS rnk,
-        |    sum(rev_cents) OVER (ORDER BY rev_cents DESC, partkey
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents,
-        |    sum(rev_cents) OVER () AS tot_cents
+        |r AS (SELECT partkey, rev_e4,
+        |    row_number() OVER (ORDER BY rev_e4 DESC, partkey) AS rnk,
+        |    sum(rev_e4) OVER (ORDER BY rev_e4 DESC, partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_e4,
+        |    sum(rev_e4) OVER () AS tot_e4
         |  FROM rev)
-        |SELECT partkey, CAST(rev_cents AS DOUBLE) / 10000.0 AS revenue,
+        |SELECT partkey, CAST(rev_e4 AS DOUBLE) / 10000.0 AS revenue,
         |  CAST(rnk AS BIGINT) AS rnk,
-        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents AS BIGINT)
+        |  CAST(CAST(cum_e4 AS HUGEINT) * 1000000 // tot_e4 AS BIGINT)
         |    AS cum_ppm,
-        |  CASE WHEN CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents
+        |  CASE WHEN CAST(cum_e4 AS HUGEINT) * 1000000 // tot_e4
         |      <= 700000 THEN 'A'
-        |    WHEN CAST(cum_cents AS HUGEINT) * 1000000 // tot_cents
+        |    WHEN CAST(cum_e4 AS HUGEINT) * 1000000 // tot_e4
         |      <= 950000 THEN 'B' ELSE 'C' END AS abc_class
         |FROM r ORDER BY rnk""".stripMargin,
 
@@ -2747,7 +2752,8 @@ object CoreQueries {
         |sc AS (SELECT a, b, n_ab, na.n_p AS n_a, nb.n_p AS n_b, n_orders,
         |    n_ab * 1000000 // n_orders AS support_ppm,
         |    n_ab * 1000000 // na.n_p AS conf_ppm,
-        |    n_ab * n_orders * 1000000 // (na.n_p * nb.n_p) AS lift_ppm
+        |    CAST(n_ab AS HUGEINT) * n_orders * 1000000
+        |      // (na.n_p * nb.n_p) AS lift_ppm
         |  FROM pr JOIN np na ON pr.a = na.pk JOIN np nb ON pr.b = nb.pk,
         |    no),
         |rk AS (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC, a, b)

@@ -208,13 +208,18 @@ object CurationQueries {
     // embedding-space drift: per label, the scaled squared distance of
     // its centroid from label-0's — quantized coordinates, exact
     // BIGINT sums, DECIMAL(38,0) cross-multiplied evidence; catches the
-    // semantic shift scalar histograms (q_drift_psi) can't see.
+    // semantic shift scalar histograms (q_drift_psi) can't see. The
+    // gate face carries drift_mod (numerator mod 2^61-1, BIGINT) —
+    // DECIMAL(38,0) was the registry's only decimal output and its
+    // rendering varies across DuckDB versions (r9/r10 red); the
+    // full-width decimal stays spec-pinned in DriftSpec.
     "q_embedding_drift" -> ((s, dir) =>
       graft.operators.Drift.centroidDrift(
         t(s, dir, "embeddings"), "embedding", "label", baseline = 0L)
         .select(col("group"), asLong(col("n_vecs")).as("n_vecs"),
           asLong(col("n_base")).as("n_base"),
-          asLong(col("n_dims")).as("n_dims"), col("drift_num"))
+          asLong(col("n_dims")).as("n_dims"),
+          asLong(col("drift_mod")).as("drift_mod"))
         .orderBy("group")),
 
     // template-family resolution: docs connected by any shared
@@ -411,8 +416,11 @@ object CurationQueries {
         |    AS trimmed_mean
         |FROM k GROUP BY 1 ORDER BY "group"""".stripMargin,
 
-    // same quantize → BIGINT sums → HUGEINT cross-multiply chain; the
-    // final CAST to DECIMAL(38,0) matches Spark's decimal output type
+    // same quantize → BIGINT sums → HUGEINT cross-multiply chain; each
+    // per-dim square is reduced mod 2^61-1 BEFORE the sum (residues
+    // < 2^61, the HUGEINT sum is exact), then the sum is reduced again
+    // — (Σ sq) mod p ≡ (Σ (sq mod p)) mod p, so drift_mod is a plain
+    // BIGINT on both engines with no DECIMAL rendering in the compare.
     "q_embedding_drift" ->
       """WITH q AS (SELECT CAST(label AS BIGINT) AS grp, dim,
         |    CAST(floor(CAST(embedding[CAST(dim AS INT)] AS DOUBLE)
@@ -428,11 +436,12 @@ object CurationQueries {
         |SELECT s.grp AS "group", ns.n AS n_vecs,
         |  (SELECT n_b FROM nb) AS n_base,
         |  CAST(count(*) AS BIGINT) AS n_dims,
-        |  CAST(sum((CAST(s.s AS HUGEINT) * (SELECT n_b FROM nb)
+        |  CAST(CAST(sum(((CAST(s.s AS HUGEINT) * (SELECT n_b FROM nb)
         |      - CAST(b.s_b AS HUGEINT) * ns.n)
         |    * (CAST(s.s AS HUGEINT) * (SELECT n_b FROM nb)
-        |      - CAST(b.s_b AS HUGEINT) * ns.n)) AS DECIMAL(38,0))
-        |    AS drift_num
+        |      - CAST(b.s_b AS HUGEINT) * ns.n))
+        |    % 2305843009213693951) AS HUGEINT)
+        |    % 2305843009213693951 AS BIGINT) AS drift_mod
         |FROM s JOIN b USING (dim) JOIN ns USING (grp)
         |WHERE s.grp <> 0
         |GROUP BY s.grp, ns.n

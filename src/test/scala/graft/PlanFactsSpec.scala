@@ -1,57 +1,67 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.Tag
 
-/** Plan-fact regression gate: the structural facts of each audited
-  * query's physical plan (exchanges, broadcast joins, window sorts,
-  * file scans) must match the committed `PLANS_r10.txt` baseline — a
-  * new shuffle or a lost broadcast in a PREVIOUSLY-AUDITED query fails
-  * loud here instead of surfacing as a silent bench regression.
-  *
-  * Scope is DERIVED from the baseline itself (round-9 verdict #6): every
-  * query whose recorded `buildMs` is under [[LazyBuildMs]] constructs
-  * lazily (plan compilation only — no fixture IO, no eager
-  * localCheckpoint, no streaming harness), so guarding it costs
-  * milliseconds; eager queries stay out automatically. The baseline was
-  * recorded by [[PlanAudit]] on the sf0.01 testdata with the same
-  * session shape as [[TestSpark]] (local[4], 4 shuffle partitions,
-  * 10 MB broadcast threshold) — regenerate it with
-  * `runMain graft.PlanAudit` after an INTENTIONAL plan change and
-  * commit the diff alongside the operator change that caused it.
+/** Opt-in tag for the eager-build half of the plan-fact gate: excluded
+  * from the default `sbt test` run (build.sbt `-l graft.SlowPlan`), run
+  * at least once per round via
+  * `sbt "testOnly graft.SlowPlanFactsSpec -- -n graft.SlowPlan"`.
   */
-class PlanFactsSpec extends AnyFunSuite {
-  private lazy val spark = TestSpark.spark
+object SlowPlanTag extends Tag("graft.SlowPlan")
 
-  private val SfDir = "/root/testdata/sf0.01"
-  private val Baseline = "PLANS_r10.txt"
-  private val LazyBuildMs = 300
+/** Shared machinery for the plan-fact regression gate: the structural
+  * facts of each query's physical plan (exchanges, broadcast joins,
+  * window sorts, file scans) must match the committed `PLANS_r{N}.txt`
+  * baseline — a new shuffle or a lost broadcast in a PREVIOUSLY-AUDITED
+  * query fails loud here instead of surfacing as a silent bench
+  * regression.
+  *
+  * The baseline is recorded by [[PlanAudit]] on the sf0.01 testdata with
+  * the same session shape as [[TestSpark]] (local[4], 4 shuffle
+  * partitions, 10 MB broadcast threshold) — regenerate it with
+  * `runMain graft.PlanAudit` after an INTENTIONAL plan change and commit
+  * the diff alongside the operator change that caused it. The NEWEST
+  * committed PLANS_r{N}.txt is picked up automatically.
+  */
+trait PlanFactsChecks { self: AnyFunSuite =>
+  protected lazy val spark = TestSpark.spark
 
-  /** Queries excluded even when construction is fast: their plan facts
-    * are nondeterministic across sessions (sample-derived literals) or
+  protected val SfDir = "/root/testdata/sf0.01"
+  protected val LazyBuildMs = 300
+
+  /** Queries excluded even from the slow suite: their plan facts are
+    * nondeterministic across sessions (sample-derived literals) or
     * their build depends on JVM-temp fixture paths.
     */
-  private val Excluded = Set.empty[String]
+  protected val Excluded = Set.empty[String]
 
-  private case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
+  protected case class Facts(ex: Int, bhj: Int, win: Int, scans: Int)
 
-  private lazy val baseline: Map[String, (Facts, Int)] = {
-    val f = new java.io.File(Baseline)
-    assert(f.exists(), s"$Baseline missing — run `runMain graft.PlanAudit` " +
-      "and commit its output")
+  protected lazy val baselineFile: java.io.File = {
+    val Name = """PLANS_r(\d+)\.txt""".r
+    val candidates = new java.io.File(".").listFiles().toSeq.flatMap { f =>
+      f.getName match {
+        case Name(n) => Some(n.toInt -> f)
+        case _ => None
+      }
+    }
+    assert(candidates.nonEmpty, "no PLANS_r{N}.txt baseline committed — " +
+      "run `runMain graft.PlanAudit` and commit its output")
+    candidates.maxBy(_._1)._2
+  }
+
+  protected lazy val baseline: Map[String, (Facts, Int)] = {
     val Line =
       ("""PLAN (\S+) exchanges=(\d+) broadcastJoins=(\d+) windows=(\d+) """ +
         """fileScans=(\d+) buildMs=(\d+)""").r
-    scala.io.Source.fromFile(f).getLines().collect {
+    scala.io.Source.fromFile(baselineFile).getLines().collect {
       case Line(n, e, b, w, s, ms) =>
         n -> (Facts(e.toInt, b.toInt, w.toInt, s.toInt), ms.toInt)
     }.toMap
   }
 
-  private lazy val audited: Seq[String] = baseline.collect {
-    case (n, (_, ms)) if ms < LazyBuildMs && !Excluded(n) => n
-  }.toSeq.sorted
-
-  private def currentFacts(name: String): Facts = {
+  protected def currentFacts(name: String): Facts = {
     val plan = SparkEntry.queries(name)(spark, SfDir)
       .queryExecution.executedPlan.toString
     Facts(
@@ -61,21 +71,78 @@ class PlanFactsSpec extends AnyFunSuite {
       "FileScan".r.findAllIn(plan).length)
   }
 
-  test("the lazy-build majority of the registry is plan-guarded") {
-    assert(audited.size >= 100,
-      s"only ${audited.size} queries under ${LazyBuildMs}ms in $Baseline — " +
-        "regenerate the baseline (did PlanAudit stop emitting buildMs?)")
-  }
-
-  test("plan facts unchanged across the audited registry") {
-    val drifted = audited.flatMap { name =>
+  protected def assertUnchanged(names: Seq[String]): Unit = {
+    val drifted = names.flatMap { name =>
       val now = currentFacts(name)
       val base = baseline(name)._1
       if (now == base) None else Some(s"$name: baseline $base, now $now")
     }
     assert(drifted.isEmpty,
       s"${drifted.size} plan(s) drifted — if intentional, regenerate " +
-        s"$Baseline via `runMain graft.PlanAudit` and commit it:\n" +
-        drifted.mkString("\n"))
+        s"${baselineFile.getName} via `runMain graft.PlanAudit` and " +
+        s"commit it:\n" + drifted.mkString("\n"))
+  }
+}
+
+/** Default-run half of the gate: every query whose recorded `buildMs`
+  * is under [[PlanFactsChecks.LazyBuildMs]] constructs lazily (plan
+  * compilation only — no fixture IO, no eager localCheckpoint, no
+  * streaming harness), so guarding it costs milliseconds per query in
+  * the ordinary `sbt test` run; eager queries live in
+  * [[SlowPlanFactsSpec]].
+  */
+class PlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
+
+  private lazy val audited: Seq[String] = baseline.collect {
+    case (n, (_, ms)) if ms < LazyBuildMs && !Excluded(n) => n
+  }.toSeq.sorted
+
+  test("the lazy-build majority of the registry is plan-guarded") {
+    assert(audited.size >= 100,
+      s"only ${audited.size} queries under ${LazyBuildMs}ms in " +
+        s"${baselineFile.getName} — regenerate the baseline " +
+        "(did PlanAudit stop emitting buildMs?)")
+  }
+
+  test("plan facts unchanged across the audited registry") {
+    assertUnchanged(audited)
+  }
+}
+
+/** Opt-in half of the gate (r10 verdict #5): the eager-build remainder
+  * — fixture IO, localCheckpoints, streaming harnesses at plan-build
+  * time — diffed by test code instead of by hand, so the FULL registry
+  * is plan-guarded at least once per round:
+  *
+  * {{{
+  * sbt "testOnly graft.SlowPlanFactsSpec -- -n graft.SlowPlan"
+  * }}}
+  */
+class SlowPlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
+
+  private lazy val slowAudited: Seq[String] = baseline.collect {
+    case (n, (_, ms)) if ms >= LazyBuildMs && !Excluded(n) => n
+  }.toSeq.sorted
+
+  test("fast + slow suites cover the ENTIRE committed baseline",
+      SlowPlanTag) {
+    val fast = baseline.collect {
+      case (n, (_, ms)) if ms < LazyBuildMs && !Excluded(n) => n
+    }.toSet
+    val covered = fast ++ slowAudited ++ Excluded
+    val missing = baseline.keySet -- covered
+    assert(missing.isEmpty, s"baseline lines guarded by neither suite: " +
+      missing.toSeq.sorted.mkString(", "))
+    val stale = baseline.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, "baseline lines for queries no longer in the " +
+      "registry: " + stale.toSeq.sorted.mkString(", "))
+    val unaudited = SparkEntry.queries.keySet -- baseline.keySet
+    assert(unaudited.isEmpty, "registry queries missing from the " +
+      "baseline — regenerate it: " + unaudited.toSeq.sorted.mkString(", "))
+  }
+
+  test("plan facts unchanged across the eager-build remainder",
+      SlowPlanTag) {
+    assertUnchanged(slowAudited)
   }
 }

@@ -78,6 +78,16 @@ class BlocklistSpec extends AnyFunSuite {
     assert(g(2) == ((3L, 2L, 2L, 12L, false)))
   }
 
+  test("gate: NULL text counts as zero hits everywhere, keep=true") {
+    val docs = Seq((1L, "bad"), (2L, null)).toDF("id", "text")
+    val g = Blocklist.gate(docs, "id", "text",
+      Seq(("bad", 2L)), threshold = 7L)
+      .select("id", "n_patterns_hit", "n_hits_total", "score", "keep")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(g(0) == ((1L, 1L, 1L, 2L, true)))
+    assert(g(1) == ((2L, 0L, 0L, 0L, true)))
+  }
+
   test("hitsFromTable: table-sourced patterns, loud cap, dedup + sort") {
     val docs = Seq((1L, "bad worse bad")).toDF("id", "text")
     val pats = Seq("worse", "bad", "bad", "worse").toDF("p")
@@ -137,5 +147,18 @@ class BlocklistSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     assert(got(0L) == ((2L, 2L))) // 日本 at chars 2 and 5
     assert(got(1L) == ((1L, 2L)))
+  }
+
+  test("supplementary-plane text: positions are code-point-based") {
+    // U+1F600 is a surrogate PAIR in UTF-16 — a unit-based cursor
+    // would report first_pos 4 for "a😀" and drift every later match
+    val got = Blocklist.hits(
+      Seq((1L, "😀a😀😀b")).toDF("id", "text"), "id", "text",
+      Seq("😀", "a😀", "b"))
+      .select("pid", "first_pos", "n_hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(0L) == ((1L, 3L))) // code points 1, 3, 4
+    assert(got(1L) == ((2L, 1L)))
+    assert(got(2L) == ((5L, 1L)))
   }
 }

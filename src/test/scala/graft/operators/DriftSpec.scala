@@ -83,8 +83,9 @@ class DriftSpec extends AnyFunSuite {
       (0L, Seq(1.0f, 0.0f)), (0L, Seq(0.0f, 1.0f)),
       (1L, Seq(1.0f, 1.0f))))
     val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
-      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
-    assert(got == Set((1L, 1L, 2L, 2L, BigDecimal(2000000000000L))))
+      .as[(Long, Long, Long, Long, BigDecimal, Long)].collect().toSet
+    assert(got ==
+      Set((1L, 1L, 2L, 2L, BigDecimal(2000000000000L), 2000000000000L)))
   }
 
   test("centroid drift: identical distribution scores exactly zero") {
@@ -92,8 +93,8 @@ class DriftSpec extends AnyFunSuite {
       (0L, Seq(0.25f, -0.5f)), (0L, Seq(-0.25f, 0.5f)),
       (2L, Seq(0.25f, -0.5f)), (2L, Seq(-0.25f, 0.5f))))
     val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
-      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
-    assert(got == Set((2L, 2L, 2L, 2L, BigDecimal(0))))
+      .as[(Long, Long, Long, Long, BigDecimal, Long)].collect().toSet
+    assert(got == Set((2L, 2L, 2L, 2L, BigDecimal(0), 0L)))
   }
 
   test("centroid drift is count-normalized, not sum-sensitive") {
@@ -103,7 +104,21 @@ class DriftSpec extends AnyFunSuite {
       (0L, Seq(0.5f, 0.5f)),
       (3L, Seq(0.5f, 0.5f)), (3L, Seq(0.5f, 0.5f))))
     val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
-      .as[(Long, Long, Long, Long, BigDecimal)].collect().toSet
-    assert(got == Set((3L, 2L, 1L, 2L, BigDecimal(0))))
+      .as[(Long, Long, Long, Long, BigDecimal, Long)].collect().toSet
+    assert(got == Set((3L, 2L, 1L, 2L, BigDecimal(0), 0L)))
+  }
+
+  test("drift_mod is exactly drift_num mod 2^61-1 (gate-portable face)") {
+    // force drift_num past 2^61 so the residue actually reduces:
+    // one dim, S_b = 1e12 (v=1e6 at scale 1e6), n_b = 1; S_g = 0, n_g = 1
+    // diff = -1e12, sq = 1e24 > p = 2^61-1
+    val df = embDf(Seq((0L, Seq(1000000.0f)), (1L, Seq(0.0f))))
+    val p = BigDecimal(ImportanceResampling.ModP)
+    val got = Drift.centroidDrift(df, "embedding", "label", baseline = 0L)
+      .as[(Long, Long, Long, Long, BigDecimal, Long)].collect()
+    assert(got.length == 1)
+    val (_, _, _, _, num, m) = got(0)
+    assert(num > p, s"fixture must exceed the modulus, got $num")
+    assert(BigDecimal(m) == num % p)
   }
 }

@@ -196,10 +196,30 @@ class SuffixDedupSpec extends AnyFunSuite {
         "doc_id", "text", minLen = 10, maxDocsPerGram = 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(capped.isEmpty)
-    val full = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+    // star mode (default): every member pairs with the gram-min only
+    val star = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
         "doc_id", "text", minLen = 10)
       .as[(Long, Long, Long)].collect().toSet
+    assert(star == Set((5L, 6L, 7L), (5L, 7L, 7L)))
+    // exhaustive mode: all pairs within the cap
+    val full = SuffixDedup.spanPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 10, starEdges = false)
+      .as[(Long, Long, Long)].collect().toSet
     assert(full == Set((5L, 6L, 7L), (5L, 7L, 7L), (6L, 7L, 7L)))
+  }
+
+  test("spanPairs: star edges resolve IDENTICAL components to all-pairs " +
+      "on the gate fixture") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    def comps(starEdges: Boolean) = Dedup.connectedComponents(
+        SuffixDedup.spanPairs(docs, "doc_id", "text", minLen = 25,
+            starEdges = starEdges)
+          .select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toSet
+    val star = comps(starEdges = true)
+    assert(star.nonEmpty, "fixture must actually contain families")
+    assert(star == comps(starEdges = false))
   }
 
   test("family split: all members of a family share one split") {

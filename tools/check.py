@@ -43,8 +43,22 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    decimal_outputs = []
     for name in sorted(oracle):
         try:
+            # DECIMAL guard (r10 verdict: q_embedding_drift was the
+            # registry's ONLY decimal-typed output and its only red, two
+            # rounds running — wide decimals render differently across
+            # DuckDB versions at the driver's compare, and no second
+            # DuckDB is installable offline to A/B it). No registry
+            # output may be DECIMAL-typed: fold to BIGINT (mod 2^61-1)
+            # or emit digits as STRING.
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+            ).fetchall()
+            for col_name, col_type, *_ in desc:
+                if col_type.upper().startswith("DECIMAL"):
+                    decimal_outputs.append(f"{name}.{col_name} {col_type}")
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             got_cols = [d[0] for d in got.description]
@@ -82,6 +96,13 @@ def main():
         else:
             print(f"PASS {name} ({len(gr)} rows)")
             n_pass += 1
+    if decimal_outputs:
+        print("DECIMAL-typed output column(s) — a known cross-version "
+              "portability seam at the driver gate; fold to BIGINT "
+              "(mod 2^61-1) or STRING digits:")
+        for d in decimal_outputs:
+            print(f"  {d}")
+        n_fail += len(decimal_outputs)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
