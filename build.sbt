@@ -11,11 +11,6 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
-// The eager-build half of the plan-fact gate (SlowPlanFactsSpec) is
-// opt-in: run `sbt "testOnly graft.SlowPlanFactsSpec -- -n graft.SlowPlan"`
-// at least once per round.
-Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
-  "-l", "graft.SlowPlan")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
 
 /** Cardinality sketches — the scale path for distinct counting where an
   * exact `count(DISTINCT x)` would shuffle every value: corpus vocabulary
@@ -256,6 +256,66 @@ object CardinalitySketch {
       .localCheckpoint(true) // two consumers: state agg + exact distinct
     val exact = hashes.agg(countDistinct(col("h")).as("dv_exact"))
     hllEstimateFromState(hllStateFromHashes(hashes, p), p).crossJoin(exact)
+  }
+
+  /** Per-key HLL register state — `(key, bucket, max_rho)`, at most
+    * groups × 2^p rows whatever the input size. The per-key sketch a
+    * 100 TB pipeline keeps per source/shard/day and merges on demand.
+    */
+  def hllStatePerKey(df: DataFrame, keyCol: String, valueCol: String,
+      p: Int = 8): DataFrame = {
+    val w = hllW(p)
+    df.select(col(keyCol).cast(StringType).as("key"),
+        md5Hash52(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("key"), expr(s"h div ${1L << w}L").as("bucket"),
+        expr(s"h % ${1L << w}L").as("rem"))
+      .select(col("key"), col("bucket"),
+        when(col("rem") === 0, lit((w + 1).toLong))
+          .otherwise(lit((w + 1).toLong) - length(bin(col("rem"))))
+          .as("rho"))
+      .groupBy(col("key"), col("bucket")).agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Distinct-count rollup from MERGED sketches: per-key estimates plus
+    * an `<all>` row whose registers are the per-bucket MAX over the
+    * per-key states — the merge runs on ≤ groups × 2^p register rows,
+    * never a corpus rescan. HLL merge IS register max (associative,
+    * idempotent), so the merged state is bit-identical to a
+    * whole-corpus [[hllState]] — which is what makes the rollup
+    * oracle-checkable exactly, and what makes the sketch shippable:
+    * per-shard states union-merge into any grouping after the fact.
+    * Output `(key, n_seen_buckets, sum_terms, dv_raw)`, the
+    * [[hllEstimateFromState]] integer arithmetic per key.
+    */
+  def hllRollup(df: DataFrame, keyCol: String, valueCol: String,
+      p: Int = 8): DataFrame = {
+    val states = hllStatePerKey(df, keyCol, valueCol, p)
+      .localCheckpoint(true) // two consumers: per-key rows + the merge
+    val merged = states.groupBy(col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+      .select(lit("<all>").as("key"), col("bucket"), col("max_rho"))
+    estimateByKey(states.unionByName(merged), p)
+  }
+
+  /** [[hllEstimateFromState]] grouped by a `key` column. */
+  private def estimateByKey(states: DataFrame, p: Int): DataFrame = {
+    val w = hllW(p)
+    val m = 1L << p
+    val numer = (BigInt(alphaPpm(p)) * (BigInt(1) << (2 * p + w + 1))).toString
+    states.groupBy(col("key"))
+      .agg(
+        count(lit(1)).as("n_seen_buckets"),
+        coalesce(sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${w + 1} - max_rho)")),
+          lit(0L)).as("s_seen"))
+      .select(col("key"), col("n_seen_buckets"),
+        (col("s_seen") +
+          (lit(m) - col("n_seen_buckets")) * lit(1L << (w + 1)))
+          .as("sum_terms"))
+      .select(col("key"), col("n_seen_buckets"), col("sum_terms"),
+        expr(s"CAST(CAST('$numer' AS DECIMAL(38,0)) div " +
+          s"(CAST(sum_terms AS DECIMAL(38,0)) * 1000000) AS BIGINT)")
+          .as("dv_raw"))
   }
 
   /** The estimate from `(bucket, max_rho)` register rows — e.g. the

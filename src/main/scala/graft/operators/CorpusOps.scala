@@ -471,6 +471,100 @@ object CorpusOps {
         col("top_bigram_frac"), col("gate_repetition"))
   }
 
+  /** The REST of the Gopher repetition battery (Rae 2022 Table A1;
+    * [[repetitionStats]] carries the word/bigram-count half): per
+    * document, the character-coverage ppm of
+    *
+    *   - the single MOST FREQUENT word n-gram for each `n ∈ topNs`
+    *     (`top{n}_ppm = c·len(gram)·10⁶ div len(text)`, argmax by
+    *     (count desc, gram asc) — deterministic on both engines), and
+    *   - ALL duplicated word n-grams (count ≥ 2) for each `n ∈ dupNs`
+    *     (`dup{n}_ppm = Σ c·len(gram)·10⁶ div len(text)`).
+    *
+    * Coverage uses the standard occurrences×length convention (no
+    * interval union — overlapping occurrences overcount, exactly as the
+    * published filters compute it), so every stat is an exact integer
+    * ppm: no doubles anywhere, the gate hash-compares. `gate_ngram_rep`
+    * applies the published drop thresholds (top2 > 0.20, top3 > 0.18,
+    * top4 > 0.16, dup5 > 0.15, dup10 > 0.10 — scaled to ppm).
+    *
+    * Scale shape: ONE explode pass emits every (n, gram) occurrence for
+    * all requested n's (grams assembled in-row via `slice` +
+    * `concat_ws`, no self-join), one map-side-combined shuffle to
+    * (doc, n, gram) counts, a per-(doc, n) fold, and a conditional-agg
+    * pivot back to one row per document.
+    */
+  def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10))
+      : DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
+    require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
+    val ns = (topNs ++ dupNs).distinct.sorted
+    val words = split(col(textCol), " ")
+    val base = df.select(col(idCol).as("__doc"),
+      length(col(textCol)).cast(LongType).as("n_chars"), words.as("__w"))
+    // all n's from one projection: per n, grams at starts 1..len-n+1
+    // (sequence(1, 0) DESCENDS in Spark — empty-guard short docs)
+    val gramArrays = ns.map { n =>
+      transform(
+        when(size(col("__w")) >= n, sequence(lit(1), size(col("__w")) - (n - 1)))
+          .otherwise(array().cast("array<int>")),
+        i => struct(lit(n).as("n"),
+          concat_ws(" ", slice(col("__w"), i, lit(n))).as("gram")))
+    }
+    val occ = base.select(col("__doc"),
+      explode(flatten(array(gramArrays: _*))).as("__g"))
+      .select(col("__doc"), col("__g.n").as("n"), col("__g.gram").as("gram"))
+    val counts = occ.groupBy(col("__doc"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val perN = counts.groupBy(col("__doc"), col("n"))
+      .agg(
+        // argmax by (c desc, gram asc) via min(struct(-c, gram))
+        min(struct((-col("c")).as("negc"), col("gram"))).as("__top"),
+        sum(when(col("c") >= 2, col("c") * length(col("gram")).cast(LongType))
+          .otherwise(lit(0L))).as("__dupchars"))
+      .select(col("__doc"), col("n"),
+        ((-col("__top.negc")) * length(col("__top.gram")).cast(LongType))
+          .as("__topchars"),
+        col("__dupchars"))
+    val pivoted = base.select(col("__doc"), col("n_chars"))
+      .join(perN, Seq("__doc"), "left")
+    val topCols = topNs.map(n =>
+      coalesce(max(when(col("n") === n, col("__topchars"))), lit(0L))
+        .as(s"__tc$n"))
+    val dupCols = dupNs.map(n =>
+      coalesce(max(when(col("n") === n, col("__dupchars"))), lit(0L))
+        .as(s"__dc$n"))
+    val agged = pivoted.groupBy(col("__doc"), col("n_chars"))
+      .agg((topCols ++ dupCols).head, (topCols ++ dupCols).tail: _*)
+    // chars·10⁶ widened to DECIMAL(38,0) before the integral div (the
+    // q_abc_analysis cum_ppm pattern) — a gigabyte-scale document's
+    // c·len·10⁶ would wrap a BIGINT
+    // greatest(n_chars, 1): an empty doc has no grams (numerators 0), so
+    // the clamp only keeps the div total — Spark would NULL on /0 where
+    // DuckDB raises
+    def ppm(src: String): Column = expr(
+      s"CAST(CAST($src AS DECIMAL(38,0)) * 1000000" +
+        " div greatest(n_chars, 1L) AS BIGINT)")
+    val withPpm = (topNs.map(n => s"top${n}_ppm" -> ppm(s"__tc$n")) ++
+      dupNs.map(n => s"dup${n}_ppm" -> ppm(s"__dc$n")))
+      .foldLeft(agged) { case (d, (name, e)) => d.withColumn(name, e) }
+    val thresholds = Map(2 -> 200000L, 3 -> 180000L, 4 -> 160000L,
+      5 -> 150000L, 6 -> 140000L, 7 -> 130000L, 8 -> 120000L,
+      9 -> 110000L, 10 -> 100000L)
+    val gate = (topNs.map(n => col(s"top${n}_ppm") <=
+        lit(thresholds.getOrElse(n, 100000L))) ++
+      dupNs.map(n => col(s"dup${n}_ppm") <=
+        lit(thresholds.getOrElse(n, 100000L))))
+      .reduce(_ && _)
+    withPpm
+      .withColumn("gate_ngram_rep", gate)
+      .select((col("__doc").as(idCol) +: col("n_chars") +:
+        (topNs.map(n => col(s"top${n}_ppm")) ++
+          dupNs.map(n => col(s"dup${n}_ppm")) :+
+          col("gate_ngram_rep"))): _*)
+  }
+
   /** Per-document keyword extraction: top `k` tokens per doc by
     * tf·(N/df) — the tf-idf ranking with the exact rational idf
     * (`N/df` instead of `log(N/df)`: the log is monotone, so the

@@ -75,6 +75,14 @@ object SketchQueries {
     "q_hll_estimate" -> ((s, dir) =>
       CardinalitySketch.hllEstimate(tokensOf(s, dir), "tok", P)),
 
+    // distinct-count rollup from MERGED per-source sketches: the <all>
+    // row's registers are the per-bucket max over per-key states (≤
+    // groups×2^p rows merged, zero corpus rescan) — the shippable-sketch
+    // property, oracle-checked bit for bit
+    "q_hll_rollup" -> ((s, dir) =>
+      CardinalitySketch.hllRollup(tokensOf(s, dir), "source", "tok", P)
+        .orderBy("key")),
+
     // Count-Min state: ≤ d×m integer cells regardless of corpus size —
     // the 100 TB replacement for groupBy(token).count()
     "q_cms_state" -> ((s, dir) =>
@@ -304,6 +312,32 @@ object SketchQueries {
          |    // (sum_terms::HUGEINT * 1000000))::BIGINT AS dv_raw,
          |  dv_exact
          |FROM terms""".stripMargin,
+
+    // per-key registers, the <all> merge as a per-bucket max over the
+    // per-key STATE (same rows the engine merges), then the shared
+    // integer estimate arithmetic per key
+    "q_hll_rollup" ->
+      s"""WITH $TokCte,
+         |rr AS (SELECT source AS key, h // ${1L << W} AS bucket,
+         |  CASE WHEN h % ${1L << W} = 0 THEN ${W + 1}
+         |       ELSE ${W + 1} - length(bin(h % ${1L << W})) END AS rho
+         |  FROM h),
+         |st AS (SELECT key, bucket, max(rho) AS max_rho
+         |  FROM rr GROUP BY 1, 2),
+         |mrg AS (SELECT '<all>' AS key, bucket, max(max_rho) AS max_rho
+         |  FROM st GROUP BY 2),
+         |allst AS (SELECT * FROM st UNION ALL SELECT * FROM mrg),
+         |seen AS (SELECT key, CAST(count(*) AS BIGINT) AS n_seen_buckets,
+         |  CAST(sum(1::BIGINT << (${W + 1} - max_rho)) AS BIGINT) AS s_seen
+         |  FROM allst GROUP BY 1),
+         |terms AS (SELECT key, n_seen_buckets,
+         |  s_seen + (${1L << P} - n_seen_buckets) * ${1L << (W + 1)}
+         |    AS sum_terms
+         |  FROM seen)
+         |SELECT key, n_seen_buckets, sum_terms,
+         |  ($HllNumer::HUGEINT
+         |    // (sum_terms::HUGEINT * 1000000))::BIGINT AS dv_raw
+         |FROM terms ORDER BY key""".stripMargin,
 
     "q_cms_state" ->
       s"""WITH $CmsCte

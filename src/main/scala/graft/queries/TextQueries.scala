@@ -738,6 +738,18 @@ object TextQueries {
           col("gate_repetition"))
         .orderBy("doc_id")),
 
+    // the REST of the Gopher repetition battery: top-2/3/4-gram and
+    // duplicated-5/10-gram character coverage in exact integer ppm
+    // (occurrences×length convention, DECIMAL-widened multiply, BIGINT
+    // out) plus the published drop-threshold gate — no doubles anywhere.
+    "q_repetition_ngrams" -> ((s, dir) =>
+      graft.operators.CorpusOps.ngramRepetition(
+        t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), asLong(col("n_chars")).as("n_chars"),
+          col("top2_ppm"), col("top3_ppm"), col("top4_ppm"),
+          col("dup5_ppm"), col("dup10_ppm"), col("gate_ngram_rep"))
+        .orderBy("doc_id")),
+
     // PII scrub: emails/phones/IPv4 → typed placeholders (regexes in the
     // Java∩RE2 dialect so the oracle replays them verbatim).
     "q_pii_scrub" -> ((s, _) => {
@@ -1876,6 +1888,61 @@ object TextQueries {
         |  COALESCE(CAST(top AS DOUBLE) / tot, 0.0) <= 0.18
         |    AS gate_repetition
         |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // one gram table for all n via cross-join with the n-list; argmax by
+    // (count desc, gram asc) via row_number; duplicated-gram char sums
+    // per (doc, n); HUGEINT-widened ppm mirrors the engine's DECIMAL(38,0)
+    "q_repetition_ngrams" ->
+      """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, n,
+        |    array_to_string(w[i:i+n-1], ' ') AS gram
+        |  FROM s, (VALUES (2),(3),(4),(5),(10)) nn(n),
+        |    unnest(range(1, len(w) - n + 2)) t(i)
+        |  WHERE len(w) >= n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1,2,3),
+        |tops AS (SELECT doc_id, n,
+        |    c * length(gram) AS topchars,
+        |    row_number() OVER (PARTITION BY doc_id, n
+        |      ORDER BY c DESC, gram ASC) AS rn FROM c),
+        |pern AS (SELECT c.doc_id, c.n,
+        |    max(t.topchars) AS topchars,
+        |    sum(CASE WHEN c.c >= 2 THEN c.c * length(c.gram)
+        |      ELSE 0 END) AS dupchars
+        |  FROM c JOIN tops t ON c.doc_id = t.doc_id AND c.n = t.n
+        |    AND t.rn = 1
+        |  GROUP BY 1, 2),
+        |piv AS (SELECT s.doc_id, s.n_chars,
+        |    COALESCE(max(CASE WHEN n = 2 THEN topchars END), 0) AS tc2,
+        |    COALESCE(max(CASE WHEN n = 3 THEN topchars END), 0) AS tc3,
+        |    COALESCE(max(CASE WHEN n = 4 THEN topchars END), 0) AS tc4,
+        |    COALESCE(max(CASE WHEN n = 5 THEN dupchars END), 0) AS dc5,
+        |    COALESCE(max(CASE WHEN n = 10 THEN dupchars END), 0) AS dc10
+        |  FROM s LEFT JOIN pern ON s.doc_id = pern.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, n_chars,
+        |  CAST(CAST(tc2 AS HUGEINT) * 1000000
+        |    // greatest(n_chars, 1) AS BIGINT) AS top2_ppm,
+        |  CAST(CAST(tc3 AS HUGEINT) * 1000000
+        |    // greatest(n_chars, 1) AS BIGINT) AS top3_ppm,
+        |  CAST(CAST(tc4 AS HUGEINT) * 1000000
+        |    // greatest(n_chars, 1) AS BIGINT) AS top4_ppm,
+        |  CAST(CAST(dc5 AS HUGEINT) * 1000000
+        |    // greatest(n_chars, 1) AS BIGINT) AS dup5_ppm,
+        |  CAST(CAST(dc10 AS HUGEINT) * 1000000
+        |    // greatest(n_chars, 1) AS BIGINT) AS dup10_ppm,
+        |  (CAST(CAST(tc2 AS HUGEINT) * 1000000
+        |      // greatest(n_chars, 1) AS BIGINT) <= 200000
+        |    AND CAST(CAST(tc3 AS HUGEINT) * 1000000
+        |      // greatest(n_chars, 1) AS BIGINT) <= 180000
+        |    AND CAST(CAST(tc4 AS HUGEINT) * 1000000
+        |      // greatest(n_chars, 1) AS BIGINT) <= 160000
+        |    AND CAST(CAST(dc5 AS HUGEINT) * 1000000
+        |      // greatest(n_chars, 1) AS BIGINT) <= 150000
+        |    AND CAST(CAST(dc10 AS HUGEINT) * 1000000
+        |      // greatest(n_chars, 1) AS BIGINT) <= 100000)
+        |    AS gate_ngram_rep
+        |FROM piv ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,14 +1,6 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatest.Tag
-
-/** Opt-in tag for the eager-build half of the plan-fact gate: excluded
-  * from the default `sbt test` run (build.sbt `-l graft.SlowPlan`), run
-  * at least once per round via
-  * `sbt "testOnly graft.SlowPlanFactsSpec -- -n graft.SlowPlan"`.
-  */
-object SlowPlanTag extends Tag("graft.SlowPlan")
 
 /** Shared machinery for the plan-fact regression gate: the structural
   * facts of each query's physical plan (exchanges, broadcast joins,
@@ -112,10 +104,11 @@ class PlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
 /** Opt-in half of the gate (r10 verdict #5): the eager-build remainder
   * — fixture IO, localCheckpoints, streaming harnesses at plan-build
   * time — diffed by test code instead of by hand, so the FULL registry
-  * is plan-guarded at least once per round:
+  * is plan-guarded at least once per round. Opt-in via env var (an
+  * eager build of ~120 plans costs minutes, not milliseconds):
   *
   * {{{
-  * sbt "testOnly graft.SlowPlanFactsSpec -- -n graft.SlowPlan"
+  * SPARK_GRAFT_SLOW_PLANS=1 sbt "testOnly graft.SlowPlanFactsSpec"
   * }}}
   */
 class SlowPlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
@@ -124,8 +117,12 @@ class SlowPlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
     case (n, (_, ms)) if ms >= LazyBuildMs && !Excluded(n) => n
   }.toSeq.sorted
 
-  test("fast + slow suites cover the ENTIRE committed baseline",
-      SlowPlanTag) {
+  private def optIn(): Unit =
+    assume(sys.env.contains("SPARK_GRAFT_SLOW_PLANS"),
+      "opt-in suite: set SPARK_GRAFT_SLOW_PLANS=1 (run once per round)")
+
+  test("fast + slow suites cover the ENTIRE committed baseline") {
+    optIn()
     val fast = baseline.collect {
       case (n, (_, ms)) if ms < LazyBuildMs && !Excluded(n) => n
     }.toSet
@@ -141,8 +138,8 @@ class SlowPlanFactsSpec extends AnyFunSuite with PlanFactsChecks {
       "baseline — regenerate it: " + unaudited.toSeq.sorted.mkString(", "))
   }
 
-  test("plan facts unchanged across the eager-build remainder",
-      SlowPlanTag) {
+  test("plan facts unchanged across the eager-build remainder") {
+    optIn()
     assertUnchanged(slowAudited)
   }
 }

@@ -79,6 +79,22 @@ class CardinalitySketchSpec extends AnyFunSuite {
     assert(merged == byMax)
   }
 
+  test("HLL rollup: merged <all> row == whole-corpus estimate; per-key " +
+    "rows == solo per-slice estimates") {
+    val df = (0 until 3000).map(i => (s"s${i % 3}", s"tok$i"))
+      .toDF("src", "v")
+    val roll = CardinalitySketch.hllRollup(df, "src", "v", p = 8)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(roll.size == 4) // s0, s1, s2, <all>
+    val whole = CardinalitySketch.hllEstimate(df, "v", p = 8).collect().head
+    assert(roll("<all>") ==
+      ((whole.getLong(0), whole.getLong(1), whole.getLong(2))))
+    val s0 = CardinalitySketch.hllEstimate(
+      df.filter(col("src") === "s0"), "v", p = 8).collect().head
+    assert(roll("s0") == ((s0.getLong(0), s0.getLong(1), s0.getLong(2))))
+  }
+
   test("HLL raw estimate lands within 25% at 10k distinct, p=8") {
     val df = (0 until 10000).map(i => s"value-$i").toDF("v")
     val r = CardinalitySketch.hllEstimate(df, "v", p = 8).collect().head

@@ -6,6 +6,7 @@ Usage: python3 tools/check.py <sfdir> <verify_outdir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -44,6 +45,9 @@ def main():
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
     decimal_outputs = []
+    # driver-shaped per-query record (written as correctness_local.json so
+    # tools/ledger.py can tally a LOCAL round state, never hand-counts)
+    record = {}
     for name in sorted(oracle):
         try:
             # DECIMAL guard (r10 verdict: q_embedding_drift was the
@@ -68,10 +72,16 @@ def main():
             exp_rows = exp.fetchall()
         except Exception as e:
             print(f"FAIL {name}: error {e}")
+            record[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "err": str(e)[:200]}
             n_fail += 1
             continue
         gc, gr = normalize(got_rows, got_cols)
         ec, er = normalize(exp_rows, exp_cols)
+        record[name] = {"rows_match": len(gr) == len(er),
+                        "schema_match": gc == ec, "hash_match": False,
+                        "spark_rows": len(gr), "oracle_rows": len(er),
+                        "err": None}
         if gc != ec:
             print(f"FAIL {name}: columns {gc} vs oracle {ec}")
             n_fail += 1
@@ -95,7 +105,16 @@ def main():
             n_fail += 1
         else:
             print(f"PASS {name} ({len(gr)} rows)")
+            record[name]["hash_match"] = True
             n_pass += 1
+    # hash-pinned faces: dumped results with no oracle entry
+    for d in sorted(os.listdir(outdir)):
+        if d.startswith("q_") and d not in oracle and \
+                os.path.isdir(os.path.join(outdir, d)):
+            record[d] = {"rows_match": None, "schema_match": None,
+                         "hash_match": None, "err": "no_oracle"}
+    with open(os.path.join(outdir, "correctness_local.json"), "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
     if decimal_outputs:
         print("DECIMAL-typed output column(s) — a known cross-version "
               "portability seam at the driver gate; fold to BIGINT "
