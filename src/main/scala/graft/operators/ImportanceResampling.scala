@@ -67,13 +67,21 @@ object ImportanceResampling {
   def importanceEvidence(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String, dim: Int = 4096): DataFrame = {
     val tc = fitHashedCounts(target, textCol, dim)
-    val rc = fitHashedCounts(raw, textCol, dim)
-    val nT = tc.agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
-    val nR = rc.agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
+    // per-doc bucket counts are the ONE raw-corpus gram pass; the raw
+    // model derives from them exactly (cr(b) = Σ_doc f(doc, b) — same
+    // gram stream, same hash, integer counts), so raw is never exploded
+    // twice. localCheckpoint materializes fb for its two consumers; fb
+    // IS the evidence output shape, so the cache is output-sized. The
+    // target model keeps its own pass: DSIR's target is in general a
+    // DIFFERENT (usually much smaller) corpus, not a subset of raw.
     val fb = raw.filter(col(textCol).isNotNull)
       .select(col(idCol).as("doc"), explode(grams(col(textCol))).as("g"))
       .select(col("doc"), (md5Hash52(col("g")) % dim).as("bucket"))
       .groupBy(col("doc"), col("bucket")).agg(count(lit(1)).as("f"))
+      .localCheckpoint(true)
+    val rc = fb.groupBy(col("bucket")).agg(sum(col("f")).as("cnt"))
+    val nT = tc.agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
+    val nR = rc.agg(coalesce(sum(col("cnt")), lit(0L))).collect().head.getLong(0)
     fb.join(broadcast(tc.withColumnRenamed("cnt", "ct")), Seq("bucket"), "left")
       .join(broadcast(rc.withColumnRenamed("cnt", "cr")), Seq("bucket"), "left")
       .select(col("doc"), col("bucket"), col("f"),
