@@ -66,6 +66,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(args(2), "hyperplane_key seed"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[graft.expressions.GramHashes].getName,
+        "gram_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "gram_hashes(text, len)")
+        graft.expressions.GramHashes(args(0),
+          foldableInt(args(1), "gram_hashes len"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("multi_pattern_hits"),
       new ExpressionInfo(
         classOf[graft.expressions.MultiPatternHits].getName,

@@ -471,6 +471,81 @@ object CorpusOps {
         col("top_bigram_frac"), col("gate_repetition"))
   }
 
+  /** Line/paragraph half of the Gopher repetition battery (Rae 2022
+    * Table A1): per document, for units `line` (split on `\n`) and
+    * `para` (split on `\n\n`),
+    *
+    *   - `dup_*_ppm` — fraction of units that are repeats of an earlier
+    *     occurrence (`(n_units − n_distinct) / n_units`), and
+    *   - `dup_*_char_ppm` — fraction of unit characters inside those
+    *     repeat occurrences (`Σ (cnt−1)·len / Σ cnt·len`),
+    *
+    * both as exact integer ppm (no doubles), plus `gate_line_rep`
+    * applying the published drop thresholds (dup-line > 0.30,
+    * dup-para > 0.30, dup-line-chars > 0.20, dup-para-chars > 0.20).
+    * Empty units (consecutive separators) count like any other unit —
+    * identical convention on both engines.
+    *
+    * Scale shape: one projection explodes both unit kinds (struct
+    * arrays concatenated in-row), one map-side-combined shuffle to
+    * (doc, unit, value) counts, per-(doc, unit) fold, conditional-agg
+    * pivot — the [[ngramRepetition]] chain over coarser units.
+    */
+  def lineRepetition(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val units = Seq("line" -> "\n", "para" -> "\n\n")
+    val arrays = units.map { case (u, sep) =>
+      transform(split(col(textCol), sep),
+        v => struct(lit(u).as("u"), v.as("v")))
+    }
+    val occ = df.select(col(idCol).as("__doc"),
+      explode(flatten(array(arrays: _*))).as("__x"))
+      .select(col("__doc"), col("__x.u").as("u"), col("__x.v").as("v"))
+    val counts = occ.groupBy(col("__doc"), col("u"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("len", length(col("v")).cast(LongType))
+    val perU = counts.groupBy(col("__doc"), col("u"))
+      .agg(sum(col("c")).as("n_units"),
+        count(lit(1)).as("n_distinct"),
+        sum((col("c") - 1) * col("len")).as("dup_chars"),
+        sum(col("c") * col("len")).as("tot_chars"))
+    val pivoted = perU.groupBy(col("__doc"))
+      .agg(
+        coalesce(max(when(col("u") === "line", col("n_units"))), lit(0L))
+          .as("n_lines"),
+        coalesce(max(when(col("u") === "line",
+          col("n_units") - col("n_distinct"))), lit(0L)).as("__dl"),
+        coalesce(max(when(col("u") === "line", col("dup_chars"))), lit(0L))
+          .as("__dlc"),
+        coalesce(max(when(col("u") === "line", col("tot_chars"))), lit(0L))
+          .as("__ltc"),
+        coalesce(max(when(col("u") === "para", col("n_units"))), lit(0L))
+          .as("n_paras"),
+        coalesce(max(when(col("u") === "para",
+          col("n_units") - col("n_distinct"))), lit(0L)).as("__dp"),
+        coalesce(max(when(col("u") === "para", col("dup_chars"))), lit(0L))
+          .as("__dpc"),
+        coalesce(max(when(col("u") === "para", col("tot_chars"))), lit(0L))
+          .as("__ptc"))
+      .withColumn("dup_line_ppm",
+        expr("__dl * 1000000 div greatest(n_lines, 1L)"))
+      .withColumn("dup_line_char_ppm", expr(
+        "CAST(CAST(__dlc AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(__ltc, 1L) AS BIGINT)"))
+      .withColumn("dup_para_ppm",
+        expr("__dp * 1000000 div greatest(n_paras, 1L)"))
+      .withColumn("dup_para_char_ppm", expr(
+        "CAST(CAST(__dpc AS DECIMAL(38,0)) * 1000000" +
+          " div greatest(__ptc, 1L) AS BIGINT)"))
+      .withColumn("gate_line_rep",
+        col("dup_line_ppm") <= 300000L && col("dup_para_ppm") <= 300000L &&
+          col("dup_line_char_ppm") <= 200000L &&
+          col("dup_para_char_ppm") <= 200000L)
+    pivoted.select(col("__doc").as(idCol), col("n_lines"),
+      col("dup_line_ppm"), col("dup_line_char_ppm"), col("n_paras"),
+      col("dup_para_ppm"), col("dup_para_char_ppm"), col("gate_line_rep"))
+  }
+
   /** The REST of the Gopher repetition battery (Rae 2022 Table A1;
     * [[repetitionStats]] carries the word/bigram-count half): per
     * document, the character-coverage ppm of

@@ -750,6 +750,29 @@ object TextQueries {
           col("dup5_ppm"), col("dup10_ppm"), col("gate_ngram_rep"))
         .orderBy("doc_id")),
 
+    // line/paragraph half of the repetition battery: duplicate-unit and
+    // duplicate-char fractions in exact ppm over a newline-bearing
+    // inline fixture (the parquet documents carry no newlines), with
+    // the published gate
+    "q_repetition_lines" -> ((s, _) => {
+      import s.implicits._
+      s.createDataset(Seq(
+        (1L, "alpha\nbeta\nalpha\ngamma"),
+        (2L, "para one\n\npara two\n\npara one"),
+        (3L, "clean\ntext\nhere"),
+        (4L, "x\nx\nx\nx"),
+        (5L, "single line, no breaks")))
+        .toDF("doc_id", "text")
+        .transform(d => graft.operators.CorpusOps.lineRepetition(
+          d, "doc_id", "text"))
+        .select(col("doc_id"), asLong(col("n_lines")).as("n_lines"),
+          col("dup_line_ppm"), col("dup_line_char_ppm"),
+          asLong(col("n_paras")).as("n_paras"),
+          col("dup_para_ppm"), col("dup_para_char_ppm"),
+          col("gate_line_rep"))
+        .orderBy("doc_id")
+    }),
+
     // PII scrub: emails/phones/IPv4 → typed placeholders (regexes in the
     // Java∩RE2 dialect so the oracle replays them verbatim).
     "q_pii_scrub" -> ((s, _) => {
@@ -1942,6 +1965,65 @@ object TextQueries {
         |    AND CAST(CAST(dc10 AS HUGEINT) * 1000000
         |      // greatest(n_chars, 1) AS BIGINT) <= 100000)
         |    AS gate_ngram_rep
+        |FROM piv ORDER BY doc_id""".stripMargin,
+
+    // same inline fixture via chr(10) concatenation; per-unit counts,
+    // duplicate-beyond-first char sums, HUGEINT-widened ppm
+    "q_repetition_lines" ->
+      """WITH docs0 AS (SELECT * FROM (VALUES
+        |  (1, 'alpha' || chr(10) || 'beta' || chr(10) || 'alpha'
+        |    || chr(10) || 'gamma'),
+        |  (2, 'para one' || chr(10) || chr(10) || 'para two'
+        |    || chr(10) || chr(10) || 'para one'),
+        |  (3, 'clean' || chr(10) || 'text' || chr(10) || 'here'),
+        |  (4, 'x' || chr(10) || 'x' || chr(10) || 'x' || chr(10) || 'x'),
+        |  (5, 'single line, no breaks')) t(doc_id, text)),
+        |occ AS (
+        |  SELECT doc_id, 'line' AS u, unnest(string_split(text, chr(10)))
+        |    AS v FROM docs0
+        |  UNION ALL
+        |  SELECT doc_id, 'para' AS u,
+        |    unnest(string_split(text, chr(10) || chr(10))) AS v FROM docs0),
+        |c AS (SELECT doc_id, u, v, count(*) AS c,
+        |    CAST(length(v) AS BIGINT) AS len
+        |  FROM occ GROUP BY 1, 2, 3),
+        |peru AS (SELECT doc_id, u, CAST(sum(c) AS BIGINT) AS n_units,
+        |    CAST(count(*) AS BIGINT) AS n_distinct,
+        |    CAST(sum((c - 1) * len) AS BIGINT) AS dup_chars,
+        |    CAST(sum(c * len) AS BIGINT) AS tot_chars
+        |  FROM c GROUP BY 1, 2),
+        |piv AS (SELECT doc_id,
+        |    COALESCE(max(CASE WHEN u = 'line' THEN n_units END), 0)
+        |      AS n_lines,
+        |    COALESCE(max(CASE WHEN u = 'line'
+        |      THEN n_units - n_distinct END), 0) AS dl,
+        |    COALESCE(max(CASE WHEN u = 'line' THEN dup_chars END), 0)
+        |      AS dlc,
+        |    COALESCE(max(CASE WHEN u = 'line' THEN tot_chars END), 0)
+        |      AS ltc,
+        |    COALESCE(max(CASE WHEN u = 'para' THEN n_units END), 0)
+        |      AS n_paras,
+        |    COALESCE(max(CASE WHEN u = 'para'
+        |      THEN n_units - n_distinct END), 0) AS dp,
+        |    COALESCE(max(CASE WHEN u = 'para' THEN dup_chars END), 0)
+        |      AS dpc,
+        |    COALESCE(max(CASE WHEN u = 'para' THEN tot_chars END), 0)
+        |      AS ptc
+        |  FROM peru GROUP BY 1)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines,
+        |  dl * 1000000 // greatest(n_lines, 1) AS dup_line_ppm,
+        |  CAST(CAST(dlc AS HUGEINT) * 1000000
+        |    // greatest(ltc, 1) AS BIGINT) AS dup_line_char_ppm,
+        |  n_paras,
+        |  dp * 1000000 // greatest(n_paras, 1) AS dup_para_ppm,
+        |  CAST(CAST(dpc AS HUGEINT) * 1000000
+        |    // greatest(ptc, 1) AS BIGINT) AS dup_para_char_ppm,
+        |  (dl * 1000000 // greatest(n_lines, 1) <= 300000
+        |    AND dp * 1000000 // greatest(n_paras, 1) <= 300000
+        |    AND CAST(CAST(dlc AS HUGEINT) * 1000000
+        |      // greatest(ltc, 1) AS BIGINT) <= 200000
+        |    AND CAST(CAST(dpc AS HUGEINT) * 1000000
+        |      // greatest(ptc, 1) AS BIGINT) <= 200000) AS gate_line_rep
         |FROM piv ORDER BY doc_id""".stripMargin,
 
     "q_pii_scrub" ->

@@ -35,6 +35,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT deflate_ratio('aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa') AS r")
         .head().getDouble(0)
       assert(dr > 0.0 && dr < 0.5)
+      val gh = spark.sql("SELECT gram_hashes('abcd', 3) AS g")
+        .head().getSeq[Long](0)
+      assert(gh.length == 2) // 'abc', 'bcd'
       val mph = spark.sql(
         "SELECT multi_pattern_hits('ab bab ba', 'ab', 'ba') AS h")
         .head().getSeq[org.apache.spark.sql.Row](0)

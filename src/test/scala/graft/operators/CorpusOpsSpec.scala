@@ -327,6 +327,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L)._3 == 7L * 1000000 / 239)
   }
 
+  test("lineRepetition: hand-computed dup-unit and dup-char ppm, " +
+    "empty lines count as units, break-free docs are one unit") {
+    val docs = Seq(
+      (1L, "alpha\nbeta\nalpha\ngamma"),
+      (2L, "para one\n\npara two\n\npara one"),
+      (4L, "x\nx\nx\nx"),
+      (5L, "single")).toDF("doc_id", "text")
+    val got = CorpusOps.lineRepetition(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: lines {alpha×2, beta, gamma}: 1/4 dup, 5/19 dup chars
+    assert(got(1L) == ((1L, 4L, 250000L, 5L * 1000000 / 19, 1L, 0L, 0L,
+      false))) // 263157 > 200000 → gate fails on line chars
+    // doc 2: lines [para one, "", para two, "", para one] → 2/5 dup,
+    // 8/24 chars; paras {para one×2, para two} → 1/3 dup, 8/24 chars
+    assert(got(2L) == ((2L, 5L, 400000L, 333333L, 3L, 333333L, 333333L,
+      false)))
+    // doc 4: x×4 → 3/4 dup both measures; single para
+    assert(got(4L) == ((4L, 4L, 750000L, 750000L, 1L, 0L, 0L, false)))
+    assert(got(5L) == ((5L, 1L, 0L, 0L, 1L, 0L, 0L, true)))
+  }
+
   test("vocabulary: tf counts every occurrence, df counts documents, " +
     "top-n is a total order") {
     val docs = Seq(
