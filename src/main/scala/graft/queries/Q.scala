@@ -58,6 +58,13 @@ object Q {
     * changed across versions, which cost round 9 the `q_embedding_drift`
     * gate. Oracle side must spell the SAME form:
     * `CAST(floor(x * 1e9 + 0.5) AS BIGINT)`.
+    *
+    * Companion rule (the round-10/11 `q_embedding_drift` lesson): a gate
+    * face must never OUTPUT a DECIMAL-typed column either — wide-decimal
+    * rendering differs across DuckDB versions at the driver's compare.
+    * Fold wide integers to BIGINT mod 2^61−1 (the `q_dsir_modweights` /
+    * `drift_mod` recipe) or emit digits as STRING; `tools/check.py`
+    * fails loud on any DECIMAL output column.
     */
   def ppb(c: Column): Column =
     floor(c.cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType)
