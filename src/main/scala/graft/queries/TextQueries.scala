@@ -742,13 +742,25 @@ object TextQueries {
     // duplicated-5/10-gram character coverage in exact integer ppm
     // (occurrences×length convention, DECIMAL-widened multiply, BIGINT
     // out) plus the published drop-threshold gate — no doubles anywhere.
-    "q_repetition_ngrams" -> ((s, dir) =>
+    // The parquet fixture contains NO intra-doc duplicated 5/10-grams
+    // (checked corpus-wide), so three constructed repetitive docs ride
+    // along to keep the dup path oracle-exercised, not vacuously zero.
+    "q_repetition_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (1000001L, "p q r s t p q r s t u v w x y z"),
+        (1000002L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " +
+          "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail"),
+        (1000003L, Seq.fill(50)("a").mkString(" ")))
+        .toDF("doc_id", "text")
       graft.operators.CorpusOps.ngramRepetition(
-        t(s, dir, "documents"), "doc_id", "text")
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .unionByName(planted), "doc_id", "text")
         .select(col("doc_id"), asLong(col("n_chars")).as("n_chars"),
           col("top2_ppm"), col("top3_ppm"), col("top4_ppm"),
           col("dup5_ppm"), col("dup10_ppm"), col("gate_ngram_rep"))
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
 
     // line/paragraph half of the repetition battery: duplicate-unit and
     // duplicate-char fractions in exact ppm over a newline-bearing
@@ -1916,8 +1928,16 @@ object TextQueries {
     // (count desc, gram asc) via row_number; duplicated-gram char sums
     // per (doc, n); HUGEINT-widened ppm mirrors the engine's DECIMAL(38,0)
     "q_repetition_ngrams" ->
-      """WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-        |    string_split(text, ' ') AS w FROM documents),
+      """WITH docs0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (1000001, 'p q r s t p q r s t u v w x y z'),
+        |    (1000002, 'w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 '
+        |      || 'w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 tail'),
+        |    (1000003, repeat('a ', 49) || 'a')) p(doc_id, text)),
+        |s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    string_split(text, ' ') AS w FROM docs0),
         |g AS (SELECT doc_id, n,
         |    array_to_string(w[i:i+n-1], ' ') AS gram
         |  FROM s, (VALUES (2),(3),(4),(5),(10)) nn(n),
