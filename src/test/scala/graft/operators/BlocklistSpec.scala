@@ -149,6 +149,40 @@ class BlocklistSpec extends AnyFunSuite {
     assert(got(1L) == ((1L, 2L)))
   }
 
+  test("automaton matches a CODE-POINT reference on random ASTRAL texts") {
+    // surrogate-pair-heavy alphabet: U+1F600 and U+1D11E are 2 UTF-16
+    // units each, so any unit-based position or greedy cursor drifts
+    val rnd = new scala.util.Random(11)
+    val alphabet = Vector("a", "😀", "日", "𝄞", " ")
+    val pats = Seq("😀", "a😀", "😀𝄞", "日 ", "𝄞𝄞")
+    def cpReference(text: String, p: String): (Long, Long) = {
+      val t = text.codePoints.toArray
+      val q = p.codePoints.toArray
+      var i = 0; var n = 0L; var first = 0L
+      while (i <= t.length - q.length) {
+        if (java.util.Arrays.equals(t.slice(i, i + q.length), q)) {
+          n += 1; if (first == 0L) first = i + 1L; i += q.length
+        } else i += 1
+      }
+      (first, n)
+    }
+    val rows = (0 until 80).map { i =>
+      val len = 1 + rnd.nextInt(40)
+      (i.toLong, (0 until len).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = Blocklist.hits(rows.toDF("id", "text"), "id", "text", pats)
+      .select("id", "pid", "first_pos", "n_hits")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    for ((id, t) <- rows; (p, pid) <- pats.zipWithIndex) {
+      val (first, n) = cpReference(t, p)
+      val g = got.getOrElse((id, pid.toLong), (0L, 0L))
+      assert(g == ((first, n)),
+        s"text='$t' pattern='$p': got $g, want ($first, $n)")
+    }
+  }
+
   test("supplementary-plane text: positions are code-point-based") {
     // U+1F600 is a surrogate PAIR in UTF-16 — a unit-based cursor
     // would report first_pos 4 for "a😀" and drift every later match
