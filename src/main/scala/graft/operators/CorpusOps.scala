@@ -566,8 +566,19 @@ object CorpusOps {
     * Scale shape: ONE explode pass emits every (n, gram) occurrence for
     * all requested n's (grams assembled in-row via `slice` +
     * `concat_ws`, no self-join), one map-side-combined shuffle to
-    * (doc, n, gram) counts, a per-(doc, n) fold, and a conditional-agg
-    * pivot back to one row per document.
+    * (doc, n, hash) counts, a per-(doc, n) fold, and a conditional-agg
+    * pivot back to one row per document. The count exchange is keyed
+    * on the PORTABLE 52-bit md5 gram hash carrying `length(gram)`
+    * beside it — the [[dupSpans]] recipe (r11 verdict #3): the raw
+    * gram text for n ∈ {2,3,4,5,10} is ~24× the word stream, and
+    * nothing downstream needs the string (both ppm stats are
+    * count×length), so shipping `(doc, n, h, len)` 28-byte rows cuts
+    * the exchange bytes by roughly the mean gram length. The top-gram
+    * argmax tiebreaks on the hash — (count desc, h asc) — which DuckDB
+    * replays bit-exactly (`('0x' || substr(md5(gram), 20, 13))::BIGINT`),
+    * so the oracle stays hash-exact; a 52-bit collision WITHIN one
+    * (doc, n) group would merge two gram counts identically on both
+    * engines (`max(len)` is the deterministic length under merge).
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10))
@@ -587,20 +598,25 @@ object CorpusOps {
         i => struct(lit(n).as("n"),
           concat_ws(" ", slice(col("__w"), i, lit(n))).as("gram")))
     }
+    // hash + length BEFORE the exchange: the string never shuffles
     val occ = base.select(col("__doc"),
       explode(flatten(array(gramArrays: _*))).as("__g"))
-      .select(col("__doc"), col("__g.n").as("n"), col("__g.gram").as("gram"))
-    val counts = occ.groupBy(col("__doc"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("__doc"), col("__g.n").as("n"),
+        conv(substring(md5(to_binary(col("__g.gram"), lit("utf-8"))), 20, 13),
+          16, 10).cast(LongType).as("h"),
+        length(col("__g.gram")).cast(LongType).as("glen"))
+    val counts = occ.groupBy(col("__doc"), col("n"), col("h"))
+      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
     val perN = counts.groupBy(col("__doc"), col("n"))
       .agg(
-        // argmax by (c desc, gram asc) via min(struct(-c, gram))
-        min(struct((-col("c")).as("negc"), col("gram"))).as("__top"),
-        sum(when(col("c") >= 2, col("c") * length(col("gram")).cast(LongType))
+        // argmax by (c desc, h asc) via min(struct(-c, h)); glen rides
+        // along (h is unique per group row, so it never orders)
+        min(struct((-col("c")).as("negc"), col("h"), col("glen")))
+          .as("__top"),
+        sum(when(col("c") >= 2, col("c") * col("glen"))
           .otherwise(lit(0L))).as("__dupchars"))
       .select(col("__doc"), col("n"),
-        ((-col("__top.negc")) * length(col("__top.gram")).cast(LongType))
-          .as("__topchars"),
+        ((-col("__top.negc")) * col("__top.glen")).as("__topchars"),
         col("__dupchars"))
     val pivoted = base.select(col("__doc"), col("n_chars"))
       .join(perN, Seq("__doc"), "left")

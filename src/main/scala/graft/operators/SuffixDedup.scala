@@ -219,28 +219,36 @@ object SuffixDedup {
     * `Dedup.winnowPairs` recipe: per gram the DISTINCT doc list,
     * bucket-capped at `maxDocsPerGram` — a gram shared by more
     * documents than the cap (universal boilerplate) is EXCLUDED rather
-    * than exploded into O(n²) pairs; lower the gram length or raise
-    * the cap deliberately, never implicitly.
+    * than exploded into O(n²) pairs (and the exclusion is loud:
+    * [[Dedup.observeCaps]] WARNs with the over-cap bucket count);
+    * lower the gram length or raise the cap deliberately, never
+    * implicitly.
     *
-    * Shuffle shape: the string-carrying exchange happens ONCE either
-    * way — distinct `(gram, doc)` postings aggregate into per-hash
-    * buckets keyed by the 8-byte `h` (`collect_set` partials dedup
-    * repeats map-side), and the exact-gram split into per-gram doc
-    * lists happens INSIDE the (one gram per hash, barring 64-bit
-    * collisions) bucket with array expressions — no window sort. With
-    * `prefilter = true` (default) a hash-ONLY corpus pass (the
-    * zero-allocation [[graft.expressions.GramHashes]] kernel, 8-byte
-    * rows, map-side combined) first drops every singleton gram, so
-    * only the duplicated sliver's strings ever cross the wire and the
-    * bucket `groupBy(h)` REUSES the confirm join's clustering (no
-    * third exchange). Measured trade-off at sf1 (A/B, same JVM): at a
-    * realistic ~30% near-dup density the prefilter wins ~1.5-2×
-    * (singletons dominate, pruning pays); at the 90%-replica fixture
-    * density it costs ~1.3× (nothing to prune, the extra hash pass is
-    * pure overhead) — set `prefilter = false` only for corpora known
-    * to be duplicate-saturated. Bucket memory is bounded by the
-    * most-shared gram's distinct doc count; the cap then drops such
-    * universal boilerplate from the output.
+    * Shuffle shape: the string-carrying exchange happens ONCE —
+    * distinct `(gram, doc)` postings aggregate into per-hash buckets
+    * keyed by the 8-byte `h` (`collect_set` partials dedup repeats
+    * map-side), and the exact-gram split into per-gram doc lists
+    * happens INSIDE the (one gram per hash, barring 64-bit collisions)
+    * bucket with array expressions — no window sort. A MANDATORY
+    * hash-only corpus pass first (the zero-allocation
+    * [[graft.expressions.GramHashes]] kernel, 8-byte rows, map-side
+    * deduped `(h, doc)` → per-hash distinct-doc counts) drops every
+    * singleton gram AND every bucket past the cap, so the cap is
+    * enforced BEFORE any agg buffer fills: the `collect_set` buffer is
+    * bounded by `2 × maxDocsPerGram` structs, never by the most-shared
+    * gram's true doc count. (Through r11 the cap filtered AFTER the
+    * collect — a boilerplate gram present in 10M docs would have built
+    * a 10M-struct buffer in one aggregation task; the pre-cap closes
+    * that executor-OOM path, which is why the formerly optional
+    * `prefilter` flag is gone: the count pass is now load-bearing for
+    * memory safety, not just a pruning optimization.) The pre-cap
+    * keeps hash buckets with distinct-doc count ≤ 2×cap — a hash's
+    * distinct-doc count equals its single gram's barring 64-bit
+    * collisions, and a colliding pair of under-cap grams stays ≤ 2×cap
+    * — so the downstream exact `size(ds) <= maxDocsPerGram` filter
+    * still decides per-GRAM, and output is unchanged vs the post-cap
+    * era. Only the duplicated under-cap sliver's strings ever cross
+    * the wire; the bucket `groupBy(h)` reuses the join's clustering.
     *
     * Edge generation is STAR by default (`starEdges = true`): each doc
     * in a gram's list pairs with the list's MIN doc_id only — O(size)
@@ -257,22 +265,12 @@ object SuffixDedup {
     */
   def spanPairs(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, maxDocsPerGram: Int = 1000,
-      prefilter: Boolean = true, starEdges: Boolean = true): DataFrame = {
+      starEdges: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    val g = grams(docs, idCol, textCol, minLen)
-      .select(col("h"), col("gram"), col("doc_id"))
-    val postings =
-      if (!prefilter) g
-      else {
-        val dupHash = gramHashes(docs, idCol, textCol, minLen)
-          .groupBy(col("h")).agg(count(lit(1)).as("__nh"))
-          .filter(col("__nh") >= 2L).select(col("h"))
-        g.join(dupHash, Seq("h"))
-      }
-    postings
-      .groupBy(col("h")) // reuses the join clustering when prefiltered
+    cappedPostings(docs, idCol, textCol, minLen, maxDocsPerGram)
+      .groupBy(col("h")) // reuses the pre-cap join's clustering
       .agg(collect_set(struct(col("gram"), col("doc_id"))).as("__items"))
       .filter(size(col("__items")) >= 2)
       .select(explode(expr(
@@ -290,6 +288,36 @@ object SuffixDedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[spanPairs]]' string-carrying postings AFTER the mandatory
+    * pre-cap: `(h, gram, doc_id)` rows whose hash bucket has a
+    * distinct-doc count in `[2, 2 × maxDocsPerGram]`. Exposed at
+    * package level so the mega-gram spec can assert the over-cap
+    * bucket never REACHES the `collect_set` buffer (not merely that it
+    * is absent from the output). The distinct-doc count pass is
+    * hash-only (no gram string allocated or shuffled): map-side
+    * `(h, doc)` dedup, then an 8-byte-row count exchange — two small
+    * exchanges buying a hard `2 × cap` bound on every downstream agg
+    * buffer. Over-cap buckets are surfaced via [[Dedup.observeCaps]]
+    * at the exact `maxDocsPerGram` threshold (every excluded gram's
+    * hash trips it; buckets in `(cap, 2×cap]` that survive to the
+    * per-gram filter are collision shrapnel, vanishingly rare under
+    * xxhash64).
+    */
+  private[operators] def cappedPostings(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int, maxDocsPerGram: Int): DataFrame = {
+    val g = grams(docs, idCol, textCol, minLen)
+      .select(col("h"), col("gram"), col("doc_id"))
+    val bucketCounts = gramHashes(docs, idCol, textCol, minLen)
+      .select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
+    val keep = Dedup.observeCaps(bucketCounts, "__nd", maxDocsPerGram,
+        "spanPairs")
+      .filter(col("__nd") >= 2L &&
+        col("__nd") <= 2L * maxDocsPerGram)
+      .select(col("h"))
+    g.join(keep, Seq("h"))
   }
 
   /** Every L-gram start position: `(doc_id, pos, gram, h)`. The hash

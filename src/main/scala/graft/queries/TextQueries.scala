@@ -1924,9 +1924,12 @@ object TextQueries {
         |    AS gate_repetition
         |FROM s LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
-    // one gram table for all n via cross-join with the n-list; argmax by
-    // (count desc, gram asc) via row_number; duplicated-gram char sums
-    // per (doc, n); HUGEINT-widened ppm mirrors the engine's DECIMAL(38,0)
+    // one gram table for all n via cross-join with the n-list; counts
+    // keyed on the portable 52-bit md5 gram hash carrying max(length)
+    // (mirrors the engine's hash-keyed exchange — the gram string never
+    // shuffles); argmax by (count desc, hash asc) via row_number;
+    // duplicated-gram char sums per (doc, n); HUGEINT-widened ppm
+    // mirrors the engine's DECIMAL(38,0)
     "q_repetition_ngrams" ->
       """WITH docs0 AS (
         |  SELECT doc_id, text FROM documents
@@ -1943,14 +1946,17 @@ object TextQueries {
         |  FROM s, (VALUES (2),(3),(4),(5),(10)) nn(n),
         |    unnest(range(1, len(w) - n + 2)) t(i)
         |  WHERE len(w) >= n),
-        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1,2,3),
+        |c AS (SELECT doc_id, n,
+        |    ('0x' || substr(md5(gram), 20, 13))::BIGINT AS h,
+        |    count(*) AS c, max(length(gram)) AS glen
+        |  FROM g GROUP BY 1, 2, 3),
         |tops AS (SELECT doc_id, n,
-        |    c * length(gram) AS topchars,
+        |    c * glen AS topchars,
         |    row_number() OVER (PARTITION BY doc_id, n
-        |      ORDER BY c DESC, gram ASC) AS rn FROM c),
+        |      ORDER BY c DESC, h ASC) AS rn FROM c),
         |pern AS (SELECT c.doc_id, c.n,
         |    max(t.topchars) AS topchars,
-        |    sum(CASE WHEN c.c >= 2 THEN c.c * length(c.gram)
+        |    sum(CASE WHEN c.c >= 2 THEN c.c * c.glen
         |      ELSE 0 END) AS dupchars
         |  FROM c JOIN tops t ON c.doc_id = t.doc_id AND c.n = t.n
         |    AND t.rn = 1

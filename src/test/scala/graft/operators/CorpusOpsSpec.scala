@@ -302,12 +302,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3L)._4 == 0.0 && got(3L)._5) // no bigrams → frac 0
   }
 
-  test("ngramRepetition: hand-computed coverage ppm, tie→gram-asc argmax, " +
+  test("ngramRepetition: hand-computed coverage ppm, tie→hash-asc argmax, " +
     "dup grams counted, diverse text passes the gate") {
     val docs = Seq(
-      // w=[a,b,a,b,a,b] len(text)=11: top2 "a b"×3·3ch=9; top3 tie 2/2 →
-      // gram-asc "a b a"(5ch)·2=10; top4 "a b a b"(7ch)×2=14 (overlap
-      // overcount >1e6 is by convention); no dup 5/10-grams
+      // w=[a,b,a,b,a,b] len(text)=11: top2 "a b"×3·3ch=9; top3 tie 2/2
+      // broken by md5-52 hash asc — both candidates ("a b a"/"b a b")
+      // are 5ch, so topchars=10 whichever wins; top4 "a b a b"(7ch)×2=14
+      // (overlap overcount >1e6 is by convention); no dup 5/10-grams
       (1L, "a b a b a b"),
       // "p q r s t" repeats at w-positions 1 and 6 → dup5 = 2·9 = 18
       (2L, "p q r s t p q r s t u v w x y z aa bb cc dd ee ff"),
@@ -323,7 +324,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L)._6 == 18L * 1000000 / len2) // dup5_ppm
     assert(got(2L)._7 == 0L) // no duplicated 10-gram
     assert(got(3L)._8, "diverse doc must pass the gate")
-    // every bigram count 1 → argmax by gram asc = "w00 w01" (7 chars)
+    // every bigram count 1 and every bigram is 7 chars ("wNN wMM"), so
+    // the hash-asc argmax yields 7 chars whichever gram wins
     assert(got(3L)._3 == 7L * 1000000 / 239)
   }
 

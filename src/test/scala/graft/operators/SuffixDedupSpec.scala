@@ -208,6 +208,28 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(full == Set((5L, 6L, 7L), (5L, 7L, 7L), (6L, 7L, 7L)))
   }
 
+  test("spanPairs: an over-cap mega-gram never REACHES the collect " +
+      "buffer (pre-cap drops its hash bucket upstream)") {
+    // one boilerplate 10-gram in 5 docs, one legit phrase in 2; with
+    // cap=2 the mega bucket must be gone from the postings feeding the
+    // collect_set — the r11 shape only filtered AFTER the buffer built
+    val MEGA = "MEGA-GRAM!"
+    val X = "SHARED-PHRASE-X!"
+    val docs = ((1L to 5L).map(i => (i, s"pad${i}pad${i}q" + MEGA)) ++ Seq(
+      (11L, "abcdefghij" + X + "klmnopqrst"),
+      (12L, "uvwxyz0123" + X + "4567abcdef")))
+      .toDF("doc_id", "text")
+    val postings = SuffixDedup.cappedPostings(
+      docs, "doc_id", "text", minLen = 10, maxDocsPerGram = 2)
+    assert(postings.filter($"gram" === MEGA).count() == 0,
+      "mega-gram postings must be dropped BEFORE aggregation")
+    // the under-cap phrase still pairs normally through the same path
+    val pairs = SuffixDedup.spanPairs(docs, "doc_id", "text",
+        minLen = 10, maxDocsPerGram = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 12L, 7L)))
+  }
+
   test("spanPairs: star edges resolve IDENTICAL components to all-pairs " +
       "on the gate fixture") {
     val docs = spark.read

@@ -44,25 +44,47 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
-    decimal_outputs = []
+    type_violations = []
+
+    def lint_output_types(name):
+        """Output-type portability lint, applied to EVERY dumped result —
+        oracle'd or hash-pinned (r11 advice: pins were never
+        schema-checked, contradicting the Q.scala doc claim).
+
+        DECIMAL (r10 verdict): q_embedding_drift was the registry's ONLY
+        decimal-typed output and its only red, two rounds running — wide
+        decimals render differently across DuckDB versions at the
+        driver's compare, and no second DuckDB is installable offline to
+        A/B it. No registry output may be DECIMAL-typed: fold to BIGINT
+        (mod 2^61-1) or emit digits as STRING.
+
+        DOUBLE/FLOAT (r11 verdict #5): the float formatter is the next
+        type-rendering seam after DECIMAL. Allowed only for queries on
+        the reviewed allowlist (FLOAT_ALLOWLIST, documented in
+        graft.queries.Q's ppb scaladoc) whose float outputs are
+        ppb-quantized or otherwise exactly representable.
+        """
+        try:
+            desc = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
+            ).fetchall()
+        except Exception:
+            return  # unreadable dumps surface in the compare loop instead
+        for col_name, col_type, *_ in desc:
+            t = col_type.upper()
+            if t.startswith("DECIMAL"):
+                type_violations.append(f"{name}.{col_name} {col_type}")
+            elif t in ("DOUBLE", "FLOAT", "REAL") and \
+                    name not in FLOAT_ALLOWLIST:
+                type_violations.append(f"{name}.{col_name} {col_type} "
+                                       "(not on FLOAT_ALLOWLIST)")
+
     # driver-shaped per-query record (written as correctness_local.json so
     # tools/ledger.py can tally a LOCAL round state, never hand-counts)
     record = {}
     for name in sorted(oracle):
         try:
-            # DECIMAL guard (r10 verdict: q_embedding_drift was the
-            # registry's ONLY decimal-typed output and its only red, two
-            # rounds running — wide decimals render differently across
-            # DuckDB versions at the driver's compare, and no second
-            # DuckDB is installable offline to A/B it). No registry
-            # output may be DECIMAL-typed: fold to BIGINT (mod 2^61-1)
-            # or emit digits as STRING.
-            desc = con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"
-            ).fetchall()
-            for col_name, col_type, *_ in desc:
-                if col_type.upper().startswith("DECIMAL"):
-                    decimal_outputs.append(f"{name}.{col_name} {col_type}")
+            lint_output_types(name)
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             got_cols = [d[0] for d in got.description]
@@ -107,23 +129,29 @@ def main():
             print(f"PASS {name} ({len(gr)} rows)")
             record[name]["hash_match"] = True
             n_pass += 1
-    # hash-pinned faces: dumped results with no oracle entry
+    # hash-pinned faces: dumped results with no oracle entry — still
+    # type-linted (a DECIMAL/naked-DOUBLE pin is a seam waiting for a
+    # promotion to bite)
     for d in sorted(os.listdir(outdir)):
         if d.startswith("q_") and d not in oracle and \
                 os.path.isdir(os.path.join(outdir, d)):
+            lint_output_types(d)
             record[d] = {"rows_match": None, "schema_match": None,
                          "hash_match": None, "err": "no_oracle"}
     with open(os.path.join(outdir, "correctness_local.json"), "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
-    if decimal_outputs:
-        print("DECIMAL-typed output column(s) — a known cross-version "
-              "portability seam at the driver gate; fold to BIGINT "
-              "(mod 2^61-1) or STRING digits:")
-        for d in decimal_outputs:
+    if type_violations:
+        print("output-type violation(s) — DECIMAL is banned outright and "
+              "DOUBLE/FLOAT requires the reviewed FLOAT_ALLOWLIST entry "
+              "(cross-version rendering seams at the driver gate); fold "
+              "to BIGINT (mod 2^61-1), ppb-quantize, or emit STRING "
+              "digits:")
+        for d in sorted(set(type_violations)):
             print(f"  {d}")
-        n_fail += len(decimal_outputs)
-    print(f"== {n_pass} pass, {n_fail} fail ==")
-    sys.exit(1 if n_fail else 0)
+    n_viol = len({v.split('.')[0] for v in type_violations})
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{n_viol} type-violating quer{'y' if n_viol == 1 else 'ies'} ==")
+    sys.exit(1 if n_fail or type_violations else 0)
 
 
 if __name__ == "__main__":
