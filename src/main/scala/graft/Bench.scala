@@ -65,7 +65,10 @@ object Bench {
     val baseline: Map[String, Double] =
       if (!baselineFile.exists()) Map.empty
       else {
-        val lines = scala.io.Source.fromFile(baselineFile).getLines().toSeq
+        // read strictly and close — the bench driver JVM is long-lived
+        // and a leaked handle per run accumulates (r12 advice)
+        val src = scala.io.Source.fromFile(baselineFile)
+        val lines = try src.getLines().toList finally src.close()
         val hdrOk = lines.headOption.exists(_.trim == s"sf $sfName")
         if (!hdrOk) Map.empty
         else lines.drop(1).flatMap { l =>
@@ -87,23 +90,24 @@ object Bench {
     // speed, not first-use codegen of this particular query
     interleaveFn.foreach(timeOnce(_))
     val series = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    val retried = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
-    val results = selected.zipWithIndex.map { case ((name, fn), i) =>
+    // >3× the committed baseline: queue for a DEFERRED retry (r11 verdict
+    // #2): an immediate re-run lands inside the same transient slow window
+    // it is trying to adjudicate — r11/r12 artifacts showed first readings
+    // up to 6× that melted only on later retries. Deferring the second
+    // timing to AFTER the suite, with an adjacent anchor reading, makes
+    // the artifact self-adjudicating: slow retry + slow anchor = host
+    // still slow (inconclusive); slow retry + quiet anchor = real
+    // regression; fast retry = one-off noise, absorbed via min().
+    val deferred = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val firstPass = selected.zipWithIndex.map { case ((name, fn), i) =>
       if (i % 25 == 0) interleaveFn.foreach { af =>
         val (sec, err) = timeOnce(af)
         if (err.isEmpty) series += ((i, sec))
       }
       val (t1, err1) = timeOnce(fn)
-      // >3× the committed baseline: re-run once — a reproduced slow time
-      // is a real regression, a one-off is host noise to absorb (both
-      // runs land in the artifact either way)
-      if (err1.isEmpty && baseline.get(name).exists(b => t1 > 3.0 * b)) {
-        val (t2, err2) = timeOnce(fn)
-        if (err2.isEmpty) {
-          retried += ((name, t1, t2))
-          (name, math.min(t1, t2), err1)
-        } else (name, t1, err1)
-      } else (name, t1, err1)
+      if (err1.isEmpty && baseline.get(name).exists(b => t1 > 3.0 * b))
+        deferred += ((name, t1))
+      (name, t1, err1)
     }
     // ANCHOR CALIBRATION (SOAK_r07): this host drifts 3-5× across days,
     // so cross-round query comparisons need a same-run host-speed
@@ -117,6 +121,33 @@ object Bench {
       SparkEntry.queries.get(name).flatMap { fn =>
         val (sec, err) = timeOnce(fn)
         if (err.isEmpty) Some(name -> sec) else None
+      }
+    }
+    // DEFERRED RETRY PASS — after the suite and the anchor pass, so the
+    // second timing is position-independent of whatever window slowed the
+    // first. Each retry records its own ADJACENT anchor reading
+    // (retry_anchors) so the artifact distinguishes "host still slow"
+    // from "query really regressed" without cross-referencing timestamps.
+    val retried = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+    val retryAnchors = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val retryTimes: Map[String, Double] = deferred.flatMap { case (name, _) =>
+      SparkEntry.queries.get(name).flatMap { fn =>
+        interleaveFn.foreach { af =>
+          val (aSec, aErr) = timeOnce(af)
+          if (aErr.isEmpty) retryAnchors += ((name, aSec))
+        }
+        val (t2, err2) = timeOnce(fn)
+        if (err2.isEmpty) Some(name -> t2) else None
+      }
+    }.toMap
+    // a reproduced slow time is a real regression; a one-off is host
+    // noise absorbed via min() — both readings land in the artifact
+    val results = firstPass.map { case (name, t1, err) =>
+      retryTimes.get(name) match {
+        case Some(t2) if err.isEmpty =>
+          retried += ((name, t1, t2))
+          (name, math.min(t1, t2), err)
+        case _ => (name, t1, err)
       }
     }
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -145,7 +176,9 @@ object Bench {
       .mkString("[", ",", "]")
     val retryJson = retried.map { case (k, a, b) => jstr(k) + s":[$a,$b]" }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"anchors":$anchorJson,"anchor_series":$seriesJson,"retries":$retryJson,"sf":"$sfDir"}"""
+    val retryAnchorJson = retryAnchors.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":$nFailed,"anchors":$anchorJson,"anchor_series":$seriesJson,"retries":$retryJson,"retry_anchors":$retryAnchorJson,"sf":"$sfDir"}"""
     // stdout is the driver contract (one JSON line), but a capture buffer
     // can truncate it — persist the same JSON to a file so the record
     // survives regardless

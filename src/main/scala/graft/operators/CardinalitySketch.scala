@@ -290,7 +290,18 @@ object CardinalitySketch {
     */
   def hllRollup(df: DataFrame, keyCol: String, valueCol: String,
       p: Int = 8): DataFrame = {
-    val states = hllStatePerKey(df, keyCol, valueCol, p)
+    // sentinel-collision guard (r12 advice): a REAL key that stringifies
+    // to "<all>" would silently merge with the rollup row, double-counting
+    // it. raise_error is codegen'd and distributed — zero cost unless the
+    // collision actually occurs, in which case the job fails loud instead
+    // of emitting a wrong rollup.
+    val guarded = hllStatePerKey(df, keyCol, valueCol, p)
+      .withColumn("key",
+        when(col("key") === "<all>", raise_error(lit(
+          "hllRollup: input key stringifies to the reserved rollup " +
+            "sentinel \"<all>\" — rename or re-encode the key")))
+          .otherwise(col("key")))
+    val states = guarded
       .localCheckpoint(true) // two consumers: per-key rows + the merge
     val merged = states.groupBy(col("bucket"))
       .agg(max(col("max_rho")).as("max_rho"))

@@ -204,9 +204,23 @@ object Dedup {
     * per-doc set sizes. Output bounded by co-occurrence, never a cross
     * join — but still quadratic in degenerate corpora; intended for
     * bounded inputs or as the verifier behind LSH candidates.
+    *
+    * The eval-slice contract is ENFORCED, not advisory: the call refuses
+    * inputs above `maxDocs` (same pattern as the ANN faces'
+    * `maxProbeQueries`) so a corpus-sized call can never wander into the
+    * deliberate quadratic — route production corpora through
+    * [[FuzzyJoin.setSimilarityJoin]] (prefix-filtered) or
+    * [[confirmedNearDupPairs]] (LSH-candidate-bounded) instead. Raise
+    * `maxDocs` explicitly only for a deliberately larger eval slice.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, threshold: Double = 0.0): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.0,
+      maxDocs: Int = 100000): DataFrame = {
+    require(df.limit(maxDocs + 1).count() <= maxDocs,
+      s"ngramJaccardPairs is the exact (quadratic-capable) EVAL face and " +
+        s"accepts at most $maxDocs docs per call; for production corpora " +
+        s"use FuzzyJoin.setSimilarityJoin or Dedup.confirmedNearDupPairs, " +
+        s"or pass a larger maxDocs explicitly for a bigger eval slice")
     val sh = df.select(col(idCol).as("id"),
       TextFunctions.wordShingles(col(textCol), shingleN).as("sh"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))

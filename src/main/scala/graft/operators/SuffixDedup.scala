@@ -235,8 +235,11 @@ object SuffixDedup {
     * deduped `(h, doc)` → per-hash distinct-doc counts) drops every
     * singleton gram AND every bucket past the cap, so the cap is
     * enforced BEFORE any agg buffer fills: the `collect_set` buffer is
-    * bounded by `2 × maxDocsPerGram` structs, never by the most-shared
-    * gram's true doc count. (Through r11 the cap filtered AFTER the
+    * bounded by `2 × maxDocsPerGram` DISTINCT DOCS per hash — i.e.
+    * ≤ (#colliding grams in the bucket) × 2×cap structs; single-gram
+    * buckets (the non-collision case, effectively all of them under
+    * xxhash64) are ≤ 2×cap structs — never by the most-shared gram's
+    * true doc count. (Through r11 the cap filtered AFTER the
     * collect — a boilerplate gram present in 10M docs would have built
     * a 10M-struct buffer in one aggregation task; the pre-cap closes
     * that executor-OOM path, which is why the formerly optional

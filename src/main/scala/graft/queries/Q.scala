@@ -65,6 +65,23 @@ object Q {
     * Fold wide integers to BIGINT mod 2^61−1 (the `q_dsir_modweights` /
     * `drift_mod` recipe) or emit digits as STRING; `tools/check.py`
     * fails loud on any DECIMAL output column.
+    *
+    * DOUBLE output rule (r11 verdict #5, wired r13): a query may emit a
+    * DOUBLE column only when every float op on the path to it is a
+    * fixed IEEE-754 op sequence both engines compute bit-identically —
+    * `+ - * /` and `sqrt` (all correctly rounded per the standard) over
+    * identical operands, or a decimal-exact [[dsum]] cast at the edge.
+    * NOT portable: `round()` on doubles (version-dependent ties — the
+    * r9 lesson), float `avg()`/`stddev`/`corr()` (summation-order-
+    * dependent; emit decimal-exact sum components and divide at the
+    * edge instead), and strictly speaking `ln()`/`exp()` (not required
+    * to be correctly rounded — JVM and DuckDB libm have agreed at every
+    * gate since r5, tolerated in `q_bm25`/`q_hybrid_rrf` only).
+    * Reviewed queries live in `tools/float_allowlist.txt` (one name per
+    * line, reasons in the header); `tools/check.py` fails loud on any
+    * DOUBLE/FLOAT output column from a query not on that list. A new
+    * float-emitting query means reviewing it against this rule and
+    * adding it there deliberately — or folding through [[ppb]].
     */
   def ppb(c: Column): Column =
     floor(c.cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType)

@@ -95,6 +95,24 @@ class CardinalitySketchSpec extends AnyFunSuite {
     assert(roll("s0") == ((s0.getLong(0), s0.getLong(1), s0.getLong(2))))
   }
 
+  test("HLL rollup refuses an input key that collides with the <all> " +
+    "sentinel (loud failure, never a silently double-counted rollup)") {
+    val df = (0 until 100).map(i => (if (i % 2 == 0) "<all>" else "ok",
+      s"tok$i")).toDF("src", "v")
+    val e = intercept[Exception] {
+      CardinalitySketch.hllRollup(df, "src", "v", p = 8).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        String.valueOf(x.getMessage) +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("sentinel")), msgs(e).mkString(" | "))
+    // and the guard costs nothing on clean keys: same rollup as before
+    val clean = (0 until 100).map(i => (s"s${i % 2}", s"tok$i"))
+      .toDF("src", "v")
+    assert(CardinalitySketch.hllRollup(clean, "src", "v", p = 8)
+      .count() == 3) // s0, s1, <all>
+  }
+
   test("HLL raw estimate lands within 25% at 10k distinct, p=8") {
     val df = (0 until 10000).map(i => s"value-$i").toDF("v")
     val r = CardinalitySketch.hllEstimate(df, "v", p = 8).collect().head

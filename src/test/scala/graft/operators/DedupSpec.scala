@@ -46,6 +46,19 @@ class DedupSpec extends AnyFunSuite {
     assert(j.getOrElse((0L, 3L), 0.0) < 0.1)
   }
 
+  test("ngram jaccard enforces the eval-slice contract: refuses inputs " +
+    "past maxDocs, accepts at the bound, raisable explicitly") {
+    val docs = (0 until 10).map(i => (i.toLong, s"doc number $i words"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocs = 9)
+    }
+    assert(e.getMessage.contains("setSimilarityJoin"))
+    // at the bound and above it (explicit raise): both proceed
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocs = 10).count()
+    Dedup.ngramJaccardPairs(docs, "doc_id", "text", maxDocs = 100).count()
+  }
+
   test("simhash: identical docs distance 0, near-dups close, found by bands") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", hammingMax = 16)
       .as[(Long, Long, Long)].collect()

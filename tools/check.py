@@ -15,6 +15,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _load_float_allowlist():
+    """Reviewed queries allowed to emit DOUBLE/FLOAT output columns.
+
+    Checked in beside this script (tools/float_allowlist.txt, one name
+    per line, '#' comments) so the review — criterion and per-group
+    reasoning — travels with the list; see graft.queries.Q.ppb's
+    scaladoc for the engine-portability rules the review applies.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "float_allowlist.txt")
+    names = set()
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                names.add(line)
+    return frozenset(names)
+
+
+FLOAT_ALLOWLIST = _load_float_allowlist()
+
+
 def normalize(rows, cols):
     """Sort columns by name, then rows by value — mimics the driver."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -83,8 +105,13 @@ def main():
     # tools/ledger.py can tally a LOCAL round state, never hand-counts)
     record = {}
     for name in sorted(oracle):
+        # lint OUTSIDE the compare's try: a lint bug must surface as its
+        # own warning, never as a false compare FAIL (the r12 regression)
         try:
             lint_output_types(name)
+        except Exception as e:
+            print(f"WARN lint({name}): {e}")
+        try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
             got_cols = [d[0] for d in got.description]
@@ -135,7 +162,10 @@ def main():
     for d in sorted(os.listdir(outdir)):
         if d.startswith("q_") and d not in oracle and \
                 os.path.isdir(os.path.join(outdir, d)):
-            lint_output_types(d)
+            try:
+                lint_output_types(d)
+            except Exception as e:  # a lint crash must not kill the record
+                print(f"WARN lint({d}): {e}")
             record[d] = {"rows_match": None, "schema_match": None,
                          "hash_match": None, "err": "no_oracle"}
     with open(os.path.join(outdir, "correctness_local.json"), "w") as f:
