@@ -579,6 +579,10 @@ object CorpusOps {
     * so the oracle stays hash-exact; a 52-bit collision WITHIN one
     * (doc, n) group would merge two gram counts identically on both
     * engines (`max(len)` is the deterministic length under merge).
+    * Should a corpus with enormous per-doc gram counts make 52-bit
+    * within-(doc, n) collisions a live concern, the safe widening is
+    * 15 hex chars / 60 bits (`substr(md5, 18, 15)`) — 16 chars would
+    * overflow signed BIGINT on both engines.
     */
   def ngramRepetition(df: DataFrame, idCol: String, textCol: String,
       topNs: Seq[Int] = Seq(2, 3, 4), dupNs: Seq[Int] = Seq(5, 10))

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak for the exact-substring dedup chain (r11 verdict #6 /
+  * r12 verdict #2): run [[SuffixDedup.spanPairs]] + connected
+  * components against a given tier with a cap LOW enough that the
+  * replica corpus's shared grams actually exceed it, and report —
+  * from a census pass using the SAME [[graft.expressions.GramHashes]]
+  * kernel as the mandatory pre-cap — how many hash buckets fell in
+  * each band: singleton (dropped), (2, cap] (kept), (cap, 2×cap]
+  * (kept to the exact per-gram filter), > 2×cap (dropped BEFORE the
+  * `collect_set`, the executor-OOM path the pre-cap exists to close).
+  *
+  * Usage: `runMain graft.operators.SuffixSoak <sfDir> [cap] [minLen]`
+  * Prints one JSON line:
+  * `{"dir":…,"cap":…,"buckets":…,"singleton":…,"kept_2_to_cap":…,
+  *   "kept_cap_to_2cap":…,"dropped_over_2cap":…,"over_cap":…,
+  *   "max_docs_per_gram":…,"pairs":N,"pairs_sec":…,
+  *   "components":N,"chain_sec":…}`
+  * so the soak table is generated from artifacts, never hand-counted.
+  */
+object SuffixSoak {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val cap = if (args.length > 1) args(1).toInt else 5
+    val minLen = if (args.length > 2) args(2).toInt else 25
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    def gramHashCol(text: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.GramHashes(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+          minLen))
+
+    // census: per-hash distinct-doc counts, banded at the cap — the
+    // exact quantity the pre-cap pass filters on
+    val census = docs.filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), explode(gramHashCol(col("text"))).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .agg(
+        count(lit(1)).as("buckets"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("singleton"),
+        sum(when(col("nd").between(2, cap), 1L).otherwise(0L))
+          .as("kept_2_to_cap"),
+        sum(when(col("nd") > cap && col("nd") <= 2L * cap, 1L)
+          .otherwise(0L)).as("kept_cap_to_2cap"),
+        sum(when(col("nd") > 2L * cap, 1L).otherwise(0L))
+          .as("dropped_over_2cap"),
+        sum(when(col("nd") > cap, 1L).otherwise(0L)).as("over_cap"),
+        max(col("nd")).as("max_docs_per_gram"))
+      .collect()(0)
+
+    val t0 = System.nanoTime()
+    val pairs = SuffixDedup.spanPairs(docs, "doc_id", "text",
+      minLen = minLen, maxDocsPerGram = cap)
+    val nPairs = pairs.count()
+    val pairsSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val comps = Dedup.connectedComponents(
+      SuffixDedup.spanPairs(docs, "doc_id", "text",
+        minLen = minLen, maxDocsPerGram = cap)
+        .select(col("id_a"), col("id_b")))
+    val nComps = comps.select(col("label")).distinct().count()
+    val chainSec = (System.nanoTime() - t1) / 1e9
+
+    println(s"""{"dir":"$dir","cap":$cap,"min_len":$minLen,""" +
+      s""""buckets":${census.getLong(0)},""" +
+      s""""singleton":${census.getLong(1)},""" +
+      s""""kept_2_to_cap":${census.getLong(2)},""" +
+      s""""kept_cap_to_2cap":${census.getLong(3)},""" +
+      s""""dropped_over_2cap":${census.getLong(4)},""" +
+      s""""over_cap":${census.getLong(5)},""" +
+      s""""max_docs_per_gram":${census.getLong(6)},""" +
+      s""""pairs":$nPairs,"pairs_sec":$pairsSec,""" +
+      s""""components":$nComps,"chain_sec":$chainSec}""")
+    spark.stop()
+  }
+}
