@@ -75,6 +75,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(args(1), "gram_hashes len"))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_gram_md5"),
+      new ExpressionInfo(classOf[graft.expressions.WordGramMd5].getName,
+        "word_gram_md5"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "word_gram_md5(text, n1 [, n2, ...])")
+        graft.expressions.WordGramMd5(args(0),
+          args.tail.map(foldableInt(_, "word_gram_md5 n")))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_gram_rep_stats"),
+      new ExpressionInfo(
+        classOf[graft.expressions.WordGramRepStats].getName,
+        "word_gram_rep_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          "word_gram_rep_stats(text, n1 [, n2, ...])")
+        graft.expressions.WordGramRepStats(args(0),
+          args.tail.map(foldableInt(_, "word_gram_rep_stats n")))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("multi_pattern_hits"),
       new ExpressionInfo(
         classOf[graft.expressions.MultiPatternHits].getName,

@@ -563,22 +563,26 @@ object CorpusOps {
     * applies the published drop thresholds (top2 > 0.20, top3 > 0.18,
     * top4 > 0.16, dup5 > 0.15, dup10 > 0.10 — scaled to ppm).
     *
-    * Scale shape: ONE explode pass emits every (n, gram) occurrence for
-    * all requested n's (grams assembled in-row via `slice` +
-    * `concat_ws`, no self-join), one map-side-combined shuffle to
-    * (doc, n, hash) counts, a per-(doc, n) fold, and a conditional-agg
-    * pivot back to one row per document. The count exchange is keyed
-    * on the PORTABLE 52-bit md5 gram hash carrying `length(gram)`
-    * beside it — the [[dupSpans]] recipe (r11 verdict #3): the raw
-    * gram text for n ∈ {2,3,4,5,10} is ~24× the word stream, and
-    * nothing downstream needs the string (both ppm stats are
-    * count×length), so shipping `(doc, n, h, len)` 28-byte rows cuts
-    * the exchange bytes by roughly the mean gram length. The top-gram
-    * argmax tiebreaks on the hash — (count desc, h asc) — which DuckDB
-    * replays bit-exactly (`('0x' || substr(md5(gram), 20, 13))::BIGINT`),
-    * so the oracle stays hash-exact; a 52-bit collision WITHIN one
-    * (doc, n) group would merge two gram counts identically on both
-    * engines (`max(len)` is the deterministic length under merge).
+    * Scale shape (r13): scan → project → project — no join/agg
+    * exchange at any corpus size (PlanAudit: 5 exchanges → 1, the
+    * survivor being the gate face's total-ORDER-BY sort). The aggregation key is (doc, n, gram-hash) —
+    * it never crosses documents — so the whole per-(doc, n) fold runs
+    * DOC-LOCALLY inside the native
+    * [[graft.expressions.WordGramRepStats]] kernel: one byte pass per
+    * document computes every n's (topchars, dupchars) without ever
+    * assembling a gram string (word n-grams of a space-joined split
+    * are byte SLICES of the original text). This supersedes both
+    * earlier shapes — the r11 string-keyed and the r12 hash-keyed
+    * (`(doc, n, h, len)` 28-byte rows, ~24× byte cut) explode +
+    * shuffle — because at 100 TB even the slimmed exchange shipped
+    * the corpus's entire gram stream, and at local[32] the ~100M
+    * per-occurrence rows dominated CPU+GC (sf1 d90, same host band:
+    * 58 s → 11.8 s). The top-gram argmax tiebreaks on the hash — (count desc,
+    * h asc) — which DuckDB replays bit-exactly
+    * (`('0x' || substr(md5(gram), 20, 13))::BIGINT`), so the oracle
+    * stays hash-exact; a 52-bit collision WITHIN one (doc, n) group
+    * merges two gram counts identically on both engines (`max(len)`
+    * is the deterministic length under merge).
     * Should a corpus with enormous per-doc gram counts make 52-bit
     * within-(doc, n) collisions a live concern, the safe widening is
     * 15 hex chars / 60 bits (`substr(md5, 18, 15)`) — 16 chars would
@@ -590,48 +594,36 @@ object CorpusOps {
     require(topNs.nonEmpty || dupNs.nonEmpty, "need at least one n")
     require((topNs ++ dupNs).forall(_ >= 2), "n-gram sizes must be >= 2")
     val ns = (topNs ++ dupNs).distinct.sorted
-    val words = split(col(textCol), " ")
-    val base = df.select(col(idCol).as("__doc"),
-      length(col(textCol)).cast(LongType).as("n_chars"), words.as("__w"))
-    // all n's from one projection: per n, grams at starts 1..len-n+1
-    // (sequence(1, 0) DESCENDS in Spark — empty-guard short docs)
-    val gramArrays = ns.map { n =>
-      transform(
-        when(size(col("__w")) >= n, sequence(lit(1), size(col("__w")) - (n - 1)))
-          .otherwise(array().cast("array<int>")),
-        i => struct(lit(n).as("n"),
-          concat_ws(" ", slice(col("__w"), i, lit(n))).as("gram")))
-    }
-    // hash + length BEFORE the exchange: the string never shuffles
-    val occ = base.select(col("__doc"),
-      explode(flatten(array(gramArrays: _*))).as("__g"))
-      .select(col("__doc"), col("__g.n").as("n"),
-        conv(substring(md5(to_binary(col("__g.gram"), lit("utf-8"))), 20, 13),
-          16, 10).cast(LongType).as("h"),
-        length(col("__g.gram")).cast(LongType).as("glen"))
-    val counts = occ.groupBy(col("__doc"), col("n"), col("h"))
-      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
-    val perN = counts.groupBy(col("__doc"), col("n"))
-      .agg(
-        // argmax by (c desc, h asc) via min(struct(-c, h)); glen rides
-        // along (h is unique per group row, so it never orders)
-        min(struct((-col("c")).as("negc"), col("h"), col("glen")))
-          .as("__top"),
-        sum(when(col("c") >= 2, col("c") * col("glen"))
-          .otherwise(lit(0L))).as("__dupchars"))
-      .select(col("__doc"), col("n"),
-        ((-col("__top.negc")) * col("__top.glen")).as("__topchars"),
-        col("__dupchars"))
-    val pivoted = base.select(col("__doc"), col("n_chars"))
-      .join(perN, Seq("__doc"), "left")
+    // Since r13 the whole aggregation is DOC-LOCAL: the native
+    // [[graft.expressions.WordGramRepStats]] kernel computes, per
+    // document and per n, the (topchars, dupchars) sufficient
+    // statistics in one byte pass (word n-grams of a space-joined
+    // split are byte slices of the original text — no gram string is
+    // ever assembled) over the same portable md5-52 gram-hash groups
+    // the DuckDB oracle replays. The aggregation key was (doc, n, h)
+    // — it never crosses documents — so the previous full-corpus
+    // explode → hash-agg exchange (~100M occurrence rows at sf1, the
+    // corpus's entire gram stream at 100 TB) bought nothing: this
+    // operator is now scan → project → project, no join/agg exchange
+    // at any scale (the gate face's ORDER BY keeps one sort exchange). Bitwise equality against the relational
+    // groupBy(doc,n,h) chain is spec-pinned (WordGramRepStatsSpec);
+    // the oracle SQL is unchanged.
+    val stats = df.select(col(idCol).as("__doc"),
+      length(col(textCol)).cast(LongType).as("n_chars"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.WordGramRepStats(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col(textCol)), ns)).as("__st"))
+    // per-n columns straight off the (ns-ordered) struct array; NULL
+    // text → NULL array → coalesce 0, like the old left join
     val topCols = topNs.map(n =>
-      coalesce(max(when(col("n") === n, col("__topchars"))), lit(0L))
+      coalesce(col("__st")(ns.indexOf(n))("topchars"), lit(0L))
         .as(s"__tc$n"))
     val dupCols = dupNs.map(n =>
-      coalesce(max(when(col("n") === n, col("__dupchars"))), lit(0L))
+      coalesce(col("__st")(ns.indexOf(n))("dupchars"), lit(0L))
         .as(s"__dc$n"))
-    val agged = pivoted.groupBy(col("__doc"), col("n_chars"))
-      .agg((topCols ++ dupCols).head, (topCols ++ dupCols).tail: _*)
+    val agged = stats.select(
+      (col("__doc") +: col("n_chars") +: (topCols ++ dupCols)): _*)
     // chars·10⁶ widened to DECIMAL(38,0) before the integral div (the
     // q_abc_analysis cum_ppm pattern) — a gigabyte-scale document's
     // c·len·10⁶ would wrap a BIGINT

@@ -38,6 +38,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val gh = spark.sql("SELECT gram_hashes('abcd', 3) AS g")
         .head().getSeq[Long](0)
       assert(gh.length == 2) // 'abc', 'bcd'
+      val wg = spark.sql(
+        "SELECT word_gram_md5('one two three four', 2, 3) AS g")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(wg.map(_.getInt(0)) == Seq(2, 2, 2, 3, 3)) // 3 bigrams + 2 trigrams
+      assert(wg.forall(r => r.getLong(1) >= 0L && r.getLong(1) < (1L << 52)))
+      assert(wg.head.getLong(2) == 7L) // length("one two")
+      val ws = spark.sql(
+        "SELECT word_gram_rep_stats('a b a b a b', 2) AS s")
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      // 5 bigrams: "a b"×3 (topchars 3·3=9), "b a"×2; dup = 9 + 2·3
+      assert(ws.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) ==
+        Seq((2, 9L, 15L)))
       val mph = spark.sql(
         "SELECT multi_pattern_hits('ab bab ba', 'ab', 'ba') AS h")
         .head().getSeq[org.apache.spark.sql.Row](0)
