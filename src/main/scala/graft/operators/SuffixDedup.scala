@@ -235,23 +235,33 @@ object SuffixDedup {
     * deduped `(h, doc)` → per-hash distinct-doc counts) drops every
     * singleton gram AND every bucket past the cap, so the cap is
     * enforced BEFORE any agg buffer fills: the `collect_set` buffer is
-    * bounded by `2 × maxDocsPerGram` DISTINCT DOCS per hash — i.e.
-    * ≤ (#colliding grams in the bucket) × 2×cap structs; single-gram
+    * bounded by `maxDocsPerGram` DISTINCT DOCS per hash — i.e.
+    * ≤ (#colliding grams in the bucket) × cap structs; single-gram
     * buckets (the non-collision case, effectively all of them under
-    * xxhash64) are ≤ 2×cap structs — never by the most-shared gram's
+    * xxhash64) are ≤ cap structs — never by the most-shared gram's
     * true doc count. (Through r11 the cap filtered AFTER the
     * collect — a boilerplate gram present in 10M docs would have built
     * a 10M-struct buffer in one aggregation task; the pre-cap closes
     * that executor-OOM path, which is why the formerly optional
     * `prefilter` flag is gone: the count pass is now load-bearing for
     * memory safety, not just a pruning optimization.) The pre-cap
-    * keeps hash buckets with distinct-doc count ≤ 2×cap — a hash's
-    * distinct-doc count equals its single gram's barring 64-bit
-    * collisions, and a colliding pair of under-cap grams stays ≤ 2×cap
-    * — so the downstream exact `size(ds) <= maxDocsPerGram` filter
-    * still decides per-GRAM, and output is unchanged vs the post-cap
-    * era. Only the duplicated under-cap sliver's strings ever cross
-    * the wire; the bucket `groupBy(h)` reuses the join's clustering.
+    * keeps hash buckets with distinct-doc count ≤ cap EXACTLY — a
+    * hash's distinct-doc count equals its single gram's barring 64-bit
+    * collisions, so the bound is the per-gram cap itself. Collision
+    * trade (accepted r12 at >2×cap, extended r13 to >cap): a 64-bit
+    * collision whose MERGED distinct-doc count exceeds the cap drops
+    * BOTH grams' postings even when one is legitimately under-cap —
+    * probability ~2⁻⁶⁴ per gram pair, loud via the observation. The
+    * r12 shape kept (cap, 2×cap] as collision headroom; the r13 sf1
+    * soak measured that headroom shuffling + collecting 1.08M doomed
+    * buckets (10× the useful posting volume at replica densities just
+    * past the cap), ALL discarded by the downstream exact per-gram
+    * filter — a bad buy against a ~2⁻⁶⁴ event, so the headroom is
+    * gone and the buffer bound halves. The downstream
+    * `size(ds) <= maxDocsPerGram` filter still decides per-GRAM for
+    * every bucket that arrives. Only the duplicated under-cap
+    * sliver's strings ever cross the wire; the bucket `groupBy(h)`
+    * reuses the join's clustering.
     *
     * Edge generation is STAR by default (`starEdges = true`): each doc
     * in a gram's list pairs with the list's MIN doc_id only — O(size)
@@ -295,18 +305,17 @@ object SuffixDedup {
 
   /** [[spanPairs]]' string-carrying postings AFTER the mandatory
     * pre-cap: `(h, gram, doc_id)` rows whose hash bucket has a
-    * distinct-doc count in `[2, 2 × maxDocsPerGram]`. Exposed at
+    * distinct-doc count in `[2, maxDocsPerGram]`. Exposed at
     * package level so the mega-gram spec can assert the over-cap
     * bucket never REACHES the `collect_set` buffer (not merely that it
     * is absent from the output). The distinct-doc count pass is
     * hash-only (no gram string allocated or shuffled): map-side
     * `(h, doc)` dedup, then an 8-byte-row count exchange — two small
-    * exchanges buying a hard `2 × cap` bound on every downstream agg
+    * exchanges buying a hard `cap` bound on every downstream agg
     * buffer. Over-cap buckets are surfaced via [[Dedup.observeCaps]]
-    * at the exact `maxDocsPerGram` threshold (every excluded gram's
-    * hash trips it; buckets in `(cap, 2×cap]` that survive to the
-    * per-gram filter are collision shrapnel, vanishingly rare under
-    * xxhash64).
+    * at the exact `maxDocsPerGram` threshold — every dropped bucket
+    * trips the observation, including the ~2⁻⁶⁴-probability collision
+    * merge documented on [[spanPairs]].
     */
   private[operators] def cappedPostings(docs: DataFrame, idCol: String,
       textCol: String, minLen: Int, maxDocsPerGram: Int): DataFrame = {
@@ -318,7 +327,7 @@ object SuffixDedup {
     val keep = Dedup.observeCaps(bucketCounts, "__nd", maxDocsPerGram,
         "spanPairs")
       .filter(col("__nd") >= 2L &&
-        col("__nd") <= 2L * maxDocsPerGram)
+        col("__nd") <= maxDocsPerGram)
       .select(col("h"))
     g.join(keep, Seq("h"))
   }

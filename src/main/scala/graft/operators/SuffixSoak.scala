@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * replica corpus's shared grams actually exceed it, and report —
   * from a census pass using the SAME [[graft.expressions.GramHashes]]
   * kernel as the mandatory pre-cap — how many hash buckets fell in
-  * each band: singleton (dropped), (2, cap] (kept), (cap, 2×cap]
-  * (kept to the exact per-gram filter), > 2×cap (dropped BEFORE the
-  * `collect_set`, the executor-OOM path the pre-cap exists to close).
+  * each band: singleton (dropped), [2, cap] (kept), (cap, 2×cap] and
+  * > 2×cap (both dropped BEFORE the `collect_set` since the r13 exact
+  * pre-cap closed the executor-OOM path without the r12 headroom; the
+  * band split stays so the headroom volume remains visible).
   *
   * Usage: `runMain graft.operators.SuffixSoak <sfDir> [cap] [minLen]`
   * Prints one JSON line:
   * `{"dir":…,"cap":…,"buckets":…,"singleton":…,"kept_2_to_cap":…,
-  *   "kept_cap_to_2cap":…,"dropped_over_2cap":…,"over_cap":…,
+  *   "dropped_cap_to_2cap":…,"dropped_over_2cap":…,"over_cap":…,
   *   "max_docs_per_gram":…,"pairs":N,"pairs_sec":…,
   *   "components":N,"chain_sec":…}`
   * so the soak table is generated from artifacts, never hand-counted.
@@ -55,7 +56,7 @@ object SuffixSoak {
         sum(when(col("nd").between(2, cap), 1L).otherwise(0L))
           .as("kept_2_to_cap"),
         sum(when(col("nd") > cap && col("nd") <= 2L * cap, 1L)
-          .otherwise(0L)).as("kept_cap_to_2cap"),
+          .otherwise(0L)).as("dropped_cap_to_2cap"),
         sum(when(col("nd") > 2L * cap, 1L).otherwise(0L))
           .as("dropped_over_2cap"),
         sum(when(col("nd") > cap, 1L).otherwise(0L)).as("over_cap"),
@@ -80,7 +81,7 @@ object SuffixSoak {
       s""""buckets":${census.getLong(0)},""" +
       s""""singleton":${census.getLong(1)},""" +
       s""""kept_2_to_cap":${census.getLong(2)},""" +
-      s""""kept_cap_to_2cap":${census.getLong(3)},""" +
+      s""""dropped_cap_to_2cap":${census.getLong(3)},""" +
       s""""dropped_over_2cap":${census.getLong(4)},""" +
       s""""over_cap":${census.getLong(5)},""" +
       s""""max_docs_per_gram":${census.getLong(6)},""" +

@@ -230,6 +230,30 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(pairs == Set((11L, 12L, 7L)))
   }
 
+  test("spanPairs pre-cap is EXACT at the cap: a (cap, 2*cap] gram's " +
+      "bucket is dropped before the collect buffer too (r13: the r12 " +
+      "collision headroom shuffled 10x doomed postings at sf1)") {
+    // one gram in 3 docs with cap=2: inside the old (cap, 2*cap]
+    // retention band, outside the new exact bound — must vanish from
+    // the postings, not merely from the per-gram-filtered output
+    val TRIPLE = "TRIPLE-GRAM"
+    val X = "SHARED-PHRASE-X!"
+    val docs = ((1L to 3L).map(i => (i, s"pad${i}pad${i}q" + TRIPLE)) ++ Seq(
+      (11L, "abcdefghij" + X + "klmnopqrst"),
+      (12L, "uvwxyz0123" + X + "4567abcdef")))
+      .toDF("doc_id", "text")
+    val postings = SuffixDedup.cappedPostings(
+      docs, "doc_id", "text", minLen = 11, maxDocsPerGram = 2)
+    assert(postings.filter($"gram" === TRIPLE).count() == 0,
+      "a bucket past the exact cap must not reach the aggregation")
+    // output unchanged vs the headroom era: the triple gram was always
+    // excluded by the per-gram filter; the under-cap pair still emits
+    val pairs = SuffixDedup.spanPairs(docs, "doc_id", "text",
+        minLen = 11, maxDocsPerGram = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((11L, 12L, 6L)))
+  }
+
   test("spanPairs: star edges resolve IDENTICAL components to all-pairs " +
       "on the gate fixture") {
     val docs = spark.read
