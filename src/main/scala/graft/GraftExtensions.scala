@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           args.tail.map(foldableInt(_, "word_gram_rep_stats n")))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_rep_stats"),
+      new ExpressionInfo(classOf[graft.expressions.WordRepStats].getName,
+        "word_rep_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "word_rep_stats(text)")
+        graft.expressions.WordRepStats(args(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("multi_pattern_hits"),
       new ExpressionInfo(
         classOf[graft.expressions.MultiPatternHits].getName,

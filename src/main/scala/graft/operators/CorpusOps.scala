@@ -432,39 +432,40 @@ object CorpusOps {
     * duplicate-word fraction (`1 - distinct/total`) and top-bigram
     * fraction (occurrences of the most frequent word 2-gram over all
     * 2-grams), plus the repetition gate (`top_bigram_frac <= maxTopBigram`,
-    * the published heuristic for machine-generated boilerplate). The
-    * word-level stats are per-row codegen'd expressions; the bigram mode
-    * is one explode + two aggregations keyed by doc — map-side partial,
-    * one shuffle on the doc id.
+    * the published heuristic for machine-generated boilerplate).
+    *
+    * Scale shape (r13): scan → project — no join/agg exchange at any
+    * corpus size. The grouping keys (doc, word) / (doc, bigram) never
+    * cross documents, so the native
+    * [[graft.expressions.WordRepStats]] kernel computes all four
+    * sufficient statistics doc-locally with EXACT byte grouping
+    * (this operator's oracle groups by the bigram STRING, so unlike
+    * [[ngramRepetition]]'s oracle-replayed md5-52 no hash semantics
+    * may leak into results — the kernel's 32-bit hash only
+    * pre-buckets a primitive sort and equal-hash runs resolve by
+    * byte comparison). Replaces the bigram explode →
+    * `groupBy(doc, bigram-string)` → `groupBy(doc)` → join chain
+    * that shuffled the corpus's bigram text; spec pins equality
+    * (WordRepStatsSpec), oracle SQL unchanged.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       maxTopBigram: Double = 0.18): DataFrame = {
-    val words = split(col(textCol), " ")
-    val base = df.select(col(idCol).as("__doc"),
-      size(words).cast(LongType).as("n_words"),
-      size(array_distinct(words)).cast(LongType).as("n_distinct_words"),
-      words.as("__w"))
-    // guard: sequence(1, 0) DESCENDS in Spark, so single-word docs need
-    // an explicit empty list (same trap as TextFunctions.charShingles)
-    val idxs = when(size(col("__w")) >= 2,
-      sequence(lit(1), size(col("__w")) - 1))
-      .otherwise(array().cast("array<int>"))
-    val bigrams = base.select(col("__doc"),
-      explode(transform(idxs,
-        i => concat_ws(" ", element_at(col("__w"), i),
-          element_at(col("__w"), i + 1)))).as("bg"))
-    val perDoc = bigrams.groupBy(col("__doc"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("__doc"))
-      .agg(max(col("c")).as("__top"), sum(col("c")).as("__tot"))
-    base.drop("__w")
-      .join(perDoc, Seq("__doc"), "left")
+    val st = df.select(col(idCol).as("__doc"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.WordRepStats(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col(textCol)))).as("__r"))
+    st.select(col("__doc"), col("__r.n_words").as("n_words"),
+        col("__r.n_distinct_words").as("n_distinct_words"),
+        col("__r.top_bigram").as("__top"),
+        col("__r.n_bigrams").as("__tot"))
       .withColumn("dup_word_frac",
         lit(1.0) - col("n_distinct_words").cast("double") /
           col("n_words").cast("double"))
       .withColumn("top_bigram_frac",
-        coalesce(col("__top").cast("double") / col("__tot").cast("double"),
-          lit(0.0)))
+        when(col("__tot") > 0L,
+          col("__top").cast("double") / col("__tot").cast("double"))
+          .otherwise(lit(0.0)))
       .withColumn("gate_repetition", col("top_bigram_frac") <= maxTopBigram)
       .select(col("__doc").as(idCol), col("n_words"),
         col("n_distinct_words"), col("dup_word_frac"),

@@ -50,6 +50,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       // 5 bigrams: "a b"×3 (topchars 3·3=9), "b a"×2; dup = 9 + 2·3
       assert(ws.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))) ==
         Seq((2, 9L, 15L)))
+      val wr = spark.sql(
+        "SELECT word_rep_stats('a b a b a') AS r").head().getStruct(0)
+      // 5 words / 2 distinct; bigrams "a b"x2, "b a"x2 -> top 2 of 4
+      assert(wr.toSeq == Seq(5L, 2L, 2L, 4L))
       val mph = spark.sql(
         "SELECT multi_pattern_hits('ab bab ba', 'ab', 'ba') AS h")
         .head().getSeq[org.apache.spark.sql.Row](0)
