@@ -103,6 +103,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.WordRepStats(args(0))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("line_rep_stats"),
+      new ExpressionInfo(classOf[graft.expressions.LineRepStats].getName,
+        "line_rep_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "line_rep_stats(text)")
+        graft.expressions.LineRepStats(args(0))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("multi_pattern_hits"),
       new ExpressionInfo(
         classOf[graft.expressions.MultiPatternHits].getName,

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -67,67 +67,34 @@ case class WordRepStats(child: Expression)
     }
     starts(numWords) = nBytes + 1
 
-    // group spans [starts(i), starts(i+span)-1) by exact bytes:
-    // primitive sort on (xxhash32 << 32 | i), exact compare within
-    // equal-hash runs; returns (distinct groups, max group size)
-    def spanGroupStats(count: Int, span: Int): (Long, Long) = {
-      if (count <= 0) return (0L, 0L)
-      val keys = new Array[Long](count)
+    // spans [starts(i), starts(i+span)-1), grouped by exact bytes via
+    // the shared SpanGroups primitive
+    def spanArrays(count: Int, span: Int): (Array[Int], Array[Int]) = {
+      val from = new Array[Int](math.max(count, 0))
+      val until = new Array[Int](math.max(count, 0))
       var i = 0
       while (i < count) {
-        val from = starts(i)
-        val until = starts(i + span) - 1
-        val h32 = XXH64.hashUnsafeBytes(bytes,
-          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
-          until - from, 42L) >>> 32
-        keys(i) = (h32 << 32) | i.toLong
+        from(i) = starts(i)
+        until(i) = starts(i + span) - 1
         i += 1
       }
-      java.util.Arrays.sort(keys)
-      var distinct = 0L
-      var maxRun = 0L
-      // per equal-hash run: tiny exact grouping by representative scan
-      val repIdx = new java.util.ArrayList[Int]()
-      val repCnt = new java.util.ArrayList[Long]()
-      var r = 0
-      while (r < count) {
-        val h = keys(r) >>> 32
-        var e = r
-        repIdx.clear(); repCnt.clear()
-        while (e < count && (keys(e) >>> 32) == h) {
-          val idx = (keys(e) & 0xFFFFFFFFL).toInt
-          val f = starts(idx)
-          val u = starts(idx + span) - 1
-          var g = 0
-          var matched = false
-          while (g < repIdx.size && !matched) {
-            val ri = repIdx.get(g)
-            val rf = starts(ri)
-            val ru = starts(ri + span) - 1
-            if (ru - rf == u - f &&
-                java.util.Arrays.equals(bytes, f, u, bytes, rf, ru)) {
-              repCnt.set(g, repCnt.get(g) + 1L)
-              matched = true
-            }
-            g += 1
-          }
-          if (!matched) { repIdx.add(idx); repCnt.add(1L) }
-          e += 1
-        }
-        distinct += repIdx.size
-        var g = 0
-        while (g < repCnt.size) {
-          if (repCnt.get(g) > maxRun) maxRun = repCnt.get(g)
-          g += 1
-        }
-        r = e
-      }
-      (distinct, maxRun)
+      (from, until)
     }
-
-    val (nDistinctWords, _) = spanGroupStats(numWords, 1)
+    var nDistinctWords = 0L
+    locally {
+      val (f, u) = spanArrays(numWords, 1)
+      SpanGroups.foreachGroup(bytes, f, u, numWords) { (_, _) =>
+        nDistinctWords += 1
+      }
+    }
     val nBigrams = math.max(numWords - 1, 0)
-    val (_, topBigram) = spanGroupStats(nBigrams, 2)
+    var topBigram = 0L
+    locally {
+      val (f, u) = spanArrays(nBigrams, 2)
+      SpanGroups.foreachGroup(bytes, f, u, nBigrams) { (_, c) =>
+        if (c > topBigram) topBigram = c
+      }
+    }
     new GenericInternalRow(Array[Any](
       numWords.toLong, nDistinctWords, topBigram, nBigrams.toLong))
   }

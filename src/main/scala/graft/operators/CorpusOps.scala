@@ -487,47 +487,33 @@ object CorpusOps {
     * Empty units (consecutive separators) count like any other unit —
     * identical convention on both engines.
     *
-    * Scale shape: one projection explodes both unit kinds (struct
-    * arrays concatenated in-row), one map-side-combined shuffle to
-    * (doc, unit, value) counts, per-(doc, unit) fold, conditional-agg
-    * pivot — the [[ngramRepetition]] chain over coarser units.
+    * Scale shape (r13): scan → project — no join/agg exchange at any
+    * corpus size. The grouping key (doc, unit, value) never crosses
+    * documents, so the native [[graft.expressions.LineRepStats]]
+    * kernel computes both unit kinds' sufficient statistics
+    * doc-locally with string-EXACT byte grouping (this oracle groups
+    * by the unit STRING — same rule as [[repetitionStats]], no hash
+    * semantics may leak into results). Replaces the unit explode →
+    * `groupBy(doc, u, value)` → `groupBy(doc, u)` → pivot chain that
+    * shuffled the corpus's line/paragraph text; spec pins equality
+    * (LineRepStatsSpec), oracle SQL unchanged.
     */
   def lineRepetition(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val units = Seq("line" -> "\n", "para" -> "\n\n")
-    val arrays = units.map { case (u, sep) =>
-      transform(split(col(textCol), sep),
-        v => struct(lit(u).as("u"), v.as("v")))
-    }
-    val occ = df.select(col(idCol).as("__doc"),
-      explode(flatten(array(arrays: _*))).as("__x"))
-      .select(col("__doc"), col("__x.u").as("u"), col("__x.v").as("v"))
-    val counts = occ.groupBy(col("__doc"), col("u"), col("v"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("len", length(col("v")).cast(LongType))
-    val perU = counts.groupBy(col("__doc"), col("u"))
-      .agg(sum(col("c")).as("n_units"),
-        count(lit(1)).as("n_distinct"),
-        sum((col("c") - 1) * col("len")).as("dup_chars"),
-        sum(col("c") * col("len")).as("tot_chars"))
-    val pivoted = perU.groupBy(col("__doc"))
-      .agg(
-        coalesce(max(when(col("u") === "line", col("n_units"))), lit(0L))
-          .as("n_lines"),
-        coalesce(max(when(col("u") === "line",
-          col("n_units") - col("n_distinct"))), lit(0L)).as("__dl"),
-        coalesce(max(when(col("u") === "line", col("dup_chars"))), lit(0L))
-          .as("__dlc"),
-        coalesce(max(when(col("u") === "line", col("tot_chars"))), lit(0L))
-          .as("__ltc"),
-        coalesce(max(when(col("u") === "para", col("n_units"))), lit(0L))
-          .as("n_paras"),
-        coalesce(max(when(col("u") === "para",
-          col("n_units") - col("n_distinct"))), lit(0L)).as("__dp"),
-        coalesce(max(when(col("u") === "para", col("dup_chars"))), lit(0L))
-          .as("__dpc"),
-        coalesce(max(when(col("u") === "para", col("tot_chars"))), lit(0L))
-          .as("__ptc"))
+    val pivoted = df.select(col(idCol).as("__doc"),
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.expressions.LineRepStats(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col(textCol)))).as("__r"))
+      .select(col("__doc"),
+        col("__r.n_lines").as("n_lines"),
+        (col("__r.n_lines") - col("__r.dist_lines")).as("__dl"),
+        col("__r.dup_line_chars").as("__dlc"),
+        col("__r.tot_line_chars").as("__ltc"),
+        col("__r.n_paras").as("n_paras"),
+        (col("__r.n_paras") - col("__r.dist_paras")).as("__dp"),
+        col("__r.dup_para_chars").as("__dpc"),
+        col("__r.tot_para_chars").as("__ptc"))
       .withColumn("dup_line_ppm",
         expr("__dl * 1000000 div greatest(n_lines, 1L)"))
       .withColumn("dup_line_char_ppm", expr(

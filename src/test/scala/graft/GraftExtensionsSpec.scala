@@ -54,6 +54,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT word_rep_stats('a b a b a') AS r").head().getStruct(0)
       // 5 words / 2 distinct; bigrams "a b"x2, "b a"x2 -> top 2 of 4
       assert(wr.toSeq == Seq(5L, 2L, 2L, 4L))
+      val lr = spark.sql(
+        "SELECT line_rep_stats('x\ny\nx') AS r").head().getStruct(0)
+      // 3 lines / 2 distinct, dup chars 1 ("x" repeat), tot 3; 1 para
+      assert(lr.toSeq == Seq(3L, 2L, 1L, 3L, 1L, 1L, 0L, 5L))
       val mph = spark.sql(
         "SELECT multi_pattern_hits('ab bab ba', 'ab', 'ba') AS h")
         .head().getSeq[org.apache.spark.sql.Row](0)
