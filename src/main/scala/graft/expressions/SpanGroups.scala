@@ -18,13 +18,22 @@ private[expressions] object SpanGroups {
   def foreachGroup(bytes: Array[Byte], from: Array[Int],
       until: Array[Int], n: Int)(f: (Int, Long) => Unit): Unit = {
     if (n <= 0) return
+    // full 64-bit hash kept in a parallel array: runs are bucketed by
+    // the top 32 bits (packed with the index for one primitive sort),
+    // but group resolution compares h64 BEFORE bytes — so the linear
+    // scan over representatives inside a 32-bit-collision run is O(k)
+    // long-compares, quadratic byte-compares only on true 64-bit
+    // collisions (an adversarial line-rich doc can force 32-bit runs,
+    // not 64-bit ones)
+    val h64 = new Array[Long](n)
     val keys = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val h32 = XXH64.hashUnsafeBytes(bytes,
+      val h = XXH64.hashUnsafeBytes(bytes,
         org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from(i),
-        until(i) - from(i), 42L) >>> 32
-      keys(i) = (h32 << 32) | i.toLong
+        until(i) - from(i), 42L)
+      h64(i) = h
+      keys(i) = ((h >>> 32) << 32) | i.toLong
       i += 1
     }
     java.util.Arrays.sort(keys)
@@ -41,7 +50,8 @@ private[expressions] object SpanGroups {
         var matched = false
         while (g < repIdx.size && !matched) {
           val ri = repIdx.get(g)
-          if (until(ri) - from(ri) == until(idx) - from(idx) &&
+          if (h64(ri) == h64(idx) &&
+              until(ri) - from(ri) == until(idx) - from(idx) &&
               java.util.Arrays.equals(bytes, from(idx), until(idx),
                 bytes, from(ri), until(ri))) {
             repCnt.set(g, repCnt.get(g) + 1L)

@@ -85,9 +85,15 @@ case class WordGramMd5(child: Expression, ns: Seq[Int])
       b += 1
     }
     starts(numWords) = nBytes + 1 // uniform end formula below
-    var total = 0
-    ns.foreach { n => if (numWords >= n) total += numWords - n + 1 }
-    val out = new Array[Any](total)
+    // Long accumulate + loud bound: |ns| × ~2^31 grams would wrap an
+    // Int counter and under-allocate `out` (silent corruption); the
+    // doc-wise contract is pre-chunking pathological docs
+    var totalL = 0L
+    ns.foreach { n => if (numWords >= n) totalL += numWords.toLong - n + 1 }
+    require(totalL < Int.MaxValue - 8,
+      s"document yields $totalL grams across n=$ns; pre-chunk it via " +
+        "CorpusOps.chunkDocuments before doc-local gram hashing")
+    val out = new Array[Any](totalL.toInt)
     val digest = WordGramMd5.localMd5.get()
     var o = 0
     ns.foreach { n =>

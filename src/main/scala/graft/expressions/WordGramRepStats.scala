@@ -73,6 +73,13 @@ case class WordGramRepStats(child: Expression, ns: Seq[Int])
       b += 1
     }
     val numWords = delims + 1
+    // fail LOUD on pathological docs rather than wrapping the map-size
+    // arithmetic below (Int overflow at ~2^29 words would leave an
+    // 8-slot full table whose insert probe spins forever — a silent
+    // task hang); the doc-wise contract is pre-chunking oversized docs
+    require(numWords < (1 << 29),
+      s"document has $numWords words (>= 2^29); pre-chunk it via " +
+        "CorpusOps.chunkDocuments before doc-local repetition stats")
     val starts = new Array[Int](numWords + 1)
     var w = 1
     b = 0
@@ -93,7 +100,9 @@ case class WordGramRepStats(child: Expression, ns: Seq[Int])
         // open-addressing long→(c:32|glen:32) map; glen stores the MAX
         // code-point length under h-collision (mirrors max(glen))
         var cap = 8
-        while (cap < grams * 2) cap <<= 1
+        // Long-math sizing: belt-and-braces under the require above
+        // (grams * 2 can never wrap Int once numWords < 2^29)
+        while (cap.toLong < grams.toLong * 2) cap <<= 1
         val keys = new Array[Long](cap)   // h + 1 (0 = empty slot)
         val vals = new Array[Long](cap)
         val mask = cap - 1
