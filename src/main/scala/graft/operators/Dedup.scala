@@ -55,6 +55,61 @@ object Dedup {
     out
   }
 
+  /** [[observeCaps]] with the over-cap drops SPLIT into their two
+    * classes (r13 verdict #1): `szCol` > cap with `gramsCol` == 1 is an
+    * INTENTIONAL exclusion (one gram, genuinely shared past the cap);
+    * `gramsCol` >= 2 is COLLISION SHRAPNEL — ≥ 2 distinct grams merged
+    * into one hash bucket (each possibly under-cap on its own) whose
+    * postings are all dropped, the accepted ~2⁻⁶⁴ trade. The two
+    * counters make that trade OBSERVABLE per run instead of folded
+    * into one number: shrapnel > 0 is the signal to re-examine the
+    * hash width, intentional > 0 is the signal to size the cap.
+    * Classification columns are [[capDropClasses]], spec-covered on
+    * synthetic counts (a true 64-bit collision is not constructible).
+    */
+  private[operators] def observeCapsSplit(indexed: DataFrame, szCol: String,
+      gramsCol: String, maxBucketSize: Int, opName: String): DataFrame = {
+    val (intentionalCol, shrapnelCol) =
+      capDropClasses(col(szCol), col(gramsCol), maxBucketSize)
+    val obs = org.apache.spark.sql.Observation()
+    val out = indexed.observe(obs,
+      sum(intentionalCol).as("buckets_capped_intentional"),
+      sum(shrapnelCol).as("buckets_capped_collision"))
+    val t = new Thread(() => {
+      def cnt(k: String): Long = obs.get.get(k) match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      val intentional = cnt("buckets_capped_intentional")
+      val shrapnel = cnt("buckets_capped_collision")
+      if (intentional > 0)
+        log.warn(s"$opName: $intentional gram buckets exceeded " +
+          s"maxDocsPerGram=$maxBucketSize and were EXCLUDED from pairing " +
+          s"(intentional over-cap class); true shared-gram pairs inside " +
+          s"them are not emitted — size the cap deliberately.")
+      if (shrapnel > 0)
+        log.warn(s"$opName: $shrapnel dropped buckets held >= 2 DISTINCT " +
+          s"grams merged by a 64-bit hash collision (collision shrapnel): " +
+          s"member grams may be individually under-cap but ALL their " +
+          s"postings were dropped with the bucket.")
+    }, s"graft-$opName-cap-observer")
+    t.setDaemon(true)
+    t.start()
+    out
+  }
+
+  /** The two drop-class indicator columns behind [[observeCapsSplit]]
+    * (1L when the bucket is dropped in that class, else 0L) — pure
+    * expressions so the classification is unit-testable without
+    * manufacturing a real 64-bit collision.
+    */
+  private[operators] def capDropClasses(sz: org.apache.spark.sql.Column,
+      nGrams: org.apache.spark.sql.Column,
+      maxBucketSize: Int): (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column) = (
+    when(sz > maxBucketSize && nGrams <= 1L, 1L).otherwise(0L),
+    when(sz > maxBucketSize && nGrams >= 2L, 1L).otherwise(0L))
+
   /** Exact dedup groups: one row per distinct content, lowest id kept.
     * (`md5` over utf-8 bytes; switch to `xxhash64` for cheaper 100 TB runs
     * when a 64-bit fingerprint is acceptable.)
@@ -212,6 +267,15 @@ object Dedup {
     * [[FuzzyJoin.setSimilarityJoin]] (prefix-filtered) or
     * [[confirmedNearDupPairs]] (LSH-candidate-bounded) instead. Raise
     * `maxDocs` explicitly only for a deliberately larger eval slice.
+    *
+    * The gate COUNTS the input eagerly (`limit(maxDocs + 1).count()`),
+    * which evaluates the input lineage one extra time before the join
+    * does: for a NON-DETERMINISTIC input (`sample()`, a re-evaluated
+    * `rand()` filter) the counted slice can differ from the rows the
+    * quadratic join later processes, so the guard could pass while the
+    * joined data exceeds the cap. Callers passing non-deterministic
+    * inputs must pin them first (`df.localCheckpoint()` / persist) —
+    * the same contract every multi-action consumer of such inputs has.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.0,

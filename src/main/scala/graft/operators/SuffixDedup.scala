@@ -303,6 +303,145 @@ object SuffixDedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Standing TEMPLATE-FAMILY index of a corpus — the
+    * index-once/probe-increment treatment ([[graft.operators.Dedup
+    * .minhashIndex]] pattern) for the suffix-family chain, so a daily
+    * batch never re-runs [[spanPairs]] + connected components over the
+    * whole corpus (r13 verdict #1: `q_family_split` was the costliest
+    * registry line at every SF because families were recomputed
+    * corpus-wide per run).
+    *
+    * One row per `(gram, doc)` posting for grams whose corpus-wide
+    * DISTINCT-DOC count `n_docs` is within `[1, maxDocsPerGram]`, plus
+    * ONE `doc_id = null` marker row per OVER-CAP gram carrying its
+    * count: the probe needs the frozen cap decision (a gram over-cap
+    * in the corpus alone must stay excluded from batch pairing — with
+    * the marker absent, a batch would see count 0 and happily pair on
+    * universal boilerplate). Singleton grams (`n_docs = 1`) keep their
+    * posting: one more occurrence in a batch makes a real pair.
+    *
+    * 100 TB shape: write once `partitionBy(pmod(h, nBands))`; the
+    * probe join ([[incrementalFamilies]]) broadcasts the BATCH gram
+    * set against this index, so the corpus is never re-grammed and the
+    * index is never shuffled — scanned only. Build cost is one
+    * distinct + one count exchange over the corpus gram stream (the
+    * inherent materialize-once price; probes amortize it).
+    */
+  def familyIndex(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    val posts = grams(docs, idCol, textCol, minLen)
+      .select(col("h"), col("gram"), col("doc_id")).distinct()
+    val counts = posts.groupBy(col("h"), col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    posts
+      .join(counts.filter(col("n_docs") <= maxDocsPerGram),
+        Seq("h", "gram"))
+      .unionByName(counts.filter(col("n_docs") > maxDocsPerGram)
+        .select(col("h"), col("gram"),
+          lit(null).cast(LongType).as("doc_id"), col("n_docs")))
+      .select(col("h"), col("gram"), col("doc_id"), col("n_docs"))
+  }
+
+  /** Family labels of a NEW batch against a standing corpus: probes
+    * the [[familyIndex]] and the standing component `labels`
+    * (`(id, label)` from `Dedup.connectedComponents` over the corpus
+    * [[spanPairs]]) and returns `(doc_id, family)` for every BATCH
+    * document — `family` equals what a whole-corpus
+    * [[spanPairs]] + connected-components run over corpus + batch
+    * would assign to that batch doc, WITHOUT touching corpus text:
+    * the corpus is never re-grammed, never re-paired, and the
+    * component resolution runs on the CONTRACTED graph (batch docs +
+    * standing labels), whose size is batch-scale, not corpus-scale.
+    *
+    * Equality argument: a standing label is its corpus component's
+    * MINIMUM id, so replacing each corpus endpoint of a new edge by
+    * its label preserves both connectivity and the component minimum —
+    * the contracted CC's min over (batch ids ∪ touched labels) IS the
+    * merged graph's min. Two standing families bridged by one batch
+    * doc merge correctly (both labels land in one contracted
+    * component). Requires batch and corpus id spaces DISJOINT (the
+    * `incrementalMinhashPairs` contract).
+    *
+    * Cap semantics are FROZEN at index time for corpus-side topology
+    * (the standing labels keep every corpus-corpus edge the corpus-only
+    * run admitted), while NEW edges apply the cap to the COMBINED
+    * distinct-doc count `n_docs + batch docs`: a gram the batch pushes
+    * over the cap contributes no new edges but does not retroactively
+    * unlink standing families — the production semantics (a daily
+    * increment must not rewrite standing decisions; re-index to apply
+    * current counts corpus-wide). On any batch that crosses no cap
+    * boundary the result is EXACTLY the whole-corpus rerun restricted
+    * to batch docs — the oracle gate (`q_family_incremental`) proves
+    * that end-to-end; the boundary corner is spec-pinned.
+    */
+  def incrementalFamilies(batch: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, labels: DataFrame, minLen: Int,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    val w = Window.partitionBy("h", "gram")
+    // batch postings with per-gram batch distinct-doc counts (window
+    // over the batch gram stream — batch-scale, the increment's price)
+    val bposts = grams(batch, idCol, textCol, minLen)
+      .select(col("h"), col("gram"), col("doc_id")).distinct()
+      .withColumn("__nb", count(lit(1)).over(w))
+    // corpus postings relevant to the batch: stream the standing index
+    // through a BROADCAST semi-join on the batch gram set — no index
+    // shuffle, no corpus re-gram. Marker rows (doc_id null) ride along
+    // to carry the frozen over-cap counts.
+    val bkeys = bposts.select(col("h"), col("gram"), col("__nb")).distinct()
+    val hits = index.join(broadcast(bkeys), Seq("h", "gram"))
+    // combined cap per gram: corpus n_docs (0 when the gram is new)
+    // + batch distinct docs, in [2, maxDocsPerGram]
+    val knownTotals = hits
+      .groupBy(col("h"), col("gram"))
+      .agg(max(col("n_docs")).as("__nc"), max(col("__nb")).as("__nbc"))
+      .select(col("h"), col("gram"),
+        (col("__nc") + col("__nbc")).as("__tot"))
+    // grams NEW to the corpus: anti-join against the (batch-scale) hit
+    // keys, never against the full index
+    val newGrams = bkeys
+      .join(knownTotals.select(col("h"), col("gram")),
+        Seq("h", "gram"), "left_anti")
+      .select(col("h"), col("gram"), col("__nb").as("__tot"))
+    val gramTotals = knownTotals.unionByName(newGrams)
+      .filter(col("__tot") >= 2 && col("__tot") <= maxDocsPerGram)
+      .select(col("h"), col("gram"))
+    // member lists per surviving gram (batch docs + corpus postings;
+    // bounded by the cap BEFORE the collect buffer fills), star edges
+    // to the member min — the spanPairs sparsification, identical
+    // components guaranteed
+    val members = bposts.select(col("h"), col("gram"), col("doc_id"))
+      .unionByName(hits.filter(col("doc_id").isNotNull)
+        .select(col("h"), col("gram"), col("doc_id")))
+      .join(gramTotals, Seq("h", "gram"))
+    val edges = members
+      .groupBy(col("h"), col("gram"))
+      .agg(collect_set(col("doc_id")).as("__ds"))
+      .select(array_min(col("__ds")).as("id_a"),
+        explode(col("__ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    // contract corpus endpoints to standing labels (corpus docs in no
+    // standing pair label themselves), then CC on the contracted graph
+    val lblA = labels.select(col("id").as("__ida"), col("label").as("__la"))
+    val lblB = labels.select(col("id").as("__idb"), col("label").as("__lb"))
+    val cEdges = edges
+      .join(lblA, col("id_a") === col("__ida"), "left")
+      .join(lblB, col("id_b") === col("__idb"), "left")
+      .select(coalesce(col("__la"), col("id_a")).as("id_a"),
+        coalesce(col("__lb"), col("id_b")).as("id_b"))
+    val comps = Dedup.connectedComponents(cEdges)
+    batch.select(col(idCol).as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+  }
+
   /** [[spanPairs]]' string-carrying postings AFTER the mandatory
     * pre-cap: `(h, gram, doc_id)` rows whose hash bucket has a
     * distinct-doc count in `[2, maxDocsPerGram]`. Exposed at
@@ -321,16 +460,49 @@ object SuffixDedup {
       textCol: String, minLen: Int, maxDocsPerGram: Int): DataFrame = {
     val g = grams(docs, idCol, textCol, minLen)
       .select(col("h"), col("gram"), col("doc_id"))
-    val bucketCounts = gramHashes(docs, idCol, textCol, minLen)
-      .select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("__nd"))
-    val keep = Dedup.observeCaps(bucketCounts, "__nd", maxDocsPerGram,
-        "spanPairs")
+    val keep = Dedup.observeCapsSplit(
+        gramBucketStats(docs, idCol, textCol, minLen),
+        "__nd", "__ng", maxDocsPerGram, "spanPairs")
       .filter(col("__nd") >= 2L &&
         col("__nd") <= maxDocsPerGram)
       .select(col("h"))
     g.join(keep, Seq("h"))
   }
+
+  /** The pre-cap's per-bucket census: for every gram-hash bucket `h`,
+    * `__nd` = corpus-wide DISTINCT-DOC count (the quantity the cap
+    * filters on) and `__ng` = distinct second-seed hashes in the
+    * bucket — `__ng >= 2` means the bucket holds ≥ 2 DISTINCT GRAMS
+    * merged by a 64-bit collision (the [[graft.expressions
+    * .GramHashPairs]] discriminator), so an over-cap drop of such a
+    * bucket is COLLISION SHRAPNEL (each member gram may be
+    * legitimately under-cap) rather than an intentional exclusion.
+    * Still hash-only: no gram string is allocated or shuffled; the
+    * rows are 24 bytes and map-side deduped, same shape as the r12
+    * count pass plus one extra XXH64 per position in the same byte
+    * scan.
+    */
+  private[operators] def gramBucketStats(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("doc_id"),
+        explode(org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.expressions.GramHashPairs(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+              col(textCol)), minLen, SecondSeed))).as("__hp"))
+      .select(col("__hp.h").as("h"), col("__hp.h2").as("h2"),
+        col("doc_id"))
+      .distinct()
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("__nd"),
+        countDistinct(col("h2")).as("__ng"))
+
+  /** Seed of the collision-discriminator hash in [[gramBucketStats]] —
+    * any fixed value ≠ 42 (the pairing seed) works; results never
+    * depend on it (it only classifies drops in the observation).
+    */
+  private val SecondSeed = 0x5EEDC0DEL
 
   /** Every L-gram start position: `(doc_id, pos, gram, h)`. The hash
     * comes from the one-pass [[graft.expressions.GramHashes]] kernel

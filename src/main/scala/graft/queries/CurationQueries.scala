@@ -266,7 +266,30 @@ object CurationQueries {
       graft.operators.SuffixDedup.stripText(
         t(s, dir, "documents"), "doc_id", "text", minLen = 25,
         keepFirst = true)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // incremental template families: a batch (every 10th doc) probes the
+    // standing familyIndex + component labels of the REST of the corpus —
+    // the corpus is never re-grammed, never re-paired, and CC runs on the
+    // batch-scale contracted graph. FULL-equality oracle: the result must
+    // equal the whole-corpus spanPairs+CC rerun restricted to batch docs
+    // (no cap boundary is crossed at cap=1000 on this data; the frozen-cap
+    // corner is spec-pinned in SuffixDedupSpec).
+    "q_family_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val idx = graft.operators.SuffixDedup.familyIndex(
+        corpus, "doc_id", "text", minLen = 25)
+      val labels = graft.operators.Dedup.connectedComponents(
+        graft.operators.SuffixDedup.spanPairs(
+          corpus, "doc_id", "text", minLen = 25)
+          .select(col("id_a"), col("id_b")))
+      graft.operators.SuffixDedup.incrementalFamilies(
+          batch, "doc_id", "text", idx, labels, minLen = 25)
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
+    })
   )
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
@@ -479,6 +502,35 @@ object CurationQueries {
         |    ('0x' || substr(md5(CAST(family AS VARCHAR)), 18, 15))::BIGINT
         |      % 100 AS b
         |  FROM alldocs)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the whole-corpus family chain (corpus + batch TOGETHER), restricted
+    // to batch docs — the incremental probe must reproduce it exactly:
+    // index-probe ≡ whole-corpus rerun restricted to the batch
+    "q_family_incremental" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |FROM documents d LEFT JOIN fam f USING (doc_id)
+        |WHERE d.doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
 
     // doc-gram pairs (≥2 distinct docs, ≤1000 cap) → symmetric edges →

@@ -52,4 +52,47 @@ class GramHashesSpec extends AnyFunSuite {
       .select(xxhash64(col("g"))).as[Long].collect().toSeq
     assert(got == want)
   }
+
+  test("GramHashPairs: h is bitwise GramHashes; h2 differs per gram and " +
+      "distinguishes distinct grams (the shrapnel discriminator)") {
+    def pairsCol(text: org.apache.spark.sql.Column, n: Int) =
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        GramHashPairs(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(text),
+          n, 0x5EEDC0DEL))
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "naïve café — süß 日本語のテキスト mixed in",
+      "abab", "ab", "")
+    for (n <- Seq(1, 3, 5)) {
+      val rows = texts.toDF("t")
+        .withColumn("pair", pairsCol(col("t"), n))
+        .withColumn("fast", gramHashCol(col("t"), n))
+        .select(expr("transform(pair, x -> x.h)").as("h"),
+          expr("transform(pair, x -> x.h2)").as("h2"), col("fast"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](2),
+          s"n=$n: h must equal the single-seed kernel")
+        val h = r.getSeq[Long](0); val h2 = r.getSeq[Long](1)
+        // equal grams agree on both hashes; distinct grams differ on h2
+        h.indices.foreach { i =>
+          h.indices.foreach { j =>
+            if (h(i) == h(j)) assert(h2(i) == h2(j),
+              "equal grams must share h2 (it is a pure gram function)")
+          }
+        }
+      }
+    }
+    // repeated gram in "abab": positions 0 and 2 of the 2-grams agree
+    // on (h, h2); the interleaved "ba" differs on both
+    val ab = Seq("abab").toDF("t")
+      .select(pairsCol(col("t"), 2).as("p"))
+      .select(expr("transform(p, x -> x.h)").as("h"),
+        expr("transform(p, x -> x.h2)").as("h2"))
+      .collect().head
+    val (h, h2) = (ab.getSeq[Long](0), ab.getSeq[Long](1))
+    assert(h(0) == h(2) && h2(0) == h2(2))
+    assert(h(0) != h(1) && h2(0) != h2(1))
+  }
 }

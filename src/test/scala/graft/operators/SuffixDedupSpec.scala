@@ -254,6 +254,42 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(pairs == Set((11L, 12L, 6L)))
   }
 
+  test("gramBucketStats: distinct-doc and distinct-gram counts per " +
+      "bucket; an intentional over-cap gram reports __ng == 1") {
+    val MEGA = "MEGA-GRAM!"
+    val docs = ((1L to 3L).map(i => (i, s"pad${i}pad${i}q" + MEGA)))
+      .toDF("doc_id", "text")
+    val stats = SuffixDedup.gramBucketStats(docs, "doc_id", "text", 10)
+      .as[(Long, Long, Long)].collect()
+    // MEGA's bucket: 3 distinct docs, ONE distinct gram (intentional
+    // class); every pad gram is doc-unique → nd=1, ng=1
+    assert(stats.exists { case (_, nd, ng) => nd == 3L && ng == 1L })
+    assert(stats.forall { case (_, nd, ng) => ng == 1L && nd <= 3L })
+    // same doc repeating a gram dedups to one posting row
+    val rep = SuffixDedup.gramBucketStats(
+      Seq((9L, "XYXYXYXYXYXYXYXYXYXY")).toDF("doc_id", "text"),
+      "doc_id", "text", 10).as[(Long, Long, Long)].collect()
+    assert(rep.forall { case (_, nd, ng) => nd == 1L && ng == 1L })
+  }
+
+  test("capDropClasses: intentional vs collision-shrapnel drop " +
+      "classification on synthetic bucket counts (a real 64-bit " +
+      "collision is not constructible)") {
+    val counts = Seq(
+      (1L, 5L, 1L), // over cap, one gram  -> intentional
+      (2L, 5L, 2L), // over cap, two grams -> collision shrapnel
+      (3L, 2L, 1L), // under cap           -> neither
+      (4L, 2L, 2L)  // under cap collision -> neither (kept, exact filter
+                    // downstream splits per gram)
+    ).toDF("h", "nd", "ng")
+    val (intentional, shrapnel) =
+      Dedup.capDropClasses($"nd", $"ng", maxBucketSize = 3)
+    val got = counts.select($"h", intentional.as("i"), shrapnel.as("s"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> (1L, 0L), 2L -> (0L, 1L),
+      3L -> (0L, 0L), 4L -> (0L, 0L)))
+  }
+
   test("spanPairs: star edges resolve IDENTICAL components to all-pairs " +
       "on the gate fixture") {
     val docs = spark.read
@@ -332,5 +368,128 @@ class SuffixDedupSpec extends AnyFunSuite {
         "doc_id", "text", minLen = 10)
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(stats == Set((1L, 4L, 0L, 0L, 4L), (2L, 8L, 0L, 0L, 8L)))
+  }
+
+  // ==== incremental template families (r14) ============================
+
+  /** Whole-corpus ground truth: spanPairs + CC over corpus ∪ batch,
+    * restricted to batch docs, family = coalesce(label, doc_id). */
+  private def wholeCorpusFamilies(corpus: Seq[(Long, String)],
+      batch: Seq[(Long, String)], minLen: Int, cap: Int): Map[Long, Long] = {
+    val all = (corpus ++ batch).toDF("doc_id", "text")
+    val fams = Dedup.connectedComponents(
+      SuffixDedup.spanPairs(all, "doc_id", "text", minLen,
+          maxDocsPerGram = cap)
+        .select($"id_a", $"id_b")).withColumnRenamed("id", "doc_id")
+    val batchIds = batch.map(_._1).toSet
+    all.select($"doc_id").join(fams, Seq("doc_id"), "left")
+      .withColumn("family",
+        org.apache.spark.sql.functions.coalesce($"label", $"doc_id"))
+      .select($"doc_id", $"family").as[(Long, Long)].collect()
+      .filter(r => batchIds(r._1)).toMap
+  }
+
+  private def incrementalFamilies(corpus: Seq[(Long, String)],
+      batch: Seq[(Long, String)], minLen: Int, cap: Int): Map[Long, Long] = {
+    val c = corpus.toDF("doc_id", "text")
+    val idx = SuffixDedup.familyIndex(c, "doc_id", "text", minLen, cap)
+    val labels = Dedup.connectedComponents(
+      SuffixDedup.spanPairs(c, "doc_id", "text", minLen,
+          maxDocsPerGram = cap)
+        .select($"id_a", $"id_b"))
+    SuffixDedup.incrementalFamilies(batch.toDF("doc_id", "text"),
+        "doc_id", "text", idx, labels, minLen, cap)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("incrementalFamilies == whole-corpus rerun restricted to batch: " +
+      "join-existing, bridge-two-families, batch-internal, novel, " +
+      "singleton-gram promotion") {
+    val P1 = "FAMILY-ONE-SHARED-PHRASE!!"
+    val P2 = "FAMILY-TWO-SHARED-PHRASE!!"
+    val S = "SINGLETON-CORPUS-GRAM-ABC!"
+    val B = "BATCH-INTERNAL-TWIN-BLOCK!"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd"),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff"),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"),
+      // singleton gram: in ONE corpus doc only — a batch occurrence
+      // must promote it to a real pair
+      (8L, "iiiiiiiiii" + S + "jjjjjjjjjj"),
+      (9L, "a corpus doc in no family at all......"))
+    val batch = Seq(
+      // joins family one
+      (100L, "kkkkkkkkkk" + P1 + "llllllllll"),
+      // bridges family one and family two through one batch doc
+      (101L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn" + P2 + "oooooooooo"),
+      // pairs with the singleton-gram corpus doc
+      (102L, "pppppppppp" + S + "qqqqqqqqqq"),
+      // batch-internal twins, no corpus contact
+      (103L, "rrrrrrrrrr" + B + "ssssssssss"),
+      (104L, "tttttttttt" + B + "uuuuuuuuuu"),
+      // entirely novel
+      (105L, "wholly novel batch content, no dup"))
+    val want = wholeCorpusFamilies(corpus, batch, minLen = 26, cap = 1000)
+    val got = incrementalFamilies(corpus, batch, minLen = 26, cap = 1000)
+    assert(got == want)
+    // spot semantics: the bridge doc's family is the min across BOTH
+    // standing families; novel doc is its own family
+    assert(got(101L) == 1L && got(100L) == 1L)
+    assert(got(102L) == 8L)
+    assert(got(103L) == 103L && got(104L) == 103L)
+    assert(got(105L) == 105L)
+  }
+
+  test("incrementalFamilies: corpus never contributes pairs the index " +
+      "excluded — an over-cap corpus gram stays excluded for the batch") {
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    // 3 corpus docs share MEGA; cap=2 → over-cap at index time, so a
+    // batch doc containing MEGA must NOT join them (whole-corpus rerun
+    // agrees: 4 docs > cap)
+    val corpus = (1L to 3L).map(i =>
+      (i, s"pad${i}pad${i}pad${i}x" + MEGA)).toSeq
+    val batch = Seq((100L, "yyyyyyyyyyyyyyyyyyyy" + MEGA))
+    val want = wholeCorpusFamilies(corpus, batch, minLen = 26, cap = 2)
+    val got = incrementalFamilies(corpus, batch, minLen = 26, cap = 2)
+    assert(got == want && got(100L) == 100L)
+  }
+
+  test("incrementalFamilies frozen-cap corner (PINNED DIVERGENCE): a " +
+      "batch that pushes a standing under-cap gram over the cap keeps " +
+      "the standing corpus topology — new edges on that gram are " +
+      "refused, standing families are not retroactively unlinked") {
+    val G = "EXACTLY-AT-CAP-SHARED-GRAM"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa" + G),
+      (2L, "bbbbbbbbbbbbbbbbbbbb" + G))
+    val batch = Seq((100L, "cccccccccccccccccccc" + G))
+    // cap=2: corpus count 2 (kept, docs 1-2 one standing family);
+    // corpus+batch count 3 > cap → the whole-corpus rerun would admit
+    // NO edges at all. The incremental contract freezes the standing
+    // 1-2 family and refuses the new batch edge: batch doc stays its
+    // own family — which here AGREES with the rerun restricted to
+    // batch docs (both give 100 -> 100)...
+    val got = incrementalFamilies(corpus, batch, minLen = 26, cap = 2)
+    assert(got == Map(100L -> 100L))
+    assert(got == wholeCorpusFamilies(corpus, batch, minLen = 26, cap = 2))
+    // ...the DIVERGENCE needs the batch doc linked INTO the standing
+    // family through an under-cap gram while the batch pushes the
+    // family's LINKING gram over the cap: a rerun under batch-inflated
+    // counts drops G's corpus-corpus edge (1 and 2 unlink, batch pairs
+    // with 2 alone → family 2); the incremental contract keeps the
+    // standing 1-2 link, so the batch doc reaches the family min 1.
+    val G2 = "SECOND-LINKING-GRAM-HERE!!"
+    val corpus2 = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaa" + G),
+      (2L, "bbbbbbbbbbbbbbbbbbbb" + G + G2))
+    val batch2 = Seq((100L, "cccccccccccccccccccc" + G + G2))
+    val inc = incrementalFamilies(corpus2, batch2, minLen = 26, cap = 2)
+    val rerun = wholeCorpusFamilies(corpus2, batch2, minLen = 26, cap = 2)
+    // rerun: G over cap (3 docs) → 1-2 unlinked; G2 pairs 2-100 → 2
+    assert(rerun == Map(100L -> 2L))
+    // incremental: G contributes no NEW edge but the standing {1,2}
+    // family is not retroactively unlinked; G2 links 100 → 2 → label 1
+    assert(inc == Map(100L -> 1L))
   }
 }
