@@ -83,23 +83,25 @@ object Multimodal {
     * (PNG is lossless). Output: (id, media, media_meta).
     */
   def fingerprintImage(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    fingerprintImageHex(
+      df.select(col(idCol),
+        md5(to_binary(col(textCol), lit("utf-8"))).as("__hex")),
+      idCol, "__hex")
+
+  /** [[fingerprintImage]] from a caller-supplied 32-hex-char column
+    * instead of `md5(text)` — lets a query manufacture PERTURBED
+    * variants (e.g. one hex position rewritten) whose pixels stay
+    * md5-derivable in SQL, the seam `q_image_dedup` plants its
+    * near-duplicates through.
+    */
+  def fingerprintImageHex(df: DataFrame, idCol: String,
+      hexCol: String): DataFrame = {
     val png = udf { (hex: String) =>
       imageIoNoCache
-      val img = new java.awt.image.BufferedImage(8, 4,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var i = 0
-      while (i < 32) {
-        val v = hex.charAt(i).toInt & 0xff
-        img.setRGB(i % 8, i / 8, (v << 16) | (v << 8) | v)
-        i += 1
-      }
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
+      pngOf(hex)
     }
-    df.select(col(idCol).as("id"),
-      png(md5(to_binary(col(textCol), lit("utf-8")))).as("media"))
+    df.select(col(idCol).as("id"), png(col(hexCol)).as("media"))
       .select(col("id"), col("media"),
         struct(lit("image/png").as("mime"),
           length(col("media")).cast(LongType).as("n_bytes"),
@@ -338,6 +340,20 @@ object Multimodal {
   /** Manufacture a 2-frame concatenated-PNG "video" per row. */
   def fingerprintVideo(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val h0 = md5(to_binary(col(textCol), lit("utf-8")))
+    val h1 = md5(to_binary(h0, lit("utf-8")))
+    fingerprintVideoHex(
+      df.select(col(idCol), h0.as("__h0"), h1.as("__h1")),
+      idCol, "__h0", "__h1")
+  }
+
+  /** [[fingerprintVideo]] from caller-supplied per-frame hex columns —
+    * the video counterpart of [[fingerprintImageHex]], so a query can
+    * plant PERTURBED near-duplicate videos whose frame pixels stay
+    * md5-derivable in SQL (`q_video_dedup`).
+    */
+  def fingerprintVideoHex(df: DataFrame, idCol: String,
+      hex0Col: String, hex1Col: String): DataFrame = {
     val video = udf { (hex0: String, hex1: String) =>
       if (hex0 == null || hex1 == null) null
       else {
@@ -345,13 +361,52 @@ object Multimodal {
         pngOf(hex0) ++ pngOf(hex1)
       }
     }
-    val h0 = md5(to_binary(col(textCol), lit("utf-8")))
-    val h1 = md5(to_binary(h0, lit("utf-8")))
-    df.select(col(idCol).as("id"), video(h0, h1).as("media"))
+    df.select(col(idCol).as("id"),
+      video(col(hex0Col), col(hex1Col)).as("media"))
       .select(col("id"), col("media"),
         struct(lit("video/x-concat-png").as("mime"),
           length(col("media")).cast(LongType).as("n_bytes"),
           md5(col("media")).as("digest")).as("media_meta"))
+  }
+
+  /** Demux a concatenated-PNG container into per-frame byte slices by
+    * WALKING THE CHUNK STRUCTURE (length + type + data + crc, until
+    * IEND) — a naive signature scan could false-split on magic bytes
+    * inside compressed IDAT data. Bytes with no leading PNG signature
+    * demux to zero frames. (The [[videoFrameStats]] demuxer, extracted
+    * so [[ImageDedup.videoFrameNearDupPairs]] reuses it.)
+    */
+  private[operators] def demuxPngFrames(
+      bytes: Array[Byte]): Seq[Array[Byte]] = {
+    if (bytes == null) return Seq.empty
+    def sigAt(o: Int): Boolean = o + PngSig.length <= bytes.length && {
+      var j = 0
+      while (j < PngSig.length && bytes(o + j) == PngSig(j)) j += 1
+      j == PngSig.length
+    }
+    def pngEnd(off: Int): Int = {
+      var p = off + PngSig.length
+      while (p + 8 <= bytes.length) {
+        val len = ((bytes(p) & 0xff) << 24) |
+          ((bytes(p + 1) & 0xff) << 16) |
+          ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        // a chunk length is a 31-bit unsigned value; malformed bytes
+        // (negative after the signed read, or pointing past the buffer)
+        // end the walk at the buffer instead of spinning or indexing
+        // out of bounds
+        if (len < 0 || len > bytes.length - p) return bytes.length
+        val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
+          bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
+        p += 8 + len + 4
+        if (isEnd) return math.min(p, bytes.length)
+      }
+      bytes.length
+    }
+    Iterator.unfold(0) { o =>
+      if (sigAt(o)) { val e = pngEnd(o); Some(((o, e), e)) } else None
+    }.map { case (lo, hi) =>
+      java.util.Arrays.copyOfRange(bytes, lo, hi)
+    }.toSeq
   }
 
   /** Demux a concatenated-PNG container and decode every frame:
@@ -376,62 +431,28 @@ object Multimodal {
         imageIoNoCache
         rows.flatMap { r =>
           val id = r.getLong(0)
-          val bytes = r.getAs[Array[Byte]](1)
-          if (bytes == null) Iterator.empty
-          else {
-          // the demux step: verify the signature, then WALK THE CHUNK
-          // STRUCTURE (length + type + data + crc, until IEND) to find
-          // each frame's exact end — a naive signature scan could false-
-          // split on magic bytes inside compressed IDAT data
-          def sigAt(o: Int): Boolean = o + PngSig.length <= bytes.length && {
-            var j = 0
-            while (j < PngSig.length && bytes(o + j) == PngSig(j)) j += 1
-            j == PngSig.length
-          }
-          def pngEnd(off: Int): Int = {
-            var p = off + PngSig.length
-            while (p + 8 <= bytes.length) {
-              val len = ((bytes(p) & 0xff) << 24) |
-                ((bytes(p + 1) & 0xff) << 16) |
-                ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
-              // a chunk length is a 31-bit unsigned value; malformed
-              // bytes (negative after the signed read, or pointing past
-              // the buffer) end the walk at the buffer instead of
-              // spinning or indexing out of bounds
-              if (len < 0 || len > bytes.length - p) return bytes.length
-              val isEnd = bytes(p + 4) == 'I' && bytes(p + 5) == 'E' &&
-                bytes(p + 6) == 'N' && bytes(p + 7) == 'D'
-              p += 8 + len + 4
-              if (isEnd) return math.min(p, bytes.length)
-            }
-            bytes.length
-          }
-          val bounds = Iterator.unfold(0) { o =>
-            if (sigAt(o)) { val e = pngEnd(o); Some(((o, e), e)) } else None
-          }.toSeq
-          bounds.zipWithIndex.flatMap { case ((lo, hi), fi) =>
-            val img =
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(
-                  java.util.Arrays.copyOfRange(bytes, lo, hi)))
-              catch { case scala.util.control.NonFatal(_) => null }
-            if (img == null) None
-            else {
-              val (w, h) = (img.getWidth, img.getHeight)
-              var (sum, mn, mx) = (0L, 255L, 0L)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val v = (img.getRGB(x, y) >> 16) & 0xff
-                  sum += v; if (v < mn) mn = v; if (v > mx) mx = v
-                  x += 1
+          demuxPngFrames(r.getAs[Array[Byte]](1)).zipWithIndex.flatMap {
+            case (frame, fi) =>
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frame))
+                catch { case scala.util.control.NonFatal(_) => null }
+              if (img == null) None
+              else {
+                val (w, h) = (img.getWidth, img.getHeight)
+                var (sum, mn, mx) = (0L, 255L, 0L)
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val v = (img.getRGB(x, y) >> 16) & 0xff
+                    sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                    x += 1
+                  }
+                  y += 1
                 }
-                y += 1
+                Some(Row(id, fi.toLong, w, h, w.toLong * h, sum, mn, mx))
               }
-              Some(Row(id, fi.toLong, w, h, w.toLong * h, sum, mn, mx))
-            }
-          }
           }
         }
       }(enc)

@@ -277,6 +277,53 @@ object TextQueries {
         .orderBy("doc_id", "window_id")
     }),
 
+    // image perceptual-hash NEAR-DUP (r13 verdict #2, the missing
+    // modality operator): real PNG decode → 8×8 nearest-neighbor
+    // thumbnail → integer-exact aHash (64·v > Σv) → Hamming-banded
+    // candidates → exact verify. Near-dups are PLANTED by perturbing
+    // one md5 hex position per doc (fingerprintImageHex); the oracle
+    // recomputes the same thumbnail/threshold/Hamming arithmetic from
+    // md5(text) and brute-forces ALL pairs — a hash match certifies
+    // both the real decode AND that banding lost no pair at the bound
+    // (pigeonhole: 4 bands of 16 bits are lossless at hamming ≤ 3).
+    "q_image_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("hex"))
+      val hexes = docs.select((col("doc_id") * 2).as("id"), col("hex"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          concat(lit("0"), expr("substring(hex, 2)")).as("hex")))
+      val media = graft.operators.Multimodal.fingerprintImageHex(
+        hexes, "id", "hex")
+      graft.operators.ImageDedup.nearDupPairs(media, hammingMax = 3)
+        .select(col("id_a"), col("id_b"), asLong(col("hamming")).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // video frame-level near-dup: demux each 2-frame concatenated-PNG
+    // video (frame 0 ← md5(text), frame 1 ← md5∘md5) and run the same
+    // sketch→band→verify pipeline over frames. Near-dup videos are
+    // planted like q_image_dedup's: a perturbed variant per doc with
+    // one hex position rewritten in BOTH frames, so each original
+    // frame pairs with its perturbation at hamming ≤ 3.
+    "q_video_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("h0"))
+        .withColumn("h1", md5(to_binary(col("h0"), lit("utf-8"))))
+      val hexes = docs.select((col("doc_id") * 2).as("id"),
+          col("h0"), col("h1"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          concat(lit("0"), expr("substring(h0, 2)")).as("h0"),
+          concat(lit("0"), expr("substring(h1, 2)")).as("h1")))
+      val vids = graft.operators.Multimodal.fingerprintVideoHex(
+        hexes, "id", "h0", "h1")
+      graft.operators.ImageDedup.videoFrameNearDupPairs(vids,
+        hammingMax = 3)
+        .select(col("id_a"), col("id_b"), asLong(col("hamming")).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // deterministic content-hash train/val/test split — stable under
     // reruns, cluster resizing, and corpus growth (randomSplit is none
     // of those); exact integer buckets, shuffle-free.
@@ -2457,6 +2504,59 @@ object TextQueries {
         |  md5(text) AS digest,
         |  octet_length(encode(text)) // 1024 + 1 AS n_chunks
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the oracle BRUTE-FORCES all pairs from the md5-derived pixels
+    // (thumbnail (x,y) ← src (x, y//2), the nearest-neighbor rule;
+    // bit = 64·v > Σv, integer-exact) — Spark's banded output matching
+    // it certifies banding is lossless at the Hamming bound AND the
+    // real PNG decode recovered every pixel.
+    "q_image_dedup" ->
+      """WITH hx0 AS (SELECT doc_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id < 200),
+        |hx AS (SELECT doc_id*2 AS id, hex FROM hx0
+        |  UNION ALL
+        |  SELECT doc_id*2+1 AS id, '0' || substr(hex, 2) AS hex FROM hx0),
+        |px AS (SELECT id, i, ascii(substr(hex,
+        |    CAST(((i // 8) // 2) * 8 + (i % 8) + 1 AS INT), 1)) AS v
+        |  FROM hx, unnest(generate_series(0, 63)) t(i)),
+        |tot AS (SELECT id, sum(v) AS total FROM px GROUP BY id),
+        |bits AS (SELECT px.id AS id, px.i AS i,
+        |    CASE WHEN 64 * px.v > tot.total THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN tot ON px.id = tot.id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // frame ids are video_id·1000 + frame index, video ids doc_id·2
+    // (original) / doc_id·2+1 (one hex position rewritten in both
+    // frames); frame 0 pixels derive from md5(text), frame 1 from
+    // md5(md5(text)) — same thumbnail / threshold / Hamming arithmetic
+    // as q_image_dedup.
+    "q_video_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h0, md5(md5(text)) AS h1
+        |  FROM documents WHERE doc_id < 100),
+        |v AS (SELECT doc_id*2 AS vid, h0, h1 FROM h
+        |  UNION ALL
+        |  SELECT doc_id*2+1 AS vid, '0' || substr(h0, 2) AS h0,
+        |    '0' || substr(h1, 2) AS h1 FROM h),
+        |hx AS (SELECT vid*1000 AS id, h0 AS hex FROM v
+        |  UNION ALL SELECT vid*1000+1 AS id, h1 AS hex FROM v),
+        |px AS (SELECT id, i, ascii(substr(hex,
+        |    CAST(((i // 8) // 2) * 8 + (i % 8) + 1 AS INT), 1)) AS v
+        |  FROM hx, unnest(generate_series(0, 63)) t(i)),
+        |tot AS (SELECT id, sum(v) AS total FROM px GROUP BY id),
+        |bits AS (SELECT px.id AS id, px.i AS i,
+        |    CASE WHEN 64 * px.v > tot.total THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN tot ON px.id = tot.id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_global_rank" ->
       """SELECT doc_id,

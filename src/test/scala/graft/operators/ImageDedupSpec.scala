@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ImageDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Planted corpus: 40 base images from md5-hex fingerprints, each with
+    * a near-identical variant (one hex position rewritten → ≤ 2 aHash
+    * bit flips under the letter/digit threshold), plus the variant ids
+    * offset so pair identity is checkable.
+    */
+  private def planted = {
+    val base = (0L until 40L).map(i => (i, s"document number $i payload"))
+      .toDF("id", "text")
+      .select(col("id"), md5(to_binary(col("text"), lit("utf-8"))).as("hex"))
+    base.select(col("id") * 2, col("hex")).toDF("id", "hex")
+      .unionAll(base.select(col("id") * 2 + 1,
+        concat(lit("0"), expr("substring(hex, 2)"))).toDF("id", "hex"))
+  }
+
+  private def plantedMedia =
+    Multimodal.fingerprintImageHex(planted, "id", "hex")
+
+  test("banding is lossless at the hamming bound: banded == brute force") {
+    val banded = ImageDedup.nearDupPairs(plantedMedia, hammingMax = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = ImageDedup.bruteForcePairs(plantedMedia, hammingMax = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty)
+  }
+
+  test("planted perturbations are recalled as near-dups") {
+    val pairs = ImageDedup.nearDupPairs(plantedMedia, hammingMax = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every (2i, 2i+1) plant whose rewritten hex position had the same
+    // letter/digit class flips 0 bits; a class change flips exactly 2
+    // (the thumbnail duplicates each source row) — both within bound 3
+    val expected = (0L until 40L).map(i => (i * 2, i * 2 + 1)).toSet
+    assert(expected.subsetOf(pairs))
+  }
+
+  test("resize composes: an image and its re-encoded resize pair at hamming 0") {
+    // nearest-neighbor 8x4 -> 8x8 upsample re-encoded through the real
+    // codec has the SAME 8x8 thumbnail as the original (the thumbnail of
+    // an 8x8 image is the identity), so the pair must verify at 0
+    val one = Multimodal.fingerprintImageHex(
+      planted.filter(col("id") === 0L), "id", "hex")
+    val resized = Multimodal.resizeImages(one, dstW = 8, dstH = 8)
+      .select((col("id") + 1000L).as("id"), col("media"))
+    val pairs = ImageDedup.nearDupPairs(
+      one.select("id", "media").unionAll(resized), hammingMax = 0)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((0L, 1000L, 0)))
+  }
+
+  test("dHash sketches: identical images collide, unrelated ones do not pair") {
+    val pairs = ImageDedup.nearDupPairs(plantedMedia, hammingMax = 0,
+      sketcher = ImageDedup.dHashSketches)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // hamming 0 under dHash: at minimum nothing false-fires between
+    // unrelated docs' fingerprints beyond chance; check the planted
+    // exact-duplicate case explicitly
+    val dup = Multimodal.fingerprintImageHex(
+      planted.filter(col("id") < 2), "id", "hex")
+    val exact = ImageDedup.nearDupPairs(
+      dup.select(col("id"), col("media"))
+        .unionAll(dup.select(col("id") + 100L, col("media"))),
+      hammingMax = 0, sketcher = ImageDedup.dHashSketches)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 100L)) && exact.contains((1L, 101L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("non-decodable bytes take the labeled fallback, do not crash") {
+    val junk = Seq((1L, Array[Byte](1, 2, 3, 4)),
+      (2L, Array[Byte](1, 2, 3, 4))).toDF("id", "media")
+    val sk = ImageDedup.aHashSketches(junk)
+      .select("id", "decoded", "sketch").as[(Long, Boolean, Long)]
+      .collect().sortBy(_._1)
+    assert(sk.forall(!_._2))
+    assert(sk(0)._3 == sk(1)._3) // deterministic fallback sketch
+    val empty = ImageDedup.aHashSketches(
+      Seq((3L, Array.empty[Byte])).toDF("id", "media")).collect()
+    assert(empty.length == 1)
+  }
+
+  test("bruteForcePairs refuses corpus-sized input") {
+    val big = spark.range(0, 200000)
+      .select(col("id"), lit(Array[Byte](1, 2, 3)).as("media"))
+    val e = intercept[IllegalArgumentException] {
+      ImageDedup.bruteForcePairs(big, maxDocs = 100000).count()
+    }
+    assert(e.getMessage.contains("maxDocs"))
+  }
+
+  test("video frame near-dup pairs planted perturbed videos per frame") {
+    val docs = Seq((0L, "video text alpha"), (1L, "video text beta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        md5(to_binary(col("text"), lit("utf-8"))).as("h0"))
+      .withColumn("h1", md5(to_binary(col("h0"), lit("utf-8"))))
+    val hexes = docs.select((col("doc_id") * 2).as("id"), col("h0"), col("h1"))
+      .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+        concat(lit("0"), expr("substring(h0, 2)")).as("h0"),
+        concat(lit("0"), expr("substring(h1, 2)")).as("h1")))
+    val vids = Multimodal.fingerprintVideoHex(hexes, "id", "h0", "h1")
+    val pairs = ImageDedup.videoFrameNearDupPairs(vids, hammingMax = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // original video v=2d, perturbed v=2d+1; frame ids v*1000 + {0, 1}:
+    // each original frame pairs with the SAME frame of the perturbation
+    for (d <- 0L to 1L; f <- 0L to 1L)
+      assert(pairs.contains((d * 2000 + f, (d * 2 + 1) * 1000 + f)),
+        s"missing planted pair for doc $d frame $f in $pairs")
+  }
+}
