@@ -448,13 +448,20 @@ object CorpusOps {
     * that shuffled the corpus's bigram text; spec pins equality
     * (WordRepStatsSpec), oracle SQL unchanged.
     */
+  /** The [[graft.expressions.WordRepStats]] sufficient-statistics struct
+    * as a plain column — materialize it ONCE (`withColumn`) and project
+    * fields, so composed pipelines (`q_attrition_ledger`) ride the
+    * doc-local kernel without re-evaluating it per derived flag.
+    */
+  def wordRepStruct(text: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.expressions.WordRepStats(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(text)))
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String,
       maxTopBigram: Double = 0.18): DataFrame = {
     val st = df.select(col(idCol).as("__doc"),
-      org.apache.spark.sql.graftbridge.ColumnBridge.column(
-        graft.expressions.WordRepStats(
-          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-            col(textCol)))).as("__r"))
+      wordRepStruct(col(textCol)).as("__r"))
     st.select(col("__doc"), col("__r.n_words").as("n_words"),
         col("__r.n_distinct_words").as("n_distinct_words"),
         col("__r.top_bigram").as("__top"),
@@ -1362,5 +1369,57 @@ object CorpusOps {
         (sum(col("__x")).cast(org.apache.spark.sql.types.DoubleType) /
           count(lit(1)).cast(org.apache.spark.sql.types.DoubleType))
           .as("trimmed_mean"))
+  }
+
+  /** Per-stage attrition ledger for a staged curation pipeline — the
+    * "datasheet" block every production curation run publishes beside
+    * its output (r13 verdict #3). Stages are (name, keep-predicate)
+    * pairs evaluated SEQUENTIALLY: a document dropped at stage k is not
+    * offered to stage k+1, matching how the composed pipeline
+    * (`q_corpus_prep`) actually filters. All flags reduce in ONE pass:
+    * each doc maps to its first-failing stage index, a tiny
+    * (#stages + 1)-key aggregation counts them (map-side partials — the
+    * only corpus-wide work), and the cumulative ledger unrolls over the
+    * #stages-row result, so the window's single partition holds stage
+    * COUNT rows, never corpus rows, at any scale.
+    *
+    * Null predicates count as FAIL (a gate that cannot evaluate a doc
+    * must not silently pass it).
+    *
+    * Output: `(stage_id, stage, n_in, n_kept, n_dropped)` with
+    * `n_kept(k) = n_in(k+1)` and `n_in(0)` = input row count.
+    */
+  def attritionReport(df: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "attritionReport needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be unique")
+    val n = stages.size
+    // first failing stage index; n = survived every stage
+    val firstFail = stages.zipWithIndex.foldRight(
+      lit(n): Column) { case (((_, pred), i), acc) =>
+      when(!coalesce(pred, lit(false)), lit(i)).otherwise(acc)
+    }
+    val drops = df.select(firstFail.as("__ff"))
+      .groupBy("__ff").agg(count(lit(1)).as("__n"))
+    val total = drops.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__total"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stageDf = stages.map(_._1).zipWithIndex
+      .map { case (name, i) => (i.toLong, name) }
+      .toDF("stage_id", "stage")
+    stageDf
+      .join(drops.select(col("__ff").cast(LongType).as("stage_id"),
+        col("__n")), Seq("stage_id"), "left")
+      .na.fill(0L, Seq("__n"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cum_prev", coalesce(
+        sum(col("__n")).over(Window.orderBy("stage_id")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stage_id"), col("stage"),
+        (col("__total") - col("__cum_prev")).as("n_in"),
+        (col("__total") - col("__cum_prev") - col("__n")).as("n_kept"),
+        col("__n").as("n_dropped"))
   }
 }

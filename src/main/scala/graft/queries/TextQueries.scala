@@ -122,6 +122,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // per-stage attrition ledger (r13 verdict #3): the datasheet every
+    // production curation run publishes — kept/dropped exact counts for
+    // the q_corpus_prep stage sequence (exact-dedup → language →
+    // quality → repetition), flags computed in one pass (repetition via
+    // the doc-local WordRepStats kernel, materialized once), reduced by
+    // a (#stages+1)-key aggregation; the cumulative unroll runs over
+    // #stages rows, never corpus rows.
+    "q_attrition_ledger" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(
+        md5(to_binary(col("text"), lit("utf-8"))))
+      val flagged = t(s, dir, "documents")
+        .withColumn("__rep",
+          graft.operators.CorpusOps.wordRepStruct(col("text")))
+        .withColumn("__keeper",
+          col("doc_id") === min(col("doc_id")).over(w))
+        .withColumn("__n_tokens", size(toks).cast(LongType))
+        .withColumn("__sw_ratio",
+          stopwordHits(col("text"), LangProfiles.head._2).cast(DoubleType)
+            / size(toks).cast(DoubleType))
+        .withColumn("__en", langIdHeuristic(col("text")) === "en")
+        .withColumn("__rep_gate",
+          when(col("__rep.n_bigrams") > 0L,
+            col("__rep.top_bigram").cast(DoubleType) /
+              col("__rep.n_bigrams").cast(DoubleType))
+            .otherwise(lit(0.0)) <= 0.18)
+      graft.operators.CorpusOps.attritionReport(flagged, Seq(
+        ("exact_dedup", col("__keeper")),
+        ("language", col("__en")),
+        ("quality", col("__n_tokens") >= 30 && col("__sw_ratio") >= 0.02),
+        ("repetition", col("__rep_gate"))))
+        .orderBy("stage_id")
+    }),
+
     // order-sensitive document fingerprint (mod-prime rolling sum).
     "q_doc_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -2358,6 +2392,61 @@ object TextQueries {
         |WHERE s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh
         |  AND n_tokens >= 30 AND CAST(s_en AS DOUBLE) / n_tokens >= 0.02
         |ORDER BY doc_id""".stripMargin,
+
+    // stage flags replay q_corpus_prep's gates (dedup window, stopword
+    // language argmax, length+stopword quality) plus q_repetition's
+    // top-bigram gate; the ledger is pure exact-integer counting over
+    // the first-failing-stage distribution.
+    "q_attrition_ledger" ->
+      """WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+        |    min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg
+        |  FROM w0 WHERE len(w) >= 2),
+        |pd AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, max(c) AS top, sum(c) AS tot
+        |  FROM pd GROUP BY 1),
+        |sc AS (SELECT doc_id, keeper, len(w) AS n_tokens,
+        |  len(list_filter(w, t -> t IN
+        |    ('the','and','of','to','in','is','it','that','was','for'))) AS s_en,
+        |  len(list_filter(w, t -> t IN
+        |    ('el','la','de','que','y','en','un','los','se','por'))) AS s_es,
+        |  len(list_filter(w, t -> t IN
+        |    ('der','die','und','das','ist','nicht','ein','mit','zu','den'))) AS s_de,
+        |  len(list_filter(w, t -> t IN
+        |    ('le','la','les','et','des','un','une','du','est','dans'))) AS s_fr,
+        |  len(list_filter(w, t -> t IN
+        |    ('的','了','是','我','不','在','有','人','这','他'))) AS s_zh
+        |  FROM w0),
+        |fl AS (SELECT sc.doc_id,
+        |    (sc.doc_id = keeper) AS f0,
+        |    (s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+        |      AND s_en >= s_zh) AS f1,
+        |    (n_tokens >= 30
+        |      AND CAST(s_en AS DOUBLE) / n_tokens >= 0.02) AS f2,
+        |    (COALESCE(CAST(top AS DOUBLE) / tot, 0.0) <= 0.18) AS f3
+        |  FROM sc LEFT JOIN rep ON sc.doc_id = rep.doc_id),
+        |ff AS (SELECT CASE WHEN NOT f0 THEN 0 WHEN NOT f1 THEN 1
+        |    WHEN NOT f2 THEN 2 WHEN NOT f3 THEN 3 ELSE 4 END AS ff
+        |  FROM fl),
+        |drops AS (SELECT ff, count(*) AS n FROM ff GROUP BY ff),
+        |tot2 AS (SELECT sum(n) AS total FROM drops),
+        |stages AS (SELECT * FROM (VALUES (0, 'exact_dedup'),
+        |  (1, 'language'), (2, 'quality'),
+        |  (3, 'repetition')) t(stage_id, stage)),
+        |led AS (SELECT stage_id, stage, COALESCE(d.n, 0) AS n_dropped
+        |  FROM stages LEFT JOIN drops d ON d.ff = stages.stage_id)
+        |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+        |  CAST(total - COALESCE(sum(n_dropped) OVER (ORDER BY stage_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_in,
+        |  CAST(total - COALESCE(sum(n_dropped) OVER (ORDER BY stage_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    - n_dropped AS BIGINT) AS n_kept,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped
+        |FROM led CROSS JOIN tot2
+        |ORDER BY stage_id""".stripMargin,
 
     "q_doc_fingerprint" ->
       """SELECT doc_id,
