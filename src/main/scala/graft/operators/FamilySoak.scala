@@ -60,13 +60,14 @@ object FamilySoak {
     }
 
     // standing state per tier: materialized index + labels (the
-    // build-once cost a production pipeline amortizes across batches)
+    // build-once cost a production pipeline amortizes across batches);
+    // labels derive FROM the index (familyLabels) so the build is one
+    // corpus gram pass — the production path q_family_incremental runs
     def build(corpus: org.apache.spark.sql.DataFrame) = timed {
       val idx = SuffixDedup.familyIndex(corpus, "doc_id", "text",
         minLen, cap).localCheckpoint(true)
-      val labels = Dedup.connectedComponents(
-        SuffixDedup.spanPairs(corpus, "doc_id", "text", minLen, cap)
-          .select(col("id_a"), col("id_b"))).localCheckpoint(true)
+      val labels = SuffixDedup.familyLabels(idx, cap)
+        .localCheckpoint(true)
       (idx, labels)
     }
     val ((idxFull, lblFull), indexFullSec) = build(corpusFull)

@@ -332,17 +332,48 @@ object SuffixDedup {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    // distinct-doc count as a WINDOW over the distinct posting stream,
+    // not a groupBy+self-join: the join shape shuffled the 25-char gram
+    // strings TWICE more (both join inputs); the window reuses the
+    // distinct's clustering at one extra (h, gram) exchange and nothing
+    // else (r14: q_family_incremental's index build was the registry's
+    // costliest line at sf0.1 under the join shape)
     val posts = grams(docs, idCol, textCol, minLen)
       .select(col("h"), col("gram"), col("doc_id")).distinct()
-    val counts = posts.groupBy(col("h"), col("gram"))
-      .agg(count(lit(1)).as("n_docs"))
-    posts
-      .join(counts.filter(col("n_docs") <= maxDocsPerGram),
-        Seq("h", "gram"))
-      .unionByName(counts.filter(col("n_docs") > maxDocsPerGram)
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("h", "gram")))
+    posts.filter(col("n_docs") <= maxDocsPerGram)
+      .unionByName(posts.filter(col("n_docs") > maxDocsPerGram)
         .select(col("h"), col("gram"),
-          lit(null).cast(LongType).as("doc_id"), col("n_docs")))
+          lit(null).cast(LongType).as("doc_id"), col("n_docs"))
+        .distinct())
       .select(col("h"), col("gram"), col("doc_id"), col("n_docs"))
+  }
+
+  /** Standing component labels derived FROM a [[familyIndex]] — the
+    * label side of the index-once pair, so building (index, labels)
+    * costs ONE corpus gram pass total instead of familyIndex +
+    * a separate whole-corpus [[spanPairs]] rerun. Edges are the
+    * spanPairs star sparsification read off the index postings
+    * (grams with `n_docs` in `[2, maxDocsPerGram]`, min-id star);
+    * components and labels (= component minimum) are identical to the
+    * spanPairs-derived run except under a ~2⁻⁶⁴ 64-bit hash collision
+    * (spanPairs' pre-cap counts distinct docs per HASH BUCKET, the
+    * index per GRAM — they differ only when a collision merges two
+    * grams across the cap boundary, the documented shrapnel class).
+    */
+  def familyLabels(index: DataFrame,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    val edges = index
+      .filter(col("doc_id").isNotNull &&
+        col("n_docs") >= 2 && col("n_docs") <= maxDocsPerGram)
+      .groupBy(col("h"), col("gram"))
+      .agg(collect_set(col("doc_id")).as("__ds"))
+      .select(array_min(col("__ds")).as("id_a"),
+        explode(col("__ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    Dedup.connectedComponents(edges)
   }
 
   /** Family labels of a NEW batch against a standing corpus: probes

@@ -492,4 +492,38 @@ class SuffixDedupSpec extends AnyFunSuite {
     // family is not retroactively unlinked; G2 links 100 → 2 → label 1
     assert(inc == Map(100L -> 1L))
   }
+
+  test("familyLabels(familyIndex) == connectedComponents(spanPairs): " +
+      "the one-gram-pass label derivation is exact — families, " +
+      "singleton grams, over-cap boilerplate, unpaired docs") {
+    val P1 = "FAMILY-ONE-SHARED-PHRASE!!"
+    val P2 = "FAMILY-TWO-SHARED-PHRASE!!"
+    val S = "SINGLETON-CORPUS-GRAM-ABC!"
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb" + MEGA),
+      (2L, "cccccccccc" + P1 + "dddddddddd" + MEGA),
+      // bridge doc: P1 and P2 in one doc → one merged component
+      (3L, "qqqqqqqqqq" + P1 + "rrrrrrrrrr" + P2 + MEGA),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff" + MEGA),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"),
+      (8L, "iiiiiiiiii" + S + "jjjjjjjjjj"),
+      (9L, "a corpus doc in no family at all......")
+    ).toDF("doc_id", "text")
+    // cap=3 puts MEGA (4 docs) over the cap: it must not link 1/2/3/5
+    val cap = 3
+    val viaPairs = Dedup.connectedComponents(
+        SuffixDedup.spanPairs(corpus, "doc_id", "text", minLen = 26,
+          maxDocsPerGram = cap).select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    val viaIndex = SuffixDedup.familyLabels(
+        SuffixDedup.familyIndex(corpus, "doc_id", "text", minLen = 26,
+          maxDocsPerGram = cap), maxDocsPerGram = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(viaIndex == viaPairs)
+    // spot semantics: P1+P2 merged through the bridge; MEGA refused;
+    // singleton-gram doc 8 and the unpaired doc 9 label nothing
+    assert(viaPairs == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      6L -> 1L))
+  }
 }
