@@ -567,13 +567,20 @@ object SimilarityQueries {
     }),
 
     // containment gate for the xxhash64-based MinHash sketch: every exact
-    // n-gram-Jaccard pair >= 0.4 over the FULL corpus must appear in the
-    // LSH candidate set (P(miss) < 1e-18 per pair at k=32, bands=16 —
-    // misses mean a broken sketch, not bad luck). The oracle pins the
-    // exact pairs AND covered=true, turning the rows-only sketch into a
-    // checked guarantee.
+    // n-gram-Jaccard pair >= 0.4 must appear in the LSH candidate set
+    // (P(miss) < 1e-18 per pair at k=32, bands=16 — misses mean a broken
+    // sketch, not bad luck). The oracle pins the exact pairs AND
+    // covered=true, turning the rows-only sketch into a checked
+    // guarantee. BOUNDED EVAL SLICE (r13 verdict #4, adjudicated): the
+    // exact ground truth is the designed-exhaustive calibration read —
+    // its cost grows quadratically with the corpus, so the face runs on
+    // a FIXED 2000-doc slice (whole table at sf<=0.04; SF-independent
+    // cost above — the candidateQuality / ngramJaccardPairs eval-slice
+    // semantics). The sketch's probabilistic guarantee is per-pair, so a
+    // slice check certifies it identically; production coverage stays
+    // with the scale faces (q_minhash_portable, q_ppjoin).
     "q_minhash_containment" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val gt = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.4)
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
@@ -1043,7 +1050,8 @@ object SimilarityQueries {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_minhash_containment" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 2000),
         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
         |    range(1, greatest(len(w) - 1, 1)),
         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
