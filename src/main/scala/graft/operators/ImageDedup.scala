@@ -135,6 +135,56 @@ object ImageDedup {
     (decoded, sk)
   }
 
+  /** Audio delta-hash: decode WAV (`javax.sound.sampled`, real codec)
+    * to signed 16-bit LE PCM samples, resample to 65 time anchors by
+    * nearest-neighbor (`a(j) = s[j·n/65]`, floor — length-invariant),
+    * bit j set iff `a(j) > a(j+1)` — the temporal-gradient sign, the
+    * [[dHashSketches]] analog over time and the loudness-robust
+    * variant (uniform gain preserves sample ordering). Non-decodable
+    * bytes fall back to the raw bytes viewed as unsigned 8-bit samples
+    * (`decoded = false`), the same mixed-corpus contract as
+    * [[thumbPixels]]. Integer-exact throughout, so a SQL engine
+    * reproduces the sketch bit-for-bit from known samples —
+    * `q_audio_dedup` certifies the real WAV decode that way.
+    * Output: (id, decoded, sketch); feed to [[nearDupPairs]] via the
+    * `sketcher` parameter for banded audio near-dup.
+    */
+  def wavDeltaSketches(df: DataFrame): DataFrame = sketchDf(df) { bytes =>
+    val decoded =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        val s = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          s(i) = ((data(2 * i) & 0xff) |
+            (data(2 * i + 1).toInt << 8)).toShort.toInt
+          i += 1
+        }
+        Some(s)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    val s = decoded.getOrElse {
+      val out = new Array[Int](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = bytes(i) & 0xff; i += 1 }
+      out
+    }
+    val n = s.length
+    var sk = 0L
+    if (n > 0) {
+      var j = 0
+      while (j < 64) {
+        val a = s((j.toLong * n / 65).toInt)
+        val b = s(((j + 1).toLong * n / 65).toInt)
+        if (a > b) sk |= (1L << j)
+        j += 1
+      }
+    }
+    (decoded.isDefined, sk)
+  }
+
   /** Banded inverted index over precomputed sketches — the
     * [[Dedup]] simhash band shape: `hammingMax + 1` bands of
     * `64 / nBands` bits; pigeonhole guarantees any pair within

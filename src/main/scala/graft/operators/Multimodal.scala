@@ -691,7 +691,19 @@ object Multimodal {
     * `AudioSystem.write`. Output: (id, media, media_meta).
     */
   def fingerprintWav(df: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String): DataFrame =
+    fingerprintWavHex(
+      df.select(col(idCol),
+        md5(to_binary(col(textCol), lit("utf-8"))).as("__hex")),
+      idCol, "__hex")
+
+  /** [[fingerprintWav]] from a caller-supplied 32-hex-char column — the
+    * audio counterpart of [[fingerprintImageHex]], so a query can plant
+    * PERTURBED near-duplicate clips whose samples stay md5-derivable in
+    * SQL (`q_audio_dedup`).
+    */
+  def fingerprintWavHex(df: DataFrame, idCol: String,
+      hexCol: String): DataFrame = {
     val wav = udf { (hex: String) =>
       val pcm = new Array[Byte](64)
       var i = 0
@@ -710,8 +722,7 @@ object Multimodal {
         javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
       out.toByteArray
     }
-    df.select(col(idCol).as("id"),
-      wav(md5(to_binary(col(textCol), lit("utf-8")))).as("media"))
+    df.select(col(idCol).as("id"), wav(col(hexCol)).as("media"))
       .select(col("id"), col("media"),
         struct(lit("audio/wav").as("mime"),
           length(col("media")).cast(LongType).as("n_bytes"),

@@ -311,43 +311,57 @@ object SuffixDedup {
     * registry line at every SF because families were recomputed
     * corpus-wide per run).
     *
-    * One row per `(gram, doc)` posting for grams whose corpus-wide
-    * DISTINCT-DOC count `n_docs` is within `[1, maxDocsPerGram]`, plus
-    * ONE `doc_id = null` marker row per OVER-CAP gram carrying its
-    * count: the probe needs the frozen cap decision (a gram over-cap
-    * in the corpus alone must stay excluded from batch pairing — with
-    * the marker absent, a batch would see count 0 and happily pair on
-    * universal boilerplate). Singleton grams (`n_docs = 1`) keep their
-    * posting: one more occurrence in a batch makes a real pair.
+    * One row per `(h, doc)` posting — `h` the kernel's 64-bit
+    * `xxhash64(gram)`; the gram STRING never enters the index (keying
+    * the standing state on the hash is the same documented ~2⁻⁶⁴
+    * collision class [[spanPairs]]' pre-cap already accepts, and it
+    * shrinks every index row to three longs) — for grams whose
+    * corpus-wide DISTINCT-DOC count `n_docs` is within
+    * `[1, maxDocsPerGram]`, plus ONE `doc_id = null` marker row per
+    * OVER-CAP gram carrying its count: the probe needs the frozen cap
+    * decision (a gram over-cap in the corpus alone must stay excluded
+    * from batch pairing — with the marker absent, a batch would see
+    * count 0 and happily pair on universal boilerplate). Singleton
+    * grams (`n_docs = 1`) keep their posting: one more occurrence in a
+    * batch makes a real pair.
     *
     * 100 TB shape: write once `partitionBy(pmod(h, nBands))`; the
-    * probe join ([[incrementalFamilies]]) broadcasts the BATCH gram
+    * probe join ([[incrementalFamilies]]) broadcasts the BATCH hash
     * set against this index, so the corpus is never re-grammed and the
-    * index is never shuffled — scanned only. Build cost is one
-    * distinct + one count exchange over the corpus gram stream (the
-    * inherent materialize-once price; probes amortize it).
+    * index is never shuffled — scanned only. Build cost is ONE
+    * 16-byte-row exchange + one sort over the corpus gram-hash stream
+    * (the in-place [[graft.expressions.GramHashes]] scan allocates no
+    * gram strings at all; the inherent materialize-once price, probes
+    * amortize it).
     */
   def familyIndex(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    // distinct-doc count as a WINDOW over the distinct posting stream,
-    // not a groupBy+self-join: the join shape shuffled the 25-char gram
-    // strings TWICE more (both join inputs); the window reuses the
-    // distinct's clustering at one extra (h, gram) exchange and nothing
-    // else (r14: q_family_incremental's index build was the registry's
-    // costliest line at sf0.1 under the join shape)
-    val posts = grams(docs, idCol, textCol, minLen)
-      .select(col("h"), col("gram"), col("doc_id")).distinct()
-      .withColumn("n_docs",
-        count(lit(1)).over(Window.partitionBy("h", "gram")))
-    posts.filter(col("n_docs") <= maxDocsPerGram)
-      .unionByName(posts.filter(col("n_docs") > maxDocsPerGram)
-        .select(col("h"), col("gram"),
-          lit(null).cast(LongType).as("doc_id"), col("n_docs"))
-        .distinct())
-      .select(col("h"), col("gram"), col("doc_id"), col("n_docs"))
+    // ONE exchange, ONE sort, ONE pass (r14; the original
+    // groupBy+self-join shape shuffled 25-char gram strings three
+    // times and was the registry's costliest line at sf0.1):
+    // - the explicit h repartition satisfies the duplicate drop's
+    //   ClusteredDistribution((h, doc_id)) — partitioning on a key
+    //   subset co-locates every group — and both windows';
+    // - the row_number sort on (h, doc_id) is a superset of the count
+    //   window's (h) requirement, so the planner reuses it;
+    // - over-cap grams collapse to their one marker row via rn = 1
+    //   IN the same pass (no union branch re-deriving the gram
+    //   stream, no marker distinct).
+    val byH = Window.partitionBy("h")
+    gramHashes(docs, idCol, textCol, minLen)
+      .select(col("h"), col("doc_id"))
+      .repartition(col("h"))
+      .dropDuplicates("h", "doc_id")
+      .withColumn("__rn", row_number().over(byH.orderBy("doc_id")))
+      .withColumn("n_docs", count(lit(1)).over(byH))
+      .filter(col("n_docs") <= maxDocsPerGram || col("__rn") === 1)
+      .select(col("h"),
+        when(col("n_docs") <= maxDocsPerGram, col("doc_id"))
+          .otherwise(lit(null).cast(LongType)).as("doc_id"),
+        col("n_docs"))
   }
 
   /** Standing component labels derived FROM a [[familyIndex]] — the
@@ -355,19 +369,21 @@ object SuffixDedup {
     * costs ONE corpus gram pass total instead of familyIndex +
     * a separate whole-corpus [[spanPairs]] rerun. Edges are the
     * spanPairs star sparsification read off the index postings
-    * (grams with `n_docs` in `[2, maxDocsPerGram]`, min-id star);
+    * (hashes with `n_docs` in `[2, maxDocsPerGram]`, min-id star);
     * components and labels (= component minimum) are identical to the
     * spanPairs-derived run except under a ~2⁻⁶⁴ 64-bit hash collision
-    * (spanPairs' pre-cap counts distinct docs per HASH BUCKET, the
-    * index per GRAM — they differ only when a collision merges two
-    * grams across the cap boundary, the documented shrapnel class).
+    * (spanPairs resolves grams exactly WITHIN a hash bucket, the index
+    * keys on the hash alone — they differ only when a real collision
+    * merges two grams, the documented shrapnel class). The
+    * `collect_set` buffer is bounded by the cap: over-cap hashes carry
+    * only their marker row, which the `doc_id` filter drops.
     */
   def familyLabels(index: DataFrame,
       maxDocsPerGram: Int = 1000): DataFrame = {
     val edges = index
       .filter(col("doc_id").isNotNull &&
         col("n_docs") >= 2 && col("n_docs") <= maxDocsPerGram)
-      .groupBy(col("h"), col("gram"))
+      .groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("__ds"))
       .select(array_min(col("__ds")).as("id_a"),
         explode(col("__ds")).as("id_b"))
@@ -414,44 +430,43 @@ object SuffixDedup {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    val w = Window.partitionBy("h", "gram")
+    val w = Window.partitionBy("h")
     // batch postings with per-gram batch distinct-doc counts (window
-    // over the batch gram stream — batch-scale, the increment's price)
-    val bposts = grams(batch, idCol, textCol, minLen)
-      .select(col("h"), col("gram"), col("doc_id")).distinct()
+    // over the batch gram-hash stream — batch-scale, the increment's
+    // price; hash-keyed like the index, no gram strings anywhere)
+    val bposts = gramHashes(batch, idCol, textCol, minLen)
+      .select(col("h"), col("doc_id")).distinct()
       .withColumn("__nb", count(lit(1)).over(w))
     // corpus postings relevant to the batch: stream the standing index
-    // through a BROADCAST semi-join on the batch gram set — no index
+    // through a BROADCAST semi-join on the batch hash set — no index
     // shuffle, no corpus re-gram. Marker rows (doc_id null) ride along
     // to carry the frozen over-cap counts.
-    val bkeys = bposts.select(col("h"), col("gram"), col("__nb")).distinct()
-    val hits = index.join(broadcast(bkeys), Seq("h", "gram"))
+    val bkeys = bposts.select(col("h"), col("__nb")).distinct()
+    val hits = index.join(broadcast(bkeys), Seq("h"))
     // combined cap per gram: corpus n_docs (0 when the gram is new)
     // + batch distinct docs, in [2, maxDocsPerGram]
     val knownTotals = hits
-      .groupBy(col("h"), col("gram"))
+      .groupBy(col("h"))
       .agg(max(col("n_docs")).as("__nc"), max(col("__nb")).as("__nbc"))
-      .select(col("h"), col("gram"),
-        (col("__nc") + col("__nbc")).as("__tot"))
+      .select(col("h"), (col("__nc") + col("__nbc")).as("__tot"))
     // grams NEW to the corpus: anti-join against the (batch-scale) hit
     // keys, never against the full index
     val newGrams = bkeys
-      .join(knownTotals.select(col("h"), col("gram")),
-        Seq("h", "gram"), "left_anti")
-      .select(col("h"), col("gram"), col("__nb").as("__tot"))
+      .join(knownTotals.select(col("h")), Seq("h"), "left_anti")
+      .select(col("h"), col("__nb").as("__tot"))
     val gramTotals = knownTotals.unionByName(newGrams)
       .filter(col("__tot") >= 2 && col("__tot") <= maxDocsPerGram)
-      .select(col("h"), col("gram"))
+      .select(col("h"))
     // member lists per surviving gram (batch docs + corpus postings;
     // bounded by the cap BEFORE the collect buffer fills), star edges
     // to the member min — the spanPairs sparsification, identical
     // components guaranteed
-    val members = bposts.select(col("h"), col("gram"), col("doc_id"))
+    val members = bposts.select(col("h"), col("doc_id"))
       .unionByName(hits.filter(col("doc_id").isNotNull)
-        .select(col("h"), col("gram"), col("doc_id")))
-      .join(gramTotals, Seq("h", "gram"))
+        .select(col("h"), col("doc_id")))
+      .join(gramTotals, Seq("h"))
     val edges = members
-      .groupBy(col("h"), col("gram"))
+      .groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("__ds"))
       .select(array_min(col("__ds")).as("id_a"),
         explode(col("__ds")).as("id_b"))

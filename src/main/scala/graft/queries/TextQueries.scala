@@ -334,6 +334,28 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // audio near-dup: real WAV decode → 65 time anchors → temporal
+    // delta-hash (bit j: a(j) > a(j+1)) → the same Hamming-banded
+    // candidate join + exact verify as q_image_dedup. Near-dup clips
+    // are planted by perturbing one hex position per doc (one PCM
+    // sample changes), and the oracle recomputes anchors/bits/Hamming
+    // from md5(text) and brute-forces all pairs — a hash match
+    // certifies the real codec roundtrip AND lossless banding.
+    "q_audio_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("hex"))
+      val hexes = docs.select((col("doc_id") * 2).as("id"), col("hex"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          concat(lit("0"), expr("substring(hex, 2)")).as("hex")))
+      val media = graft.operators.Multimodal.fingerprintWavHex(
+        hexes, "id", "hex")
+      graft.operators.ImageDedup.nearDupPairs(media, hammingMax = 3,
+          sketcher = graft.operators.ImageDedup.wavDeltaSketches)
+        .select(col("id_a"), col("id_b"), asLong(col("hamming")).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // video frame-level near-dup: demux each 2-frame concatenated-PNG
     // video (frame 0 ← md5(text), frame 1 ← md5∘md5) and run the same
     // sketch→band→verify pipeline over frames. Near-dup videos are
@@ -2615,6 +2637,31 @@ object TextQueries {
         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
         |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
         |  FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // samples are the md5-hex ASCII codes (the fingerprintWav PCM
+    // contract); 65 nearest-neighbor anchors a(j) = s[(j*32)//65],
+    // bit j = a(j) > a(j+1), brute-forced over ALL pairs — matching
+    // Spark's banded output certifies decode parity and zero banding
+    // loss at the bound.
+    "q_audio_dedup" ->
+      """WITH hx0 AS (SELECT doc_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id < 200),
+        |hx AS (SELECT doc_id*2 AS id, hex FROM hx0
+        |  UNION ALL
+        |  SELECT doc_id*2+1 AS id, '0' || substr(hex, 2) AS hex FROM hx0),
+        |anch AS (SELECT id, j, ascii(substr(hex,
+        |    CAST((j * 32) // 65 AS INT) + 1, 1)) AS a
+        |  FROM hx, unnest(generate_series(0, 64)) t(j)),
+        |bits AS (SELECT c.id AS id, c.j AS j,
+        |    CASE WHEN c.a > n.a THEN 1 ELSE 0 END AS b
+        |  FROM anch c JOIN anch n ON n.id = c.id AND n.j = c.j + 1
+        |  WHERE c.j < 64),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.j = b.j AND a.id < b.id
         |  GROUP BY a.id, b.id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,

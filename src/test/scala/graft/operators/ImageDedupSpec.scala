@@ -101,6 +101,32 @@ class ImageDedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxDocs"))
   }
 
+  test("audio near-dup: banded == brute force, planted clips recalled, " +
+      "junk bytes take the labeled fallback") {
+    val media = Multimodal.fingerprintWavHex(planted, "id", "hex")
+    val banded = ImageDedup.nearDupPairs(media, hammingMax = 3,
+      sketcher = ImageDedup.wavDeltaSketches)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = ImageDedup.bruteForcePairs(media, hammingMax = 3,
+      sketcher = ImageDedup.wavDeltaSketches)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(banded == brute)
+    // the rewritten hex position is sample 0, which only anchors
+    // j ∈ {0,1,2} read; bits 0-1 compare equal anchors (always 0), so a
+    // plant flips AT MOST bit 2 — every (2i, 2i+1) pair is in bound
+    val ids = banded.map(p => (p._1, p._2))
+    for (i <- 0L until 40L)
+      assert(ids.contains((i * 2, i * 2 + 1)), s"missing plant $i")
+    assert(banded.forall { case (a, b, h) =>
+      a % 2 == 0 && b == a + 1 && h <= 1 || h <= 3 })
+    val junk = ImageDedup.wavDeltaSketches(
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("id", "media"))
+      .select("decoded").as[Boolean].collect()
+    assert(junk.toSeq == Seq(false))
+  }
+
   test("video frame near-dup pairs planted perturbed videos per frame") {
     val docs = Seq((0L, "video text alpha"), (1L, "video text beta"))
       .toDF("doc_id", "text")
