@@ -364,6 +364,29 @@ object SuffixDedup {
         col("n_docs"))
   }
 
+  /** Write a [[familyIndex]] in its production standing form: parquet
+    * partitioned by `pmod(h, nBands)` — a daily pipeline builds this
+    * ONCE, then every batch probes it with [[incrementalFamilies]]
+    * (index scanned, never shuffled) and appends its own postings.
+    * Band partitioning keeps individual files bounded and lets a
+    * targeted re-index touch one band at a time.
+    */
+  def writeFamilyIndex(index: DataFrame, path: String,
+      nBands: Int = 64): Unit = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    index
+      .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+      .write.partitionBy("band").mode("overwrite").parquet(path)
+  }
+
+  /** Read a [[writeFamilyIndex]] layout back into the probe-ready
+    * `(h, doc_id, n_docs)` shape.
+    */
+  def readFamilyIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("h"), col("doc_id"), col("n_docs"))
+
   /** Standing component labels derived FROM a [[familyIndex]] — the
     * label side of the index-once pair, so building (index, labels)
     * costs ONE corpus gram pass total instead of familyIndex +
