@@ -292,6 +292,30 @@ object CurationQueries {
           batch, "doc_id", "text", idx, labels, minLen = 25)
         .select(col("doc_id"), asLong(col("family")).as("family"))
         .orderBy("doc_id")
+    }),
+
+    // the SERVED path of the same contract: the standing index goes
+    // through its production write-once parquet form (band-partitioned,
+    // writeFamilyIndex) and the batch probes the files — same oracle as
+    // q_family_incremental, so a hash match certifies the parquet
+    // round-trip end-to-end, not just in a spec fixture.
+    "q_family_incremental_served" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      // deterministic per-user path + overwrite mode: repeated runs
+      // reuse one directory instead of accreting temp copies
+      val tmp = System.getProperty("java.io.tmpdir") +
+        "/graft_famidx_served/idx"
+      graft.operators.SuffixDedup.writeFamilyIndex(
+        graft.operators.SuffixDedup.familyIndex(
+          corpus, "doc_id", "text", minLen = 25), tmp)
+      val served = graft.operators.SuffixDedup.readFamilyIndex(s, tmp)
+      val labels = graft.operators.SuffixDedup.familyLabels(served)
+      graft.operators.SuffixDedup.incrementalFamilies(
+          batch, "doc_id", "text", served, labels, minLen = 25)
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
     })
   )
 
@@ -511,6 +535,34 @@ object CurationQueries {
     // to batch docs — the incremental probe must reproduce it exactly:
     // index-probe ≡ whole-corpus rerun restricted to the batch
     "q_family_incremental" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |FROM documents d LEFT JOIN fam f USING (doc_id)
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical contract to q_family_incremental — the served face must
+    // reproduce the whole-corpus rerun THROUGH the parquet round-trip
+    "q_family_incremental_served" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
