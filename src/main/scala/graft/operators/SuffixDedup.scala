@@ -364,6 +364,42 @@ object SuffixDedup {
         col("n_docs"))
   }
 
+  /** One-shot template-family resolution over a corpus: min-label
+    * connected components over "shares a duplicated `minLen`-gram"
+    * edges — [[spanPairs]] + CC's result, computed on the HASH-ONLY
+    * path (the [[familyIndex]] shape without the standing-state rows):
+    * in-place gram-hash scan, ONE 16-byte-row exchange + one sort,
+    * per-hash distinct-doc window count, `[2, cap]` filter BEFORE the
+    * star-edge `collect_set` (buffer hard-bounded by the cap), CC.
+    * Gram strings never materialize anywhere. Identical to the
+    * spanPairs chain except under a real 64-bit collision (~2⁻⁶⁴, the
+    * documented class — spanPairs' own pre-cap already drops whole
+    * hash buckets); over-cap drops stay loud via [[Dedup.observeCaps]].
+    * Prefer this for whole-corpus family queries; use
+    * [[spanPairs]] when the pair LIST (or `n_shared`) is the product.
+    */
+  def suffixFamilies(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, maxDocsPerGram: Int = 1000): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
+    val counted = gramHashes(docs, idCol, textCol, minLen)
+      .select(col("h"), col("doc_id"))
+      .repartition(col("h"))
+      .dropDuplicates("h", "doc_id")
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy("h")))
+    val edges = Dedup.observeCaps(counted, "n_docs", maxDocsPerGram,
+        "suffixFamilies")
+      .filter(col("n_docs") >= 2 && col("n_docs") <= maxDocsPerGram)
+      .groupBy(col("h"))
+      .agg(collect_set(col("doc_id")).as("__ds"))
+      .select(array_min(col("__ds")).as("id_a"),
+        explode(col("__ds")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    Dedup.connectedComponents(edges)
+  }
+
   /** Write a [[familyIndex]] in its production standing form: parquet
     * partitioned by `pmod(h, nBands)` — a daily pipeline builds this
     * ONCE, then every batch probes it with [[incrementalFamilies]]

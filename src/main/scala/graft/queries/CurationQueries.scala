@@ -223,16 +223,16 @@ object CurationQueries {
         .orderBy("group")),
 
     // template-family resolution: docs connected by any shared
-    // duplicated 25-gram (bucket-capped pair generation) collapse into
-    // min-label components — the "same boilerplate family" signal that
-    // pairwise whole-doc near-dup scoring misses.
-    "q_suffix_families" -> ((s, dir) => {
-      val pairs = graft.operators.SuffixDedup.spanPairs(
+    // duplicated 25-gram collapse into min-label components — the
+    // "same boilerplate family" signal that pairwise whole-doc
+    // near-dup scoring misses. Hash-only path (r14): gram strings
+    // never materialize, one 16-byte exchange + cap-bounded star
+    // edges; ≡ spanPairs+CC modulo the documented ~2⁻⁶⁴ class
+    // (spec-pinned).
+    "q_suffix_families" -> ((s, dir) =>
+      graft.operators.SuffixDedup.suffixFamilies(
         t(s, dir, "documents"), "doc_id", "text", minLen = 25)
-      graft.operators.Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")))
-        .orderBy("id")
-    }),
+        .orderBy("id")),
 
     // leakage-safe split assignment: the WHOLE template family lands
     // in one split (split = hash of the family's min-label, docs with
@@ -241,10 +241,8 @@ object CurationQueries {
     // best practice, as a first-class face.
     "q_family_split" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val pairs = graft.operators.SuffixDedup.spanPairs(
+      val fams = graft.operators.SuffixDedup.suffixFamilies(
         docs, "doc_id", "text", minLen = 25)
-      val fams = graft.operators.Dedup.connectedComponents(
-        pairs.select(col("id_a"), col("id_b")))
         .withColumnRenamed("id", "doc_id")
       val withFam = docs.select(col("doc_id"))
         .join(fams, Seq("doc_id"), "left")

@@ -493,6 +493,35 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(inc == Map(100L -> 1L))
   }
 
+  test("suffixFamilies == connectedComponents(spanPairs): the hash-only " +
+      "one-shot resolution is exact — bridged families, over-cap " +
+      "boilerplate refused, singleton grams and unpaired docs silent") {
+    val P1 = "FAMILY-ONE-SHARED-PHRASE!!"
+    val P2 = "FAMILY-TWO-SHARED-PHRASE!!"
+    val S = "SINGLETON-CORPUS-GRAM-ABC!"
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb" + MEGA),
+      (2L, "cccccccccc" + P1 + "dddddddddd" + MEGA),
+      (3L, "qqqqqqqqqq" + P1 + "rrrrrrrrrr" + P2 + MEGA),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff" + MEGA),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"),
+      (8L, "iiiiiiiiii" + S + "jjjjjjjjjj"),
+      (9L, "a corpus doc in no family at all......")
+    ).toDF("doc_id", "text")
+    val cap = 3 // MEGA (4 docs) must be refused at this cap
+    val viaPairs = Dedup.connectedComponents(
+        SuffixDedup.spanPairs(corpus, "doc_id", "text", minLen = 26,
+          maxDocsPerGram = cap).select($"id_a", $"id_b"))
+      .as[(Long, Long)].collect().toMap
+    val direct = SuffixDedup.suffixFamilies(corpus, "doc_id", "text",
+        minLen = 26, maxDocsPerGram = cap)
+      .as[(Long, Long)].collect().toMap
+    assert(direct == viaPairs)
+    assert(direct == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L,
+      6L -> 1L))
+  }
+
   test("served family index: parquet round-trip probes equal in-memory, " +
       "the batch side broadcasts, and the index is scanned, not " +
       "re-shuffled") {
