@@ -412,6 +412,10 @@ object SuffixDedup {
     require(nBands >= 1, s"nBands must be >= 1, got $nBands")
     index
       .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+      // co-locate each band before the partitioned write: one file per
+      // band instead of (#shuffle-partitions × #bands) shards (set
+      // spark.sql.files.maxRecordsPerFile to re-split giant bands)
+      .repartition(col("band"))
       .write.partitionBy("band").mode("overwrite").parquet(path)
   }
 

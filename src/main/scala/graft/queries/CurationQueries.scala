@@ -294,11 +294,14 @@ object CurationQueries {
 
     // the SERVED path of the same contract: the standing index goes
     // through its production write-once parquet form (band-partitioned,
-    // writeFamilyIndex) and the batch probes the files — same oracle as
-    // q_family_incremental, so a hash match certifies the parquet
-    // round-trip end-to-end, not just in a spec fixture.
+    // writeFamilyIndex) and the batch probes the files — same oracle
+    // shape as q_family_incremental, so a hash match certifies the
+    // parquet round-trip end-to-end, not just in a spec fixture. Fixed
+    // 2000-doc slice (the q_minhash_containment adjudication): the gate
+    // checks serving fidelity, which is per-row — the full-corpus cost
+    // already lives in q_family_incremental.
     "q_family_incremental_served" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
       // deterministic per-user path + overwrite mode: repeated runs
@@ -558,13 +561,14 @@ object CurationQueries {
         |WHERE d.doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
 
-    // identical contract to q_family_incremental — the served face must
-    // reproduce the whole-corpus rerun THROUGH the parquet round-trip
+    // identical contract to q_family_incremental on the fixed slice —
+    // the served face must reproduce the whole-corpus rerun THROUGH the
+    // parquet round-trip
     "q_family_incremental_served" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
-        |  FROM documents WHERE length(text) >= 25),
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
         |pos AS (SELECT doc_id, pos,
         |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
         |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
@@ -583,7 +587,7 @@ object CurationQueries {
         |  FROM reach GROUP BY id)
         |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
         |FROM documents d LEFT JOIN fam f USING (doc_id)
-        |WHERE d.doc_id % 10 = 0
+        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 2000
         |ORDER BY doc_id""".stripMargin,
 
     // doc-gram pairs (≥2 distinct docs, ≤1000 cap) → symmetric edges →
