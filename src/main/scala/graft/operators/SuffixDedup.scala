@@ -193,17 +193,31 @@ object SuffixDedup {
     * reaches `minOcc`, so the result equals [[duplicatedSpans]] over
     * corpus + batch RESTRICTED to batch documents, without touching
     * corpus text (the index is scanned, the corpus never re-grammed).
-    * Batch and corpus id spaces must be disjoint.
+    * Batch and corpus id spaces must be disjoint, and the batch must
+    * be increment-sized: its distinct gram-key set is BROADCAST
+    * against the index (the daily-increment contract — a batch
+    * comparable to the corpus should re-run [[duplicatedSpans]] and
+    * re-index instead).
     */
   def incrementalSpans(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, minLen: Int, minOcc: Long = 2L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
     val byGram = Window.partitionBy("gram")
-    val hits = grams(batch, idCol, textCol, minLen)
+    val bg = grams(batch, idCol, textCol, minLen)
       .withColumn("__nb", count(lit(1)).over(byGram))
-      .join(index.select(col("h"), col("gram"), col("n_occ")),
-        Seq("h", "gram"), "left")
+    // corpus counts relevant to the batch: stream the standing index
+    // through a BROADCAST inner join on the batch gram set, then LEFT
+    // join the batch-scale hit list back to batch positions — the
+    // index is scanned map-side, never shuffled (a direct left join
+    // against the index cannot broadcast its left side, so it was
+    // shuffling the corpus-sized index on (h, gram) per probe —
+    // exactly the cost the index exists to avoid; r14)
+    val bkeys = bg.select(col("h"), col("gram")).distinct()
+    val cHits = index.select(col("h"), col("gram"), col("n_occ"))
+      .join(broadcast(bkeys), Seq("h", "gram"))
+    val hits = bg
+      .join(cHits, Seq("h", "gram"), "left")
       .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
       .select(col("doc_id"), col("pos"))
     mergeSpans(hits, minLen)

@@ -152,17 +152,22 @@ object CurationQueries {
         keepFirst = true)
         .orderBy("doc_id")),
 
-    // the daily-increment shape: docs < 250 are the indexed corpus
-    // (suffixIndex scanned, corpus text never re-grammed), docs ≥ 250
-    // the new batch — result equals duplicatedSpans over corpus+batch
-    // restricted to batch docs, which is exactly what the oracle
-    // replays.
+    // the daily-increment shape: every 10th doc is the new batch, the
+    // rest the indexed corpus (suffixIndex scanned map-side through
+    // the batch-key broadcast, corpus text never re-grammed) — result
+    // equals duplicatedSpans over corpus+batch restricted to batch
+    // docs, which is exactly what the oracle replays. (Was a fixed
+    // docs<250 corpus, which INVERTED the increment at higher SFs —
+    // a 49,750-doc "batch" against a 250-doc corpus at sf1; the %10
+    // split keeps batch:corpus at 1:9 at every SF, the q_family
+    // _incremental convention.)
     "q_suffix_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val idx = graft.operators.SuffixDedup.suffixIndex(
-        d.filter(col("doc_id") < 250), "doc_id", "text", minLen = 25)
+        d.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", minLen = 25)
       graft.operators.SuffixDedup.incrementalSpans(
-        d.filter(col("doc_id") >= 250), "doc_id", "text", idx, minLen = 25)
+        d.filter(col("doc_id") % 10 === 0), "doc_id", "text", idx,
+        minLen = 25)
         .select(col("doc_id"), col("span_start"), col("span_len"),
           asLong(col("n_positions")).as("n_positions"))
         .orderBy("doc_id", "span_start")
@@ -651,7 +656,7 @@ object CurationQueries {
     // incremental = whole-corpus spans restricted to batch documents
     // (the equality contract in the query comment)
     "q_suffix_incremental" ->
-      s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id >= 250")}
+      s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id % 10 = 0")}
          |SELECT doc_id, span_start, span_len, n_positions
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
