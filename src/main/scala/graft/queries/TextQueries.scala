@@ -334,6 +334,27 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the dHash (gradient-sign) sketcher under the same banded
+    // pipeline: 9×8 nearest-neighbor thumbnail, bit (y·8+x) =
+    // t(x,y) > t(x+1,y) — brightness-invariant, the production
+    // default for re-encoded/brightness-shifted near-dups. Oracle
+    // recomputes the 9×8 resample (src x = (x·8)//9, y = y//2 over the
+    // 8×4 md5 image) and brute-forces all pairs.
+    "q_image_dedup_dhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          md5(to_binary(col("text"), lit("utf-8"))).as("hex"))
+      val hexes = docs.select((col("doc_id") * 2).as("id"), col("hex"))
+        .unionAll(docs.select((col("doc_id") * 2 + 1).as("id"),
+          concat(lit("0"), expr("substring(hex, 2)")).as("hex")))
+      val media = graft.operators.Multimodal.fingerprintImageHex(
+        hexes, "id", "hex")
+      graft.operators.ImageDedup.nearDupPairs(media, hammingMax = 3,
+          sketcher = graft.operators.ImageDedup.dHashSketches)
+        .select(col("id_a"), col("id_b"), asLong(col("hamming")).as("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // audio near-dup: real WAV decode → 65 time anchors → temporal
     // delta-hash (bit j: a(j) > a(j+1)) → the same Hamming-banded
     // candidate join + exact verify as q_image_dedup. Near-dup clips
@@ -2634,6 +2655,31 @@ object TextQueries {
         |bits AS (SELECT px.id AS id, px.i AS i,
         |    CASE WHEN 64 * px.v > tot.total THEN 1 ELSE 0 END AS b
         |  FROM px JOIN tot ON px.id = tot.id),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // 9×8 thumbnail from the 8×4 md5 image: t(x,y) = hex char at
+    // (y//2)*8 + (x*8)//9; bit (y*8+x) = t(x,y) > t(x+1,y) for x<8 —
+    // integer-exact, brute-forced over all pairs
+    "q_image_dedup_dhash" ->
+      """WITH hx0 AS (SELECT doc_id, md5(text) AS hex
+        |  FROM documents WHERE doc_id < 200),
+        |hx AS (SELECT doc_id*2 AS id, hex FROM hx0
+        |  UNION ALL
+        |  SELECT doc_id*2+1 AS id, '0' || substr(hex, 2) AS hex FROM hx0),
+        |px AS (SELECT id, x, y, ascii(substr(hex,
+        |    CAST((y // 2) * 8 + (x * 8) // 9 AS INT) + 1, 1)) AS v
+        |  FROM hx, unnest(generate_series(0, 8)) tx(x),
+        |    unnest(generate_series(0, 7)) ty(y)),
+        |bits AS (SELECT a.id AS id, a.y * 8 + a.x AS i,
+        |    CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
+        |  FROM px a JOIN px b ON b.id = a.id AND b.y = a.y
+        |    AND b.x = a.x + 1
+        |  WHERE a.x < 8),
         |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
         |    sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
         |  FROM bits a JOIN bits b ON a.i = b.i AND a.id < b.id
