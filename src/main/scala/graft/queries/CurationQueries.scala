@@ -309,10 +309,12 @@ object CurationQueries {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
       val batch = docs.filter(col("doc_id") % 10 === 0)
-      // deterministic per-user path + overwrite mode: repeated runs
-      // reuse one directory instead of accreting temp copies
+      // deterministic WITHIN a session (repeated constructions reuse
+      // one directory, overwrite mode), unique ACROSS sessions (the
+      // application id keys the path, so concurrent JVMs never clobber
+      // each other's index mid-read)
       val tmp = System.getProperty("java.io.tmpdir") +
-        "/graft_famidx_served/idx"
+        s"/graft_famidx_served_${s.sparkContext.applicationId}/idx"
       graft.operators.SuffixDedup.writeFamilyIndex(
         graft.operators.SuffixDedup.familyIndex(
           corpus, "doc_id", "text", minLen = 25), tmp)
