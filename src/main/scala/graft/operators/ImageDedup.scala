@@ -34,13 +34,24 @@ import graft.functions.TextFunctions
   */
 object ImageDedup {
 
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.ImageDedup")
+
   private val ThumbW = 8
   private val ThumbH = 8
 
-  /** Decode → red channel → `dstW`×`dstH` nearest-neighbor thumbnail
-    * (same resample rule as [[Multimodal.resizeImages]]: src = dst·s/d,
-    * floor). Non-decodable bytes fall back to the raw byte array viewed
-    * as a 1×n image (`decoded = false`) — the mixed-corpus contract.
+  /** Decode → integer luminance `(r + 2g + b) / 4` → `dstW`×`dstH`
+    * nearest-neighbor thumbnail (same resample rule as
+    * [[Multimodal.resizeImages]]: src = dst·s/d, floor). The luminance
+    * weight is the power-of-two green-heavy approximation of BT.601 —
+    * integer-exact, so any SQL engine reproduces it, and it equals the
+    * channel value exactly on grayscale input (r = g = b), which keeps
+    * the md5-fingerprint oracle bit-identical; for real color images it
+    * tracks perceived brightness where a single-channel hash (the
+    * pre-r15 red-channel shape) lost near-dup recall on hue-shifted
+    * variants. Non-decodable bytes fall back to the raw byte array
+    * viewed as a 1×n image (`decoded = false`) — the mixed-corpus
+    * contract.
     */
   private def thumbPixels(bytes: Array[Byte], dstW: Int,
       dstH: Int): (Boolean, Array[Int]) = {
@@ -55,8 +66,9 @@ object ImageDedup {
       while (y < dstH) {
         var x = 0
         while (x < dstW) {
-          out(y * dstW + x) =
-            (img.getRGB(x * sw / dstW, y * sh / dstH) >> 16) & 0xff
+          val rgb = img.getRGB(x * sw / dstW, y * sh / dstH)
+          out(y * dstW + x) = (((rgb >> 16) & 0xff) +
+            2 * ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 4
           x += 1
         }
         y += 1
@@ -152,8 +164,27 @@ object ImageDedup {
   def wavDeltaSketches(df: DataFrame): DataFrame = sketchDf(df) { bytes =>
     val decoded =
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(bytes))
+        // the sample pairing below assumes signed 16-bit little-endian
+        // PCM; a stream decoded in any OTHER layout (8-bit, mu-law,
+        // big-endian AIFF) would "succeed" into a garbage sketch
+        // silently labeled decoded — so non-matching formats go through
+        // the JDK's format converter first (ULAW/ALAW/8-bit/BE all
+        // convert), and only an unconvertible stream falls back to the
+        // decoded=false raw-bytes contract (r14 advice).
+        val fmt = raw.getFormat
+        val isPcm16le =
+          fmt.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        val ais =
+          if (isPcm16le) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              fmt.getSampleRate, 16, fmt.getChannels,
+              2 * fmt.getChannels, fmt.getSampleRate, false), raw)
         val data = ais.readAllBytes()
         val n = data.length / 2
         val s = new Array[Int](n)
@@ -268,29 +299,61 @@ object ImageDedup {
     * ([[Multimodal.demuxPngFrames]], the lossless chunk-walk demuxer
     * behind [[Multimodal.videoFrameStats]]), sketch every frame, and
     * pair at the Hamming bound. Frame identity is
-    * `video_id * maxFramesPerVideo + frame_id` (videos are short clips
-    * by contract; longer ones truncate LOUDLY via the take). Pairs
-    * within the same video are kept — boilerplate intro frames ARE
-    * near-dups a curation pass wants surfaced.
+    * `video_id * maxFramesPerVideo + frame_id` — video ids must be
+    * non-negative and within the packable range
+    * `[0, Long.MaxValue / maxFramesPerVideo)` (enforced per row: a
+    * negative or overflowing id would silently collide frame
+    * identities). Videos are short clips by contract; longer ones
+    * truncate at `maxFramesPerVideo`, and the truncation is LOUD — an
+    * `Observation` counts dropped frames and WARNs after the action
+    * completes (the [[Dedup.observeCaps]] pattern; r14 advice: the bare
+    * `.take` dropped tail frames silently). Pairs within the same video
+    * are kept — boilerplate intro frames ARE near-dups a curation pass
+    * wants surfaced.
     */
   def videoFrameNearDupPairs(media: DataFrame, hammingMax: Int = 3,
       maxBucketSize: Int = 1000, maxFramesPerVideo: Int = 1000): DataFrame = {
+    require(maxFramesPerVideo >= 1,
+      s"maxFramesPerVideo must be >= 1, got $maxFramesPerVideo")
+    val maxId = Long.MaxValue / maxFramesPerVideo
     val frameSchema = StructType(Seq(
       StructField("id", LongType),
-      StructField("media", BinaryType)))
+      StructField("media", BinaryType),
+      StructField("dropped", LongType)))
     val enc = RowEncoder.encoderFor(frameSchema)
     val frames = media.select(col("id").cast(LongType), col("media"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
-          Multimodal.demuxPngFrames(r.getAs[Array[Byte]](1))
-            .take(maxFramesPerVideo)
-            .zipWithIndex.map { case (f, i) =>
-              Row(id * maxFramesPerVideo + i, f)
-            }
+          require(id >= 0 && id < maxId,
+            s"videoFrameNearDupPairs: video id $id outside the packable " +
+              s"range [0, $maxId) for maxFramesPerVideo=$maxFramesPerVideo" +
+              " — frame identities would collide")
+          val all = Multimodal.demuxPngFrames(r.getAs[Array[Byte]](1))
+          val kept = all.take(maxFramesPerVideo)
+          val nDropped = (all.length - kept.length).toLong
+          kept.zipWithIndex.map { case (f, i) =>
+            Row(id * maxFramesPerVideo + i, f, if (i == 0) nDropped else 0L)
+          }
         }
       }(enc)
-      .toDF("id", "media")
-    nearDupPairs(frames, hammingMax, maxBucketSize)
+      .toDF("id", "media", "dropped")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = frames.observe(obs,
+      sum(col("dropped")).as("frames_dropped"))
+    val t = new Thread(() => {
+      val droppedFrames = obs.get.get("frames_dropped") match {
+        case Some(l: java.lang.Long) => l.longValue()
+        case _ => 0L
+      }
+      if (droppedFrames > 0)
+        log.warn(s"videoFrameNearDupPairs: $droppedFrames frames beyond " +
+          s"maxFramesPerVideo=$maxFramesPerVideo were DROPPED before " +
+          "sketching; near-dup pairs involving those frames are not " +
+          "emitted. Raise maxFramesPerVideo deliberately for long clips.")
+    }, "graft-videoFrameNearDupPairs-truncation-observer")
+    t.setDaemon(true)
+    t.start()
+    nearDupPairs(observed.drop("dropped"), hammingMax, maxBucketSize)
   }
 }

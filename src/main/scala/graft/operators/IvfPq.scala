@@ -279,4 +279,55 @@ object IvfPq {
         (col("q_nrm") * col("c_nrm")))
     Similarity.topKMerge(exact, k)
   }
+
+  /** Index-maintenance gate (r14 verdict #6): [[appendToIndex]]
+    * documents that centroid drift under many appends degrades RECALL,
+    * not correctness — this face MEASURES it and flips the rebuild
+    * flag, so the decision is a gate, not a comment. Shape: recall@k of
+    * the frozen-model index probe against the exact brute-force answer
+    * over a HELD-OUT probe slice (the [[Dedup.candidateQuality]]
+    * calibration pattern — run the expensive exact baseline on a slice
+    * you can afford, gate the cheap path with it).
+    *
+    * `probeQueries` is the held-out slice (driver-collected for the
+    * static partition prune, so the [[ivfPqTopKFromIndex]]
+    * `maxProbeQueries` cap applies); `corpus` supplies raw embeddings
+    * for ground truth and rerank and must cover the appended batches —
+    * drifted vectors missing from ground truth would hide exactly the
+    * drift this gate exists to catch. One row out:
+    * `(n_queries, k, n_expected, n_hits, recall, rebuild)` with
+    * `rebuild = recall < recallFloor`.
+    *
+    * Why recall drops under drift: appended vectors far from every
+    * frozen centroid produce residuals outside the codebooks' trained
+    * range, so their codes collapse toward the extreme codewords and
+    * ADC can no longer rank within the drifted region — the shortlist
+    * becomes near-arbitrary there, and the exact rerank cannot recover
+    * neighbors the shortlist never surfaced. Recall on undrifted
+    * regions stays at the build-time calibration (spec-pinned both
+    * ways in IvfPqSpec).
+    */
+  def driftReport(spark: SparkSession, path: String,
+      probeQueries: DataFrame, corpus: DataFrame, k: Int = 10,
+      nprobe: Int = 4, rerankFactor: Int = 4, recallFloor: Double = 0.9,
+      maxProbeQueries: Int = 65536): DataFrame = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    val approx = ivfPqTopKFromIndex(spark, path, probeQueries, corpus, k,
+        nprobe, rerankFactor, excludeSelf = true, maxProbeQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    val exact = Similarity.bruteForceTopK(probeQueries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = probeQueries.select(col("id")).distinct().count()
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .select(lit(nq).as("n_queries"), lit(k.toLong).as("k"),
+        col("n_expected"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_expected").cast("double"))
+          .as("recall"))
+      .withColumn("rebuild", col("recall") < recallFloor)
+  }
 }

@@ -170,20 +170,30 @@ object SuffixDedup {
         length(col("kept_text")).cast(LongType).as("kept_chars"))
   }
 
-  /** Materialized gram index of a corpus: `(h, gram, n_occ)`, one row
-    * per DISTINCT L-gram with its corpus-wide occurrence count. The
-    * 100 TB shape: write it once partitioned by a band of `h` (e.g.
-    * `pmod(h, 1024)`), and [[incrementalSpans]]' probe join prunes to
-    * matching bands instead of re-scanning the corpus — the same
-    * index-once/probe-increment contract as `Dedup.minhashIndex`.
-    * Storing the gram string beside the hash keeps the probe EXACT
-    * (hash collisions confirm against the gram, never against text).
+  /** Materialized gram index of a corpus: `(h, n_occ)`, one TWO-LONGS
+    * row per distinct gram-hash with its corpus-wide occurrence count —
+    * the [[familyIndex]] hash-only shape (r14 verdict #1: through r14
+    * this index carried the 25-char gram STRING beside the hash, and at
+    * sf1 d90 the string exchange was 28 s of the 31.6 s composite; keying
+    * the standing state on `xxhash64(gram)` alone accepts the same
+    * documented ~2⁻⁶⁴-per-gram-pair collision class the span pre-cap
+    * and [[familyIndex]] already accept — a collision can only MERGE two
+    * grams' counts, inflating a candidate that the probe then treats as
+    * duplicated, never dropping a true duplicate... and for this index
+    * the inflation IS the accepted error, since no exact-confirm string
+    * survives to re-split the bucket). Build cost is one 8-byte-key
+    * map-side-combined exchange over the zero-allocation
+    * [[graft.expressions.GramHashes]] scan; no gram string is ever
+    * allocated. The 100 TB shape: write it once partitioned by a band
+    * of `h` (e.g. `pmod(h, 1024)`), and [[incrementalSpans]]' probe join
+    * prunes to matching bands instead of re-scanning the corpus — the
+    * same index-once/probe-increment contract as `Dedup.minhashIndex`.
     */
   def suffixIndex(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    grams(docs, idCol, textCol, minLen)
-      .groupBy(col("h"), col("gram"))
+    gramHashes(docs, idCol, textCol, minLen)
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occ"))
   }
 
@@ -192,32 +202,45 @@ object SuffixDedup {
     * duplicated when its gram's batch count plus indexed corpus count
     * reaches `minOcc`, so the result equals [[duplicatedSpans]] over
     * corpus + batch RESTRICTED to batch documents, without touching
-    * corpus text (the index is scanned, the corpus never re-grammed).
-    * Batch and corpus id spaces must be disjoint, and the batch must
-    * be increment-sized: its distinct gram-key set is BROADCAST
-    * against the index (the daily-increment contract — a batch
-    * comparable to the corpus should re-run [[duplicatedSpans]] and
-    * re-index instead).
+    * corpus text (the index is scanned, the corpus never re-grammed),
+    * modulo the index's documented ~2⁻⁶⁴ hash-merge class. Batch and
+    * corpus id spaces must be disjoint, and the batch must be
+    * increment-sized: its distinct hash set (8 bytes per key) is
+    * BROADCAST against the index, and that contract is ENFORCED, not
+    * comment-only — the key count is counted off the checkpointed key
+    * frame (no recompute) and a batch past `maxBatchKeys` fails loudly
+    * with the re-index advice instead of dying in a driver-OOM
+    * broadcast (r14 advice: the old left join silently degraded to a
+    * corpus-index shuffle; the guard keeps the failure mode explicit).
     */
   def incrementalSpans(batch: DataFrame, idCol: String, textCol: String,
-      index: DataFrame, minLen: Int, minOcc: Long = 2L): DataFrame = {
+      index: DataFrame, minLen: Int, minOcc: Long = 2L,
+      maxBatchKeys: Long = 10000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
-    val byGram = Window.partitionBy("gram")
-    val bg = grams(batch, idCol, textCol, minLen)
-      .withColumn("__nb", count(lit(1)).over(byGram))
+    val byH = Window.partitionBy("h")
+    val bg = gramHashes(batch, idCol, textCol, minLen)
+      .withColumn("__nb", count(lit(1)).over(byH))
     // corpus counts relevant to the batch: stream the standing index
-    // through a BROADCAST inner join on the batch gram set, then LEFT
+    // through a BROADCAST inner join on the batch hash set, then LEFT
     // join the batch-scale hit list back to batch positions — the
     // index is scanned map-side, never shuffled (a direct left join
     // against the index cannot broadcast its left side, so it was
-    // shuffling the corpus-sized index on (h, gram) per probe —
-    // exactly the cost the index exists to avoid; r14)
-    val bkeys = bg.select(col("h"), col("gram")).distinct()
-    val cHits = index.select(col("h"), col("gram"), col("n_occ"))
-      .join(broadcast(bkeys), Seq("h", "gram"))
+    // shuffling the corpus-sized index per probe — exactly the cost
+    // the index exists to avoid; r14). Hash-only keys since r15: the
+    // broadcast carries 8 bytes/key, never 25-char gram strings.
+    val bkeys = bg.select(col("h")).distinct().localCheckpoint(true)
+    val nKeys = bkeys.count()
+    require(nKeys <= maxBatchKeys,
+      s"incrementalSpans: batch carries $nKeys distinct gram hashes > " +
+        s"maxBatchKeys=$maxBatchKeys — this batch is not increment-sized " +
+        "relative to the broadcast budget; re-run duplicatedSpans over " +
+        "corpus + batch and re-index instead (or raise maxBatchKeys " +
+        "deliberately if the driver can hold the broadcast)")
+    val cHits = index.select(col("h"), col("n_occ"))
+      .join(broadcast(bkeys), Seq("h"))
     val hits = bg
-      .join(cHits, Seq("h", "gram"), "left")
+      .join(cHits, Seq("h"), "left")
       .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
       .select(col("doc_id"), col("pos"))
     mergeSpans(hits, minLen)
@@ -504,6 +527,35 @@ object SuffixDedup {
   def incrementalFamilies(batch: DataFrame, idCol: String, textCol: String,
       index: DataFrame, labels: DataFrame, minLen: Int,
       maxDocsPerGram: Int = 1000): DataFrame = {
+    val edges = batchProbeEdges(batch, idCol, textCol, index, minLen,
+      maxDocsPerGram)
+    val comps = contractedComponents(edges, labels)
+    batch.select(col(idCol).as("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("family"))
+  }
+
+  /** The edge half of [[incrementalFamilies]]: star edges over
+    * batch ∪ touched-corpus member lists, combined-cap filtered. Shared
+    * with the APPEND lifecycle ([[FamilyStore]]), which must see the raw
+    * edges to write label updates, not just the batch projection.
+    *
+    * SEGMENTED-index capable (r15): the corpus side of the combined
+    * count is `count(posting rows) + Σ marker n_docs` instead of
+    * `max(n_docs)` — on the canonical one-segment [[familyIndex]] the
+    * two are identical (an under-cap hash carries exactly `n_docs`
+    * posting rows; an over-cap hash carries one marker holding its
+    * count), and on a multi-segment [[FamilyStore]] index (disjoint doc
+    * spaces per segment, so postings never repeat across segments) the
+    * row-count form is the EXACT combined corpus count where a
+    * per-segment `max` would undercount. Marker `n_docs` is always
+    * "docs represented by THIS marker row" — per segment, never global —
+    * which is what makes the sum correct in both layouts.
+    */
+  private[operators] def batchProbeEdges(batch: DataFrame, idCol: String,
+      textCol: String, index: DataFrame, minLen: Int,
+      maxDocsPerGram: Int, maxBatchKeys: Long = 10000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
@@ -517,15 +569,28 @@ object SuffixDedup {
     // corpus postings relevant to the batch: stream the standing index
     // through a BROADCAST semi-join on the batch hash set — no index
     // shuffle, no corpus re-gram. Marker rows (doc_id null) ride along
-    // to carry the frozen over-cap counts.
+    // to carry the frozen over-cap counts. The broadcast contract is
+    // enforced (the incrementalSpans guard): count off the checkpointed
+    // key frame, refuse corpus-sized batches loudly.
     val bkeys = bposts.select(col("h"), col("__nb")).distinct()
+      .localCheckpoint(true)
+    val nKeys = bkeys.count()
+    require(nKeys <= maxBatchKeys,
+      s"batchProbeEdges: batch carries $nKeys distinct gram hashes > " +
+        s"maxBatchKeys=$maxBatchKeys — not increment-sized for the " +
+        "broadcast probe; rebuild the family index over corpus + batch " +
+        "instead (or raise maxBatchKeys deliberately)")
     val hits = index.join(broadcast(bkeys), Seq("h"))
-    // combined cap per gram: corpus n_docs (0 when the gram is new)
+    // combined cap per gram: corpus count (0 when the gram is new)
     // + batch distinct docs, in [2, maxDocsPerGram]
     val knownTotals = hits
       .groupBy(col("h"))
-      .agg(max(col("n_docs")).as("__nc"), max(col("__nb")).as("__nbc"))
-      .select(col("h"), (col("__nc") + col("__nbc")).as("__tot"))
+      .agg(sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)).as("__np"),
+        coalesce(sum(when(col("doc_id").isNull, col("n_docs"))),
+          lit(0L)).as("__nm"),
+        max(col("__nb")).as("__nbc"))
+      .select(col("h"),
+        (col("__np") + col("__nm") + col("__nbc")).as("__tot"))
     // grams NEW to the corpus: anti-join against the (batch-scale) hit
     // keys, never against the full index
     val newGrams = bkeys
@@ -542,15 +607,26 @@ object SuffixDedup {
       .unionByName(hits.filter(col("doc_id").isNotNull)
         .select(col("h"), col("doc_id")))
       .join(gramTotals, Seq("h"))
-    val edges = members
+    members
       .groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("__ds"))
       .select(array_min(col("__ds")).as("id_a"),
         explode(col("__ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // contract corpus endpoints to standing labels (corpus docs in no
-    // standing pair label themselves), then CC on the contracted graph
+  }
+
+  /** The contraction half of [[incrementalFamilies]]: replace each edge
+    * endpoint by its standing label (endpoints in no standing pair keep
+    * themselves), then min-label CC over the contracted batch-scale
+    * graph. Returns the component table over ALL contracted nodes —
+    * batch ids, touched standing labels, and previously-unlabeled corpus
+    * ids — which is exactly the label-update set the append lifecycle
+    * persists ([[FamilyStore]]); [[incrementalFamilies]] projects it to
+    * batch docs.
+    */
+  private[operators] def contractedComponents(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
     val lblA = labels.select(col("id").as("__ida"), col("label").as("__la"))
     val lblB = labels.select(col("id").as("__idb"), col("label").as("__lb"))
     val cEdges = edges
@@ -558,11 +634,7 @@ object SuffixDedup {
       .join(lblB, col("id_b") === col("__idb"), "left")
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
-    val comps = Dedup.connectedComponents(cEdges)
-    batch.select(col(idCol).as("doc_id"))
-      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("family"))
+    Dedup.connectedComponents(cEdges)
   }
 
   /** [[spanPairs]]' string-carrying postings AFTER the mandatory

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.queries.Q._
@@ -297,35 +298,123 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
-    // the SERVED path of the same contract: the standing index goes
-    // through its production write-once parquet form (band-partitioned,
-    // writeFamilyIndex) and the batch probes the files — same oracle
-    // shape as q_family_incremental, so a hash match certifies the
-    // parquet round-trip end-to-end, not just in a spec fixture. Fixed
-    // 2000-doc slice (the q_minhash_containment adjudication): the gate
-    // checks serving fidelity, which is per-row — the full-corpus cost
-    // already lives in q_family_incremental.
-    "q_family_incremental_served" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
-      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val batch = docs.filter(col("doc_id") % 10 === 0)
-      // deterministic WITHIN a session (repeated constructions reuse
-      // one directory, overwrite mode), unique ACROSS sessions (the
-      // application id keys the path, so concurrent JVMs never clobber
-      // each other's index mid-read)
-      val tmp = System.getProperty("java.io.tmpdir") +
-        s"/graft_famidx_served_${s.sparkContext.applicationId}/idx"
-      graft.operators.SuffixDedup.writeFamilyIndex(
-        graft.operators.SuffixDedup.familyIndex(
-          corpus, "doc_id", "text", minLen = 25), tmp)
-      val served = graft.operators.SuffixDedup.readFamilyIndex(s, tmp)
-      val labels = graft.operators.SuffixDedup.familyLabels(served)
+    // the SERVED contract, SPLIT into its two production jobs (r14
+    // verdict #3: the combined face buried the flat probe cost — the
+    // number the index exists to showcase — under the one-time build +
+    // parquet write). Fixed 2000-doc slice (the q_minhash_containment
+    // adjudication): these gates check serving fidelity, which is
+    // per-row; the full-corpus cost lives in q_family_incremental.
+    //
+    // BUILD face: familyIndex + familyLabels over the corpus slice,
+    // written once in their standing parquet forms (band-partitioned
+    // index, plain labels) — the output is the hash-free index census
+    // (gram hashes never leave the engine): distinct grams, posting
+    // rows, over-cap markers and their doc mass, labeled docs. DuckDB
+    // replays the census from exact gram strings — equal modulo the
+    // documented ~2⁻⁶⁴ hash-merge class.
+    "q_family_index_build" -> ((s, dir) => {
+      val census = servedFamilyBuild(s, dir, force = true)
+      census
+    }),
+
+    // PROBE face: the batch probes the STANDING files written by the
+    // build face (lazily built if this face runs first — Verify's map
+    // order is arbitrary; Bench's name sort runs build before probe, so
+    // this line times the probe alone: read band-partitioned parquet,
+    // broadcast batch keys, contract against served labels). Same
+    // oracle shape as q_family_incremental on the slice, certifying the
+    // parquet round-trip end-to-end.
+    "q_family_probe_served" -> ((s, dir) => {
+      servedFamilyBuild(s, dir, force = false)
+      val base = servedFamilyDir(s, dir)
+      val batch = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("doc_id") % 10 === 0)
+      val served = graft.operators.SuffixDedup.readFamilyIndex(
+        s, s"$base/idx")
+      val labels = s.read.parquet(s"$base/lbl")
+        .select(col("id"), col("label"))
       graft.operators.SuffixDedup.incrementalFamilies(
           batch, "doc_id", "text", served, labels, minLen = 25)
         .select(col("doc_id"), asLong(col("family")).as("family"))
         .orderBy("doc_id")
+    }),
+
+    // the APPEND lifecycle gate (r14 verdict #1, the last missing
+    // production loop): bootstrap the FamilyStore from 80% of the
+    // corpus, APPEND a 10% batch through processBatch (probe + index
+    // segment + label-update segment, exactly-once layout), then probe
+    // the final 10% against the two-segment store. The oracle replays
+    // the ONE-SHOT whole-corpus family chain restricted to the probe
+    // batch — a hash match proves probe-after-append ≡ full rebuild
+    // (the StreamingAnnIngest parity shape), covering the segmented
+    // combined-count formula AND the label pointer-chase end-to-end.
+    "q_family_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 9)
+      val appended = docs.filter(col("doc_id") % 10 === 9)
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_famstore_${s.sparkContext.applicationId}/r"
+      val (idxP, lblP) = (s"$base/idx", s"$base/lbl")
+      graft.operators.FamilyStore.init(corpus, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+      graft.operators.FamilyStore.processBatch(appended, 0L, "doc_id",
+        "text", idxP, lblP, minLen = 25)
+      graft.operators.FamilyStore.probe(probe, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Session-scoped standing family artifacts for the served faces:
+    * deterministic WITHIN a session (one directory, overwrite mode),
+    * unique ACROSS sessions (application id keys the path, so
+    * concurrent JVMs never clobber each other's index mid-read).
+    */
+  private def servedFamilyDir(s: SparkSession, dir: String): String =
+    System.getProperty("java.io.tmpdir") +
+      s"/graft_famidx_served_${s.sparkContext.applicationId}"
+
+  /** Build (or reuse) the served family index + labels pair and return
+    * the build census. `force` rebuilds unconditionally (the build
+    * face); otherwise an existing pair is reused so the probe face
+    * times the probe, not a rebuild.
+    */
+  private def servedFamilyBuild(s: SparkSession, dir: String,
+      force: Boolean): DataFrame = {
+    val base = servedFamilyDir(s, dir)
+    val done = new java.io.File(s"$base/_built")
+    if (force || !done.exists()) {
+      val corpus = t(s, dir, "documents")
+        .filter(col("doc_id") < 2000 && col("doc_id") % 10 =!= 0)
+      val idx = graft.operators.SuffixDedup.familyIndex(
+        corpus, "doc_id", "text", minLen = 25).localCheckpoint(true)
+      graft.operators.SuffixDedup.writeFamilyIndex(idx, s"$base/idx")
+      graft.operators.SuffixDedup.familyLabels(idx)
+        .write.mode("overwrite").parquet(s"$base/lbl")
+      done.getParentFile.mkdirs()
+      java.nio.file.Files.write(done.toPath, Array.emptyByteArray)
+    }
+    val served = graft.operators.SuffixDedup.readFamilyIndex(
+      s, s"$base/idx")
+    val labels = s.read.parquet(s"$base/lbl")
+    served.agg(
+      countDistinct(col("h")).as("n_grams"),
+      sum(when(col("doc_id").isNotNull, 1L).otherwise(0L))
+        .as("n_postings"),
+      sum(when(col("doc_id").isNull, 1L).otherwise(0L))
+        .as("n_overcap_grams"),
+      coalesce(sum(when(col("doc_id").isNull, col("n_docs"))), lit(0L))
+        .as("n_overcap_docs"))
+      .crossJoin(labels.agg(count(lit(1)).as("n_labeled")))
+      .select(asLong(col("n_grams")).as("n_grams"),
+        asLong(col("n_postings")).as("n_postings"),
+        asLong(col("n_overcap_grams")).as("n_overcap_grams"),
+        asLong(col("n_overcap_docs")).as("n_overcap_docs"),
+        asLong(col("n_labeled")).as("n_labeled"))
+  }
 
   /** Shared Hamilton-quota CTE chain (sizes → floor shares → leftover →
     * remainder ranking), mirroring [[graft.operators.Stratified]] term
@@ -568,10 +657,66 @@ object CurationQueries {
         |WHERE d.doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
 
+    // the build census replayed from exact gram strings: distinct
+    // grams, under-cap posting mass, over-cap markers, and docs in any
+    // kept pair (the familyLabels row count) — equal to the hash-keyed
+    // engine census modulo the documented ~2⁻⁶⁴ collision class
+    "q_family_index_build" ->
+      """WITH pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents
+        |  WHERE length(text) >= 25 AND doc_id < 2000 AND doc_id % 10 <> 0),
+        |pos AS (SELECT doc_id,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos),
+        |g AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+        |lab AS (SELECT DISTINCT d.doc_id FROM dg d JOIN g USING (gram)
+        |  WHERE g.n BETWEEN 2 AND 1000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(sum(CASE WHEN n <= 1000 THEN n END), 0) AS BIGINT)
+        |    AS n_postings,
+        |  CAST(COALESCE(sum(CASE WHEN n > 1000 THEN 1 END), 0) AS BIGINT)
+        |    AS n_overcap_grams,
+        |  CAST(COALESCE(sum(CASE WHEN n > 1000 THEN n END), 0) AS BIGINT)
+        |    AS n_overcap_docs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labeled
+        |FROM g""".stripMargin,
+
+    // probe-after-append ≡ one-shot rebuild: the whole-corpus family
+    // chain over ALL documents (bootstrap ∪ appended ∪ probe batches),
+    // restricted to the probe batch — identical contract to
+    // q_family_incremental, now THROUGH the two-segment store
+    "q_family_append" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |FROM documents d LEFT JOIN fam f USING (doc_id)
+        |WHERE d.doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
     // identical contract to q_family_incremental on the fixed slice —
     // the served face must reproduce the whole-corpus rerun THROUGH the
     // parquet round-trip
-    "q_family_incremental_served" ->
+    "q_family_probe_served" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text

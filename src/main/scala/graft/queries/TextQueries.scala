@@ -401,6 +401,114 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // CROSS-MODALITY curation composition (r14 verdict #7): the three
+    // modality sketch families feed ONE curation pipeline instead of
+    // coexisting — text exact dedup, audio delta-hash near-dup
+    // (hamming ≤ 1), image aHash near-dup (hamming ≤ 3), then a fourth
+    // CROSS-MODAL stage: the union of all three channels' pairs
+    // resolves into merged families, where an entity can WIN every
+    // single-channel arbitration yet lose the merged one when channels
+    // bridge its cluster. Arbitration per cluster is keepBest's rule —
+    // score desc (doc length), id asc — at member grain; the output is
+    // the attritionReport ledger (first-failing-stage semantics).
+    //
+    // Four plant classes over docs < 200 (entities 2i / 2i+1), each
+    // exercising its own stage:
+    //   i%4=0 — text twins (same text, unrelated media) → stage 0;
+    //   i%4=1 — media twins with distinct text and hex position 17
+    //     rewritten: the audio anchors around that position flip 0-3
+    //     delta bits, so the class SPLITS between the audio stage
+    //     (hamming ≤ 1) and the image stage (≤ 3) — both exercised;
+    //   i%4=2 — entity 2i is the BRIDGE TARGET: it takes class-3
+    //     neighbor doc i+1's B-text (so its id is the smallest in the
+    //     bridged cluster), 2i+1 inert;
+    //   i%4=3 — the cross-modal construct: A=2i media-pairs B=2i+1
+    //     (hex position 0 rewritten), B text-pairs C=2(i-1); equal
+    //     lengths → min-id arbitration: A wins its media cluster
+    //     ({A,B} → A), B loses at text ({B,C} → C), and the merged
+    //     {A,B,C} crowns C — A falls ONLY at the cross-modal stage.
+    // DuckDB replays every channel from md5(text) (the q_image_dedup /
+    // q_audio_dedup pixel/anchor CTEs), resolves clusters by recursive
+    // CC, applies the same arbitration, and unrolls the ledger — one
+    // hash match certifies the three sketch families COMPOSE.
+    "q_corpus_prep_multimodal" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+        col("text").as("__ntext"))
+      val d = docs.join(nxt, Seq("doc_id"), "left")
+        .withColumn("__h", md5(to_binary(col("text"), lit("utf-8"))))
+      val cls = col("doc_id") % 4
+      def h(c: org.apache.spark.sql.Column) =
+        md5(to_binary(c, lit("utf-8")))
+      val e0 = d.select((col("doc_id") * 2).as("id"),
+        when(cls === 2 && col("__ntext").isNotNull,
+          concat(lit("Q"), expr("substring(__ntext, 2)")))
+          .otherwise(col("text")).as("text"))
+        .withColumn("hex", h(col("text")))
+      val e1 = d.select((col("doc_id") * 2 + 1).as("id"),
+        when(cls === 1, concat(lit("X"), expr("substring(text, 2)")))
+          .when(cls === 3, concat(lit("Q"), expr("substring(text, 2)")))
+          .otherwise(col("text")).as("text"),
+        when(cls === 0, h(concat(col("text"), lit("alt"))))
+          .when(cls === 2, h(concat(col("text"), lit("zzz"))))
+          .when(cls === 1, concat(expr("substring(__h, 1, 16)"), lit("0"),
+            expr("substring(__h, 18)")))
+          .otherwise(concat(lit("0"), expr("substring(__h, 2)")))
+          .as("hex"))
+      val ents = e0.unionByName(e1)
+        .localCheckpoint(true) // feeds 3 sketchers + scoring: scan once
+      val scored = ents.select(col("id"),
+        length(col("text")).cast(LongType).as("score"))
+      // channel pair sets
+      val txtPairs = ents.groupBy(col("text"))
+        .agg(collect_set(col("id")).as("__ids"))
+        .filter(size(col("__ids")) >= 2)
+        .select(array_min(col("__ids")).as("id_a"),
+          explode(col("__ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+      val imgPairs = graft.operators.ImageDedup.nearDupPairs(
+        graft.operators.Multimodal.fingerprintImageHex(ents, "id", "hex"),
+        hammingMax = 3).select(col("id_a"), col("id_b"))
+      val avPairs = graft.operators.ImageDedup.nearDupPairs(
+        graft.operators.Multimodal.fingerprintWavHex(ents, "id", "hex"),
+        hammingMax = 1,
+        sketcher = graft.operators.ImageDedup.wavDeltaSketches)
+        .select(col("id_a"), col("id_b"))
+      // per-channel arbitration losers: CC over the channel's pairs,
+      // keeper = max(score), min(id) on ties — keepBest's rule at
+      // member grain
+      def losers(pairs: org.apache.spark.sql.DataFrame) = {
+        val labeled = graft.operators.Dedup.connectedComponents(pairs)
+          .join(scored, Seq("id"))
+        val keepers = labeled.groupBy(col("label"))
+          .agg(max(struct(col("score"), (-col("id")).as("negid"))).as("b"))
+          .select(col("label"), (-col("b.negid")).as("keeper_id"))
+        labeled.join(keepers, Seq("label"))
+          .filter(col("id") =!= col("keeper_id"))
+          .select(col("id"), lit(true).as("__lose"))
+      }
+      val flagged = scored
+        .join(losers(txtPairs).withColumnRenamed("__lose", "__lt"),
+          Seq("id"), "left")
+        .join(losers(avPairs).withColumnRenamed("__lose", "__la"),
+          Seq("id"), "left")
+        .join(losers(imgPairs).withColumnRenamed("__lose", "__li"),
+          Seq("id"), "left")
+        .join(losers(txtPairs.unionByName(imgPairs).unionByName(avPairs))
+          .withColumnRenamed("__lose", "__lc"), Seq("id"), "left")
+      graft.operators.CorpusOps.attritionReport(flagged, Seq(
+        ("text_exact", !coalesce(col("__lt"), lit(false))),
+        ("audio_near_dup", !coalesce(col("__la"), lit(false))),
+        ("image_near_dup", !coalesce(col("__li"), lit(false))),
+        ("cross_modal_merge", !coalesce(col("__lc"), lit(false)))))
+        .select(asLong(col("stage_id")).as("stage_id"), col("stage"),
+          asLong(col("n_in")).as("n_in"),
+          asLong(col("n_kept")).as("n_kept"),
+          asLong(col("n_dropped")).as("n_dropped"))
+        .orderBy("stage_id")
+    }),
+
     // deterministic content-hash train/val/test split — stable under
     // reruns, cluster resizing, and corpus growth (randomSplit is none
     // of those); exact integer buckets, shuffle-free.
@@ -2739,6 +2847,113 @@ object TextQueries {
         |  GROUP BY a.id, b.id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
         |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+    // the full composition replayed: entities from md5(text), the three
+    // channel pair sets (text equality; aHash pixels hamming ≤ 3 — the
+    // q_image_dedup CTE; delta anchors hamming ≤ 1 — the q_audio_dedup
+    // CTE), per-channel recursive-CC clusters + keepBest arbitration
+    // (score desc, id asc), the cross-modal union's clusters, then the
+    // first-failing-stage ledger unroll
+    "q_corpus_prep_multimodal" ->
+      """WITH RECURSIVE
+        |d AS (SELECT d0.doc_id, d0.text, n.text AS ntext,
+        |    md5(d0.text) AS h
+        |  FROM documents d0 LEFT JOIN documents n
+        |    ON n.doc_id = d0.doc_id + 1 AND n.doc_id < 200
+        |  WHERE d0.doc_id < 200),
+        |e0 AS (SELECT doc_id*2 AS id,
+        |    CASE WHEN doc_id % 4 = 2 AND ntext IS NOT NULL
+        |         THEN 'Q' || substr(ntext, 2) ELSE text END AS text
+        |  FROM d),
+        |e AS (SELECT id, text, md5(text) AS hex FROM e0
+        |  UNION ALL
+        |  SELECT doc_id*2+1 AS id,
+        |    CASE WHEN doc_id % 4 = 1 THEN 'X' || substr(text, 2)
+        |         WHEN doc_id % 4 = 3 THEN 'Q' || substr(text, 2)
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 4 = 0 THEN md5(text || 'alt')
+        |         WHEN doc_id % 4 = 2 THEN md5(text || 'zzz')
+        |         WHEN doc_id % 4 = 1
+        |           THEN substr(h, 1, 16) || '0' || substr(h, 18)
+        |         ELSE '0' || substr(h, 2) END AS hex
+        |  FROM d),
+        |sc AS (SELECT id, CAST(length(text) AS BIGINT) AS score FROM e),
+        |tp AS (SELECT a.id AS u, b.id AS v FROM e a JOIN e b
+        |  ON a.text = b.text AND a.id < b.id),
+        |px AS (SELECT id, i, ascii(substr(hex,
+        |    CAST(((i // 8) // 2) * 8 + (i % 8) + 1 AS INT), 1)) AS v
+        |  FROM e, unnest(generate_series(0, 63)) t(i)),
+        |tot AS (SELECT id, sum(v) AS total FROM px GROUP BY id),
+        |ibits AS (SELECT px.id AS id, px.i AS i,
+        |    CASE WHEN 64 * px.v > tot.total THEN 1 ELSE 0 END AS b
+        |  FROM px JOIN tot ON px.id = tot.id),
+        |ip AS (SELECT a.id AS u, b.id AS v
+        |  FROM ibits a JOIN ibits b ON a.i = b.i AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |  HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 3),
+        |anch AS (SELECT id, j, ascii(substr(hex,
+        |    CAST((j * 32) // 65 AS INT) + 1, 1)) AS a
+        |  FROM e, unnest(generate_series(0, 64)) t(j)),
+        |abits AS (SELECT c.id AS id, c.j AS j,
+        |    CASE WHEN c.a > n.a THEN 1 ELSE 0 END AS b
+        |  FROM anch c JOIN anch n ON n.id = c.id AND n.j = c.j + 1
+        |  WHERE c.j < 64),
+        |ap AS (SELECT a.id AS u, b.id AS v
+        |  FROM abits a JOIN abits b ON a.j = b.j AND a.id < b.id
+        |  GROUP BY a.id, b.id
+        |  HAVING sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) <= 1),
+        |cp AS (SELECT u, v FROM tp UNION SELECT u, v FROM ip
+        |  UNION SELECT u, v FROM ap),
+        |tpe AS (SELECT u, v FROM tp UNION SELECT v, u FROM tp),
+        |tre(id, r) AS (SELECT u, u FROM tpe
+        |  UNION SELECT x.u, tre.r FROM tpe x JOIN tre ON x.v = tre.id),
+        |tlab AS (SELECT id, min(r) AS label FROM tre GROUP BY id),
+        |tlose AS (SELECT id FROM (SELECT l.id, row_number() OVER (
+        |    PARTITION BY l.label ORDER BY s.score DESC, l.id ASC) AS rk
+        |  FROM tlab l JOIN sc s ON s.id = l.id) WHERE rk > 1),
+        |ipe AS (SELECT u, v FROM ip UNION SELECT v, u FROM ip),
+        |ire(id, r) AS (SELECT u, u FROM ipe
+        |  UNION SELECT x.u, ire.r FROM ipe x JOIN ire ON x.v = ire.id),
+        |ilab AS (SELECT id, min(r) AS label FROM ire GROUP BY id),
+        |ilose AS (SELECT id FROM (SELECT l.id, row_number() OVER (
+        |    PARTITION BY l.label ORDER BY s.score DESC, l.id ASC) AS rk
+        |  FROM ilab l JOIN sc s ON s.id = l.id) WHERE rk > 1),
+        |ape AS (SELECT u, v FROM ap UNION SELECT v, u FROM ap),
+        |are(id, r) AS (SELECT u, u FROM ape
+        |  UNION SELECT x.u, are.r FROM ape x JOIN are ON x.v = are.id),
+        |alab AS (SELECT id, min(r) AS label FROM are GROUP BY id),
+        |alose AS (SELECT id FROM (SELECT l.id, row_number() OVER (
+        |    PARTITION BY l.label ORDER BY s.score DESC, l.id ASC) AS rk
+        |  FROM alab l JOIN sc s ON s.id = l.id) WHERE rk > 1),
+        |cpe AS (SELECT u, v FROM cp UNION SELECT v, u FROM cp),
+        |cre(id, r) AS (SELECT u, u FROM cpe
+        |  UNION SELECT x.u, cre.r FROM cpe x JOIN cre ON x.v = cre.id),
+        |clab AS (SELECT id, min(r) AS label FROM cre GROUP BY id),
+        |clos AS (SELECT id FROM (SELECT l.id, row_number() OVER (
+        |    PARTITION BY l.label ORDER BY s.score DESC, l.id ASC) AS rk
+        |  FROM clab l JOIN sc s ON s.id = l.id) WHERE rk > 1),
+        |ff AS (SELECT sc.id,
+        |    CASE WHEN sc.id IN (SELECT id FROM tlose) THEN 0
+        |         WHEN sc.id IN (SELECT id FROM alose) THEN 1
+        |         WHEN sc.id IN (SELECT id FROM ilose) THEN 2
+        |         WHEN sc.id IN (SELECT id FROM clos) THEN 3
+        |         ELSE 4 END AS f FROM sc),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sc),
+        |dr AS (SELECT f, CAST(count(*) AS BIGINT) AS nd FROM ff GROUP BY f),
+        |st AS (SELECT * FROM (VALUES (0, 'text_exact'),
+        |    (1, 'audio_near_dup'), (2, 'image_near_dup'),
+        |    (3, 'cross_modal_merge')) v(stage_id, stage)),
+        |led AS (SELECT st.stage_id, st.stage,
+        |    (SELECT total FROM tt) - COALESCE((SELECT sum(nd) FROM dr
+        |      WHERE dr.f < st.stage_id), 0) AS n_in,
+        |    COALESCE((SELECT nd FROM dr WHERE dr.f = st.stage_id), 0)
+        |      AS n_dropped
+        |  FROM st)
+        |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_in - n_dropped AS BIGINT) AS n_kept,
+        |  CAST(n_dropped AS BIGINT) AS n_dropped
+        |FROM led ORDER BY stage_id""".stripMargin,
 
     "q_global_rank" ->
       """SELECT doc_id,

@@ -1,0 +1,196 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** APPEND lifecycle of the standing family store: probe-after-append ≡
+  * one-shot whole-corpus rerun (the StreamingAnnIngest parity shape),
+  * pointer-chain resolution across bridging batches, replay
+  * idempotence, and compaction (path compression + over-cap collapse)
+  * preserving probe results.
+  */
+class FamilyStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L = 26
+  private val P1 = "FAMILY-ONE-SHARED-PHRASE!!"
+  private val P2 = "FAMILY-TWO-SHARED-PHRASE!!"
+  private val P3 = "FAMILY-SIX-SHARED-PHRASE!!"
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  /** Whole-corpus ground truth over `all`, restricted to `batchIds`. */
+  private def oneShot(all: Seq[(Long, String)], batchIds: Set[Long],
+      cap: Int = 1000): Map[Long, Long] = {
+    val fams = Dedup.connectedComponents(
+      SuffixDedup.spanPairs(df(all), "doc_id", "text", L,
+          maxDocsPerGram = cap)
+        .select($"id_a", $"id_b")).withColumnRenamed("id", "doc_id")
+    df(all).select($"doc_id").join(fams, Seq("doc_id"), "left")
+      .withColumn("family", coalesce($"label", $"doc_id"))
+      .select($"doc_id", $"family").as[(Long, Long)].collect()
+      .filter(r => batchIds(r._1)).toMap
+  }
+
+  private def tmp(tag: String): (String, String) = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toString
+    (s"$d/idx", s"$d/lbl")
+  }
+
+  private def probeMap(batch: Seq[(Long, String)], idxP: String,
+      lblP: String, cap: Int = 1000): Map[Long, Long] =
+    FamilyStore.probe(df(batch), "doc_id", "text", idxP, lblP, L, cap)
+      .as[(Long, Long)].collect().toMap
+
+  test("probe after two appends equals the one-shot rerun over the " +
+      "concatenated corpus (join, bridge, novel, batch-internal twins)") {
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd"),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff"),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"),
+      (9L, "a corpus doc in no family at all......"))
+    val batch1 = Seq(
+      (100L, "kkkkkkkkkk" + P3 + "llllllllll"),   // new family seed
+      (101L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn"))   // joins family one
+    val batch2 = Seq(
+      (200L, "oooooooooo" + P3 + "pppppppppp"),   // joins batch1's family
+      (201L, "qqqqqqqqqq" + P2 + "rrrrrrrrrr"),   // joins standing family
+      (202L, "batch-two wholly novel content ..."),
+      (203L, "ssssssssss" + "BATCH2-INTERNAL-TWIN-BLOCK" + "tttttttttt"),
+      (204L, "uuuuuuuuuu" + "BATCH2-INTERNAL-TWIN-BLOCK" + "vvvvvvvvvv"))
+    val (idxP, lblP) = tmp("famstore")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    val f1 = FamilyStore.processBatch(df(batch1), 0L, "doc_id", "text",
+      idxP, lblP, L).as[(Long, Long)].collect().toMap
+    assert(f1 == oneShot(corpus ++ batch1, Set(100L, 101L)))
+    val got = probeMap(batch2, idxP, lblP)
+    val want = oneShot(corpus ++ batch1 ++ batch2,
+      Set(200L, 201L, 202L, 203L, 204L))
+    assert(got == want)
+    // semantics spot checks: 200 joins the family batch1 seeded;
+    // twins form their own; novel is its own
+    assert(got(200L) == 100L && got(201L) == 5L)
+    assert(got(203L) == 203L && got(204L) == 203L)
+    assert(got(202L) == 202L)
+  }
+
+  test("a bridging batch re-points the swallowed standing label: a later " +
+      "batch touching ONLY the swallowed family resolves through the " +
+      "pointer chain to the merged minimum") {
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd"),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff"),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"))
+    // bridges families one (min 1) and two (min 5) → label 5 swallowed
+    val bridge = Seq(
+      (100L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn" + P2 + "oooooooooo"))
+    // touches ONLY family two's phrase — must land on 1, not 5
+    val late = Seq((200L, "pppppppppp" + P2 + "qqqqqqqqqq"))
+    val (idxP, lblP) = tmp("fambridge")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    FamilyStore.processBatch(df(bridge), 0L, "doc_id", "text", idxP,
+      lblP, L)
+    val got = probeMap(late, idxP, lblP)
+    assert(got == oneShot(corpus ++ bridge ++ late, Set(200L)))
+    assert(got(200L) == 1L,
+      s"late probe must chase the 5 -> 1 pointer: $got")
+  }
+
+  test("two bridging generations build a depth-2 chain; probe still " +
+      "resolves, and compact flattens it without changing results") {
+    val P0 = "FAMILY-TEN-SHARED-PHRASE!!"
+    val corpus = Seq(
+      (10L, "aaaaaaaaaa" + P0 + "bbbbbbbbbb"),
+      (11L, "cccccccccc" + P0 + "dddddddddd"),
+      (20L, "eeeeeeeeee" + P1 + "ffffffffff"),
+      (21L, "gggggggggg" + P1 + "hhhhhhhhhh"),
+      (30L, "iiiiiiiiii" + P2 + "jjjjjjjjjj"),
+      (31L, "kkkkkkkkkk" + P2 + "llllllllll"))
+    // gen 1: bridge families 20 and 30 → 30's label points to 20
+    val b1 = Seq((100L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn" + P2 + "oooo"))
+    // gen 2: bridge families 10 and 20 → 20's label points to 10;
+    // now 30 resolves via 30 -> 20 -> 10
+    val b2 = Seq((110L, "pppppppppp" + P0 + "qqqqqqqqqq" + P1 + "rrrr"))
+    val late = Seq((200L, "ssssssssss" + P2 + "tttttttttt"))
+    val (idxP, lblP) = tmp("famchain")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    FamilyStore.processBatch(df(b1), 0L, "doc_id", "text", idxP, lblP, L)
+    FamilyStore.processBatch(df(b2), 1L, "doc_id", "text", idxP, lblP, L)
+    val want = oneShot(corpus ++ b1 ++ b2 ++ late, Set(200L))
+    val before = probeMap(late, idxP, lblP)
+    assert(before == want && before(200L) == 10L)
+    FamilyStore.compact(spark, idxP, lblP)
+    val after = probeMap(late, idxP, lblP)
+    assert(after == want, "compaction must not change probe results")
+    // path compression: every stored label value is final (no stored
+    // row re-points it) — chains are depth 1
+    val lbl = spark.read.parquet(lblP).select($"id", $"label")
+    val stale = lbl.join(
+      lbl.select($"id".as("label")), Seq("label"), "left_semi").count()
+    assert(stale == 0L, "compact must flatten pointer chains")
+  }
+
+  test("replay idempotence: reprocessing a batch under its batchId " +
+      "yields the same result and leaves the store equivalent") {
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd"))
+    val batch = Seq((100L, "kkkkkkkkkk" + P1 + "llllllllll"))
+    val late = Seq((200L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn"))
+    val (idxP, lblP) = tmp("famreplay")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    def run() = FamilyStore.processBatch(df(batch), 0L, "doc_id", "text",
+      idxP, lblP, L).as[(Long, Long)].collect().toMap
+    val first = run()
+    val idxRows = spark.read.parquet(idxP).count()
+    val lblRows = spark.read.parquet(lblP).count()
+    val replay = run()
+    assert(replay == first)
+    assert(spark.read.parquet(idxP).count() == idxRows,
+      "index segment must be overwritten, not duplicated")
+    assert(spark.read.parquet(lblP).count() == lblRows,
+      "labels segment must be overwritten, not duplicated")
+    assert(probeMap(late, idxP, lblP) ==
+      oneShot(corpus ++ batch ++ late, Set(200L)))
+  }
+
+  test("compact collapses a combined-over-cap gram's postings to " +
+      "per-segment markers; probe exclusion is unchanged") {
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    // cap=3: corpus holds MEGA in 2 docs (under cap), batch adds 2 more
+    // (combined 4 > cap) — new edges on MEGA are excluded
+    val corpus = Seq(
+      (1L, "padpadpadpadpadpadpaAB" + MEGA),
+      (2L, "padpadpadpadpadpadpaCD" + MEGA))
+    val batch = Seq(
+      (100L, "padpadpadpadpadpadpaEF" + MEGA),
+      (101L, "padpadpadpadpadpadpaGH" + MEGA))
+    val late = Seq((200L, "padpadpadpadpadpadpaIJ" + MEGA))
+    val (idxP, lblP) = tmp("famcap")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L,
+      maxDocsPerGram = 3)
+    FamilyStore.processBatch(df(batch), 0L, "doc_id", "text", idxP,
+      lblP, L, maxDocsPerGram = 3)
+    val before = probeMap(late, idxP, lblP, cap = 3)
+    // combined count 5 > 3 → no new edges: the late doc is its own
+    assert(before(200L) == 200L)
+    val postingsBefore = spark.read.parquet(idxP)
+      .filter($"doc_id".isNotNull).count()
+    FamilyStore.compact(spark, idxP, lblP, maxDocsPerGram = 3)
+    // the MEGA postings (4 rows across 2 segments) collapsed to markers
+    val idx = spark.read.parquet(idxP)
+    assert(idx.filter($"doc_id".isNotNull).count() < postingsBefore)
+    val markers = idx.filter($"doc_id".isNull)
+      .groupBy($"h").agg(sum($"n_docs").as("tot"))
+      .as[(Long, Long)].collect()
+    assert(markers.exists(_._2 == 4L),
+      s"per-segment markers must sum to the combined count: " +
+        markers.mkString(","))
+    assert(probeMap(late, idxP, lblP, cap = 3) == before)
+  }
+}

@@ -146,4 +146,55 @@ class ImageDedupSpec extends AnyFunSuite {
       assert(pairs.contains((d * 2000 + f, (d * 2 + 1) * 1000 + f)),
         s"missing planted pair for doc $d frame $f in $pairs")
   }
+
+  test("video ids outside the packable range are refused, not collided") {
+    val vids = Seq((-1L, Array[Byte](0, 1, 2))).toDF("id", "media")
+    val e = intercept[org.apache.spark.SparkException] {
+      ImageDedup.videoFrameNearDupPairs(vids).count()
+    }
+    assert(e.getMessage.contains("packable range") ||
+      Option(e.getCause).exists(_.getMessage.contains("packable range")))
+  }
+
+  /** In-memory WAV in an arbitrary encoding: the SAME 40-sample ramp
+    * waveform written as 16-bit LE signed (the engine's native layout),
+    * 8-bit unsigned, and 16-bit BIG-endian PCM.
+    */
+  private def wavBytes(fmt: javax.sound.sampled.AudioFormat,
+      data: Array[Byte]): Array[Byte] = {
+    val frames = data.length / fmt.getFrameSize
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("non-16-bit-LE WAV layouts convert before sketching instead of " +
+      "pairing bytes into garbage: 8-bit and big-endian sketches equal " +
+      "the 16-bit-LE sketch of the same waveform") {
+    import javax.sound.sampled.AudioFormat
+    import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+    // a non-monotone waveform so the delta-hash has mixed bits
+    val wave = Array.tabulate(40)(i => ((i * 37) % 97 - 48).toByte)
+    val le16 = wavBytes(new AudioFormat(PCM_SIGNED, 8000f, 16, 1, 2,
+      8000f, false), wave.flatMap(v => Array[Byte](0, v)))
+    val u8 = wavBytes(new AudioFormat(PCM_UNSIGNED, 8000f, 8, 1, 1,
+      8000f, false), wave.map(v => (v + 128).toByte))
+    val be16 = wavBytes(new AudioFormat(PCM_SIGNED, 8000f, 16, 1, 2,
+      8000f, true), wave.flatMap(v => Array[Byte](v, 0)))
+    val sk = ImageDedup.wavDeltaSketches(
+      Seq((0L, le16), (1L, u8), (2L, be16)).toDF("id", "media"))
+      .select("id", "decoded", "sketch").as[(Long, Boolean, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sk.values.forall(_._1), s"all three layouts must decode: $sk")
+    // conversion is monotone per sample (8-bit scales, BE swaps bytes),
+    // so the temporal gradient SIGNS — the sketch bits — are identical
+    assert(sk(1L)._2 == sk(0L)._2,
+      s"8-bit sketch must match 16-bit-LE: $sk")
+    assert(sk(2L)._2 == sk(0L)._2,
+      s"big-endian sketch must match little-endian: $sk")
+    assert(sk(0L)._2 != 0L, "the ramp must produce a non-trivial sketch")
+  }
 }

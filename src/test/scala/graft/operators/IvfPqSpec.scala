@@ -173,4 +173,41 @@ class IvfPqSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().toSeq
     assert(a == c)
   }
+
+  test("driftReport flips the rebuild flag on a planted drifted batch " +
+    "and keeps it down on the calibrated region") {
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    // a dense far-away cluster the frozen model never saw: residuals
+    // land outside the trained codebook range, codes collapse, ADC
+    // cannot rank inside the region — recall tanks there
+    val far = Array.fill(dim)(60.0)
+    val drifted = (0 until 200).map(i =>
+      (10000L + i,
+        far.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq, 99))
+      .toDF("id", "embedding", "label")
+    val mdl = IvfPq.train(clustered, nlist = 16, m = 4, ksub = 16)
+    val dir =
+      java.nio.file.Files.createTempDirectory("ivfpq_drift").toString + "/idx"
+    IvfPq.writeIndex(clustered, mdl, dir)
+    IvfPq.appendToIndex(drifted, spark, dir)
+    val full = clustered.unionByName(drifted)
+    // held-out probe slice FROM the drifted region
+    val driftProbes = drifted.filter($"id" % 40 === 0)
+    val r1 = IvfPq.driftReport(spark, dir, driftProbes, full, k = 3,
+      nprobe = 4, rerankFactor = 2, recallFloor = 0.9)
+      .select("n_queries", "n_expected", "n_hits", "recall", "rebuild")
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(r1._1 == 5L && r1._2 == 15L)
+    assert(r1._5, s"drifted probe slice must flip rebuild: $r1")
+    assert(r1._4 < 0.9, s"recall on the drifted region should tank: $r1")
+    // held-out probe slice from the CALIBRATED region: recall holds,
+    // flag stays down (the append degraded nothing the model covers)
+    val calmProbes = clustered.filter($"id" % 100 === 0)
+    val r2 = IvfPq.driftReport(spark, dir, calmProbes, full, k = 3,
+      nprobe = 4, rerankFactor = 8, recallFloor = 0.9)
+      .select("recall", "rebuild").as[(Double, Boolean)].head()
+    assert(!r2._2 && r2._1 >= 0.9,
+      s"calibrated region must stay green after the append: $r2")
+  }
 }
