@@ -237,8 +237,15 @@ object SuffixDedup {
         "relative to the broadcast budget; re-run duplicatedSpans over " +
         "corpus + batch and re-index instead (or raise maxBatchKeys " +
         "deliberately if the driver can hold the broadcast)")
+    // summed per hash AFTER the batch-key prune: occurrence counts are
+    // mergeable, so a SEGMENTED store ([[SuffixStore]] — one suffixIndex
+    // per ingest batch) probes through the same code path as the
+    // canonical one-row-per-hash index; the aggregation runs over the
+    // batch-relevant sliver only, never the full index
     val cHits = index.select(col("h"), col("n_occ"))
       .join(broadcast(bkeys), Seq("h"))
+      .groupBy(col("h"))
+      .agg(sum(col("n_occ")).as("n_occ"))
     val hits = bg
       .join(cHits, Seq("h"), "left")
       .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
@@ -627,8 +634,16 @@ object SuffixDedup {
     */
   private[operators] def contractedComponents(edges: DataFrame,
       labels: DataFrame): DataFrame = {
-    val lblA = labels.select(col("id").as("__ida"), col("label").as("__la"))
-    val lblB = labels.select(col("id").as("__idb"), col("label").as("__lb"))
+    // prune the (corpus-scale) labels table by the batch-scale endpoint
+    // set BEFORE the contraction joins: a broadcast semi-join keeps the
+    // labels scan map-side, where a direct left join would shuffle the
+    // whole labels table per probe (r15; the store path resolves
+    // touched labels the same way)
+    val touched = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id"))).distinct()
+    val lbl = labels.join(broadcast(touched), Seq("id"), "left_semi")
+    val lblA = lbl.select(col("id").as("__ida"), col("label").as("__la"))
+    val lblB = lbl.select(col("id").as("__idb"), col("label").as("__lb"))
     val cEdges = edges
       .join(lblA, col("id_a") === col("__ida"), "left")
       .join(lblB, col("id_b") === col("__idb"), "left")

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** APPEND lifecycle for the span-grain suffix index — the
+  * [[FamilyStore]] treatment applied to [[SuffixDedup.suffixIndex]],
+  * and structurally SIMPLER because the span index carries only
+  * mergeable occurrence counts: segments are `(h, n_occ)` two-longs
+  * rows partitioned by `(ingest_batch, band)`, and the probe's corpus
+  * count for a hash is the SUM of its rows across segments
+  * ([[SuffixDedup.incrementalSpans]] aggregates after the batch-key
+  * prune, so the same probe serves one-segment and many-segment
+  * layouts). No labels store, no pointer chains, no cap markers —
+  * duplicated-span detection has no cross-doc topology to freeze.
+  *
+  * Lifecycle per batch ([[processBatch]]): probe the standing segments
+  * (own segment pruned out, so replay sees pre-append state), hand the
+  * batch's duplicated spans to the caller EAGERLY, then append the
+  * batch's own [[SuffixDedup.suffixIndex]] as segment `batchId` under
+  * dynamic partition overwrite — batch N+1's spans count batch N's
+  * grams, closing the intra-day window, and a replayed batch overwrites
+  * its own segment instead of double-counting (the
+  * [[graft.streaming.StreamingMinhashDedup]] exactly-once recipe).
+  *
+  * Equality contract (`q_suffix_append` + SuffixStoreSpec): spans of
+  * batch B probed after appending A1..An to bootstrap C equal
+  * [[SuffixDedup.duplicatedSpans]] over C ∪ A1..An ∪ B restricted to
+  * B's documents, modulo the index's documented ~2⁻⁶⁴ hash-merge
+  * class — counts sum exactly across segments because doc (and hence
+  * position) spaces are disjoint by contract.
+  *
+  * [[compact]] folds all segments' counts into the bootstrap segment
+  * (-1) and drops the rest: pure file hygiene plus one-row-per-hash
+  * restoration. It TRUNCATES replay protection for already-compacted
+  * batches — the same trade [[graft.streaming.StreamingMinhashDedup
+  * .compactIndex]] documents: run it on the maintenance cadence, after
+  * the stream's checkpoint has advanced past the folded batches.
+  */
+object SuffixStore {
+
+  /** One-time bootstrap: the corpus [[SuffixDedup.suffixIndex]] as
+    * segment -1.
+    */
+  def init(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, minLen: Int, nBands: Int = 64): Unit =
+    writeSegment(SuffixDedup.suffixIndex(corpus, idCol, textCol, minLen),
+      -1L, path, nBands)
+
+  /** Read-only probe: duplicated spans of the batch against the
+    * standing segments. */
+  def probe(batch: DataFrame, idCol: String, textCol: String,
+      path: String, minLen: Int, minOcc: Long = 2L,
+      maxBatchKeys: Long = 10000000L): DataFrame =
+    SuffixDedup.incrementalSpans(batch, idCol, textCol,
+      readIndex(batch.sparkSession, path, excludeBatch = None), minLen,
+      minOcc, maxBatchKeys)
+
+  /** The foreachBatch body: probe (own segment pruned — replay-safe),
+    * return the batch's spans EAGERLY, then append the batch's index
+    * segment under dynamic partition overwrite.
+    */
+  def processBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, path: String, minLen: Int, minOcc: Long = 2L,
+      nBands: Int = 64, maxBatchKeys: Long = 10000000L): DataFrame = {
+    val standing = readIndex(batch.sparkSession, path,
+      excludeBatch = Some(batchId))
+    val spans = SuffixDedup.incrementalSpans(batch, idCol, textCol,
+      standing, minLen, minOcc, maxBatchKeys).localCheckpoint(true)
+    writeSegment(SuffixDedup.suffixIndex(batch, idCol, textCol, minLen),
+      batchId, path, nBands, dynamic = true)
+    spans
+  }
+
+  /** Maintenance: fold every segment's counts into one row per hash in
+    * the bootstrap segment (see object doc for the replay trade). */
+  def compact(spark: SparkSession, path: String,
+      nBands: Int = 64): Unit = {
+    val folded = spark.read.parquet(path)
+      .groupBy(col("h"))
+      .agg(sum(col("n_occ")).as("n_occ"))
+      .localCheckpoint(true)
+    writeSegment(folded, -1L, path, nBands, wipe = true)
+  }
+
+  private def readIndex(spark: SparkSession, path: String,
+      excludeBatch: Option[Long]): DataFrame =
+    excludeBatch.foldLeft(
+        spark.read.parquet(path)
+          .select(col("h"), col("n_occ"), col("ingest_batch"))) {
+        (d, b) => d.filter(col("ingest_batch") =!= b)
+      }
+      .select(col("h"), col("n_occ"))
+
+  private def writeSegment(index: DataFrame, batchId: Long, path: String,
+      nBands: Int, dynamic: Boolean = false,
+      wipe: Boolean = false): Unit = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    if (wipe) {
+      // full-store rewrite (compaction): clear superseded segments —
+      // the folded frame is eagerly checkpointed by the caller, so the
+      // delete cannot pull the rug from under its own input
+      val spark = index.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      ()
+    }
+    val w = index
+      .withColumn("ingest_batch", lit(batchId))
+      .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+      .repartition(col("band"))
+      .write.mode("overwrite")
+    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
+      .partitionBy("ingest_batch", "band").parquet(path)
+  }
+}

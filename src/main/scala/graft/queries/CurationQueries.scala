@@ -339,6 +339,32 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // the span-grain APPEND lifecycle gate (the SuffixStore half of
+    // r14 verdict #1): bootstrap the two-longs suffix index from 80%
+    // of the corpus, append a 10% batch through processBatch (probe +
+    // segment write, exactly-once layout), probe the final 10% against
+    // the two-segment store — counts SUM across segments, so the
+    // result must equal duplicatedSpans over ALL documents restricted
+    // to the probe batch (the q_suffix_incremental oracle shape).
+    "q_suffix_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 9)
+      val appended = docs.filter(col("doc_id") % 10 === 9)
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_sfxstore_${s.sparkContext.applicationId}/idx"
+      graft.operators.SuffixStore.init(corpus, "doc_id", "text", base,
+        minLen = 25)
+      graft.operators.SuffixStore.processBatch(appended, 0L, "doc_id",
+        "text", base, minLen = 25)
+      graft.operators.SuffixStore.probe(probe, "doc_id", "text", base,
+        minLen = 25)
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          asLong(col("n_positions")).as("n_positions"))
+        .orderBy("doc_id", "span_start")
+    }),
+
     // the APPEND lifecycle gate (r14 verdict #1, the last missing
     // production loop): bootstrap the FamilyStore from 80% of the
     // corpus, APPEND a 10% batch through processBatch (probe + index
@@ -803,6 +829,16 @@ object CurationQueries {
     // incremental = whole-corpus spans restricted to batch documents
     // (the equality contract in the query comment)
     "q_suffix_incremental" ->
+      s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id % 10 = 0")}
+         |SELECT doc_id, span_start, span_len, n_positions
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    // probe-after-append ≡ one-shot: all documents are in the store
+    // (bootstrap ∪ appended) or the probe batch, so the whole-corpus
+    // span chain restricted to the probe batch IS the contract — the
+    // same replay as q_suffix_incremental, now through the segmented
+    // store's summed counts
+    "q_suffix_append" ->
       s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id % 10 = 0")}
          |SELECT doc_id, span_start, span_len, n_positions
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** APPEND lifecycle of the span-grain suffix store: probe-after-append
+  * ≡ one-shot duplicatedSpans over the concatenated corpus, replay
+  * idempotence, and compaction folding counts without changing
+  * results.
+  */
+class SuffixStoreSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val L = 10
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def oneShot(all: Seq[(Long, String)],
+      batchIds: Set[Long]): Set[(Long, Long, Long, Long)] =
+    SuffixDedup.duplicatedSpans(df(all), "doc_id", "text", L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+      .filter(r => batchIds(r._1))
+
+  test("probe after two appends equals the one-shot rerun: a phrase " +
+      "seeded by append batch 1 is caught in batch 2, corpus phrases " +
+      "count, batch-internal twins count") {
+    val phrase = "corpus shared phrase"
+    val streamed = "appended new phrase!"
+    val corpus = Seq(
+      (1L, "aaaabbbbcc" + phrase + "ddddeeeefff"),
+      (2L, "corpus doc with nothing shared AAA"))
+    val b1 = Seq(
+      (100L, "qqqqwwwwrr" + streamed + "ttttyyyyuuu"),
+      (101L, "batch one lone text ZXCVBNM ASDFGH"))
+    val b2 = Seq(
+      (200L, "hhhhjjjjkk" + streamed + "lllzzzxxxcc"),  // vs b1's seed
+      (201L, "mmmmnnnnoo" + phrase + "ppprrrsssttt"),   // vs bootstrap
+      (202L, "AAAA" + "twin paragraph" + "BBBB"),       // batch-internal
+      (203L, "CCCC" + "twin paragraph" + "DDDD"),
+      (204L, "batch two wholly novel text 0987654"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxstore")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    SuffixStore.processBatch(df(b1), 0L, "doc_id", "text", dir, L)
+    val got = SuffixStore.probe(df(b2), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == oneShot(corpus ++ b1 ++ b2,
+      Set(200L, 201L, 202L, 203L, 204L)))
+    assert(got.exists(_._1 == 200L), "cross-batch phrase missed")
+    assert(got.exists(_._1 == 201L), "bootstrap phrase missed")
+    assert(got.exists(_._1 == 202L) && got.exists(_._1 == 203L))
+    assert(!got.exists(_._1 == 204L))
+  }
+
+  test("replay idempotence: reprocessing a batch under its batchId " +
+      "leaves the store row count and later probes unchanged") {
+    val phrase = "replayed shared phrase"
+    val corpus = Seq((1L, "corpus text with nothing to share AA"))
+    val b1 = Seq((100L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val late = Seq((200L, "qqqqwwwwrr" + phrase + "ttttyyyyuuu"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxreplay")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    def run() = SuffixStore.processBatch(df(b1), 0L, "doc_id", "text",
+      dir, L).as[(Long, Long, Long, Long)].collect().toSet
+    val first = run()
+    val rows = spark.read.parquet(dir).count()
+    assert(run() == first)
+    assert(spark.read.parquet(dir).count() == rows,
+      "segment must be overwritten, not duplicated")
+    val got = SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == oneShot(corpus ++ b1 ++ late, Set(200L)))
+  }
+
+  test("compact folds segments to one row per hash; probes unchanged") {
+    val phrase = "phrase in all tiers!"
+    val corpus = Seq((1L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val b1 = Seq((100L, "qqqqwwwwrr" + phrase + "ttttyyyyuuu"))
+    val late = Seq((200L, "hhhhjjjjkk" + phrase + "lllzzzxxxcc"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxcompact")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    SuffixStore.processBatch(df(b1), 0L, "doc_id", "text", dir, L)
+    val before = SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    SuffixStore.compact(spark, dir)
+    // one row per hash, all in the bootstrap segment
+    val idx = spark.read.parquet(dir)
+    assert(idx.groupBy("h").count().filter($"count" > 1).isEmpty)
+    assert(idx.select("ingest_batch").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    val after = SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(after == before)
+  }
+}
