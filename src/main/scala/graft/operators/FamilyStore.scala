@@ -244,24 +244,34 @@ object FamilyStore {
           .select(col("id"), col("label"), col("ingest_batch"))) {
         (d, b) => d.filter(col("ingest_batch") =!= b)
       }
+      // identity rows (component centers label themselves) carry no
+      // information — resolution already defaults to self — and a
+      // center row would spuriously trip the chain check below (its
+      // label IS its id), forcing the CC pass on every probe
+      .filter(col("id") =!= col("label"))
     var frontier = touched.select(col("id")).distinct()
       .localCheckpoint(true)
     var visited = frontier
     var pointers: Option[DataFrame] = None
     var hops = 0
-    while (!frontier.isEmpty && hops < maxChase) {
+    var closed = false
+    while (!closed && hops < maxChase) {
       val rows = store.join(broadcast(frontier), Seq("id"))
         .groupBy(col("id"))
         .agg(max_by(col("label"), col("ingest_batch")).as("label"))
         .localCheckpoint(true)
-      pointers = Some(pointers.fold(rows)(_.unionByName(rows)))
-      frontier = rows.select(col("label").as("id")).distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .localCheckpoint(true)
-      visited = visited.unionByName(frontier).localCheckpoint(true)
+      if (rows.isEmpty) closed = true
+      else {
+        pointers = Some(pointers.fold(rows)(_.unionByName(rows)))
+        frontier = rows.select(col("label").as("id")).distinct()
+          .join(visited, Seq("id"), "left_anti")
+          .localCheckpoint(true)
+        if (frontier.isEmpty) closed = true
+        else visited = visited.unionByName(frontier).localCheckpoint(true)
+      }
       hops += 1
     }
-    if (!frontier.isEmpty)
+    if (!closed)
       throw new IllegalStateException(
         s"FamilyStore.resolveTouched: pointer chains deeper than " +
           s"maxChase=$maxChase — run FamilyStore.compact to flatten the " +
@@ -270,11 +280,25 @@ object FamilyStore {
       case None => touched.select(col("id"), col("id").as("label"))
         .limit(0)
       case Some(p) =>
-        val cc = Dedup.connectedComponents(
-          p.select(col("id").as("id_a"), col("label").as("id_b")))
-        // only DIRECT rows matter to the caller (contraction joins by
-        // endpoint id); intermediate chain ids ride along harmlessly
-        cc
+        // chain-free fast path — the common case (always, right after
+        // a compact): when no fetched label is itself a re-pointed id,
+        // every row is final and the rows ARE the resolution; the
+        // pointer-CC below would be a fixpoint no-op costing a full
+        // iterate-until-converged pass per probe. The check is exact
+        // (one action over the batch-scale closure), NOT hop-count
+        // based: a touched node that is itself a merged label arrives
+        // in the same fetch as its pointers, so "one hop" alone does
+        // not imply chain-free.
+        val chained = p.select(col("label").as("id")).distinct()
+          .join(p.select(col("id")), Seq("id"), "left_semi")
+        if (chained.isEmpty) p
+        else
+          // chains: min-label CC over the pointer closure — targets
+          // strictly decrease, so the component min is the chain end.
+          // Only DIRECT rows matter to the caller (contraction joins
+          // by endpoint id); intermediates ride along harmlessly.
+          Dedup.connectedComponents(
+            p.select(col("id").as("id_a"), col("label").as("id_b")))
     }
   }
 
@@ -294,6 +318,10 @@ object FamilyStore {
       path: String, dynamic: Boolean = false): Unit = {
     val w = labels
       .select(col("id"), col("label"))
+      // identity rows are dead weight (see resolveTouched) — dropped
+      // here so bootstrap familyLabels output doesn't carry its
+      // component-center self-rows into the store
+      .filter(col("id") =!= col("label"))
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
     (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)

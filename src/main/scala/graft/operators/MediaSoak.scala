@@ -40,7 +40,10 @@ object MediaSoak {
     */
   private[operators] def mediaTier(docs: DataFrame, nDocs: Int,
       nVariants: Int, logoEvery: Int): DataFrame = {
-    val base = docs.filter(col("doc_id") < nDocs)
+    // first nDocs by id (not `doc_id < nDocs`): replica fixtures like
+    // sf1_d90 assign replica ids far above the original range, and an
+    // id-threshold tier would silently stop growing past the originals
+    val base = docs.orderBy(col("doc_id")).limit(nDocs)
       .select(col("doc_id"),
         md5(to_binary(col("text"), lit("utf-8"))).as("hex"))
     val variants = base
