@@ -365,6 +365,53 @@ object CurationQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // the STREAMING face of the family store, oracle-gated end-to-end:
+    // a MemoryStream drives StreamingFamilyDedup's foreachBatch loop —
+    // bootstrap corpus, then batch 1 (%10=9) and batch 2 (%10=0) land
+    // as micro-batches, each probing the standing store and appending
+    // its segments. Each batch's families reflect the corpus AS OF its
+    // processing (batch 1 cannot see batch 2), so the oracle is the
+    // union of two whole-corpus chains: over corpus∪b1 restricted to
+    // b1, and over corpus∪b1∪b2 restricted to b2. Fixed 2000-doc slice
+    // (the served-face convention — per-row fidelity; full-corpus cost
+    // lives in q_family_append).
+    "q_stream_family" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 9)
+      def batchRows(m: Int) = docs.filter(col("doc_id") % 10 === m)
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_streamfam_${s.sparkContext.applicationId}/r"
+      // fresh store + checkpoint per invocation: a reused streaming
+      // checkpoint would skip the already-committed batches on re-run
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val (idxP, lblP) = (s"$base/idx", s"$base/lbl")
+      graft.operators.FamilyStore.init(corpus, "doc_id", "text", idxP,
+        lblP, minLen = 25)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val sink = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = graft.streaming.StreamingFamilyDedup.attach(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idxP, lblP,
+        minLen = 25, checkpointDir = s"$base/ckpt") { f =>
+        sink ++= f.as[(Long, Long)].collect()
+      }
+      try {
+        in.addData(batchRows(9): _*); q.processAllAvailable()
+        in.addData(batchRows(0): _*); q.processAllAvailable()
+      } finally q.stop()
+      s.createDataFrame(s.sparkContext.parallelize(sink.toSeq, 1))
+        .toDF("doc_id", "family")
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
+    }),
+
     // the APPEND lifecycle gate (r14 verdict #1, the last missing
     // production loop): bootstrap the FamilyStore from 80% of the
     // corpus, APPEND a 10% batch through processBatch (probe + index
@@ -708,6 +755,56 @@ object CurationQueries {
         |    AS n_overcap_docs,
         |  (SELECT CAST(count(*) AS BIGINT) FROM lab) AS n_labeled
         |FROM g""".stripMargin,
+
+    // each micro-batch's families reflect the corpus AS OF processing:
+    // batch 1 against corpus∪b1, batch 2 against everything — two
+    // whole-corpus chains, restricted and unioned
+    "q_stream_family" ->
+      """WITH RECURSIVE
+        |p1 AS (SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents
+        |  WHERE length(text) >= 25 AND doc_id < 2000 AND doc_id % 10 <> 0),
+        |g1 AS (SELECT doc_id,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM p1),
+        |dup1 AS (SELECT gram FROM g1 GROUP BY gram HAVING count(*) >= 2),
+        |dg1 AS (SELECT DISTINCT gram, doc_id FROM g1 JOIN dup1 USING (gram)),
+        |keep1 AS (SELECT gram FROM dg1 GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs1 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg1 a JOIN keep1 USING (gram) JOIN dg1 b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |e1 AS (SELECT u, v FROM prs1 UNION SELECT v, u FROM prs1),
+        |r1(id, r) AS (SELECT u, u FROM e1
+        |  UNION SELECT e.u, r1.r FROM e1 e JOIN r1 ON e.v = r1.id),
+        |f1 AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM r1 GROUP BY id),
+        |p2 AS (SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
+        |g2 AS (SELECT doc_id,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM p2),
+        |dup2 AS (SELECT gram FROM g2 GROUP BY gram HAVING count(*) >= 2),
+        |dg2 AS (SELECT DISTINCT gram, doc_id FROM g2 JOIN dup2 USING (gram)),
+        |keep2 AS (SELECT gram FROM dg2 GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs2 AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg2 a JOIN keep2 USING (gram) JOIN dg2 b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |e2 AS (SELECT u, v FROM prs2 UNION SELECT v, u FROM prs2),
+        |r2(id, r) AS (SELECT u, u FROM e2
+        |  UNION SELECT e.u, r2.r FROM e2 e JOIN r2 ON e.v = r2.id),
+        |f2 AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM r2 GROUP BY id)
+        |SELECT doc_id, family FROM (
+        |  SELECT d.doc_id, COALESCE(f1.family, d.doc_id) AS family
+        |  FROM documents d LEFT JOIN f1 USING (doc_id)
+        |  WHERE d.doc_id < 2000 AND d.doc_id % 10 = 9
+        |  UNION ALL
+        |  SELECT d.doc_id, COALESCE(f2.family, d.doc_id) AS family
+        |  FROM documents d LEFT JOIN f2 USING (doc_id)
+        |  WHERE d.doc_id < 2000 AND d.doc_id % 10 = 0)
+        |ORDER BY doc_id""".stripMargin,
 
     // probe-after-append ≡ one-shot rebuild: the whole-corpus family
     // chain over ALL documents (bootstrap ∪ appended ∪ probe batches),
