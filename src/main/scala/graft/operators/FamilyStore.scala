@@ -212,9 +212,21 @@ object FamilyStore {
       minLen, maxDocsPerGram).localCheckpoint(true)
     val touched = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
-    val labels = resolveTouched(spark, labelsPath, touched, maxChase,
-      excludeBatch)
-    val comps = SuffixDedup.contractedComponents(edges, labels)
+    val pointers = fetchPointerClosure(spark, labelsPath, touched,
+      maxChase, excludeBatch)
+    // ONE components pass over batch edges ∪ pointer rows replaces the
+    // r15-initial resolve-then-contract two-CC chain: connecting each
+    // touched endpoint to its pointer chain preserves exactly the
+    // contracted graph's connectivity (x—L—F reaches whatever the
+    // contracted L/F node reached), and the min is unchanged — every
+    // corpus id in a component is ≥ its standing label (labels are
+    // component minima), so adding the raw ids and intermediate labels
+    // as nodes never lowers a component's minimum below the contracted
+    // result. One CC phase per probe instead of two; the pointer-CC of
+    // resolveTouched existed only to pre-resolve what this pass now
+    // resolves in the same fixpoint.
+    val comps = Dedup.connectedComponents(edges.unionByName(
+        pointers.select(col("id").as("id_a"), col("label").as("id_b"))))
       .localCheckpoint(true)
     val fams = batch.select(col(idCol).as("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -223,20 +235,20 @@ object FamilyStore {
     (fams, comps)
   }
 
-  /** Resolve the effective standing label of every touched id by
-    * chasing pointer rows to their fixpoint: per hop, fetch the LATEST
-    * row per frontier id (broadcast frontier semi-join — the store is
-    * scanned, never shuffled), feed new label values back as the next
-    * frontier, stop when the frontier closes; then min-label CC over
-    * the collected pointer edges yields each id's final label (pointer
-    * targets strictly decrease — `label < id` everywhere in the store —
-    * so the closure is a forest and the component min IS the chain
-    * end). Ids with no row resolve to themselves via the caller's
-    * coalesce. Throws past `maxChase` hops — chains deeper than the
-    * bridging generations since the last [[compact]] mean compaction
-    * is overdue, and a silent partial resolution would mislabel.
+  /** Fetch the pointer CLOSURE of every touched id: per hop, the
+    * LATEST row per frontier id (broadcast frontier semi-join — the
+    * store is scanned, never shuffled), new label values feed back as
+    * the next frontier until it closes. Returns the raw `(id, label)`
+    * pointer rows — chain RESOLUTION happens inside the caller's
+    * single components pass, not here (pointer targets strictly
+    * decrease — `label < id` everywhere in the store — so the closure
+    * is a forest the CC fixpoint flattens for free). Ids with no row
+    * resolve to themselves via the caller's coalesce. Throws past
+    * `maxChase` hops — chains deeper than the bridging generations
+    * since the last [[compact]] mean compaction is overdue, and a
+    * silent partial closure would mislabel.
     */
-  private def resolveTouched(spark: SparkSession, labelsPath: String,
+  private def fetchPointerClosure(spark: SparkSession, labelsPath: String,
       touched: DataFrame, maxChase: Int,
       excludeBatch: Option[Long]): DataFrame = {
     val store = excludeBatch.foldLeft(
@@ -245,9 +257,7 @@ object FamilyStore {
         (d, b) => d.filter(col("ingest_batch") =!= b)
       }
       // identity rows (component centers label themselves) carry no
-      // information — resolution already defaults to self — and a
-      // center row would spuriously trip the chain check below (its
-      // label IS its id), forcing the CC pass on every probe
+      // information — resolution already defaults to self
       .filter(col("id") =!= col("label"))
     var frontier = touched.select(col("id")).distinct()
       .localCheckpoint(true)
@@ -273,33 +283,11 @@ object FamilyStore {
     }
     if (!closed)
       throw new IllegalStateException(
-        s"FamilyStore.resolveTouched: pointer chains deeper than " +
+        s"FamilyStore.fetchPointerClosure: pointer chains deeper than " +
           s"maxChase=$maxChase — run FamilyStore.compact to flatten the " +
           "labels store (or raise maxChase deliberately)")
-    pointers match {
-      case None => touched.select(col("id"), col("id").as("label"))
-        .limit(0)
-      case Some(p) =>
-        // chain-free fast path — the common case (always, right after
-        // a compact): when no fetched label is itself a re-pointed id,
-        // every row is final and the rows ARE the resolution; the
-        // pointer-CC below would be a fixpoint no-op costing a full
-        // iterate-until-converged pass per probe. The check is exact
-        // (one action over the batch-scale closure), NOT hop-count
-        // based: a touched node that is itself a merged label arrives
-        // in the same fetch as its pointers, so "one hop" alone does
-        // not imply chain-free.
-        val chained = p.select(col("label").as("id")).distinct()
-          .join(p.select(col("id")), Seq("id"), "left_semi")
-        if (chained.isEmpty) p
-        else
-          // chains: min-label CC over the pointer closure — targets
-          // strictly decrease, so the component min is the chain end.
-          // Only DIRECT rows matter to the caller (contraction joins
-          // by endpoint id); intermediates ride along harmlessly.
-          Dedup.connectedComponents(
-            p.select(col("id").as("id_a"), col("label").as("id_b")))
-    }
+    pointers.getOrElse(
+      touched.select(col("id"), col("id").as("label")).limit(0))
   }
 
   private def writeIndexSegment(index: DataFrame, batchId: Long,

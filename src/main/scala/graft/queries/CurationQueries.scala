@@ -346,8 +346,11 @@ object CurationQueries {
     // the two-segment store — counts SUM across segments, so the
     // result must equal duplicatedSpans over ALL documents restricted
     // to the probe batch (the q_suffix_incremental oracle shape).
+    // Fixed 2000-doc slice (the q_minhash_containment adjudication:
+    // lifecycle fidelity is per-row; tier-scale parity + cost live in
+    // StoreSoak, which re-asserts probe ≡ one-shot at 50k docs).
     "q_suffix_append" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
         col("doc_id") % 10 =!= 9)
       val appended = docs.filter(col("doc_id") % 10 === 9)
@@ -421,8 +424,11 @@ object CurationQueries {
     // batch — a hash match proves probe-after-append ≡ full rebuild
     // (the StreamingAnnIngest parity shape), covering the segmented
     // combined-count formula AND the label pointer-chase end-to-end.
+    // Fixed 2000-doc slice (the q_minhash_containment adjudication:
+    // lifecycle fidelity is per-row; tier-scale parity + cost live in
+    // StoreSoak, which re-asserts probe ≡ one-shot at 50k docs).
     "q_family_append" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
       val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
         col("doc_id") % 10 =!= 9)
       val appended = docs.filter(col("doc_id") % 10 === 9)
@@ -519,16 +525,18 @@ object CurationQueries {
     * keep-first policy retains.
     */
   private def suffixSpanCte(keepFirst: Boolean,
-      hitsWhere: String = ""): String = {
+      hitsWhere: String = "", corpusWhere: String = ""): String = {
     val conds = Seq(
       if (keepFirst) Some("occ >= 2") else None,
       if (hitsWhere.nonEmpty) Some(hitsWhere) else None).flatten
     val markFilter =
       if (conds.isEmpty) "" else "\n  WHERE " + conds.mkString(" AND ")
+    val corpusFilter =
+      if (corpusWhere.isEmpty) "" else s" AND $corpusWhere"
     s"""pos0 AS (
        |  SELECT doc_id,
        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
-       |  FROM documents WHERE length(text) >= 25),
+       |  FROM documents WHERE length(text) >= 25$corpusFilter),
        |pos AS (SELECT doc_id, pos,
        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
@@ -814,7 +822,7 @@ object CurationQueries {
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
-        |  FROM documents WHERE length(text) >= 25),
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
         |pos AS (SELECT doc_id, pos,
         |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
         |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
@@ -833,7 +841,7 @@ object CurationQueries {
         |  FROM reach GROUP BY id)
         |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
         |FROM documents d LEFT JOIN fam f USING (doc_id)
-        |WHERE d.doc_id % 10 = 0
+        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 2000
         |ORDER BY doc_id""".stripMargin,
 
     // identical contract to q_family_incremental on the fixed slice —
@@ -930,13 +938,15 @@ object CurationQueries {
          |SELECT doc_id, span_start, span_len, n_positions
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
-    // probe-after-append ≡ one-shot: all documents are in the store
-    // (bootstrap ∪ appended) or the probe batch, so the whole-corpus
-    // span chain restricted to the probe batch IS the contract — the
-    // same replay as q_suffix_incremental, now through the segmented
-    // store's summed counts
+    // probe-after-append ≡ one-shot: every sliced document is in the
+    // store (bootstrap ∪ appended) or the probe batch, so the
+    // whole-slice span chain restricted to the probe batch IS the
+    // contract — the q_suffix_incremental replay, now through the
+    // segmented store's summed counts
     "q_suffix_append" ->
-      s"""WITH ${suffixSpanCte(keepFirst = false, hitsWhere = "doc_id % 10 = 0")}
+      s"""WITH ${suffixSpanCte(keepFirst = false,
+              hitsWhere = "doc_id % 10 = 0",
+              corpusWhere = "doc_id < 2000")}
          |SELECT doc_id, span_start, span_len, n_positions
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
