@@ -737,30 +737,49 @@ object Dedup {
       canon(rewired.union(mins.select(col("u"), col("m").as("v"))))
     }
 
-    var edges = canon(pairs.select(col("id_a").as("u"), col("id_b").as("v")))
-      .localCheckpoint(true)
-    if (edges.isEmpty) {
+    // cheap per-round fingerprint (count, order-free hash sum); the exact
+    // set-equality check (`except`) runs ONCE, when the fingerprint first
+    // repeats — so convergence is still decided exactly, without paying a
+    // full anti-join shuffle every round. The fingerprint rides the
+    // checkpoint's own materialization as an Observation (r15): one job
+    // per round computes next-edges AND their fingerprint, where the
+    // separate post-checkpoint agg cost a second job per round — pure
+    // fixed-overhead, but CC fixed overhead is the floor under every
+    // family/dedup/graph probe. The observation completes on the
+    // listener bus after the eager checkpoint's action, so obs.get
+    // blocks only for the in-flight event, never indefinitely.
+    // DECIMAL(38,0) sum: ANSI-overflow-proof for full-range 64-bit hashes
+    def ckptFp(e: DataFrame): (DataFrame, (Long, String)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs,
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("u"), col("v"))
+            .cast(DecimalType(38, 0))),
+            lit(0).cast(DecimalType(38, 0))).as("hs"))
+        .localCheckpoint(true)
+      val m = obs.get
+      val n = m("n") match {
+        case l: java.lang.Long => l.longValue()
+        case other => String.valueOf(other).toLong
+      }
+      val hs = m("hs") match {
+        case d: java.math.BigDecimal => d.toPlainString
+        case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+        case other => String.valueOf(other)
+      }
+      (ck, (n, hs))
+    }
+    var (edges, fp) = ckptFp(
+      canon(pairs.select(col("id_a").as("u"), col("id_b").as("v"))))
+    if (fp._1 == 0L) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType), StructField("label", LongType))))
     }
-    // cheap per-round fingerprint (count, order-free hash sum); the exact
-    // set-equality check (`except`) runs ONCE, when the fingerprint first
-    // repeats — so convergence is still decided exactly, without paying a
-    // full anti-join shuffle every round
-    // DECIMAL(38,0) sum: ANSI-overflow-proof for full-range 64-bit hashes
-    def fingerprint(e: DataFrame): (Long, String) = {
-      val r = e.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
-          lit(0).cast(DecimalType(38, 0)))).head
-      (r.getLong(0), r.getDecimal(1).toPlainString)
-    }
     var converged = false
     var i = 0
-    var fp = fingerprint(edges)
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      val nfp = fingerprint(next)
+      val (next, nfp) = ckptFp(smallStar(largeStar(edges)))
       converged = nfp == fp && next.except(edges).isEmpty
       edges = next
       fp = nfp
