@@ -193,4 +193,38 @@ class FamilyStoreSpec extends AnyFunSuite {
         markers.mkString(","))
     assert(probeMap(late, idxP, lblP, cap = 3) == before)
   }
+
+  test("frozen-cap semantics ACROSS segments: a gram the append pushes " +
+      "over the combined cap blocks new edges, but the standing family " +
+      "built under the cap keeps its labels") {
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    // cap=3: bootstrap holds MEGA in 3 docs — AT cap, so the corpus
+    // family {1, 2, 3} forms; the appended batch adds a 4th MEGA doc
+    // (combined 4 > cap) which must NOT join, and a later probe of a
+    // 5th must not either — yet a probe touching the family through a
+    // DIFFERENT gram must still see label 1.
+    val P = "FAMILY-TWO-SHARED-PHRASE!!"
+    val corpus = Seq(
+      (1L, "padpadpadpadpadpadpaAB" + MEGA),
+      (2L, "padpadpadpadpadpadpaCD" + MEGA),
+      (3L, "padpadpadpadpadpadpaEF" + MEGA + P))
+    val appended = Seq((100L, "padpadpadpadpadpadpaGH" + MEGA))
+    val probeMega = Seq((200L, "padpadpadpadpadpadpaIJ" + MEGA))
+    val probeP = Seq((201L, "qqqqqqqqqqqqqqqqqqqqqq" + P))
+    val (idxP_, lblP_) = tmp("famfrozen")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP_, lblP_, L,
+      maxDocsPerGram = 3)
+    val app = FamilyStore.processBatch(df(appended), 0L, "doc_id",
+      "text", idxP_, lblP_, L, maxDocsPerGram = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(app(100L) == 100L,
+      "the batch that crosses the cap boundary gains no family")
+    val m1 = probeMap(probeMega, idxP_, lblP_, cap = 3)
+    assert(m1(200L) == 200L,
+      "combined count 5 > cap: no new MEGA edges after the append")
+    val m2 = probeMap(probeP, idxP_, lblP_, cap = 3)
+    assert(m2(201L) == 1L,
+      "the standing family's label (min doc 1, via doc 3's P gram) " +
+        s"must survive the cap crossing untouched: $m2")
+  }
 }
