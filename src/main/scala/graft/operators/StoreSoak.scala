@@ -22,11 +22,17 @@ import org.apache.spark.sql.functions._
   *   - `rerun_sec` — the store-less baseline: whole-corpus families
   *     (suffixFamilies) / spans (duplicatedSpans) over ALL docs.
   *
+  * A half-size bootstrap probed with the SAME batch isolates the
+  * corpus-size dependence of one probe (`probe_half_sec` vs
+  * `probe_sec` — the FamilySoak tier design at store grain: a ratio
+  * ≈ 1 is the "probe never pays the corpus price" claim, measured
+  * without conflating batch growth with corpus growth).
+  *
   * Usage: `runMain graft.operators.StoreSoak <sfDir> [minLen]`
   * Prints one JSON line per store:
   * `{"store":"family"|"suffix","docs":N,"batch":N,"init_sec":…,
-  *   "append_sec":…,"probe_sec":…,"rerun_sec":…,"probe_rows":N,
-  *   "parity":bool}`.
+  *   "append_sec":…,"probe_sec":…,"probe_half_sec":…,"rerun_sec":…,
+  *   "probe_rows":N,"parity":bool}`.
   */
 object StoreSoak {
   def main(args: Array[String]): Unit = {
@@ -59,9 +65,22 @@ object StoreSoak {
     val scratch = java.nio.file.Files
       .createTempDirectory("storesoak").toString
 
+    // half-size bootstrap with the SAME probe batch — isolates the
+    // corpus-size dependence of one probe (the FamilySoak tier design,
+    // here at store grain: flat probe_half/probe_full ≈ 1 is the
+    // "probe never pays the corpus price" claim)
+    val corpusHalf = corpus.filter(col("doc_id") % 2 === 1)
+      .localCheckpoint(true)
+
     // ---- family store ----
     locally {
       val (idxP, lblP) = (s"$scratch/fam/idx", s"$scratch/fam/lbl")
+      val (idxH, lblH) = (s"$scratch/famh/idx", s"$scratch/famh/lbl")
+      FamilyStore.init(corpusHalf, "doc_id", "text", idxH, lblH, minLen)
+      val (_, probeHalfSec) = timed {
+        FamilyStore.probe(b2, "doc_id", "text", idxH, lblH, minLen)
+          .count()
+      }
       val (_, initSec) = timed {
         FamilyStore.init(corpus, "doc_id", "text", idxP, lblP, minLen)
       }
@@ -86,13 +105,19 @@ object StoreSoak {
       }
       println(s"""{"store":"family","docs":$nDocs,"batch":$nBatch,""" +
         s""""init_sec":$initSec,"append_sec":$appendSec,""" +
-        s""""probe_sec":$probeSec,"rerun_sec":$rerunSec,""" +
+        s""""probe_sec":$probeSec,"probe_half_sec":$probeHalfSec,""" +
+        s""""rerun_sec":$rerunSec,""" +
         s""""probe_rows":$probeRows,"parity":$parity}""")
     }
 
     // ---- suffix (span-grain) store ----
     locally {
       val idxP = s"$scratch/sfx/idx"
+      val idxH = s"$scratch/sfxh/idx"
+      SuffixStore.init(corpusHalf, "doc_id", "text", idxH, minLen)
+      val (_, probeHalfSec) = timed {
+        SuffixStore.probe(b2, "doc_id", "text", idxH, minLen).count()
+      }
       val (_, initSec) = timed {
         SuffixStore.init(corpus, "doc_id", "text", idxP, minLen)
       }
@@ -113,7 +138,8 @@ object StoreSoak {
       }
       println(s"""{"store":"suffix","docs":$nDocs,"batch":$nBatch,""" +
         s""""init_sec":$initSec,"append_sec":$appendSec,""" +
-        s""""probe_sec":$probeSec,"rerun_sec":$rerunSec,""" +
+        s""""probe_sec":$probeSec,"probe_half_sec":$probeHalfSec,""" +
+        s""""rerun_sec":$rerunSec,""" +
         s""""probe_rows":$probeRows,"parity":$parity}""")
     }
   }
