@@ -36,11 +36,11 @@ import org.apache.spark.sql.functions._
   *     standing LABELS re-pointed at the new component minimum, so a
   *     batch that bridges two standing families never rewrites the
   *     families' member rows; it writes ONE pointer row per merged
-  *     label). Resolution chases pointers latest-segment-first
-  *     ([[resolveTouched]]): min-label CC over the touched closure's
-  *     pointer edges, which is union-find with path compression done
-  *     relationally — chains deepen by at most one generation per
-  *     bridging batch and flatten at [[compact]].
+  *     label). Resolution fetches the pointer CLOSURE of the touched
+  *     ids latest-segment-first ([[fetchPointerClosure]]) and folds the
+  *     rows into the probe's single components pass — union-find with
+  *     path compression done relationally; chains deepen by at most one
+  *     generation per bridging batch and flatten at [[compact]].
   *
   * Equality contract (the `q_family_append` oracle): with id spaces
   * disjoint and no gram crossing the cap boundary between increments,
@@ -48,12 +48,14 @@ import org.apache.spark.sql.functions._
   * bootstrap C equals the whole-corpus
   * `spanPairs + connectedComponents` rerun over C ∪ A1..An ∪ B
   * restricted to B — the [[SuffixDedup.incrementalFamilies]] contract
-  * extended over appends by induction (each probe contracts against
-  * labels that are EXACT component minima of the standing corpus,
-  * because [[resolveTouched]] resolves stale pointers before
-  * contraction). Cap-boundary crossings keep the frozen-cap semantics
-  * documented on [[SuffixDedup.incrementalFamilies]]: standing edges
-  * are never unlinked; new edges see current combined counts.
+  * extended over appends by induction (the probe's components pass
+  * runs over batch edges ∪ the touched pointer closure, whose fixpoint
+  * resolves stale pointers and contracts in the same pass — minima
+  * provably equal the resolve-then-contract form, see
+  * [[probeWithComponents]]). Cap-boundary crossings keep the
+  * frozen-cap semantics documented on
+  * [[SuffixDedup.incrementalFamilies]]: standing edges are never
+  * unlinked; new edges see current combined counts.
   *
   * Scale shape per batch: standing index scanned once through a
   * broadcast batch-key semi-join (band partitioning keeps files
@@ -129,8 +131,8 @@ object FamilyStore {
     *   1. LABELS: flatten pointer chains (full path compression) —
     *      min-label CC over the whole pointer graph, each id rewritten
     *      to its final label in its LATEST segment, superseded older
-    *      rows dropped. After this, [[resolveTouched]] closes in one
-    *      hop until the next bridging batch.
+    *      rows dropped. After this, [[fetchPointerClosure]] closes in
+    *      one hop until the next bridging batch.
     *   2. INDEX: re-resolve over-cap ACROSS segments — a gram whose
     *      COMBINED count exceeds the cap can never contribute new
     *      edges again (counts only grow), so its posting rows collapse
@@ -192,9 +194,11 @@ object FamilyStore {
   }
 
   /** The probe core: standing reads (optionally excluding a replayed
-    * batch's own segments), batch edges, pointer-chase label
-    * resolution, contraction. Returns (batch families, full contracted
-    * component table — the label-update set).
+    * batch's own segments), batch edges, pointer-closure fetch, one
+    * fused components pass. Returns (batch families, full component
+    * table over batch ids + touched corpus ids + closure labels — the
+    * label-update set, which path-compresses touched stale rows for
+    * free).
     */
   private def probeWithComponents(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, labelsPath: String, minLen: Int,
@@ -306,9 +310,9 @@ object FamilyStore {
       path: String, dynamic: Boolean = false): Unit = {
     val w = labels
       .select(col("id"), col("label"))
-      // identity rows are dead weight (see resolveTouched) — dropped
-      // here so bootstrap familyLabels output doesn't carry its
-      // component-center self-rows into the store
+      // identity rows are dead weight (see fetchPointerClosure) —
+      // dropped here so bootstrap familyLabels output doesn't carry
+      // its component-center self-rows into the store
       .filter(col("id") =!= col("label"))
       .withColumn("ingest_batch", lit(batchId))
       .write.mode("overwrite")
