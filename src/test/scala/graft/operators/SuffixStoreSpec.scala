@@ -95,4 +95,19 @@ class SuffixStoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(after == before)
   }
+
+  test("the broadcast contract is enforced, not comment-only: a batch " +
+      "past maxBatchKeys is refused loudly with the re-index advice") {
+    val corpus = Seq((1L, "corpus text long enough to index AAA"))
+    val batch = Seq((100L, "a batch doc with plenty of distinct grams"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxguard")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    val e = intercept[IllegalArgumentException] {
+      SuffixStore.probe(df(batch), "doc_id", "text", dir, L,
+        maxBatchKeys = 2L).count()
+    }
+    assert(e.getMessage.contains("maxBatchKeys") &&
+      e.getMessage.contains("re-index"))
+  }
 }
