@@ -754,9 +754,26 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]](1)
           val parsed =
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
                 new java.io.ByteArrayInputStream(bytes))
-              val fmt = ais.getFormat
+              // the sample loop below assumes signed 16-bit LE PCM; any
+              // OTHER decoded layout (8-bit, mu-law, big-endian) would
+              // "succeed" into garbage stats silently labeled decoded —
+              // convert through the JDK first, fall back only when the
+              // converter refuses (the wavDeltaSketches r14-advice fix,
+              // applied to the stats face too; r15)
+              val fmt = raw.getFormat
+              val isPcm16le =
+                fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+              val ais =
+                if (isPcm16le) raw
+                else javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new javax.sound.sampled.AudioFormat(
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+                    fmt.getSampleRate, 16, fmt.getChannels,
+                    2 * fmt.getChannels, fmt.getSampleRate, false), raw)
               val data = ais.readAllBytes()
               Some((fmt, data))
             } catch {
@@ -767,8 +784,8 @@ object Multimodal {
             }
           parsed match {
             case Some((fmt, data)) =>
-              // signed 16-bit little-endian PCM (the format this engine
-              // writes); other layouts would slot in here
+              // data is signed 16-bit little-endian PCM (native or
+              // JDK-converted above); fmt reports the ORIGINAL header
               var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
               val n = data.length / 2
               var i = 0

@@ -94,6 +94,44 @@ class MultimodalSpec extends AnyFunSuite {
     val fb = Multimodal.audioSampleStats(junk)
       .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].head()
     assert(!fb._2 && fb._5 == "not audio at all".getBytes.length.toLong)
+
+    // non-16-bit-LE layouts CONVERT before the sample loop instead of
+    // pairing bytes into garbage (the r15 wavDeltaSketches fix applied
+    // to the stats face): an 8-bit unsigned WAV of a known ramp decodes
+    // to the JDK-converted values ((v-128) << 8), not byte salad
+    val ramp = Array.tabulate(16)(i => (i * 16).toByte) // u8 0,16,...,240
+    val u8fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(ramp), u8fmt, ramp.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val u8 = Multimodal.audioSampleStats(
+      Seq((10L, bos.toByteArray)).toDF("id", "media"))
+      .as[(Long, Boolean, Int, Int, Long, Long, Long, Long)].head()
+    // expected = the JDK's OWN u8→s16 conversion of the same stream
+    // (its upscale is not a bare shift — low bits are replicated), so
+    // the assertion pins the stats to a real converted decode rather
+    // than to byte salad from the raw u8 stream
+    val raw16 = {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), src).readAllBytes()
+    }
+    val conv = (0 until raw16.length / 2).map(i =>
+      (((raw16(2 * i) & 0xff) | (raw16(2 * i + 1).toInt << 8))
+        .toShort).toLong)
+    assert(u8._2 && u8._5 == 16L, s"8-bit WAV must decode: $u8")
+    assert((u8._6, u8._7, u8._8) == ((conv.sum, conv.min, conv.max)),
+      s"8-bit samples must arrive JDK-converted to 16-bit LE: $u8")
+    // sanity that the conversion is sample-faithful, not salad: the
+    // ramp's extremes land on the converted extremes of u8 0 and 240
+    assert(conv.min == -32768L && conv.indexOf(conv.max) == 15)
   }
 
   test("resizeImages: nearest-neighbor resample keeps exactly the " +
