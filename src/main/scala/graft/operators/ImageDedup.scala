@@ -162,40 +162,23 @@ object ImageDedup {
     * `sketcher` parameter for banded audio near-dup.
     */
   def wavDeltaSketches(df: DataFrame): DataFrame = sketchDf(df) { bytes =>
-    val decoded =
-      try {
-        val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        // the sample pairing below assumes signed 16-bit little-endian
-        // PCM; a stream decoded in any OTHER layout (8-bit, mu-law,
-        // big-endian AIFF) would "succeed" into a garbage sketch
-        // silently labeled decoded — so non-matching formats go through
-        // the JDK's format converter first (ULAW/ALAW/8-bit/BE all
-        // convert), and only an unconvertible stream falls back to the
-        // decoded=false raw-bytes contract (r14 advice).
-        val fmt = raw.getFormat
-        val isPcm16le =
-          fmt.getEncoding ==
-            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
-        val ais =
-          if (isPcm16le) raw
-          else javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new javax.sound.sampled.AudioFormat(
-              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-              fmt.getSampleRate, 16, fmt.getChannels,
-              2 * fmt.getChannels, fmt.getSampleRate, false), raw)
-        val data = ais.readAllBytes()
-        val n = data.length / 2
-        val s = new Array[Int](n)
-        var i = 0
-        while (i < n) {
-          s(i) = ((data(2 * i) & 0xff) |
-            (data(2 * i + 1).toInt << 8)).toShort.toInt
-          i += 1
-        }
-        Some(s)
-      } catch { case scala.util.control.NonFatal(_) => None }
+    // the sample pairing below assumes signed 16-bit little-endian PCM;
+    // [[Multimodal.decodePcm16le]] converts any other decodable layout
+    // (8-bit, mu-law, big-endian) through the JDK first — a foreign
+    // layout must never "succeed" into a garbage sketch silently
+    // labeled decoded (r14 advice) — and only an unconvertible stream
+    // falls back to the decoded=false raw-bytes contract.
+    val decoded = Multimodal.decodePcm16le(bytes).map { case (_, data) =>
+      val n = data.length / 2
+      val s = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        s(i) = ((data(2 * i) & 0xff) |
+          (data(2 * i + 1).toInt << 8)).toShort.toInt
+        i += 1
+      }
+      s
+    }
     val s = decoded.getOrElse {
       val out = new Array[Int](bytes.length)
       var i = 0

@@ -752,36 +752,10 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val parsed =
-            try {
-              val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              // the sample loop below assumes signed 16-bit LE PCM; any
-              // OTHER decoded layout (8-bit, mu-law, big-endian) would
-              // "succeed" into garbage stats silently labeled decoded —
-              // convert through the JDK first, fall back only when the
-              // converter refuses (the wavDeltaSketches r14-advice fix,
-              // applied to the stats face too; r15)
-              val fmt = raw.getFormat
-              val isPcm16le =
-                fmt.getEncoding ==
-                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-                fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
-              val ais =
-                if (isPcm16le) raw
-                else javax.sound.sampled.AudioSystem.getAudioInputStream(
-                  new javax.sound.sampled.AudioFormat(
-                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
-                    fmt.getSampleRate, 16, fmt.getChannels,
-                    2 * fmt.getChannels, fmt.getSampleRate, false), raw)
-              val data = ais.readAllBytes()
-              Some((fmt, data))
-            } catch {
-              // NonFatal: JDK decoders can throw RuntimeExceptions (not
-              // just IOException) on malformed headers; a corrupt blob in
-              // a mixed corpus must fall back, not crash the partition.
-              case scala.util.control.NonFatal(_) => None
-            }
+          // [[decodePcm16le]]: non-16-bit-LE layouts convert through
+          // the JDK before the sample loop (r15; the loop would pair
+          // foreign bytes into garbage stats labeled decoded=true)
+          val parsed = decodePcm16le(bytes)
           parsed match {
             case Some((fmt, data)) =>
               // data is signed 16-bit little-endian PCM (native or
@@ -826,6 +800,40 @@ object Multimodal {
     * explode shape as [[frameSample]]. Non-audio bytes emit nothing
     * (the gate is [[audioSampleStats]]'s `decoded` flag).
     */
+  /** Decode audio bytes to SIGNED 16-BIT LITTLE-ENDIAN PCM via the JDK:
+    * streams already in that layout pass through; any other decodable
+    * layout (8-bit, mu-law/A-law, big-endian) converts through
+    * `AudioSystem.getAudioInputStream(targetFormat, …)` so downstream
+    * sample loops never pair foreign bytes into garbage (the r14-advice
+    * fix, shared by [[audioSampleStats]], [[audioEnergyWindows]] and
+    * [[ImageDedup.wavDeltaSketches]]). Returns the ORIGINAL header
+    * format beside the converted frames; None when the bytes are not
+    * decodable-or-convertible audio (the mixed-corpus fallback
+    * contract). NonFatal-catching: JDK decoders throw
+    * RuntimeExceptions, not just IOException, on malformed headers.
+    */
+  private[operators] def decodePcm16le(
+      bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = raw.getFormat
+      val isPcm16le =
+        fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+      val ais =
+        if (isPcm16le) raw
+        else javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false), raw)
+      Some((fmt, ais.readAllBytes()))
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+
   def audioEnergyWindows(df: DataFrame,
       windowSamples: Int = 8): DataFrame = {
     require(windowSamples > 0, s"windowSamples must be positive")
@@ -841,17 +849,7 @@ object Multimodal {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val data =
-            try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
-              Some(ais.readAllBytes())
-            } catch {
-              // NonFatal: JDK decoders can throw RuntimeExceptions (not
-              // just IOException) on malformed headers; a corrupt blob in
-              // a mixed corpus must fall back, not crash the partition.
-              case scala.util.control.NonFatal(_) => None
-            }
+          val data = decodePcm16le(bytes).map(_._2)
           data.toSeq.flatMap { d =>
             val n = d.length / 2
             (0 until (n + windowSamples - 1) / windowSamples).map { w =>
