@@ -342,11 +342,14 @@ object CurationQueries {
     // the span-grain APPEND lifecycle gate (the SuffixStore half of
     // r14 verdict #1): bootstrap the two-longs suffix index from 80%
     // of the corpus, append a 10% batch through processBatch (probe +
-    // segment write, exactly-once layout), probe the final 10% against
-    // the two-segment store — counts SUM across segments, so the
-    // result must equal duplicatedSpans over ALL documents restricted
-    // to the probe batch (the q_suffix_incremental oracle shape).
-    // Fixed 2000-doc slice (the q_minhash_containment adjudication:
+    // segment write, exactly-once layout), COMPACT (fold segments to
+    // one row per hash — the maintenance job is inside the driver
+    // gate, not only spec-pinned; the pre-compact probe path is gated
+    // by q_stream_family's store sibling and SuffixStoreSpec), then
+    // probe the final 10% — counts SUM across segments, so the result
+    // must equal duplicatedSpans over ALL documents restricted to the
+    // probe batch (the q_suffix_incremental oracle shape). Fixed
+    // 2000-doc slice (the q_minhash_containment adjudication:
     // lifecycle fidelity is per-row; tier-scale parity + cost live in
     // StoreSoak, which re-asserts probe ≡ one-shot at 50k docs).
     "q_suffix_append" -> ((s, dir) => {
@@ -361,6 +364,7 @@ object CurationQueries {
         minLen = 25)
       graft.operators.SuffixStore.processBatch(appended, 0L, "doc_id",
         "text", base, minLen = 25)
+      graft.operators.SuffixStore.compact(s, base)
       graft.operators.SuffixStore.probe(probe, "doc_id", "text", base,
         minLen = 25)
         .select(col("doc_id"), col("span_start"), col("span_len"),
@@ -440,6 +444,10 @@ object CurationQueries {
         idxP, lblP, minLen = 25)
       graft.operators.FamilyStore.processBatch(appended, 0L, "doc_id",
         "text", idxP, lblP, minLen = 25)
+      // compaction INSIDE the gate (label path compression + over-cap
+      // collapse must preserve the one-shot equality; the pre-compact
+      // probe path stays gated by q_stream_family + FamilyStoreSpec)
+      graft.operators.FamilyStore.compact(s, idxP, lblP)
       graft.operators.FamilyStore.probe(probe, "doc_id", "text",
         idxP, lblP, minLen = 25)
         .select(col("doc_id"), asLong(col("family")).as("family"))
