@@ -746,8 +746,11 @@ object Dedup {
     // separate post-checkpoint agg cost a second job per round — pure
     // fixed-overhead, but CC fixed overhead is the floor under every
     // family/dedup/graph probe. The observation completes on the
-    // listener bus after the eager checkpoint's action, so obs.get
-    // blocks only for the in-flight event, never indefinitely.
+    // listener bus after the eager checkpoint's action — normally
+    // instantaneous, but the bus can DROP events under pressure, so the
+    // wait is bounded (r15 advice: a bare obs.get would hang CC) and
+    // falls back to an explicit aggregation over the checkpointed frame
+    // (one extra job, exceptional path only).
     // DECIMAL(38,0) sum: ANSI-overflow-proof for full-range 64-bit hashes
     def ckptFp(e: DataFrame): (DataFrame, (Long, String)) = {
       val obs = org.apache.spark.sql.Observation()
@@ -757,7 +760,19 @@ object Dedup {
             .cast(DecimalType(38, 0))),
             lit(0).cast(DecimalType(38, 0))).as("hs"))
         .localCheckpoint(true)
-      val m = obs.get
+      val m: Map[String, Any] =
+        try {
+          scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(60, "seconds"))
+            .getValuesMap[Any](Seq("n", "hs"))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val r = ck.agg(count(lit(1)).as("n"),
+              coalesce(sum(xxhash64(col("u"), col("v"))
+                .cast(DecimalType(38, 0))),
+                lit(0).cast(DecimalType(38, 0))).as("hs")).head()
+            Map("n" -> r.get(0), "hs" -> r.get(1))
+        }
       val n = m("n") match {
         case l: java.lang.Long => l.longValue()
         case other => String.valueOf(other).toLong

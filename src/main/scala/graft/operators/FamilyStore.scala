@@ -2,16 +2,17 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** APPEND lifecycle for the standing template-family index — the last
   * index family without a production ingest loop (r14 verdict #1: a
   * batch could PROBE the standing [[SuffixDedup.familyIndex]] but never
   * JOIN it, so day N+2 could not dedup against day N+1 without a full
-  * rebuild). The recipe is [[graft.streaming.StreamingMinhashDedup]]'s:
-  * segment-partitioned stores, exactly-once appends via dynamic
-  * partition overwrite keyed by `ingest_batch`, and a periodic
-  * compaction that re-freezes global decisions — adapted to the two
-  * stores the family chain needs:
+  * rebuild). The recipe is [[graft.streaming.StreamingMinhashDedup]]'s
+  * — shared plumbing in [[SegmentStore]]: segment-partitioned stores,
+  * exactly-once appends via dynamic partition overwrite keyed by
+  * `ingest_batch`, and a periodic compaction that re-freezes global
+  * decisions — adapted to the two stores the family chain needs:
   *
   *   - INDEX store (`indexPath`): parquet partitioned by
   *     `(ingest_batch, band)`, rows `(h, doc_id, n_docs)` — each
@@ -36,48 +37,87 @@ import org.apache.spark.sql.functions._
   *     standing LABELS re-pointed at the new component minimum, so a
   *     batch that bridges two standing families never rewrites the
   *     families' member rows; it writes ONE pointer row per merged
-  *     label). Resolution fetches the pointer CLOSURE of the touched
+  *     label). Rows that exactly restate an id's current latest row
+  *     are dropped before the write (pure no-ops for resolution —
+  *     keeping them would both bloat segments and make every
+  *     family-touching batch look like a bridge to the depth bound
+  *     below). Resolution fetches the pointer CLOSURE of the touched
   *     ids latest-segment-first ([[fetchPointerClosure]]) and folds the
   *     rows into the probe's single components pass — union-find with
   *     path compression done relationally; chains deepen by at most one
   *     generation per bridging batch and flatten at [[compact]].
   *
-  * Equality contract (the `q_family_append` oracle): with id spaces
-  * disjoint and no gram crossing the cap boundary between increments,
-  * probing batch B against the store after appending batches A1..An to
-  * bootstrap C equals the whole-corpus
-  * `spanPairs + connectedComponents` rerun over C ∪ A1..An ∪ B
-  * restricted to B — the [[SuffixDedup.incrementalFamilies]] contract
-  * extended over appends by induction (the probe's components pass
-  * runs over batch edges ∪ the touched pointer closure, whose fixpoint
-  * resolves stale pointers and contracts in the same pass — minima
-  * provably equal the resolve-then-contract form, see
-  * [[probeWithComponents]]). Cap-boundary crossings keep the
-  * frozen-cap semantics documented on
+  * '''Depth-bounded chase (r16).''' The store records an upper bound on
+  * its pointer-chain depth as [[SegmentStore]] metadata
+  * (`labelsPath/_depth`): [[init]] and [[compact]] set it to 1 (0 when
+  * the labels store is empty — a first-day corpus with no duplicate
+  * families is a valid store, served with an explicit read schema, not
+  * an inference error), and [[processBatch]] bumps it by one exactly
+  * when its update segment re-points a CORPUS-side id (only standing
+  * rows can extend a chain; a batch-only update — new docs joining or
+  * seeding families — starts chains of length 1, never extends one,
+  * because nothing points at a fresh batch id). The probe then composes
+  * exactly `depth` fetch generations LAZILY — no per-hop `isEmpty`
+  * actions, no per-hop checkpoints; the whole closure materializes
+  * inside the single components pass that consumes it (the r15 probe
+  * spent ~4 driver actions per hop discovering closure dynamically,
+  * the dominant term of its fixed-phase floor). A store without the
+  * metadata file (pre-r16 layout) falls back to the dynamic per-hop
+  * loop. Depth past `maxChase` still throws loudly — chains deeper
+  * than the bridging generations since the last [[compact]] mean
+  * compaction is overdue, and a silent partial closure would mislabel.
+  *
+  * Equality contract (the `q_family_append` / `q_family_chain`
+  * oracles): with id spaces disjoint and no gram crossing the cap
+  * boundary between increments, probing batch B against the store
+  * after appending batches A1..An to bootstrap C equals the
+  * whole-corpus `spanPairs + connectedComponents` rerun over
+  * C ∪ A1..An ∪ B restricted to B — the
+  * [[SuffixDedup.incrementalFamilies]] contract extended over appends
+  * by induction (the probe's components pass runs over batch edges ∪
+  * the touched pointer closure, whose fixpoint resolves stale pointers
+  * and contracts in the same pass — minima provably equal the
+  * resolve-then-contract form, see [[probeWithComponents]]).
+  * Cap-boundary crossings keep the frozen-cap semantics documented on
   * [[SuffixDedup.incrementalFamilies]]: standing edges are never
   * unlinked; new edges see current combined counts.
   *
   * Scale shape per batch: standing index scanned once through a
   * broadcast batch-key semi-join (band partitioning keeps files
   * bounded; the probe never shuffles the index), labels store scanned
-  * once per chase hop through a broadcast frontier semi-join (hops =
-  * pointer-chain depth, bounded by bridging generations since the last
-  * [[compact]] and hard-capped by `maxChase`), writes are one new
-  * segment pair. Nothing corpus-sized ever shuffles on the hot path.
+  * `depth` times inside one job through broadcast frontier semi-joins
+  * (depth = bridging generations since the last [[compact]], typically
+  * 1 on any sane compaction cadence), writes are one new segment pair.
+  * Nothing corpus-sized ever shuffles on the hot path.
   */
 object FamilyStore {
 
+  private val LabelSchema = StructType(Seq(
+    StructField("id", LongType), StructField("label", LongType),
+    StructField("ingest_batch", LongType)))
+  private val IndexSchema = StructType(Seq(
+    StructField("h", LongType), StructField("doc_id", LongType),
+    StructField("n_docs", LongType), StructField("ingest_batch", LongType),
+    StructField("band", LongType)))
+
   /** One-time bootstrap: write the corpus [[SuffixDedup.familyIndex]]
-    * and [[SuffixDedup.familyLabels]] as segment -1 of the two stores.
+    * and [[SuffixDedup.familyLabels]] as segment -1 of the two stores,
+    * and record the initial chain-depth bound (1; 0 for a corpus with
+    * no duplicate families — the store is valid and empty, see
+    * [[SegmentStore.read]]).
     */
   def init(corpus: DataFrame, idCol: String, textCol: String,
       indexPath: String, labelsPath: String, minLen: Int,
       maxDocsPerGram: Int = 1000, nBands: Int = 64): Unit = {
+    val spark = corpus.sparkSession
     val idx = SuffixDedup.familyIndex(corpus, idCol, textCol, minLen,
       maxDocsPerGram).localCheckpoint(true)
     writeIndexSegment(idx, -1L, indexPath, nBands)
-    writeLabelSegment(SuffixDedup.familyLabels(idx, maxDocsPerGram), -1L,
-      labelsPath)
+    val lbl = SuffixDedup.familyLabels(idx, maxDocsPerGram)
+      .filter(col("id") =!= col("label")).localCheckpoint(true)
+    writeLabelSegment(lbl, -1L, labelsPath)
+    SegmentStore.writeMeta(spark, labelsPath, "depth",
+      if (lbl.isEmpty) 0L else 1L)
   }
 
   /** Read-only probe: family labels for every batch doc against the
@@ -101,28 +141,90 @@ object FamilyStore {
     * `ingest_batch = batchId` out of both standing reads — a replayed
     * batch recomputes against the same pre-append state and overwrites
     * its own segments instead of duplicating them (the
-    * [[graft.streaming.StreamingMinhashDedup.processBatch]] recipe).
-    * Batch ids must be disjoint from everything already in the store.
+    * [[graft.streaming.StreamingMinhashDedup.processBatch]] recipe;
+    * exactly-once for a batch holds until [[compact]] folds its label
+    * segment — see the compact doc). Batch ids must be disjoint from
+    * everything already in the store.
     */
   def processBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexPath: String, labelsPath: String, minLen: Int,
       maxDocsPerGram: Int = 1000, nBands: Int = 64,
       maxChase: Int = 20): DataFrame = {
-    val (fams, comps) = probeWithComponents(batch, idCol, textCol,
-      indexPath, labelsPath, minLen, maxDocsPerGram, maxChase,
+    val spark = batch.sparkSession
+    val (fams, comps, pointers) = probeWithComponents(batch, idCol,
+      textCol, indexPath, labelsPath, minLen, maxDocsPerGram, maxChase,
       excludeBatch = Some(batchId))
     // eager BEFORE the appends: both outputs must reflect the
     // pre-append store (lazy evaluation after the writes would probe
     // the batch against its own rows)
     val famsOut = fams.localCheckpoint(true)
+    // drop no-op rows (exactly restating an id's current latest row):
+    // redundant for resolution, and they would make every
+    // family-touching batch bump the depth bound below
     val updates = comps.filter(col("id") =!= col("label"))
+      .join(pointers.select(col("id"), col("label").as("__cur"))
+        .distinct(), Seq("id"), "left")
+      .filter(col("__cur").isNull || col("__cur") =!= col("label"))
+      .drop("__cur")
       .localCheckpoint(true)
     writeIndexSegment(
       SuffixDedup.familyIndex(batch, idCol, textCol, minLen,
         maxDocsPerGram),
       batchId, indexPath, nBands, dynamic = true)
     writeLabelSegment(updates, batchId, labelsPath, dynamic = true)
+    // depth bound: +1 only when a CORPUS-side id is re-pointed (a
+    // standing row may now chain through it); batch-only updates start
+    // chains, never extend them. Cheap driver probes on the already
+    // checkpointed batch-scale updates frame. Legacy stores (no
+    // metadata file) stay legacy — the probe's dynamic loop needs no
+    // bound.
+    SegmentStore.readMeta(spark, labelsPath, "depth").foreach { old =>
+      val batchIds = batch.select(col(idCol).as("id")).distinct()
+      val hasUpdates = !updates.isEmpty
+      val deepens = hasUpdates &&
+        !updates.join(broadcast(batchIds), Seq("id"), "left_anti").isEmpty
+      val next = if (deepens) old.max(1L) + 1L
+        else if (hasUpdates) old.max(1L) else old
+      if (next != old)
+        SegmentStore.writeMeta(spark, labelsPath, "depth", next)
+    }
     famsOut
+  }
+
+  /** Segment count of the index store and the recorded pointer-chain
+    * depth bound — the two observables the auto-compaction policy
+    * ([[maybeCompact]]) thresholds on. Driver-side file listing plus
+    * one metadata read; no Spark job.
+    */
+  def stats(spark: SparkSession, indexPath: String,
+      labelsPath: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nSegments =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(s => s.isDirectory &&
+        s.getPath.getName.startsWith("ingest_batch=")).toLong
+    val depth = SegmentStore.readMeta(spark, labelsPath, "depth")
+      .getOrElse(-1L)
+    (nSegments, depth)
+  }
+
+  /** Threshold-triggered [[compact]]: fires when the recorded chain
+    * depth exceeds `maxDepth` (probe cost grows with depth) or the
+    * index store has accumulated more than `maxSegments` segments
+    * (small-file pressure). Returns whether compaction ran. A legacy
+    * store without depth metadata compacts on the segment trigger
+    * only. Call it where [[compact]] is safe — after the stream's
+    * checkpoint has advanced past the folded batches (see the compact
+    * replay note).
+    */
+  def maybeCompact(spark: SparkSession, indexPath: String,
+      labelsPath: String, maxDepth: Long = 4L, maxSegments: Long = 64L,
+      maxDocsPerGram: Int = 1000): Boolean = {
+    val (nSegments, depth) = stats(spark, indexPath, labelsPath)
+    val fire = depth > maxDepth || nSegments > maxSegments
+    if (fire) compact(spark, indexPath, labelsPath, maxDocsPerGram)
+    fire
   }
 
   /** Periodic maintenance — the only job that touches corpus-scale
@@ -130,9 +232,11 @@ object FamilyStore {
     *
     *   1. LABELS: flatten pointer chains (full path compression) —
     *      min-label CC over the whole pointer graph, each id rewritten
-    *      to its final label in its LATEST segment, superseded older
-    *      rows dropped. After this, [[fetchPointerClosure]] closes in
-    *      one hop until the next bridging batch.
+    *      to its final label, superseded rows dropped, and the whole
+    *      flattened table folded into the BOOTSTRAP segment (-1). After
+    *      this, [[fetchPointerClosure]] closes in one generation until
+    *      the next bridging batch (depth metadata reset to 1, or 0 for
+    *      an empty store).
     *   2. INDEX: re-resolve over-cap ACROSS segments — a gram whose
     *      COMBINED count exceeds the cap can never contribute new
     *      edges again (counts only grow), so its posting rows collapse
@@ -141,35 +245,40 @@ object FamilyStore {
     *      markers. Under-cap rows are untouched. Also compacts small
     *      files.
     *
-    * Both rewrites preserve the `ingest_batch` partitioning, so replay
-    * idempotence survives compaction (a replayed batch still overwrites
-    * only its own segments).
+    * REPLAY NOTE: the index rewrite preserves `ingest_batch`
+    * partitioning, so index replay idempotence survives compaction —
+    * but the labels fold does NOT: a batch whose label segment was
+    * folded into -1 can no longer prune its own rows out of a replayed
+    * probe (and standing labels that survived only in its segment now
+    * live in -1, where the prune cannot drop them either — keeping
+    * per-id rows in their LATEST segment, the pre-r16 layout, was
+    * strictly worse: a replay would prune SURVIVING standing labels
+    * and recompute against a corrupted pre-append view). Same trade as
+    * [[SuffixStore.compact]] / [[graft.streaming.StreamingMinhashDedup
+    * .compactIndex]]: run compaction on the maintenance cadence, after
+    * the stream's checkpoint has advanced past the folded batches.
     */
   def compact(spark: SparkSession, indexPath: String, labelsPath: String,
       maxDocsPerGram: Int = 1000): Unit = {
-    // ---- labels: full path compression ----
-    val lbl = spark.read.parquet(labelsPath)
-      .select(col("id"), col("label"), col("ingest_batch"))
+    // ---- labels: full path compression, folded into segment -1 ----
+    val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
     val latest = lbl.groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
-      .select(col("id"), col("b.label").as("label"),
-        col("b.ingest_batch").as("ingest_batch"))
+      .select(col("id"), col("b.label").as("label"))
     val resolved = Dedup.connectedComponents(
         latest.select(col("id").as("id_a"), col("label").as("id_b")))
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
-      .select(col("id"), coalesce(col("final"), col("label")).as("label"),
-        col("ingest_batch"))
+      .select(col("id"), coalesce(col("final"), col("label")).as("label"))
       .filter(col("id") =!= col("label"))
       .localCheckpoint(true)
-    flat.write.mode("overwrite").partitionBy("ingest_batch")
-      .parquet(labelsPath)
+    writeLabelSegment(flat, -1L, labelsPath)
+    SegmentStore.writeMeta(spark, labelsPath, "depth",
+      if (flat.isEmpty) 0L else 1L)
 
     // ---- index: collapse globally-over-cap postings to markers ----
-    val idx = spark.read.parquet(indexPath)
-      .select(col("h"), col("doc_id"), col("n_docs"), col("ingest_batch"),
-        col("band"))
+    val idx = SegmentStore.read(spark, indexPath, IndexSchema)
     val totals = idx.groupBy(col("h"))
       .agg((sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)) +
         coalesce(sum(when(col("doc_id").isNull, col("n_docs"))), lit(0L)))
@@ -198,26 +307,29 @@ object FamilyStore {
     * fused components pass. Returns (batch families, full component
     * table over batch ids + touched corpus ids + closure labels — the
     * label-update set, which path-compresses touched stale rows for
-    * free).
+    * free, and the fetched pointer rows — [[processBatch]]'s no-op
+    * filter needs them).
     */
   private def probeWithComponents(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, labelsPath: String, minLen: Int,
       maxDocsPerGram: Int, maxChase: Int,
-      excludeBatch: Option[Long]): (DataFrame, DataFrame) = {
+      excludeBatch: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
-    val idx = excludeBatch.foldLeft(
-        spark.read.parquet(indexPath)
-          .select(col("h"), col("doc_id"), col("n_docs"),
-            col("ingest_batch"))) {
-        (d, b) => d.filter(col("ingest_batch") =!= b)
-      }
+    val idx = SegmentStore.read(spark, indexPath, IndexSchema,
+        excludeBatch)
       .select(col("h"), col("doc_id"), col("n_docs"))
     val edges = SuffixDedup.batchProbeEdges(batch, idCol, textCol, idx,
       minLen, maxDocsPerGram).localCheckpoint(true)
     val touched = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
-    val pointers = fetchPointerClosure(spark, labelsPath, touched,
+    val pointers0 = fetchPointerClosure(spark, labelsPath, touched,
       maxChase, excludeBatch)
+    // the ingest path consumes the closure twice (components pass +
+    // the no-op update filter) — materialize once; the read-only probe
+    // consumes it once, lazily, inside the components pass
+    val pointers =
+      if (excludeBatch.isDefined) pointers0.localCheckpoint(true)
+      else pointers0
     // ONE components pass over batch edges ∪ pointer rows replaces the
     // r15-initial resolve-then-contract two-CC chain: connecting each
     // touched endpoint to its pointer chain preserves exactly the
@@ -236,87 +348,109 @@ object FamilyStore {
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("family"))
-    (fams, comps)
+    (fams, comps, pointers)
   }
 
-  /** Fetch the pointer CLOSURE of every touched id: per hop, the
-    * LATEST row per frontier id (broadcast frontier semi-join — the
-    * store is scanned, never shuffled), new label values feed back as
-    * the next frontier until it closes. Returns the raw `(id, label)`
-    * pointer rows — chain RESOLUTION happens inside the caller's
-    * single components pass, not here (pointer targets strictly
-    * decrease — `label < id` everywhere in the store — so the closure
-    * is a forest the CC fixpoint flattens for free). Ids with no row
-    * resolve to themselves via the caller's coalesce. Throws past
-    * `maxChase` hops — chains deeper than the bridging generations
-    * since the last [[compact]] mean compaction is overdue, and a
-    * silent partial closure would mislabel.
+  /** Fetch the pointer CLOSURE of every touched id. Returns the raw
+    * `(id, label)` pointer rows — chain RESOLUTION happens inside the
+    * caller's single components pass, not here (pointer targets
+    * strictly decrease — `label < id` everywhere in the store — so the
+    * closure is a forest the CC fixpoint flattens for free). Ids with
+    * no row resolve to themselves via the caller's coalesce.
+    *
+    * With depth metadata (r16 stores): composes exactly `depth` fetch
+    * generations LAZILY — per generation, the LATEST row per frontier
+    * id (broadcast frontier semi-join — the store is scanned, never
+    * shuffled), next frontier = the fetched label values. No driver
+    * actions here at all; the closure materializes inside the caller's
+    * components pass. Depth 0 (empty labels store) skips the store
+    * read entirely. Throws when the recorded depth exceeds `maxChase`
+    * — compaction is overdue, and a silent partial closure would
+    * mislabel.
+    *
+    * Without metadata (pre-r16 layout): the dynamic per-hop loop,
+    * fetching until the frontier closes, `maxChase`-bounded.
     */
   private def fetchPointerClosure(spark: SparkSession, labelsPath: String,
       touched: DataFrame, maxChase: Int,
       excludeBatch: Option[Long]): DataFrame = {
-    val store = excludeBatch.foldLeft(
-        spark.read.parquet(labelsPath)
-          .select(col("id"), col("label"), col("ingest_batch"))) {
-        (d, b) => d.filter(col("ingest_batch") =!= b)
-      }
+    val store = SegmentStore.read(spark, labelsPath, LabelSchema,
+        excludeBatch)
       // identity rows (component centers label themselves) carry no
       // information — resolution already defaults to self
       .filter(col("id") =!= col("label"))
-    var frontier = touched.select(col("id")).distinct()
-      .localCheckpoint(true)
-    var visited = frontier
-    var pointers: Option[DataFrame] = None
-    var hops = 0
-    var closed = false
-    while (!closed && hops < maxChase) {
-      val rows = store.join(broadcast(frontier), Seq("id"))
-        .groupBy(col("id"))
-        .agg(max_by(col("label"), col("ingest_batch")).as("label"))
-        .localCheckpoint(true)
-      if (rows.isEmpty) closed = true
-      else {
-        pointers = Some(pointers.fold(rows)(_.unionByName(rows)))
-        frontier = rows.select(col("label").as("id")).distinct()
-          .join(visited, Seq("id"), "left_anti")
+    val empty = touched.select(col("id"), col("id").as("label")).limit(0)
+    SegmentStore.readMeta(spark, labelsPath, "depth") match {
+      case Some(depth) =>
+        if (depth > maxChase)
+          throw new IllegalStateException(
+            s"FamilyStore.fetchPointerClosure: recorded pointer-chain " +
+              s"depth $depth exceeds maxChase=$maxChase — run " +
+              "FamilyStore.compact to flatten the labels store (or " +
+              "raise maxChase deliberately)")
+        var frontier = touched.select(col("id"))
+        var acc: Option[DataFrame] = None
+        var gen = 0L
+        while (gen < depth) {
+          val rows = store.join(broadcast(frontier), Seq("id"))
+            .groupBy(col("id"))
+            .agg(max_by(col("label"), col("ingest_batch")).as("label"))
+          acc = Some(acc.fold(rows)(_.unionByName(rows)))
+          frontier = rows.select(col("label").as("id")).distinct()
+          gen += 1
+        }
+        acc.getOrElse(empty)
+      case None =>
+        var frontier = touched.select(col("id")).distinct()
           .localCheckpoint(true)
-        if (frontier.isEmpty) closed = true
-        else visited = visited.unionByName(frontier).localCheckpoint(true)
-      }
-      hops += 1
+        var visited = frontier
+        var pointers: Option[DataFrame] = None
+        var hops = 0
+        var closed = false
+        while (!closed && hops < maxChase) {
+          val rows = store.join(broadcast(frontier), Seq("id"))
+            .groupBy(col("id"))
+            .agg(max_by(col("label"), col("ingest_batch")).as("label"))
+            .localCheckpoint(true)
+          if (rows.isEmpty) closed = true
+          else {
+            pointers = Some(pointers.fold(rows)(_.unionByName(rows)))
+            frontier = rows.select(col("label").as("id")).distinct()
+              .join(visited, Seq("id"), "left_anti")
+              .localCheckpoint(true)
+            if (frontier.isEmpty) closed = true
+            else visited = visited.unionByName(frontier)
+              .localCheckpoint(true)
+          }
+          hops += 1
+        }
+        if (!closed)
+          throw new IllegalStateException(
+            s"FamilyStore.fetchPointerClosure: pointer chains deeper " +
+              s"than maxChase=$maxChase — run FamilyStore.compact to " +
+              "flatten the labels store (or raise maxChase deliberately)")
+        pointers.getOrElse(empty)
     }
-    if (!closed)
-      throw new IllegalStateException(
-        s"FamilyStore.fetchPointerClosure: pointer chains deeper than " +
-          s"maxChase=$maxChase — run FamilyStore.compact to flatten the " +
-          "labels store (or raise maxChase deliberately)")
-    pointers.getOrElse(
-      touched.select(col("id"), col("id").as("label")).limit(0))
   }
 
   private def writeIndexSegment(index: DataFrame, batchId: Long,
       path: String, nBands: Int, dynamic: Boolean = false): Unit = {
     require(nBands >= 1, s"nBands must be >= 1, got $nBands")
-    val w = index
-      .withColumn("ingest_batch", lit(batchId))
-      .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
-      .repartition(col("band"))
-      .write.mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("ingest_batch", "band").parquet(path)
+    SegmentStore.writeSegment(
+      index
+        .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+        .repartition(col("band")),
+      batchId, path, Seq("band"), dynamic)
   }
 
   private def writeLabelSegment(labels: DataFrame, batchId: Long,
-      path: String, dynamic: Boolean = false): Unit = {
-    val w = labels
-      .select(col("id"), col("label"))
-      // identity rows are dead weight (see fetchPointerClosure) —
-      // dropped here so bootstrap familyLabels output doesn't carry
-      // its component-center self-rows into the store
-      .filter(col("id") =!= col("label"))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("ingest_batch").parquet(path)
-  }
+      path: String, dynamic: Boolean = false): Unit =
+    SegmentStore.writeSegment(
+      labels
+        .select(col("id"), col("label"))
+        // identity rows are dead weight (see fetchPointerClosure) —
+        // dropped here so bootstrap familyLabels output doesn't carry
+        // its component-center self-rows into the store
+        .filter(col("id") =!= col("label")),
+      batchId, path, Nil, dynamic)
 }

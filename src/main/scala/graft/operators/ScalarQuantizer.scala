@@ -149,4 +149,66 @@ object ScalarQuantizer {
           (col("q_nrm") * col("c_nrm")))
     Similarity.topKMerge(exact, k)
   }
+
+  /** Staleness gate for a frozen SQ8 codebook under appends (r15
+    * verdict #6 — [[graft.operators.IvfPq.driftReport]]'s shape). The
+    * model IS trainable state here (per-dim `[min, max]` fitted at
+    * build time), so drift has a direct, cheap witness: `clip_rate`,
+    * the fraction of corpus vectors with at least one dimension whose
+    * nearest code falls outside `[0, 255]` — appended data beyond the
+    * trained range saturates to the boundary code and its quantized
+    * similarity stops ranking (the exact rerank can only salvage what
+    * the saturated shortlist still contains). Alongside it, measured
+    * recall of [[sqTopK]] under the frozen `model` against
+    * [[Similarity.bruteForceTopK]] on a probe sample. `rebuild` fires
+    * when recall sinks below `recallFloor` or `clip_rate` exceeds
+    * `maxClipRate` — re-fit the codebook over the grown corpus.
+    */
+  def sqDriftReport(probeQueries: DataFrame, corpus: DataFrame,
+      model: Model, k: Int, rerankFactor: Int = 4,
+      recallFloor: Double = 0.9, maxClipRate: Double = 0.01,
+      codes: Option[DataFrame] = None): DataFrame = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    require(maxClipRate >= 0.0 && maxClipRate < 1.0,
+      s"maxClipRate must be in [0, 1), got $maxClipRate")
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(model)
+    val clipsUdf = udf((e: Seq[Float]) => {
+      val m = bc.value
+      var i = 0
+      var clipped = false
+      while (i < m.mins.length && !clipped) {
+        val q = math.round((e(i) - m.mins(i)) / m.scales(i)).toInt
+        if (q < 0 || q > 255) clipped = true
+        i += 1
+      }
+      if (clipped) 1L else 0L
+    })
+    val clipAgg = corpus
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(clipsUdf(col("embedding"))), lit(0L))
+          .as("n_clipped"))
+    val approx = sqTopK(probeQueries, corpus, k, rerankFactor,
+        excludeSelf = true, model = Some(model), codes = codes)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    val exactTop = Similarity.bruteForceTopK(probeQueries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = probeQueries.select(col("id")).distinct().count()
+    exactTop
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .crossJoin(clipAgg)
+      .select(lit(nq).as("n_queries"), lit(k.toLong).as("k"),
+        col("n_expected"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_expected").cast("double"))
+          .as("recall"),
+        col("n_vecs"), col("n_clipped"),
+        (col("n_clipped").cast("double") / col("n_vecs").cast("double"))
+          .as("clip_rate"))
+      .withColumn("rebuild", col("recall") < recallFloor ||
+        col("clip_rate") > maxClipRate)
+  }
 }

@@ -139,6 +139,78 @@ object Similarity {
     topKMerge(cand, k)
   }
 
+  /** Append a batch of NEW vectors to a materialized [[writeLshIndex]]
+    * index — the daily-ingest shape ([[graft.operators.IvfPq
+    * .appendToIndex]]'s contract): hyperplanes are seeded
+    * deterministically per table, so the batch's bucket keys are
+    * computed executor-side against the SAME planes the standing layout
+    * used, and the new rows land as new files inside their existing
+    * `(table, bucket)` partitions — standing rows never rewritten,
+    * static pruning unchanged. Append atomicity is parquet's; replay
+    * dedup is the caller's (the streaming-minhash batch-id manifest
+    * recipe).
+    */
+  def appendToLshIndex(batch: DataFrame, path: String, nPlanes: Int,
+      nTables: Int = 1): Unit =
+    lshBucketed(batch, nPlanes, nTables)
+      .withColumn("c_nrm", VectorFunctions.l2Norm(col("embedding")))
+      .write.mode("append")
+      .partitionBy("table", "bucket")
+      .parquet(path)
+
+  /** Staleness gate for a served [[writeLshIndex]] index under appends
+    * (r15 verdict #6 — [[graft.operators.IvfPq.driftReport]]'s shape):
+    * measured recall of the index's top-k against [[bruteForceTopK]] on
+    * a probe sample, plus bucket-occupancy skew. LSH has NO trained
+    * model to invalidate — hyperplanes are data-independent, so a
+    * region's recall is set by its query/neighbor angular distribution
+    * alone — which means the one dimension appends CAN drift is
+    * occupancy: appended mass concentrating into few buckets says the
+    * frozen planes have stopped discriminating for that region (probe
+    * candidate sets balloon, cap pressure rises, and multi-probe's
+    * hamming-1 neighborhood covers a shrinking similarity shell).
+    * `max_bucket_share` is the largest bucket's share of one table's
+    * rows (each vector lands once per table; uniform occupancy is
+    * 2^-nPlanes). `rebuild` fires when recall sinks below `recallFloor`
+    * or skew exceeds `maxBucketShare` — re-plane (more planes / more
+    * tables) rather than re-train.
+    */
+  def lshDriftReport(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, probeQueries: DataFrame, corpus: DataFrame,
+      k: Int, nPlanes: Int, nTables: Int = 1, recallFloor: Double = 0.9,
+      maxBucketShare: Double = 0.25,
+      maxProbeQueries: Int = 65536): DataFrame = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    require(maxBucketShare > 0.0 && maxBucketShare <= 1.0,
+      s"maxBucketShare must be in (0, 1], got $maxBucketShare")
+    val approx = lshTopKFromIndex(spark, indexPath, probeQueries, k,
+        nPlanes, nTables, excludeSelf = true, maxProbeQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1L))
+    val exact = bruteForceTopK(probeQueries, corpus, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val nq = probeQueries.select(col("id")).distinct().count()
+    val occ = spark.read.parquet(indexPath)
+      .groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("max_bucket"), sum(col("__n")).as("n_rows"))
+    exact
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_expected"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hits"))
+      .crossJoin(occ)
+      .select(lit(nq).as("n_queries"), lit(k.toLong).as("k"),
+        col("n_expected"), col("n_hits"),
+        (col("n_hits").cast("double") / col("n_expected").cast("double"))
+          .as("recall"),
+        col("n_rows"), col("max_bucket"),
+        (col("max_bucket").cast("double") * lit(nTables.toDouble) /
+          col("n_rows").cast("double")).as("max_bucket_share"))
+      .withColumn("rebuild", col("recall") < recallFloor ||
+        col("max_bucket_share") > maxBucketShare)
+  }
+
   /** Multi-probe keys: own bucket + each single-bit flip (hamming-1). */
   private def probeKeys(bucket: org.apache.spark.sql.Column, nPlanes: Int) =
     array((bucket +: (0 until nPlanes).map(p =>

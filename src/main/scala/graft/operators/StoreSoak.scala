@@ -28,8 +28,27 @@ import org.apache.spark.sql.functions._
   * ≈ 1 is the "probe never pays the corpus price" claim, measured
   * without conflating batch growth with corpus growth).
   *
-  * Usage: `runMain graft.operators.StoreSoak <sfDir> [minLen]`
-  * Prints one JSON line per store:
+  * CHAIN mode (r15 verdict #1 — the lifecycle gates all ran n=1
+  * appends; production is a chain): `StoreSoak <sfDir> [minLen] chain`
+  * runs TEN sequential `processBatch` appends against the family
+  * store, each batch carrying a PLANTED bridging doc that merges two
+  * standing planted families with descending minima — the adversarial
+  * shape where every batch re-points the previous component minimum
+  * and the pointer chain deepens by one generation per step. Parity
+  * (`exceptAll` both ways vs the one-shot whole-corpus rerun
+  * restricted to the batch) is asserted after EVERY step, the
+  * auto-compaction policy runs policy-ON every step
+  * ([[FamilyStore.maybeCompact]] `maxDepth = 4` — it must fire
+  * mid-chain and the chain must keep going), and a held-out batch is
+  * probed read-only at the END so the post-chain probe cost lands
+  * beside the n=1 numbers above. One JSON line per step:
+  * `{"mode":"chain","step":k,"docs_so_far":N,"batch":N,
+  *   "append_sec":…,"parity":bool,"depth":D,"segments":S,
+  *   "compacted":bool,"compact_sec":…}` plus a final
+  * `{"mode":"chain","step":"probe",…}` line.
+  *
+  * Usage: `runMain graft.operators.StoreSoak <sfDir> [minLen] [chain]`
+  * Default mode prints one JSON line per store:
   * `{"store":"family"|"suffix","docs":N,"batch":N,"init_sec":…,
   *   "append_sec":…,"probe_sec":…,"probe_half_sec":…,"rerun_sec":…,
   *   "probe_rows":N,"parity":bool}`.
@@ -38,6 +57,7 @@ object StoreSoak {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val minLen = if (args.length > 1) args(1).toInt else 25
+    val chainMode = args.contains("chain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,6 +68,7 @@ object StoreSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    if (chainMode) { runChain(spark, dir, minLen); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0 &&
@@ -142,5 +163,97 @@ object StoreSoak {
         s""""rerun_sec":$rerunSec,""" +
         s""""probe_rows":$probeRows,"parity":$parity}""")
     }
+  }
+
+  /** The 10-append chain soak (see object doc). */
+  private def runChain(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minLen: Int): Unit = {
+    import spark.implicits._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val docsRaw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    require(minLen <= 31, s"planted chain phrases are 31 chars; got $minLen")
+    def P(i: Int) = f"PLANTED-CHAIN-FAMILY-$i%02d-PHRASE!!"
+    // planted families with DESCENDING minima far above the real id
+    // space: every bridge re-points the previous component minimum at
+    // a new, smaller one — one extra pointer generation per step
+    val B = 1000000000000L
+    def m(i: Int) = B - 50L * i
+    val planted = (1 to 11).flatMap { i =>
+      Seq((m(i), s"pl${i}aaaa" + P(i) + s"pl${i}bbbb"),
+        (m(i) + 1, s"pl${i}cccc" + P(i) + s"pl${i}dddd"))
+    }
+    val bootstrap = docsRaw.filter(col("doc_id") % 25 <= 13)
+      .unionByName(planted.toDF("doc_id", "text")).localCheckpoint(true)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("chainsoak").toString
+    val (idxP, lblP) = (s"$scratch/idx", s"$scratch/lbl")
+    val (_, initSec) = timed {
+      FamilyStore.init(bootstrap, "doc_id", "text", idxP, lblP, minLen)
+    }
+    val nBoot = bootstrap.count()
+    println(s"""{"mode":"chain","step":"init","docs_so_far":$nBoot,""" +
+      s""""init_sec":$initSec}""")
+    // one-shot ground truth restricted to a batch (the oracle shape)
+    def oneShot(all: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame) = {
+      val fams = SuffixDedup.suffixFamilies(all, "doc_id", "text", minLen)
+        .withColumnRenamed("id", "doc_id")
+      batch.select(col("doc_id")).join(fams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("family"))
+    }
+    var all = bootstrap
+    for (k <- 1 to 10) {
+      val bridge = Seq(
+        (B + 1000000L + k,
+          s"br${k}aa" + P(k) + s"br${k}bb" + P(k + 1) + "zz"))
+      val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
+        .unionByName(bridge.toDF("doc_id", "text")).localCheckpoint(true)
+      val (fams, appendSec) = timed {
+        FamilyStore.processBatch(batch, k.toLong, "doc_id", "text",
+          idxP, lblP, minLen)
+      }
+      all = all.unionByName(batch).localCheckpoint(true)
+      val (parity, paritySec) = timed {
+        val want = oneShot(all, batch).localCheckpoint(true)
+        want.exceptAll(fams).isEmpty && fams.exceptAll(want).isEmpty
+      }
+      val (segs, depth) = FamilyStore.stats(spark, idxP, lblP)
+      // policy ON every step: must fire mid-chain (depth > 4) and the
+      // chain must keep going afterwards
+      val (fired, compactSec) = timed {
+        FamilyStore.maybeCompact(spark, idxP, lblP, maxDepth = 4)
+      }
+      val nBatch = batch.count()
+      val nAll = all.count()
+      println(s"""{"mode":"chain","step":$k,"docs_so_far":$nAll,""" +
+        s""""batch":$nBatch,"append_sec":$appendSec,"parity":$parity,""" +
+        s""""parity_rerun_sec":$paritySec,"depth":$depth,""" +
+        s""""segments":$segs,"compacted":$fired,""" +
+        s""""compact_sec":${if (fired) compactSec else 0.0}}""")
+      require(parity, s"chain parity broke at step $k")
+    }
+    // the post-chain read-only probe: held-out class, never appended
+    val probeB = docsRaw.filter(col("doc_id") % 25 === 24)
+      .localCheckpoint(true)
+    val ((probeRows, probe), probeSec) = timed {
+      val p = FamilyStore.probe(probeB, "doc_id", "text", idxP, lblP,
+        minLen).localCheckpoint(true)
+      (p.count(), p)
+    }
+    val (parity, rerunSec) = timed {
+      val want = oneShot(all.unionByName(probeB), probeB)
+        .localCheckpoint(true)
+      want.exceptAll(probe).isEmpty && probe.exceptAll(want).isEmpty
+    }
+    val (segs, depth) = FamilyStore.stats(spark, idxP, lblP)
+    println(s"""{"mode":"chain","step":"probe","probe_rows":$probeRows,""" +
+      s""""probe_sec":$probeSec,"parity":$parity,""" +
+      s""""rerun_sec":$rerunSec,"depth":$depth,"segments":$segs}""")
   }
 }

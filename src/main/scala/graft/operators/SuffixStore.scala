@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** APPEND lifecycle for the span-grain suffix index — the
   * [[FamilyStore]] treatment applied to [[SuffixDedup.suffixIndex]],
@@ -13,6 +14,8 @@ import org.apache.spark.sql.functions._
   * prune, so the same probe serves one-segment and many-segment
   * layouts). No labels store, no pointer chains, no cap markers —
   * duplicated-span detection has no cross-doc topology to freeze.
+  * Plumbing (exactly-once segment writes, empty-store-safe schema
+  * reads, path-own-filesystem wipes) is shared via [[SegmentStore]].
   *
   * Lifecycle per batch ([[processBatch]]): probe the standing segments
   * (own segment pruned out, so replay sees pre-append state), hand the
@@ -36,8 +39,14 @@ import org.apache.spark.sql.functions._
   * batches — the same trade [[graft.streaming.StreamingMinhashDedup
   * .compactIndex]] documents: run it on the maintenance cadence, after
   * the stream's checkpoint has advanced past the folded batches.
+  * [[maybeCompact]] is the threshold-triggered form (segment count —
+  * the only dimension this store accumulates).
   */
 object SuffixStore {
+
+  private val Schema = StructType(Seq(
+    StructField("h", LongType), StructField("n_occ", LongType),
+    StructField("ingest_batch", LongType), StructField("band", LongType)))
 
   /** One-time bootstrap: the corpus [[SuffixDedup.suffixIndex]] as
     * segment -1.
@@ -72,11 +81,34 @@ object SuffixStore {
     spans
   }
 
+  /** Segment count of the store — the observable [[maybeCompact]]
+    * thresholds on. Driver-side file listing; no Spark job.
+    */
+  def segmentCount(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("ingest_batch=")).toLong
+  }
+
+  /** Threshold-triggered [[compact]]: fires when more than
+    * `maxSegments` segments have accumulated. Returns whether
+    * compaction ran. Call it where [[compact]] is safe — after the
+    * stream's checkpoint has advanced past the folded batches.
+    */
+  def maybeCompact(spark: SparkSession, path: String,
+      maxSegments: Long = 64L, nBands: Int = 64): Boolean = {
+    val fire = segmentCount(spark, path) > maxSegments
+    if (fire) compact(spark, path, nBands)
+    fire
+  }
+
   /** Maintenance: fold every segment's counts into one row per hash in
     * the bootstrap segment (see object doc for the replay trade). */
   def compact(spark: SparkSession, path: String,
       nBands: Int = 64): Unit = {
-    val folded = spark.read.parquet(path)
+    val folded = SegmentStore.read(spark, path, Schema)
       .groupBy(col("h"))
       .agg(sum(col("n_occ")).as("n_occ"))
       .localCheckpoint(true)
@@ -85,33 +117,22 @@ object SuffixStore {
 
   private def readIndex(spark: SparkSession, path: String,
       excludeBatch: Option[Long]): DataFrame =
-    excludeBatch.foldLeft(
-        spark.read.parquet(path)
-          .select(col("h"), col("n_occ"), col("ingest_batch"))) {
-        (d, b) => d.filter(col("ingest_batch") =!= b)
-      }
+    SegmentStore.read(spark, path, Schema, excludeBatch)
       .select(col("h"), col("n_occ"))
 
   private def writeSegment(index: DataFrame, batchId: Long, path: String,
       nBands: Int, dynamic: Boolean = false,
       wipe: Boolean = false): Unit = {
     require(nBands >= 1, s"nBands must be >= 1, got $nBands")
-    if (wipe) {
-      // full-store rewrite (compaction): clear superseded segments —
-      // the folded frame is eagerly checkpointed by the caller, so the
-      // delete cannot pull the rug from under its own input
-      val spark = index.sparkSession
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      ()
-    }
-    val w = index
-      .withColumn("ingest_batch", lit(batchId))
-      .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
-      .repartition(col("band"))
-      .write.mode("overwrite")
-    (if (dynamic) w.option("partitionOverwriteMode", "dynamic") else w)
-      .partitionBy("ingest_batch", "band").parquet(path)
+    // full-store rewrite (compaction): clear superseded segments on the
+    // store's OWN filesystem — the folded frame is eagerly checkpointed
+    // by the caller, so the delete cannot pull the rug from under its
+    // own input
+    if (wipe) SegmentStore.wipe(index.sparkSession, path)
+    SegmentStore.writeSegment(
+      index
+        .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+        .repartition(col("band")),
+      batchId, path, Seq("band"), dynamic)
   }
 }

@@ -394,9 +394,9 @@ object CurationQueries {
         s"/graft_streamfam_${s.sparkContext.applicationId}/r"
       // fresh store + checkpoint per invocation: a reused streaming
       // checkpoint would skip the already-committed batches on re-run
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      // (deleted on the path's OWN filesystem — FileSystem.get resolves
+      // the default fs, the wrong target when they differ)
+      graft.operators.SegmentStore.wipe(s, base)
       val (idxP, lblP) = (s"$base/idx", s"$base/lbl")
       graft.operators.FamilyStore.init(corpus, "doc_id", "text", idxP,
         lblP, minLen = 25)
@@ -452,17 +452,61 @@ object CurationQueries {
         idxP, lblP, minLen = 25)
         .select(col("doc_id"), asLong(col("family")).as("family"))
         .orderBy("doc_id")
+    }),
+
+    // the MULTI-append chain gate (r15 verdict #1: every lifecycle gate
+    // ran exactly one append, leaving the induction over A1..An
+    // asserted but unexercised): bootstrap from 60% of the slice, then
+    // THREE sequential processBatch appends (%10 = 7, 8, 9 — production
+    // is a chain of daily batches, not one append), COMPACT mid-chain
+    // (after append 2: label path compression + over-cap collapse must
+    // compose with later appends), then probe the final 10% against the
+    // four-segment store. Oracle: the one-shot whole-slice family chain
+    // restricted to the probe batch — a hash match proves
+    // probe-after-chain ≡ full rebuild through segment accumulation,
+    // pointer-chain deepening, AND a mid-chain flatten. (The 10-batch
+    // adversarial chain with per-step parity lives in FamilyStoreSpec +
+    // StoreSoak's chain mode; this face puts a ≥3-append chain under
+    // the driver's DuckDB oracle.)
+    "q_family_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val corpus = docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 6)
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_famchain_${s.sparkContext.applicationId}/r"
+      val (idxP, lblP) = (s"$base/idx", s"$base/lbl")
+      graft.operators.FamilyStore.init(corpus, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+      for (m <- Seq(7, 8, 9)) {
+        graft.operators.FamilyStore.processBatch(
+          docs.filter(col("doc_id") % 10 === m), (m - 7).toLong,
+          "doc_id", "text", idxP, lblP, minLen = 25)
+        if (m == 8)
+          graft.operators.FamilyStore.compact(s, idxP, lblP)
+      }
+      graft.operators.FamilyStore.probe(probe, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
     })
   )
 
   /** Session-scoped standing family artifacts for the served faces:
     * deterministic WITHIN a session (one directory, overwrite mode),
     * unique ACROSS sessions (application id keys the path, so
-    * concurrent JVMs never clobber each other's index mid-read).
+    * concurrent JVMs never clobber each other's index mid-read) AND
+    * across datasets (a digest of the dataset dir keys the path too —
+    * without it, a second dataset in the same session would silently
+    * reuse the first dataset's `_built` index and labels).
     */
-  private def servedFamilyDir(s: SparkSession, dir: String): String =
+  private def servedFamilyDir(s: SparkSession, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map("%02x".format(_)).mkString
     System.getProperty("java.io.tmpdir") +
-      s"/graft_famidx_served_${s.sparkContext.applicationId}"
+      s"/graft_famidx_served_${s.sparkContext.applicationId}_$digest"
+  }
 
   /** Build (or reuse) the served family index + labels pair and return
     * the build census. `force` rebuilds unconditionally (the build
@@ -827,6 +871,36 @@ object CurationQueries {
     // restricted to the probe batch — identical contract to
     // q_family_incremental, now THROUGH the two-segment store
     "q_family_append" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |FROM documents d LEFT JOIN fam f USING (doc_id)
+        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    // probe-after-THREE-appends (compaction mid-chain) ≡ one-shot
+    // rebuild: same whole-slice contract as q_family_append — every
+    // sliced doc is in the store (bootstrap ∪ A1..A3) or the probe
+    // batch, so the rerun restricted to the probe batch IS the oracle
+    "q_family_chain" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text

@@ -457,51 +457,12 @@ object TextQueries {
           .otherwise(concat(lit("0"), expr("substring(__h, 2)")))
           .as("hex"))
       val ents = e0.unionByName(e1)
+        .withColumn("score", length(col("text")).cast(LongType))
         .localCheckpoint(true) // feeds 3 sketchers + scoring: scan once
-      val scored = ents.select(col("id"),
-        length(col("text")).cast(LongType).as("score"))
-      // channel pair sets
-      val txtPairs = ents.groupBy(col("text"))
-        .agg(collect_set(col("id")).as("__ids"))
-        .filter(size(col("__ids")) >= 2)
-        .select(array_min(col("__ids")).as("id_a"),
-          explode(col("__ids")).as("id_b"))
-        .filter(col("id_a") < col("id_b"))
-      val imgPairs = graft.operators.ImageDedup.nearDupPairs(
-        graft.operators.Multimodal.fingerprintImageHex(ents, "id", "hex"),
-        hammingMax = 3).select(col("id_a"), col("id_b"))
-      val avPairs = graft.operators.ImageDedup.nearDupPairs(
-        graft.operators.Multimodal.fingerprintWavHex(ents, "id", "hex"),
-        hammingMax = 1,
-        sketcher = graft.operators.ImageDedup.wavDeltaSketches)
-        .select(col("id_a"), col("id_b"))
-      // per-channel arbitration losers: CC over the channel's pairs,
-      // keeper = max(score), min(id) on ties — keepBest's rule at
-      // member grain
-      def losers(pairs: org.apache.spark.sql.DataFrame) = {
-        val labeled = graft.operators.Dedup.connectedComponents(pairs)
-          .join(scored, Seq("id"))
-        val keepers = labeled.groupBy(col("label"))
-          .agg(max(struct(col("score"), (-col("id")).as("negid"))).as("b"))
-          .select(col("label"), (-col("b.negid")).as("keeper_id"))
-        labeled.join(keepers, Seq("label"))
-          .filter(col("id") =!= col("keeper_id"))
-          .select(col("id"), lit(true).as("__lose"))
-      }
-      val flagged = scored
-        .join(losers(txtPairs).withColumnRenamed("__lose", "__lt"),
-          Seq("id"), "left")
-        .join(losers(avPairs).withColumnRenamed("__lose", "__la"),
-          Seq("id"), "left")
-        .join(losers(imgPairs).withColumnRenamed("__lose", "__li"),
-          Seq("id"), "left")
-        .join(losers(txtPairs.unionByName(imgPairs).unionByName(avPairs))
-          .withColumnRenamed("__lose", "__lc"), Seq("id"), "left")
-      graft.operators.CorpusOps.attritionReport(flagged, Seq(
-        ("text_exact", !coalesce(col("__lt"), lit(false))),
-        ("audio_near_dup", !coalesce(col("__la"), lit(false))),
-        ("image_near_dup", !coalesce(col("__li"), lit(false))),
-        ("cross_modal_merge", !coalesce(col("__lc"), lit(false)))))
+      // the composed pipeline itself is the shared operator (r16):
+      // this gate certifies it at oracle grain, CrossModalSoak runs
+      // the SAME implementation at the media-dense tier
+      graft.operators.CrossModal.prepAttrition(ents)
         .select(asLong(col("stage_id")).as("stage_id"), col("stage"),
           asLong(col("n_in")).as("n_in"),
           asLong(col("n_kept")).as("n_kept"),

@@ -48,13 +48,11 @@ object StreamingMinhashDedup {
   def initIndex(corpus: DataFrame, idCol: String, textCol: String,
       indexPath: String, textPath: String, shingleN: Int = 3,
       k: Int = 32, bands: Int = 16): Unit = {
-    Dedup.minhashIndex(corpus, idCol, textCol, shingleN, k, bands)
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch", "band")
-      .parquet(indexPath)
-    corpus.select(col(idCol), col(textCol))
-      .withColumn("ingest_batch", lit(-1L))
-      .write.mode("overwrite").partitionBy("ingest_batch").parquet(textPath)
+    graft.operators.SegmentStore.writeSegment(
+      Dedup.minhashIndex(corpus, idCol, textCol, shingleN, k, bands),
+      -1L, indexPath, Seq("band"))
+    graft.operators.SegmentStore.writeSegment(
+      corpus.select(col(idCol), col(textCol)), -1L, textPath)
   }
 
   /** The foreachBatch body: probe the standing index, return verified
@@ -87,16 +85,12 @@ object StreamingMinhashDedup {
     val pairs = Dedup.incrementalMinhashPairs(batch, standingTexts,
       standingIdx, idCol, textCol, threshold, shingleN, k, bands,
       maxBucketSize).localCheckpoint(true)
-    Dedup.minhashIndex(batch, idCol, textCol, shingleN, k, bands)
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch", "band").parquet(indexPath)
-    batch.select(col(idCol), col(textCol))
-      .withColumn("ingest_batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch").parquet(textPath)
+    graft.operators.SegmentStore.writeSegment(
+      Dedup.minhashIndex(batch, idCol, textCol, shingleN, k, bands),
+      batchId, indexPath, Seq("band"), dynamic = true)
+    graft.operators.SegmentStore.writeSegment(
+      batch.select(col(idCol), col(textCol)), batchId, textPath,
+      dynamic = true)
     pairs
   }
 

@@ -194,6 +194,87 @@ class FamilyStoreSpec extends AnyFunSuite {
     assert(probeMap(late, idxP, lblP, cap = 3) == before)
   }
 
+  test("a bootstrap corpus with NO duplicate families writes a valid " +
+      "EMPTY labels store: probe and processBatch serve it instead of " +
+      "failing schema inference (r15 advice)") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog"),
+      (2L, "completely different second text right here"),
+      (3L, "yet another third unrelated corpus blob!"))
+    val (idxP, lblP) = tmp("famempty")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    // no families → zero label rows, depth bound 0 (chase skipped)
+    assert(FamilyStore.stats(spark, idxP, lblP) == (1L, 0L))
+    // a probe that FORMS the store's first family (batch doc + corpus
+    // doc 1 share a gram through the index) must work against the
+    // empty labels store
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over a lazy dog plus tail"),
+      (101L, "novel batch text with no match DDDDDD"))
+    val got = FamilyStore.processBatch(df(batch), 0L, "doc_id", "text",
+      idxP, lblP, L).as[(Long, Long)].collect().toMap
+    assert(got == oneShot(corpus ++ batch, Set(100L, 101L)))
+    assert(got(100L) == 1L && got(101L) == 101L)
+    // the first family's rows landed; a later probe resolves them
+    val late = Seq((200L, "the quick brown fox jumps over a lazy dog!!"))
+    assert(probeMap(late, idxP, lblP) ==
+      oneShot(corpus ++ batch ++ late, Set(200L)))
+    // compaction over the young store is a no-op that keeps it valid
+    FamilyStore.compact(spark, idxP, lblP)
+    assert(probeMap(late, idxP, lblP)(200L) == 1L)
+  }
+
+  test("10-append chain with a bridging merge per batch: parity vs the " +
+      "one-shot rerun after EVERY batch, depth bound grows only on " +
+      "bridges, compaction mid-chain flattens and the chain keeps " +
+      "going (r15 verdict #1)") {
+    def P(i: Int) = f"FAMILY-$i%02d-SHARED-PHRASE!!!"
+    assert(P(1).length == L)
+    // family i has min id 1000 - 50*i: DESCENDING minima, so every
+    // bridge re-points the previous component minimum at a NEW, smaller
+    // one — each batch deepens the pointer chain by exactly one
+    // generation (the adversarial shape for the depth-bounded chase)
+    def m(i: Int) = 1000L - 50L * i
+    val corpus = (1 to 11).flatMap { i =>
+      Seq((m(i), s"pad${i}aaaa" + P(i) + s"pad${i}bbbb"),
+        (m(i) + 1, s"pad${i}cccc" + P(i) + s"pad${i}dddd"))
+    }
+    val (idxP, lblP) = tmp("famchain10")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    var all = corpus
+    for (i <- 1 to 10) {
+      val bridge = Seq(
+        (3000L + i, s"br${i}aa" + P(i) + s"br${i}bb" + P(i + 1) + "zz"))
+      val got = FamilyStore.processBatch(df(bridge), i.toLong, "doc_id",
+        "text", idxP, lblP, L).as[(Long, Long)].collect().toMap
+      all = all ++ bridge
+      assert(got == oneShot(all, Set(3000L + i)),
+        s"chain parity broke at append $i")
+      assert(got(3000L + i) == m(i + 1),
+        s"append $i must land on the merged minimum ${m(i + 1)}: $got")
+      if (i == 5) {
+        // depth bound: init 1 + five deepening bridges
+        val (segs, depth) = FamilyStore.stats(spark, idxP, lblP)
+        assert(segs == 6L && depth == 6L,
+          s"expected (6 segments, depth 6) mid-chain, got ($segs, $depth)")
+        // threshold policy: fires on the deep chain...
+        assert(FamilyStore.maybeCompact(spark, idxP, lblP, maxDepth = 4))
+        assert(FamilyStore.stats(spark, idxP, lblP)._2 == 1L,
+          "compaction must reset the depth bound")
+        // ...and stays quiet right after
+        assert(!FamilyStore.maybeCompact(spark, idxP, lblP, maxDepth = 4))
+      }
+    }
+    // the deep-chase finale: a probe touching ONLY family 1's phrase
+    // must resolve the full post-compaction pointer chain
+    // m(1) -> m(6) -> m(7) -> ... -> m(11)
+    val late = Seq((5000L, "lateLateLa" + P(1) + "teLateLate"))
+    val got = probeMap(late, idxP, lblP)
+    assert(got == oneShot(all ++ late, Set(5000L)))
+    assert(got(5000L) == m(11),
+      s"deep chase must land on the final minimum ${m(11)}: $got")
+  }
+
   test("frozen-cap semantics ACROSS segments: a gram the append pushes " +
       "over the combined cap blocks new edges, but the standing family " +
       "built under the cap keeps its labels") {

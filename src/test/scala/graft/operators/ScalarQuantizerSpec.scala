@@ -69,4 +69,38 @@ class ScalarQuantizerSpec extends AnyFunSuite {
       codes = Some(idx)).orderBy("query_id", "rank").collect().toSeq
     assert(a == b)
   }
+
+  test("sqDriftReport flips rebuild on appended out-of-range data " +
+    "(clip-rate witness) and stays green on the calibrated corpus " +
+    "(r15 verdict #6)") {
+    val m = ScalarQuantizer.fit(clustered, "embedding")
+    // calibrated: the fitted range covers everything — zero clips,
+    // recall holds, flag down
+    val calm = ScalarQuantizer.sqDriftReport(
+        clustered.filter($"id" % 25 === 0), clustered, m, k = 3,
+        rerankFactor = 16)
+      .select("n_vecs", "n_clipped", "recall", "rebuild")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(calm._1 == 500L && calm._2 == 0L,
+      s"calibrated corpus must not clip: $calm")
+    assert(calm._3 >= 0.9 && !calm._4,
+      s"calibrated region must stay green: $calm")
+    // drift: a dense far-away cluster the frozen codebook never saw —
+    // every dimension saturates past code 255, the cheap witness fires
+    // deterministically whatever recall does
+    val rnd = new scala.util.Random(41)
+    val far = Array.fill(16)(60.0)
+    val drifted = (0 until 200).map(i =>
+      (10000L + i,
+        far.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq, 99))
+      .toDF("id", "embedding", "label")
+    val full = clustered.unionByName(drifted)
+    val r = ScalarQuantizer.sqDriftReport(
+        drifted.filter($"id" % 40 === 0), full, m, k = 3)
+      .select("n_vecs", "n_clipped", "clip_rate", "rebuild")
+      .as[(Long, Long, Double, Boolean)].head()
+    assert(r._1 == 700L && r._2 == 200L,
+      s"all 200 appended vectors must register as clipped: $r")
+    assert(r._4, s"drifted append must flip rebuild: $r")
+  }
 }

@@ -96,6 +96,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(big.getMessage.contains("serves at most"))
   }
 
+  test("lshDriftReport: appendToLshIndex lands probeable rows under the " +
+    "frozen planes; a mass-concentrating append flips rebuild through " +
+    "the occupancy witness while the calibrated layout stays green " +
+    "(r15 verdict #6)") {
+    val dir = java.nio.file.Files.createTempDirectory("lshdrift")
+      .toString + "/idx"
+    Similarity.writeLshIndex(clustered, dir, nPlanes = 8, nTables = 8)
+    // calibrated: 20 spread clusters — recall holds, no bucket owns an
+    // outsized share of a table, flag down
+    val calm = Similarity.lshDriftReport(spark, dir,
+        clustered.filter($"id" % 25 === 0), clustered, k = 3,
+        nPlanes = 8, nTables = 8)
+      .select("recall", "max_bucket_share", "rebuild")
+      .as[(Double, Double, Boolean)].head()
+    assert(calm._1 >= 0.9 && calm._2 <= 0.25 && !calm._3,
+      s"calibrated layout must stay green: $calm")
+    // drift: a tight far cluster — every appended vector signs the same
+    // side of every frozen plane, so one bucket per table swallows the
+    // whole append. Perturbation rides dim 0 ONLY: planes are ±1 sign
+    // vectors, so ~C(16,8)/2^16 of them are exactly orthogonal to the
+    // all-ones direction and isotropic noise would flip those sign
+    // bits member-by-member; a strictly positive dim-0 offset keeps
+    // every projection's sign constant across the cluster while still
+    // making cosines distinct (no tie-break flake in the recall
+    // compare). The appended rows are FINDABLE (same-bucket probes →
+    // recall stays high), yet the index has stopped discriminating for
+    // the region — exactly the dimension the occupancy witness
+    // watches, since LSH has no trained model for recall to invalidate.
+    val appended = (0 until 300).map(i =>
+      (20000L + i,
+        Seq.tabulate(16)(d =>
+          if (d == 0) (60.0 + (i + 1) * 0.001).toFloat else 60.0f), 77))
+      .toDF("id", "embedding", "label")
+    Similarity.appendToLshIndex(appended, dir, nPlanes = 8, nTables = 8)
+    val full = clustered.unionByName(appended)
+    val r = Similarity.lshDriftReport(spark, dir,
+        appended.filter($"id" % 60 === 0), full, k = 3,
+        nPlanes = 8, nTables = 8)
+      .select("recall", "n_rows", "max_bucket", "max_bucket_share",
+        "rebuild")
+      .as[(Double, Long, Long, Double, Boolean)].head()
+    assert(r._2 == 6400L, s"8 tables x 800 vectors expected: $r")
+    assert(r._3 >= 300L,
+      s"the appended cluster must land in one bucket per table: $r")
+    assert(r._1 >= 0.9,
+      s"appended rows must be probeable under the frozen planes: $r")
+    assert(r._4 > 0.25 && r._5,
+      s"occupancy witness must flip rebuild on the concentrated append: $r")
+  }
+
   test("IVF ANN recall vs brute force (k-means cells, nprobe probing)") {
     val q = emb.filter($"id" < 10)
     val exact = Similarity.bruteForceTopK(q, emb, 3)

@@ -96,6 +96,54 @@ class SuffixStoreSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("a bootstrap corpus with nothing to index writes a valid EMPTY " +
+      "store: probe and processBatch serve it instead of failing " +
+      "schema inference (r15 advice shape)") {
+    val corpus = Seq((1L, "tiny"), (2L, "also tiny"))  // all < minLen
+    val dir = java.nio.file.Files.createTempDirectory("sfxempty")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    val b1 = Seq(
+      (100L, "aaaabbbbcc" + "first real phrase!!" + "ddddeeeefff"),
+      (101L, "qqqqwwwwrr" + "first real phrase!!" + "ttttyyyyuuu"))
+    val got = SuffixStore.processBatch(df(b1), 0L, "doc_id", "text",
+      dir, L).as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == oneShot(corpus ++ b1, Set(100L, 101L)))
+    assert(got.exists(_._1 == 100L) && got.exists(_._1 == 101L),
+      "batch-internal twins must be found against the empty store")
+    // compaction over the young store keeps it valid
+    SuffixStore.compact(spark, dir)
+    val late = Seq((200L, "hhhhjjjjkk" + "first real phrase!!" + "lllzzz"))
+    assert(SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      oneShot(corpus ++ b1 ++ late, Set(200L)))
+  }
+
+  test("maybeCompact fires on segment-count pressure and stays quiet " +
+      "below the threshold") {
+    val phrase = "phrase in all tiers!"
+    val corpus = Seq((1L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxauto")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    for (i <- 1 to 3)
+      SuffixStore.processBatch(
+        df(Seq((100L + i, s"seg${i}huhu" + phrase + s"seg${i}haha"))),
+        i.toLong, "doc_id", "text", dir, L)
+    assert(SuffixStore.segmentCount(spark, dir) == 4L)
+    assert(!SuffixStore.maybeCompact(spark, dir, maxSegments = 4L),
+      "4 segments <= threshold 4: must stay quiet")
+    assert(SuffixStore.maybeCompact(spark, dir, maxSegments = 3L),
+      "4 segments > threshold 3: must fire")
+    assert(SuffixStore.segmentCount(spark, dir) == 1L)
+    val late = Seq((200L, "hhhhjjjjkk" + phrase + "lllzzzxxxcc"))
+    assert(SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      oneShot(corpus ++ (1 to 3).map(i =>
+        (100L + i, s"seg${i}huhu" + phrase + s"seg${i}haha")) ++ late,
+        Set(200L)))
+  }
+
   test("the broadcast contract is enforced, not comment-only: a batch " +
       "past maxBatchKeys is refused loudly with the re-index advice") {
     val corpus = Seq((1L, "corpus text long enough to index AAA"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -52,5 +53,66 @@ class StreamingFamilyDedupSpec extends AnyFunSuite {
       assert(sink(201L) == 1L, s"bootstrap family missed: $sink")
       assert(sink(202L) == 202L)
     } finally q.stop()
+  }
+
+  test("the family store survives a stop/restart from checkpoint: " +
+      "exactly-once appends (no duplicate segments, no re-delivery) " +
+      "and the post-restart batch resolves pre-restart families " +
+      "(r15 verdict #3)") {
+    val P1 = "BOOTSTRAP-FAMILY-PHRASE!!!"
+    val P3 = "STREAMED-NEW-FAMILY-BLOCK!"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sfamrestart")
+      .toString
+    val (idxP, lblP) = (s"$dir/idx", s"$dir/lbl")
+    graft.operators.FamilyStore.init(corpus, "doc_id", "text", idxP,
+      lblP, minLen = 26)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.Map.empty[Long, Long]
+    def start() = StreamingFamilyDedup.attach(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idxP, lblP,
+      minLen = 26, checkpointDir = s"$dir/ckpt") { f =>
+      sink ++= f.select("doc_id", "family").as[(Long, Long)].collect()
+    }
+    val q1 = start()
+    try {
+      in.addData(
+        (100L, "eeeeeeeeee" + P3 + "ffffffffff"),   // seeds a family
+        (101L, "iiiiiiiiii" + P1 + "jjjjjjjjjj"))   // joins bootstrap's
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(sink == Map(100L -> 100L, 101L -> 1L), s"pre-restart: $sink")
+    val idxRows = spark.read.parquet(idxP).count()
+    val lblRows = spark.read.parquet(lblP).count()
+    sink.clear()
+    // resume from the checkpoint: the committed batch must NOT be
+    // re-delivered or re-appended; the new batch must resolve families
+    // seeded before the restart through the recovered standing store
+    val q2 = start()
+    try {
+      in.addData(
+        (200L, "gggggggggg" + P3 + "hhhhhhhhhh"),   // pre-restart seed
+        (201L, "kkkkkkkkkk" + P1 + "llllllllll"))   // bootstrap family
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(sink == Map(200L -> 100L, 201L -> 1L),
+      s"post-restart batch must see pre-restart state: $sink")
+    // exactly-once across the restart: exactly the bootstrap segment +
+    // one segment per COMMITTED batch, and batch 0's rows unchanged
+    val segs = spark.read.parquet(idxP)
+      .select("ingest_batch").distinct()
+      .as[Long].collect().toSet
+    assert(segs == Set(-1L, 0L, 1L),
+      s"expected segments {-1,0,1} after restart, got $segs")
+    assert(spark.read.parquet(idxP)
+      .filter(col("ingest_batch") =!= 1L).count() == idxRows,
+      "pre-restart index segments must be byte-stable across restart")
+    assert(spark.read.parquet(lblP)
+        .filter(col("ingest_batch") =!= 1L).count() == lblRows,
+      "pre-restart label segments must be byte-stable across restart")
   }
 }
