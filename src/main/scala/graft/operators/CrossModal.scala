@@ -27,6 +27,51 @@ import org.apache.spark.sql.functions._
   */
 object CrossModal {
 
+  /** The four-class planted entity frame over a `(doc_id, text)` corpus
+    * — the `q_corpus_prep_multimodal` fixture, parameterized so the
+    * oracle gate (docs < 200) and [[CrossModalSoak]] (tier scale) build
+    * the SAME construction. Entities `2i`/`2i+1` per doc `i`, each
+    * class exercising its own stage:
+    *   - `i%4=0` — text twins (same text, unrelated media) → stage 0;
+    *   - `i%4=1` — media twins with distinct text and hex position 17
+    *     rewritten: the audio anchors around that position flip 0-3
+    *     delta bits, so the class SPLITS between the audio stage
+    *     (hamming ≤ 1) and the image stage (≤ 3) — both exercised;
+    *   - `i%4=2` — entity `2i` is the BRIDGE TARGET: it takes class-3
+    *     neighbor doc `i+1`'s B-text (so its id is the smallest in the
+    *     bridged cluster), `2i+1` inert;
+    *   - `i%4=3` — the cross-modal construct: A=`2i` media-pairs
+    *     B=`2i+1` (hex position 0 rewritten), B text-pairs C=`2(i-1)`;
+    *     equal lengths → min-id arbitration: A wins its media cluster
+    *     ({A,B} → A), B loses at text ({B,C} → C), and the merged
+    *     {A,B,C} crowns C — A falls ONLY at the cross-modal stage.
+    */
+  def plantedEntities(docs: DataFrame): DataFrame = {
+    val nxt = docs.select((col("doc_id") - 1).as("doc_id"),
+      col("text").as("__ntext"))
+    val d = docs.join(nxt, Seq("doc_id"), "left")
+      .withColumn("__h", md5(to_binary(col("text"), lit("utf-8"))))
+    val cls = col("doc_id") % 4
+    def h(c: Column) = md5(to_binary(c, lit("utf-8")))
+    val e0 = d.select((col("doc_id") * 2).as("id"),
+      when(cls === 2 && col("__ntext").isNotNull,
+        concat(lit("Q"), expr("substring(__ntext, 2)")))
+        .otherwise(col("text")).as("text"))
+      .withColumn("hex", h(col("text")))
+    val e1 = d.select((col("doc_id") * 2 + 1).as("id"),
+      when(cls === 1, concat(lit("X"), expr("substring(text, 2)")))
+        .when(cls === 3, concat(lit("Q"), expr("substring(text, 2)")))
+        .otherwise(col("text")).as("text"),
+      when(cls === 0, h(concat(col("text"), lit("alt"))))
+        .when(cls === 2, h(concat(col("text"), lit("zzz"))))
+        .when(cls === 1, concat(expr("substring(__h, 1, 16)"), lit("0"),
+          expr("substring(__h, 18)")))
+        .otherwise(concat(lit("0"), expr("substring(__h, 2)")))
+        .as("hex"))
+    e0.unionByName(e1)
+      .withColumn("score", length(col("text")).cast("long"))
+  }
+
   /** The composed pipeline over an entity frame carrying all three
     * modalities: `(id, text, hex, score)` where `hex` is the
     * hex-encoded media payload both perceptual channels decode

@@ -27,6 +27,20 @@ import org.apache.spark.sql.functions._
   * and applies map-side; everything downstream is the existing PQ path
   * (ADC scans, bounded-heap top-k, exact rerank on the rotated vectors,
   * which is valid because rotated cosine IS raw cosine).
+  *
+  * DRIFT under appends (the r15 verdict #6 per-family record): OPQ's
+  * trainable state is the rotation + PQ codebooks, and both drift
+  * exactly the way IVF-PQ's codebooks do — appended vectors whose
+  * residuals fall outside the trained codebook range collapse to
+  * extreme codewords and ADC stops ranking the region. OPQ has no
+  * standalone served-index layout here (it composes into the PQ/IVF-PQ
+  * serving paths), so its staleness gate IS
+  * [[IvfPq.driftReport]] run over the serving index it feeds — recall
+  * against brute force on a held-out probe slice, spec-pinned both
+  * ways in IvfPqSpec. The frozen-model families with their own
+  * witnesses are [[Similarity.lshDriftReport]] (occupancy — LSH has no
+  * trained model) and [[ScalarQuantizer.sqDriftReport]] (clip rate —
+  * the affine range is the model).
   */
 object Opq {
 

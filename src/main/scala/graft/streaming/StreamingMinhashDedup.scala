@@ -38,6 +38,10 @@ import graft.operators.Dedup
   * map-side joined against a broadcast batch index; writes are one new
   * segment per batch. State lives in the store, not the driver — a
   * checkpoint-restarted stream resumes against the same standing index.
+  * Segment plumbing (exactly-once writes keyed by `ingest_batch`) is
+  * shared via [[graft.operators.SegmentStore]] — the same recipe
+  * [[graft.operators.FamilyStore]] and [[graft.operators.SuffixStore]]
+  * run.
   */
 object StreamingMinhashDedup {
 
