@@ -99,11 +99,12 @@ object CrossModal {
       hammingMax = hammingWav, maxBucketSize = maxBucketSize,
       sketcher = ImageDedup.wavDeltaSketches)
       .select(col("id_a"), col("id_b"))
-    // per-channel arbitration losers: CC over the channel's pairs,
-    // keeper = max(score), min(id) on ties — keepBest's rule at member
-    // grain
+    // per-channel arbitration losers: CC over the channel's pairs
+    // (pair-scale, never corpus-scale — the bounded path's guarded
+    // driver union-find with distributed fallback), keeper =
+    // max(score), min(id) on ties — keepBest's rule at member grain
     def losers(pairs: DataFrame): DataFrame = {
-      val labeled = Dedup.connectedComponents(pairs)
+      val labeled = Dedup.connectedComponentsBounded(pairs)
         .join(scored, Seq("id"))
       val keepers = labeled.groupBy(col("label"))
         .agg(max(struct(col("score"), (-col("id")).as("negid"))).as("b"))

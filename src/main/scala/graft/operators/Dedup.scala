@@ -811,6 +811,74 @@ object Dedup {
       .distinct()
   }
 
+  /** [[connectedComponents]] with a GUARDED small-graph fast path — the
+    * serving shape for batch-scale contracted graphs (the
+    * [[FamilyStore]] probe, the [[CrossModal]] channel arbitrations),
+    * where the distributed alternating algorithm's wall is pure
+    * scheduler latency: each large-star/small-star round is ~6-10 AQE
+    * stage-jobs, and a 3-4 round run over a few thousand edges spends
+    * seconds scheduling sub-100ms jobs (the r15 verdict's fixed-phase
+    * floor, measured at ~60 of the probe's 72 jobs).
+    *
+    * The edge list is fetched through ONE `limit(cap+1)` collect
+    * (16 bytes/edge — the default cap bounds driver state at ~32 MB,
+    * the [[graft.operators.Similarity.lshTopKFromIndex]]
+    * `maxProbeQueries` contract shape) and solved with union-find +
+    * min-relabel in one pass, returning the exact
+    * [[connectedComponents]] result (label = component minimum over
+    * the edge node set) as a local relation. Above the cap the partial
+    * collect is discarded and the distributed path runs — correctness
+    * never depends on the graph fitting the driver, only the floor
+    * does. The result is EAGER on both paths (a local relation, or a
+    * checkpointed distributed result): callers on ingest paths rely on
+    * components reflecting pre-append state.
+    */
+  def connectedComponentsBounded(pairs: DataFrame,
+      maxDriverEdges: Int = 2000000): DataFrame = {
+    val spark = pairs.sparkSession
+    val sel = pairs.select(col("id_a").cast(LongType).as("id_a"),
+      col("id_b").cast(LongType).as("id_b"))
+    val edges = sel.limit(maxDriverEdges + 1).collect()
+    if (edges.length > maxDriverEdges)
+      return connectedComponents(sel).localCheckpoint(true)
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+    }
+    // label every node in the edge set with its component MINIMUM (the
+    // union-by-smaller-root rule above already makes each root the min)
+    val nodes = new java.util.HashSet[Long]()
+    edges.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        nodes.add(r.getLong(0)); nodes.add(r.getLong(1))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = nodes.asScala.toSeq.map(n =>
+      org.apache.spark.sql.Row(n, find(n)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toList,
+        math.max(1, math.min(rows.size / 10000 + 1, 32))),
+      StructType(Seq(StructField("id", LongType),
+        StructField("label", LongType))))
+  }
+
   /** Corpus minus near-dup losers: keep every row whose id is its
     * cluster's minimum (or is in no pair at all).
     */

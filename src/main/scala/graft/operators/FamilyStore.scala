@@ -266,7 +266,10 @@ object FamilyStore {
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
       .select(col("id"), col("b.label").as("label"))
-    val resolved = Dedup.connectedComponents(
+    // bounded components (guarded driver union-find): the pointer graph
+    // is labels-store-scale — small stores flatten on the driver, big
+    // stores fall back to the distributed pass via the cap
+    val resolved = Dedup.connectedComponentsBounded(
         latest.select(col("id").as("id_a"), col("label").as("id_b")))
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
@@ -340,10 +343,13 @@ object FamilyStore {
     // as nodes never lowers a component's minimum below the contracted
     // result. One CC phase per probe instead of two; the pointer-CC of
     // resolveTouched existed only to pre-resolve what this pass now
-    // resolves in the same fixpoint.
-    val comps = Dedup.connectedComponents(edges.unionByName(
+    // resolves in the same fixpoint. The graph is batch-scale by
+    // construction, so the BOUNDED components path applies (guarded
+    // driver union-find; distributed fallback above the cap — see
+    // [[Dedup.connectedComponentsBounded]]). Its result is eager on
+    // both paths — the pre-append-state guarantee processBatch needs.
+    val comps = Dedup.connectedComponentsBounded(edges.unionByName(
         pointers.select(col("id").as("id_a"), col("label").as("id_b"))))
-      .localCheckpoint(true)
     val fams = batch.select(col(idCol).as("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

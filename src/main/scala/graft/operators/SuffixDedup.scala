@@ -569,18 +569,22 @@ object SuffixDedup {
     val w = Window.partitionBy("h")
     // batch postings with per-gram batch distinct-doc counts (window
     // over the batch gram-hash stream — batch-scale, the increment's
-    // price; hash-keyed like the index, no gram strings anywhere)
+    // price; hash-keyed like the index, no gram strings anywhere).
+    // Checkpointed at THIS grain (r16): the posting frame feeds both
+    // the key broadcast and the member lists below, and an un-pinned
+    // lineage gram-hashed the batch once per consumer — the probe's
+    // two heaviest jobs were the same scan twice.
     val bposts = gramHashes(batch, idCol, textCol, minLen)
       .select(col("h"), col("doc_id")).distinct()
       .withColumn("__nb", count(lit(1)).over(w))
+      .localCheckpoint(true)
     // corpus postings relevant to the batch: stream the standing index
     // through a BROADCAST semi-join on the batch hash set — no index
     // shuffle, no corpus re-gram. Marker rows (doc_id null) ride along
     // to carry the frozen over-cap counts. The broadcast contract is
     // enforced (the incrementalSpans guard): count off the checkpointed
-    // key frame, refuse corpus-sized batches loudly.
+    // posting frame, refuse corpus-sized batches loudly.
     val bkeys = bposts.select(col("h"), col("__nb")).distinct()
-      .localCheckpoint(true)
     val nKeys = bkeys.count()
     require(nKeys <= maxBatchKeys,
       s"batchProbeEdges: batch carries $nKeys distinct gram hashes > " +
