@@ -653,7 +653,10 @@ object SuffixDedup {
       .join(lblB, col("id_b") === col("__idb"), "left")
       .select(coalesce(col("__la"), col("id_a")).as("id_a"),
         coalesce(col("__lb"), col("id_b")).as("id_b"))
-    Dedup.connectedComponents(cEdges)
+    // the contracted graph is batch-scale by construction — the
+    // bounded components path applies (guarded driver union-find,
+    // distributed fallback above the cap)
+    Dedup.connectedComponentsBounded(cEdges)
   }
 
   /** [[spanPairs]]' string-carrying postings AFTER the mandatory
