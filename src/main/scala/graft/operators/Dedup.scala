@@ -853,8 +853,12 @@ object Dedup {
       }
       x
     }
+    // self-loops contribute no edge and no node — the distributed
+    // path's canon() drops them before anything sees them, and parity
+    // is exact, not approximate
     edges.foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+      if (!r.isNullAt(0) && !r.isNullAt(1) &&
+          r.getLong(0) != r.getLong(1)) {
         val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
@@ -865,7 +869,8 @@ object Dedup {
     // union-by-smaller-root rule above already makes each root the min)
     val nodes = new java.util.HashSet[Long]()
     edges.foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+      if (!r.isNullAt(0) && !r.isNullAt(1) &&
+          r.getLong(0) != r.getLong(1)) {
         nodes.add(r.getLong(0)); nodes.add(r.getLong(1))
       }
     }

@@ -70,6 +70,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       Map(6L -> 6L, 7L -> 6L))
   }
 
+  test("bounded path ≡ distributed path on seeded random graphs, " +
+      "including empty input and messy edges (r16: the guarded driver " +
+      "union-find behind the family probe / contractedComponents / " +
+      "cross-modal arbitrations)") {
+    val rnd = new Random(163)
+    for (trial <- 1 to 5) {
+      val n = 40 + trial * 37
+      val edges = (0 until n).map { _ =>
+        (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+      }.toDF("id_a", "id_b")
+      val want = labelsOf(Dedup.connectedComponents(edges))
+      val got = labelsOf(Dedup.connectedComponentsBounded(edges))
+      assert(got == want, s"trial $trial diverged")
+    }
+    assert(Dedup.connectedComponentsBounded(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0)
+    // self-pair 5 contributes no edge and no node, exactly like the
+    // distributed path's canon()
+    val messy = Seq((5L, 5L), (6L, 7L), (7L, 6L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    assert(labelsOf(Dedup.connectedComponentsBounded(messy)) ==
+      Map(6L -> 6L, 7L -> 6L))
+  }
+
+  test("bounded path FALLS BACK to the distributed algorithm above the " +
+      "edge cap, result unchanged") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val want = labelsOf(Dedup.connectedComponents(chain))
+    val got = labelsOf(Dedup.connectedComponentsBounded(chain,
+      maxDriverEdges = 10))
+    assert(got == want && want.size == 51 && want.values.forall(_ == 0L))
+  }
+
   test("dedupByPairs semantics reproduce under the scale path") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "text")
