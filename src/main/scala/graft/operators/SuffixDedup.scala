@@ -441,7 +441,11 @@ object SuffixDedup {
         explode(col("__ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    Dedup.connectedComponents(edges)
+    // star sparsification + cap bound the edge list well below the doc
+    // count, so the bounded components path (guarded driver union-find,
+    // distributed fallback past the cap) is the right default strategy
+    // — the same adaptive chooser a broadcast-vs-shuffle join uses
+    Dedup.connectedComponentsBounded(edges)
   }
 
   /** Write a [[familyIndex]] in its production standing form: parquet
@@ -496,7 +500,10 @@ object SuffixDedup {
         explode(col("__ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    Dedup.connectedComponents(edges)
+    // bounded components (the suffixFamilies rationale): star-sparse,
+    // cap-bounded edges — driver union-find under the cap, distributed
+    // fallback past it
+    Dedup.connectedComponentsBounded(edges)
   }
 
   /** Family labels of a NEW batch against a standing corpus: probes
