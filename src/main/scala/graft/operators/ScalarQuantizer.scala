@@ -164,16 +164,15 @@ object ScalarQuantizer {
     * when recall sinks below `recallFloor` or `clip_rate` exceeds
     * `maxClipRate` — re-fit the codebook over the grown corpus.
     */
-  def sqDriftReport(probeQueries: DataFrame, corpus: DataFrame,
-      model: Model, k: Int, rerankFactor: Int = 4,
-      recallFloor: Double = 0.9, maxClipRate: Double = 0.01,
-      codes: Option[DataFrame] = None): DataFrame = {
-    require(recallFloor > 0.0 && recallFloor <= 1.0,
-      s"recallFloor must be in (0, 1], got $recallFloor")
-    require(maxClipRate >= 0.0 && maxClipRate < 1.0,
-      s"maxClipRate must be in [0, 1), got $maxClipRate")
-    val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(model)
+  /** The clip census alone — `(n_vecs, n_clipped)` over `corpus` under
+    * the frozen `model` (a vector clips when any dimension's nearest
+    * code falls outside `[0, 255]`). One scan, map-side; the cheap
+    * half of [[sqDriftReport]], exposed for the `q_sq_clip_census`
+    * oracle face (exact integer arithmetic end-to-end: min/max fit,
+    * `floor(x + 0.5)` rounding, boundary compares).
+    */
+  def clipCensus(corpus: DataFrame, model: Model): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(model)
     val clipsUdf = udf((e: Seq[Float]) => {
       val m = bc.value
       var i = 0
@@ -185,10 +184,19 @@ object ScalarQuantizer {
       }
       if (clipped) 1L else 0L
     })
-    val clipAgg = corpus
-      .agg(count(lit(1)).as("n_vecs"),
-        coalesce(sum(clipsUdf(col("embedding"))), lit(0L))
-          .as("n_clipped"))
+    corpus.agg(count(lit(1)).as("n_vecs"),
+      coalesce(sum(clipsUdf(col("embedding"))), lit(0L)).as("n_clipped"))
+  }
+
+  def sqDriftReport(probeQueries: DataFrame, corpus: DataFrame,
+      model: Model, k: Int, rerankFactor: Int = 4,
+      recallFloor: Double = 0.9, maxClipRate: Double = 0.01,
+      codes: Option[DataFrame] = None): DataFrame = {
+    require(recallFloor > 0.0 && recallFloor <= 1.0,
+      s"recallFloor must be in (0, 1], got $recallFloor")
+    require(maxClipRate >= 0.0 && maxClipRate < 1.0,
+      s"maxClipRate must be in [0, 1), got $maxClipRate")
+    val clipAgg = clipCensus(corpus, model)
     val approx = sqTopK(probeQueries, corpus, k, rerankFactor,
         excludeSelf = true, model = Some(model), codes = codes)
       .select(col("query_id"), col("neighbor_id"))

@@ -212,6 +212,51 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the LSH OCCUPANCY census as an oracle face (r16): the exact
+    // integer machinery behind [[Similarity.lshDriftReport]]'s
+    // occupancy witness — bucket → vector count over the corpus, plus
+    // the share evidence as integers (max_bucket · 10⁶ div n_vecs,
+    // the ppm convention) — on the ENGINE-PORTABLE md5-52 hyperplane
+    // family so DuckDB replays bucket assignment bit-for-bit (the
+    // q_ann_lsh_portable sign matrix). The production witness stays
+    // [[Similarity.lshDriftReport]] over the served xxhash64 index
+    // (spec-gated both ways); this face puts the census arithmetic
+    // under the driver's oracle.
+    "q_lsh_occupancy" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val bucketed = e.select(
+        graft.functions.VectorFunctions
+          .portableHyperplaneKey(col("embedding"), 4).as("bucket"))
+      val occ = bucketed.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))
+      occ.crossJoin(
+          occ.agg(max(col("n_vecs")).as("max_bucket"),
+            sum(col("n_vecs")).as("n_total")))
+        .select(asLong(col("bucket")).as("bucket"),
+          asLong(col("n_vecs")).as("n_vecs"),
+          asLong(col("max_bucket")).as("max_bucket"),
+          expr("max_bucket * 1000000 div n_total").as("max_share_ppm"))
+        .orderBy("bucket")
+    }),
+
+    // the SQ8 CLIP census as an oracle face (r16): the cheap witness
+    // behind [[ScalarQuantizer.sqDriftReport]] — fit the affine
+    // codebook on the STANDING 90% (vec_id % 10 ≠ 0), count vectors
+    // whose nearest code clips outside [0, 255] over the FULL corpus
+    // (the appended 10% holds some per-dim extremes the standing fit
+    // never saw, so the census is non-trivially non-zero) — exact
+    // integer arithmetic end-to-end: min/max fit, floor(x+0.5)
+    // rounding, boundary compares, ppm share by integer division.
+    "q_sq_clip_census" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val m = graft.operators.ScalarQuantizer.fit(
+        e.filter(col("id") % 10 =!= 0), "embedding")
+      graft.operators.ScalarQuantizer.clipCensus(e, m)
+        .select(asLong(col("n_vecs")).as("n_vecs"),
+          asLong(col("n_clipped")).as("n_clipped"),
+          expr("n_clipped * 1000000 div n_vecs").as("clip_ppm"))
+    }),
+
     // ENGINE-PORTABLE IVF face: fixture centroids — the exact
     // float→double images of vec_id 0,7,…,49 — injected through
     // ivfTopK's reuse seam instead of k-means, so cell assignment,
@@ -1121,6 +1166,55 @@ object SimilarityQueries {
         |    ORDER BY sim DESC, neighbor_id) AS rank FROM p2)
         |SELECT query_id, neighbor_id, rank, sim FROM r
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // the occupancy census: same portable sign matrix, bucket counts +
+    // the ppm share evidence as pure integer arithmetic
+    "q_lsh_occupancy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |proj AS (SELECT vec_id, p,
+        |    list_aggregate(list_transform(range(1, len(v) + 1),
+        |      d -> v[d] * (CASE WHEN ('0x' || substr(
+        |          md5(p::VARCHAR || ':' || (d - 1)::VARCHAR),
+        |          20, 13))::BIGINT & 1 = 1
+        |        THEN 1.0 ELSE -1.0 END)), 'sum') AS pr
+        |  FROM e, range(0, 4) r(p)),
+        |keys AS (SELECT vec_id, CAST(sum(
+        |    CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+        |  AS BIGINT) AS bucket FROM proj GROUP BY vec_id),
+        |occ AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+        |  FROM keys GROUP BY bucket),
+        |tot AS (SELECT CAST(max(n_vecs) AS BIGINT) AS max_bucket,
+        |    CAST(sum(n_vecs) AS BIGINT) AS n_total FROM occ)
+        |SELECT o.bucket, o.n_vecs, t.max_bucket,
+        |  CAST(t.max_bucket * 1000000 // t.n_total AS BIGINT)
+        |    AS max_share_ppm
+        |FROM occ o, tot t
+        |ORDER BY o.bucket""".stripMargin,
+
+    // the clip census: fit on the standing 90%, census over the full
+    // corpus — the same floor(x+0.5) rounding as q_ann_sq, compared
+    // UNCLAMPED against the [0, 255] boundary
+    "q_sq_clip_census" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |st AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |mm AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM st, dims GROUP BY i),
+        |sc AS (SELECT i, mn,
+        |    CASE WHEN mx - mn > 0 THEN (mx - mn) / 255.0 ELSE 1.0 END AS sl
+        |  FROM mm),
+        |cq AS (SELECT e.vec_id, c.i,
+        |    CAST(floor((e.v[c.i] - c.mn) / c.sl + 0.5) AS BIGINT) AS q
+        |  FROM e CROSS JOIN sc c),
+        |cl AS (SELECT vec_id,
+        |    max(CASE WHEN q < 0 OR q > 255 THEN 1 ELSE 0 END) AS clipped
+        |  FROM cq GROUP BY vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(clipped) AS BIGINT) AS n_clipped,
+        |  CAST(sum(clipped) * 1000000 // count(*) AS BIGINT) AS clip_ppm
+        |FROM cl""".stripMargin,
 
     // SQ8 is fully oracle-able with NO fixture: the min/max fit is exact
     // order-free arithmetic, encode is floor(x+0.5) (= Math.round) with
