@@ -41,7 +41,12 @@ import org.apache.spark.sql.functions._
   * ([[FamilyStore.maybeCompact]] `maxDepth = 4` — it must fire
   * mid-chain and the chain must keep going), and a held-out batch is
   * probed read-only at the END so the post-chain probe cost lands
-  * beside the n=1 numbers above. One JSON line per step:
+  * beside the n=1 numbers above. The SUFFIX store runs the same
+  * 10-append chain afterwards (simpler semantics — counts SUM across
+  * segments, no pointer topology), parity per step against
+  * `duplicatedSpans` over everything appended so far, with
+  * `maybeCompact(maxSegments = 5)` policy-ON (fires twice across 11
+  * segments). One JSON line per step:
   * `{"mode":"chain","step":k,"docs_so_far":N,"batch":N,
   *   "append_sec":…,"parity":bool,"depth":D,"segments":S,
   *   "compacted":bool,"compact_sec":…}` plus a final
@@ -255,5 +260,60 @@ object StoreSoak {
     println(s"""{"mode":"chain","step":"probe","probe_rows":$probeRows,""" +
       s""""probe_sec":$probeSec,"parity":$parity,""" +
       s""""rerun_sec":$rerunSec,"depth":$depth,"segments":$segs}""")
+
+    // ---- the suffix-store chain: same 10-append shape, simpler
+    // semantics (counts SUM across segments — no pointer topology), so
+    // parity per step is spans ≡ duplicatedSpans over everything
+    // appended so far, restricted to the batch; maybeCompact runs
+    // policy-ON against the segment-count trigger ----
+    val sfxP = s"$scratch/sfx/idx"
+    val (_, sInitSec) = timed {
+      SuffixStore.init(bootstrap, "doc_id", "text", sfxP, minLen)
+    }
+    println(s"""{"mode":"chain","store":"suffix","step":"init",""" +
+      s""""docs_so_far":$nBoot,"init_sec":$sInitSec}""")
+    var sAll = bootstrap
+    for (k <- 1 to 10) {
+      val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
+        .localCheckpoint(true)
+      val (spans, appendSec) = timed {
+        SuffixStore.processBatch(batch, k.toLong, "doc_id", "text",
+          sfxP, minLen)
+      }
+      sAll = sAll.unionByName(batch).localCheckpoint(true)
+      val (parityS, paritySec) = timed {
+        val want = SuffixDedup.duplicatedSpans(sAll, "doc_id", "text",
+            minLen)
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        want.exceptAll(spans).isEmpty && spans.exceptAll(want).isEmpty
+      }
+      val (fired, compactSec) = timed {
+        SuffixStore.maybeCompact(spark, sfxP, maxSegments = 5)
+      }
+      println(s"""{"mode":"chain","store":"suffix","step":$k,""" +
+        s""""append_sec":$appendSec,"parity":$parityS,""" +
+        s""""parity_rerun_sec":$paritySec,""" +
+        s""""segments":${SuffixStore.segmentCount(spark, sfxP)},""" +
+        s""""compacted":$fired,""" +
+        s""""compact_sec":${if (fired) compactSec else 0.0}}""")
+      require(parityS, s"suffix chain parity broke at step $k")
+    }
+    val ((sProbeRows, sProbe), sProbeSec) = timed {
+      val p = SuffixStore.probe(probeB, "doc_id", "text", sfxP, minLen)
+        .localCheckpoint(true)
+      (p.count(), p)
+    }
+    val (sParity, sRerunSec) = timed {
+      val want = SuffixDedup.duplicatedSpans(
+          sAll.unionByName(probeB), "doc_id", "text", minLen)
+        .join(probeB.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
+      want.exceptAll(sProbe).isEmpty && sProbe.exceptAll(want).isEmpty
+    }
+    println(s"""{"mode":"chain","store":"suffix","step":"probe",""" +
+      s""""probe_rows":$sProbeRows,"probe_sec":$sProbeSec,""" +
+      s""""parity":$sParity,"rerun_sec":$sRerunSec,""" +
+      s""""segments":${SuffixStore.segmentCount(spark, sfxP)}}""")
   }
 }
