@@ -832,12 +832,26 @@ object Dedup {
     * does. The result is EAGER on both paths (a local relation, or a
     * checkpointed distributed result): callers on ingest paths rely on
     * components reflecting pre-append state.
+    *
+    * `eagerInput = true` checkpoints the edge list BEFORE deciding the
+    * path — one extra job, but the fallback then re-reads the
+    * materialization instead of RE-DERIVING the edges from scratch.
+    * Callers whose edge derivation is corpus-scale and plausibly
+    * above-cap ([[SuffixDedup.familyLabels]],
+    * [[SuffixDedup.suffixFamilies]], [[FamilyStore.compact]]) pass
+    * true: at 100 TB the wasted partial execution of a corpus-wide
+    * gram pass would dwarf the job it saves. Callers whose graphs are
+    * batch/pair-scale BY CONSTRUCTION (the family probe, the
+    * CrossModal arbitrations) keep the default — the fallback is a
+    * contract violation there, not a plan.
     */
   def connectedComponentsBounded(pairs: DataFrame,
-      maxDriverEdges: Int = 2000000): DataFrame = {
+      maxDriverEdges: Int = 2000000,
+      eagerInput: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
-    val sel = pairs.select(col("id_a").cast(LongType).as("id_a"),
+    val sel0 = pairs.select(col("id_a").cast(LongType).as("id_a"),
       col("id_b").cast(LongType).as("id_b"))
+    val sel = if (eagerInput) sel0.localCheckpoint(true) else sel0
     val edges = sel.limit(maxDriverEdges + 1).collect()
     if (edges.length > maxDriverEdges)
       return connectedComponents(sel).localCheckpoint(true)

@@ -270,7 +270,8 @@ object FamilyStore {
     // is labels-store-scale — small stores flatten on the driver, big
     // stores fall back to the distributed pass via the cap
     val resolved = Dedup.connectedComponentsBounded(
-        latest.select(col("id").as("id_a"), col("label").as("id_b")))
+        latest.select(col("id").as("id_a"), col("label").as("id_b")),
+        eagerInput = true)
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))

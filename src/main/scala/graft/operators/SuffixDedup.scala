@@ -444,8 +444,10 @@ object SuffixDedup {
     // star sparsification + cap bound the edge list well below the doc
     // count, so the bounded components path (guarded driver union-find,
     // distributed fallback past the cap) is the right default strategy
-    // — the same adaptive chooser a broadcast-vs-shuffle join uses
-    Dedup.connectedComponentsBounded(edges)
+    // — the same adaptive chooser a broadcast-vs-shuffle join uses.
+    // eagerInput: corpus-scale edge derivation — the fallback must
+    // re-read a materialization, never re-derive the gram pass
+    Dedup.connectedComponentsBounded(edges, eagerInput = true)
   }
 
   /** Write a [[familyIndex]] in its production standing form: parquet
@@ -502,8 +504,9 @@ object SuffixDedup {
       .distinct()
     // bounded components (the suffixFamilies rationale): star-sparse,
     // cap-bounded edges — driver union-find under the cap, distributed
-    // fallback past it
-    Dedup.connectedComponentsBounded(edges)
+    // fallback past it; eagerInput because the index-derived edge pass
+    // is corpus-scale
+    Dedup.connectedComponentsBounded(edges, eagerInput = true)
   }
 
   /** Family labels of a NEW batch against a standing corpus: probes
