@@ -104,7 +104,8 @@ object CrossModal {
     // driver union-find with distributed fallback), keeper =
     // max(score), min(id) on ties — keepBest's rule at member grain
     def losers(pairs: DataFrame): DataFrame = {
-      val labeled = Dedup.connectedComponentsBounded(pairs)
+      val labeled = Dedup.connectedComponentsBounded(pairs,
+          tag = "CrossModal.losers")
         .join(scored, Seq("id"))
       val keepers = labeled.groupBy(col("label"))
         .agg(max(struct(col("score"), (-col("id")).as("negid"))).as("b"))

@@ -811,6 +811,31 @@ object Dedup {
       .distinct()
   }
 
+  /** Which path [[connectedComponentsBounded]] took on its most recent
+    * call, with the observed edge count, the effective cap, and the
+    * caller's tag — the chooser's audit witness. `nEdges` on the
+    * distributed path is the truncated `cap + 1` observation ("more
+    * than cap"), not the true count: counting exactly would cost the
+    * full pass the cap exists to avoid.
+    */
+  final case class CcDecision(path: String, nEdges: Long, cap: Long,
+    tag: String)
+
+  private val ccLog =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+  private val lastCc =
+    new java.util.concurrent.atomic.AtomicReference[CcDecision]()
+
+  /** The most recent [[CcDecision]] in this JVM (None before any call). */
+  def lastCcDecision: Option[CcDecision] = Option(lastCc.get)
+
+  private def recordCcDecision(path: String, nEdges: Long, cap: Long,
+      tag: String): Unit = {
+    lastCc.set(CcDecision(path, nEdges, cap, tag))
+    ccLog.info(s"connectedComponentsBounded path=$path edges=$nEdges " +
+      s"cap=$cap tag=$tag")
+  }
+
   /** [[connectedComponents]] with a GUARDED small-graph fast path — the
     * serving shape for batch-scale contracted graphs (the
     * [[FamilyStore]] probe, the [[CrossModal]] channel arbitrations),
@@ -820,11 +845,11 @@ object Dedup {
     * seconds scheduling sub-100ms jobs (the r15 verdict's fixed-phase
     * floor, measured at ~60 of the probe's 72 jobs).
     *
-    * The edge list is fetched through ONE `limit(cap+1)` collect
-    * (16 bytes/edge — the default cap bounds driver state at ~32 MB,
-    * the [[graft.operators.Similarity.lshTopKFromIndex]]
-    * `maxProbeQueries` contract shape) and solved with union-find +
-    * min-relabel in one pass, returning the exact
+    * The edge list is fetched through ONE `limit(cap+1)` collect via a
+    * primitive tuple encoder (an `Array[(Long,Long)]` costs ~40 bytes
+    * per edge — tuple object + two primitive fields + array ref; the
+    * boxed-`Row` collect it replaced cost 100+) and solved with
+    * union-find + min-relabel in one pass, returning the exact
     * [[connectedComponents]] result (label = component minimum over
     * the edge node set) as a local relation. Above the cap the partial
     * collect is discarded and the distributed path runs — correctness
@@ -832,6 +857,22 @@ object Dedup {
     * does. The result is EAGER on both paths (a local relation, or a
     * checkpointed distributed result): callers on ingest paths rely on
     * components reflecting pre-append state.
+    *
+    * '''Honest driver budget.''' The dominant term is not the edge
+    * array but the union-find maps: up to 2 nodes/edge, each a boxed
+    * `HashMap` node (~80 bytes) plus a `HashSet` entry (~60), so the
+    * worst case is ~300 bytes/edge all-in. The EFFECTIVE cap is
+    * therefore `min(maxDriverEdges, maxMemory/4 ÷ 300)` — a quarter of
+    * the driver heap at the worst-case rate — so the default 2M cap
+    * (≈600 MB worst case) degrades gracefully to the distributed path
+    * on small drivers instead of OOMing them.
+    *
+    * '''Auditability (r16 verdict #5).''' Every call records WHICH
+    * path ran, the observed edge count, the effective cap, and the
+    * caller's `tag` — as a structured log line on both paths and in
+    * [[lastCcDecision]] — so a "bounded by construction" edge list
+    * that silently crosses the cap at scale surfaces in the logs
+    * instead of just changing the plan shape.
     *
     * `eagerInput = true` checkpoints the edge list BEFORE deciding the
     * path — one extra job, but the fallback then re-reads the
@@ -847,14 +888,29 @@ object Dedup {
     */
   def connectedComponentsBounded(pairs: DataFrame,
       maxDriverEdges: Int = 2000000,
-      eagerInput: Boolean = false): DataFrame = {
+      eagerInput: Boolean = false,
+      tag: String = ""): DataFrame = {
     val spark = pairs.sparkSession
+    import spark.implicits._
     val sel0 = pairs.select(col("id_a").cast(LongType).as("id_a"),
       col("id_b").cast(LongType).as("id_b"))
     val sel = if (eagerInput) sel0.localCheckpoint(true) else sel0
-    val edges = sel.limit(maxDriverEdges + 1).collect()
-    if (edges.length > maxDriverEdges)
+    // effective cap: never budget more than a quarter of the driver
+    // heap at the worst-case ~300 bytes/edge rate (see scaladoc)
+    val heapCap = ((Runtime.getRuntime.maxMemory() / 4L) / 300L)
+      .min(Int.MaxValue.toLong).toInt
+    val cap = math.min(maxDriverEdges, math.max(1, heapCap))
+    // primitive tuple collect (ADVICE r16: boxed Row collect cost 100+
+    // bytes/edge); null endpoints contribute no edge on either path,
+    // so dropping them pre-collect preserves exact parity
+    val edges = sel
+      .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .limit(cap + 1).as[(Long, Long)].collect()
+    if (edges.length > cap) {
+      recordCcDecision("distributed", edges.length.toLong, cap, tag)
       return connectedComponents(sel).localCheckpoint(true)
+    }
+    recordCcDecision("driver", edges.length.toLong, cap, tag)
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0
@@ -869,11 +925,10 @@ object Dedup {
     }
     // self-loops contribute no edge and no node — the distributed
     // path's canon() drops them before anything sees them, and parity
-    // is exact, not approximate
-    edges.foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1) &&
-          r.getLong(0) != r.getLong(1)) {
-        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+    // is exact, not approximate (nulls were dropped pre-collect)
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        val (ra, rb) = (find(a), find(b))
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
         }
@@ -882,11 +937,8 @@ object Dedup {
     // label every node in the edge set with its component MINIMUM (the
     // union-by-smaller-root rule above already makes each root the min)
     val nodes = new java.util.HashSet[Long]()
-    edges.foreach { r =>
-      if (!r.isNullAt(0) && !r.isNullAt(1) &&
-          r.getLong(0) != r.getLong(1)) {
-        nodes.add(r.getLong(0)); nodes.add(r.getLong(1))
-      }
+    edges.foreach { case (a, b) =>
+      if (a != b) { nodes.add(a); nodes.add(b) }
     }
     import scala.jdk.CollectionConverters._
     val rows = nodes.asScala.toSeq.map(n =>

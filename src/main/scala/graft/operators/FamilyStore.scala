@@ -118,6 +118,10 @@ object FamilyStore {
     writeLabelSegment(lbl, -1L, labelsPath)
     SegmentStore.writeMeta(spark, labelsPath, "depth",
       if (lbl.isEmpty) 0L else 1L)
+    // -1 (the bootstrap segment id — never a stream batch id) = "no
+    // batch owns the current bound": any replayed batch re-bumps,
+    // which over-estimates and is safe
+    SegmentStore.writeMeta(spark, labelsPath, "depth_batch", -1L)
   }
 
   /** Read-only probe: family labels for every batch doc against the
@@ -167,27 +171,43 @@ object FamilyStore {
       .filter(col("__cur").isNull || col("__cur") =!= col("label"))
       .drop("__cur")
       .localCheckpoint(true)
-    writeIndexSegment(
-      SuffixDedup.familyIndex(batch, idCol, textCol, minLen,
-        maxDocsPerGram),
-      batchId, indexPath, nBands, dynamic = true)
-    writeLabelSegment(updates, batchId, labelsPath, dynamic = true)
-    // depth bound: +1 only when a CORPUS-side id is re-pointed (a
-    // standing row may now chain through it); batch-only updates start
-    // chains, never extend them. Cheap driver probes on the already
-    // checkpointed batch-scale updates frame. Legacy stores (no
-    // metadata file) stay legacy — the probe's dynamic loop needs no
-    // bound.
+    // depth bound FIRST, before the label segment lands: +1 only when
+    // a CORPUS-side id is re-pointed (a standing row may now chain
+    // through it); batch-only updates start chains, never extend them.
+    // Cheap driver probes on the already checkpointed batch-scale
+    // updates frame. Legacy stores (no metadata file) stay legacy —
+    // the probe's dynamic loop needs no bound.
+    //
+    // ORDERING INVARIANT: the bound must only ever OVER-estimate — a
+    // crash between the depth write and the segment write leaves an
+    // extra (harmless) fetch generation, where the reverse order left
+    // a window in which a probe composed too few generations and
+    // silently mislabeled. REPLAY IDEMPOTENCE: the batch id that last
+    // bumped the bound is recorded alongside it (`_depth_batch`), so a
+    // replayed deepening batch — which overwrites its label segment in
+    // place — skips the re-bump instead of inflating depth once per
+    // restart. The depth write precedes the depth_batch write for the
+    // same reason: a crash between them makes the replay bump AGAIN
+    // (over-estimate, safe), never skip a bump it still owes.
     SegmentStore.readMeta(spark, labelsPath, "depth").foreach { old =>
       val batchIds = batch.select(col(idCol).as("id")).distinct()
       val hasUpdates = !updates.isEmpty
       val deepens = hasUpdates &&
         !updates.join(broadcast(batchIds), Seq("id"), "left_anti").isEmpty
-      val next = if (deepens) old.max(1L) + 1L
+      val alreadyBumped = SegmentStore
+        .readMeta(spark, labelsPath, "depth_batch").contains(batchId)
+      val next = if (deepens && !alreadyBumped) old.max(1L) + 1L
         else if (hasUpdates) old.max(1L) else old
       if (next != old)
         SegmentStore.writeMeta(spark, labelsPath, "depth", next)
+      if (deepens && !alreadyBumped)
+        SegmentStore.writeMeta(spark, labelsPath, "depth_batch", batchId)
     }
+    writeIndexSegment(
+      SuffixDedup.familyIndex(batch, idCol, textCol, minLen,
+        maxDocsPerGram),
+      batchId, indexPath, nBands, dynamic = true)
+    writeLabelSegment(updates, batchId, labelsPath, dynamic = true)
     famsOut
   }
 
@@ -271,7 +291,7 @@ object FamilyStore {
     // stores fall back to the distributed pass via the cap
     val resolved = Dedup.connectedComponentsBounded(
         latest.select(col("id").as("id_a"), col("label").as("id_b")),
-        eagerInput = true)
+        eagerInput = true, tag = "FamilyStore.compact")
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))
@@ -280,6 +300,7 @@ object FamilyStore {
     writeLabelSegment(flat, -1L, labelsPath)
     SegmentStore.writeMeta(spark, labelsPath, "depth",
       if (flat.isEmpty) 0L else 1L)
+    SegmentStore.writeMeta(spark, labelsPath, "depth_batch", -1L)
 
     // ---- index: collapse globally-over-cap postings to markers ----
     val idx = SegmentStore.read(spark, indexPath, IndexSchema)
@@ -350,7 +371,8 @@ object FamilyStore {
     // [[Dedup.connectedComponentsBounded]]). Its result is eager on
     // both paths — the pre-append-state guarantee processBatch needs.
     val comps = Dedup.connectedComponentsBounded(edges.unionByName(
-        pointers.select(col("id").as("id_a"), col("label").as("id_b"))))
+        pointers.select(col("id").as("id_a"), col("label").as("id_b"))),
+      tag = "FamilyStore.probe")
     val fams = batch.select(col(idCol).as("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -447,7 +447,8 @@ object SuffixDedup {
     // — the same adaptive chooser a broadcast-vs-shuffle join uses.
     // eagerInput: corpus-scale edge derivation — the fallback must
     // re-read a materialization, never re-derive the gram pass
-    Dedup.connectedComponentsBounded(edges, eagerInput = true)
+    Dedup.connectedComponentsBounded(edges, eagerInput = true,
+      tag = "SuffixDedup.familyLabels")
   }
 
   /** Write a [[familyIndex]] in its production standing form: parquet
@@ -506,7 +507,8 @@ object SuffixDedup {
     // cap-bounded edges — driver union-find under the cap, distributed
     // fallback past it; eagerInput because the index-derived edge pass
     // is corpus-scale
-    Dedup.connectedComponentsBounded(edges, eagerInput = true)
+    Dedup.connectedComponentsBounded(edges, eagerInput = true,
+      tag = "SuffixDedup.suffixFamilies")
   }
 
   /** Family labels of a NEW batch against a standing corpus: probes
@@ -666,7 +668,8 @@ object SuffixDedup {
     // the contracted graph is batch-scale by construction — the
     // bounded components path applies (guarded driver union-find,
     // distributed fallback above the cap)
-    Dedup.connectedComponentsBounded(cEdges)
+    Dedup.connectedComponentsBounded(cEdges,
+      tag = "SuffixDedup.incrementalFamilies")
   }
 
   /** [[spanPairs]]' string-carrying postings AFTER the mandatory

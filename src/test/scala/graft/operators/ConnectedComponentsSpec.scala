@@ -103,6 +103,24 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(got == want && want.size == 51 && want.values.forall(_ == 0L))
   }
 
+  test("chooser decision is recorded on BOTH paths with edge count, " +
+      "effective cap, and call-site tag (r16 verdict #5: a 'bounded by " +
+      "construction' edge list that crosses the cap must surface, not " +
+      "silently change the plan shape)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    Dedup.connectedComponentsBounded(edges, tag = "spec-driver")
+    val d1 = Dedup.lastCcDecision.get
+    assert(d1.path == "driver" && d1.nEdges == 2L &&
+      d1.tag == "spec-driver" && d1.cap > 0L)
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.connectedComponentsBounded(chain, maxDriverEdges = 10,
+      tag = "spec-distributed").count()
+    val d2 = Dedup.lastCcDecision.get
+    // above-cap edge count is the truncated cap+1 observation
+    assert(d2.path == "distributed" && d2.nEdges == 11L && d2.cap == 10L &&
+      d2.tag == "spec-distributed")
+  }
+
   test("dedupByPairs semantics reproduce under the scale path") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
       .toDF("doc_id", "text")

@@ -159,6 +159,45 @@ class FamilyStoreSpec extends AnyFunSuite {
       oneShot(corpus ++ batch ++ late, Set(200L)))
   }
 
+  test("a replayed DEEPENING batch does not inflate the depth bound " +
+      "(ADVICE r16: the bump records its batch id and is skipped on " +
+      "replay), and compact re-arms the bump for later batches") {
+    val corpus = Seq(
+      (1L, "aaaaaaaaaa" + P1 + "bbbbbbbbbb"),
+      (2L, "cccccccccc" + P1 + "dddddddddd"),
+      (5L, "eeeeeeeeee" + P2 + "ffffffffff"),
+      (6L, "gggggggggg" + P2 + "hhhhhhhhhh"),
+      (8L, "iiiiiiiiii" + P3 + "jjjjjjjjjj"),
+      (9L, "kkkkkkkkkk" + P3 + "llllllllll"))
+    // bridges P1 (min 1) and P2 (min 5): re-points corpus id 5 → deepens
+    val bridge1 = Seq(
+      (100L, "mmmmmmmmmm" + P1 + "nnnnnnnnnn" + P2 + "oooooooooo"))
+    // bridges P1 and P3: re-points corpus id 8 → deepens again
+    val bridge2 = Seq(
+      (110L, "pppppppppp" + P1 + "qqqqqqqqqq" + P3 + "rrrrrrrrrr"))
+    val (idxP, lblP) = tmp("famdepthreplay")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    def run(batch: Seq[(Long, String)], id: Long) =
+      FamilyStore.processBatch(df(batch), id, "doc_id", "text",
+        idxP, lblP, L).as[(Long, Long)].collect().toMap
+    val first = run(bridge1, 0L)
+    assert(FamilyStore.stats(spark, idxP, lblP)._2 == 2L,
+      "bridging batch must bump the depth bound to 2")
+    // at-least-once replay: same batch id recomputes against the same
+    // pre-append state and overwrites its segments — the bound must
+    // NOT inflate once per restart (it would spuriously trip maxChase
+    // on a restart-churny stream)
+    assert(run(bridge1, 0L) == first)
+    assert(FamilyStore.stats(spark, idxP, lblP)._2 == 2L,
+      "replayed deepening batch must not re-bump the depth bound")
+    // compact flattens and re-arms: a LATER deepening batch bumps again
+    FamilyStore.compact(spark, idxP, lblP)
+    assert(FamilyStore.stats(spark, idxP, lblP)._2 == 1L)
+    run(bridge2, 1L)
+    assert(FamilyStore.stats(spark, idxP, lblP)._2 == 2L,
+      "post-compact deepening batch must bump the re-armed bound")
+  }
+
   test("compact collapses a combined-over-cap gram's postings to " +
       "per-segment markers; probe exclusion is unchanged") {
     val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
