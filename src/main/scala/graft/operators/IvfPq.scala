@@ -138,6 +138,30 @@ object IvfPq {
       .partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** The rebuild RESPONSE to a [[driftReport]] `rebuild = true` (r16
+    * verdict #1: every served family measured staleness, none rehearsed
+    * the response): retrain the coarse quantizer + residual codebooks
+    * over the GROWN corpus (bootstrap + every appended batch — the
+    * caller supplies it; the index stores codes, not raw vectors),
+    * re-encode everything against the new model, and re-serve by
+    * overwriting the codes and model in place. Training is
+    * deterministic (xxhash64-ranked seeds), so the rebuilt index is
+    * bit-identical to a fresh [[writeIndex]] over the same corpus —
+    * the served-vs-fresh parity the drift loop's gate asserts. Returns
+    * the new model so a long-running server can swap its frozen copy.
+    *
+    * Not atomic against concurrent probes (the overwrite replaces
+    * `codes/` then `model/`): run it on the maintenance cadence, like
+    * [[FamilyStore.compact]].
+    */
+  def rebuildIndex(corpus: DataFrame, path: String, nlist: Int, m: Int,
+      ksub: Int, iters: Int = 2, pqIters: Int = 3,
+      trainFraction: Double = 1.0): Model = {
+    val mdl = train(corpus, nlist, m, ksub, iters, pqIters, trainFraction)
+    writeIndex(corpus, mdl, path)
+    mdl
+  }
+
   /** Reload a [[writeIndex]] model. */
   def readModel(spark: SparkSession, path: String): Model = {
     import spark.implicits._

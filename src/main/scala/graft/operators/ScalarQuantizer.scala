@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scalar (per-dimension int8) embedding quantization — the third
@@ -69,8 +69,11 @@ object ScalarQuantizer {
     val out = new Array[Byte](m.mins.length)
     var i = 0
     while (i < out.length) {
-      val q = math.round((e(i) - m.mins(i)) / m.scales(i)).toInt
-      out(i) = (math.min(255, math.max(0, q)) & 0xff).toByte
+      // clamp on the Long — a .toInt here would WRAP for |q| > 2^31
+      // (tiny trained scale + huge outlier) and encode an extreme
+      // vector to an in-range byte instead of the boundary code
+      val q = math.round((e(i) - m.mins(i)) / m.scales(i))
+      out(i) = (math.min(255L, math.max(0L, q)) & 0xffL).toByte
       i += 1
     }
     out
@@ -88,6 +91,65 @@ object ScalarQuantizer {
     val enc = udf((e: Seq[Float]) => encodeVec(bc.value, e))
     corpus.select(col("id"), enc(col("embedding")).as("code"),
       graft.functions.VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+  }
+
+  /** Materialize the SQ8 index at `path`: codes beside the serialized
+    * per-dim codebook — the served form of [[encode]], mirroring
+    * [[IvfPq.writeIndex]] so the drift loop has a standing artifact to
+    * append to ([[appendToIndex]]) and rebuild in place
+    * ([[rebuildIndex]]). Codes need no partitioning column: every probe
+    * scans them once against a broadcast query fold (O(dim) bytes per
+    * row), so the scan IS the plan — there is no cell/bucket to prune.
+    */
+  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit = {
+    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
+    writeModel(corpus.sparkSession, model, path)
+  }
+
+  /** Serialize just the codebook beside a codes store. */
+  def writeModel(spark: SparkSession, model: Model, path: String): Unit = {
+    import spark.implicits._
+    Seq((0, model.mins.toSeq), (1, model.scales.toSeq)).toDF("kind", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Reload a [[writeIndex]] codebook. */
+  def readModel(spark: SparkSession, path: String): Model = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .as[(Int, Seq[Double])].collect()
+    Model(rows.find(_._1 == 0).get._2.toArray,
+      rows.find(_._1 == 1).get._2.toArray)
+  }
+
+  /** Append NEW vectors encoded against the FROZEN codebook — the
+    * daily-ingest shape ([[graft.operators.IvfPq.appendToIndex]]'s
+    * contract): appended data beyond the trained per-dim range
+    * saturates to the boundary code, degrading recall but never
+    * correctness; [[clipCensus]] / [[sqDriftReport]] measure the
+    * staleness, [[rebuildIndex]] is the response. Append atomicity is
+    * parquet's; replay dedup is the caller's.
+    */
+  def appendToIndex(batch: DataFrame, spark: SparkSession,
+      path: String): Unit = {
+    val mdl = readModel(spark, path)
+    encode(batch, mdl).write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** The rebuild RESPONSE to a [[sqDriftReport]] `rebuild = true` (r16
+    * verdict #1): re-fit the per-dim `[min, max]` codebook over the
+    * GROWN corpus, re-encode everything, re-serve in place. The fit is
+    * exactly deterministic (min/max — no float-associativity wobble),
+    * so the rebuilt index is bit-identical to a fresh [[writeIndex]]
+    * over the same corpus, and the post-rebuild [[clipCensus]] is zero
+    * BY CONSTRUCTION (the new range covers every corpus vector).
+    * Returns the new model so a server can swap its frozen copy. Not
+    * atomic against concurrent probes — maintenance cadence.
+    */
+  def rebuildIndex(corpus: DataFrame, path: String): Model = {
+    val mdl = fit(corpus, "embedding")
+    writeIndex(corpus, mdl, path)
+    mdl
   }
 
   /** SQ8 top-k with exact rerank; pass `model`/`codes` to reuse a built
@@ -178,8 +240,12 @@ object ScalarQuantizer {
       var i = 0
       var clipped = false
       while (i < m.mins.length && !clipped) {
-        val q = math.round((e(i) - m.mins(i)) / m.scales(i)).toInt
-        if (q < 0 || q > 255) clipped = true
+        // compare the Long (ADVICE r16): .toInt wraps for |q| > 2^31,
+        // so an extreme outlier could wrap back into [0, 255], evade
+        // the one witness recall sampling can miss, and diverge from
+        // the q_sq_clip_census DuckDB oracle's BIGINT arithmetic
+        val q = math.round((e(i) - m.mins(i)) / m.scales(i))
+        if (q < 0L || q > 255L) clipped = true
         i += 1
       }
       if (clipped) 1L else 0L
