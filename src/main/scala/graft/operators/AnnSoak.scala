@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *     range (clip witness, `maxClipRate = 0.25` so the census RAMPS
   *     across steps instead of firing at 1% immediately).
   *   - '''LSH''' (no trained model): each batch k is the base set plus
-  *     deterministic pseudo-noise of amplitude `0.04·k` per dimension —
+  *     deterministic pseudo-noise of amplitude `0.06·k` per dimension —
   *     a degrading upstream encoder. Neighbors drift apart angularly,
   *     hamming-1 multi-probe under the current table budget stops
   *     covering them (recall witness); the response is re-planing with
@@ -137,7 +137,7 @@ object AnnSoak {
           scale(rotate(col("embedding"), lit(4 * k)), lit(1.0 + 0.3 * k))
             .as("embedding"))
         else base.select(col("id"),
-          jitter(col("embedding"), col("id"), lit(k), lit(0.04 * k))
+          jitter(col("embedding"), col("id"), lit(k), lit(0.06 * k))
             .as("embedding"))
       moved.select((col("id") + lit(k * 1000000L)).as("id"),
         col("embedding"))
@@ -200,7 +200,11 @@ object AnnSoak {
       // same sizing a production rebuild applies; a frozen nlist would
       // cap fresh-model recall below the floor by end of chain)
       val (m, ksub) = (16, 32)
-      def cells(n: Long) = math.max(32L, n / 50L).toInt
+      // the FAISS sizing rule of thumb: nlist ≈ 4·√N (N/50 grew to
+      // 1760 cells at 88k rows — 50 rows/cell, small-file pressure on
+      // every append for no recall gain)
+      def cells(n: Long) = math.max(32L, 4L * math.round(math.sqrt(
+        n.toDouble))).toInt
       runFamily("ivfpq", "scale",
         init = c => IvfPq.writeIndex(c,
           IvfPq.train(c, cells(nBase), m, ksub), path),

@@ -218,12 +218,7 @@ object FamilyStore {
     */
   def stats(spark: SparkSession, indexPath: String,
       labelsPath: String): (Long, Long) = {
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val nSegments =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).count(s => s.isDirectory &&
-        s.getPath.getName.startsWith("ingest_batch=")).toLong
+    val nSegments = SegmentStore.segmentCount(spark, indexPath)
     val depth = SegmentStore.readMeta(spark, labelsPath, "depth")
       .getOrElse(-1L)
     (nSegments, depth)

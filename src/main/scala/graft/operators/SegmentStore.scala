@@ -78,6 +78,19 @@ object SegmentStore {
     ()
   }
 
+  /** Segment count of a store (`ingest_batch=` partition directories) —
+    * the observable the stores' compaction policies threshold on.
+    * Driver-side file listing; no Spark job. Shared here (r17): this
+    * was the third copy of the listing across the store families.
+    */
+  def segmentCount(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(s => s.isDirectory &&
+      s.getPath.getName.startsWith("ingest_batch=")).toLong
+  }
+
   /** Write a store-level metadata scalar as `path/_<name>` (overwrites).
     * Driver-side Hadoop FS IO — no Spark job.
     */

@@ -315,5 +315,106 @@ object StoreSoak {
       s""""probe_rows":$sProbeRows,"probe_sec":$sProbeSec,""" +
       s""""parity":$sParity,"rerun_sec":$sRerunSec,""" +
       s""""segments":${SuffixStore.segmentCount(spark, sfxP)}}""")
+
+    // ---- the MinHash store chain (r16 verdict #2 — the last store
+    // family whose append induction was inherited, not exercised):
+    // same 10-append shape with a PLANTED near-dup per batch that only
+    // the previous batch's appended segment can catch, per-step parity
+    // vs the one-shot batch pipeline restricted to batch-involving
+    // pairs, maybeCompact policy-ON against the segment-count trigger
+    // (fires mid-chain, chain keeps going), and a REPLAY at step 5
+    // (the at-least-once restart shape: same batch id reprocessed —
+    // pairs identical, store unchanged) ----
+    import graft.streaming.StreamingMinhashDedup
+    val T = ("planted minhash chain template about tungsten codegen " +
+      "shuffles broadcast joins and adaptive plans ") * 4
+    def plantedDoc(k: Int) = (B + 2000000L + k, s"${T.trim} step$k")
+    val mhBoot = docsRaw.filter(col("doc_id") % 25 <= 13)
+      .unionByName(Seq(plantedDoc(0)).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val (mhIdxP, mhTxtP) = (s"$scratch/mh/idx", s"$scratch/mh/txt")
+    val (_, mInitSec) = timed {
+      StreamingMinhashDedup.initIndex(mhBoot, "doc_id", "text",
+        mhIdxP, mhTxtP)
+    }
+    println(s"""{"mode":"chain","store":"minhash","step":"init",""" +
+      s""""docs_so_far":${mhBoot.count()},"init_sec":$mInitSec}""")
+    val threshold = 0.5
+    def mhOneShot(all: org.apache.spark.sql.DataFrame,
+        batch: org.apache.spark.sql.DataFrame) = {
+      val pairsAll = Dedup.minhashDedupPairs(all, "doc_id", "text",
+        threshold).select(col("id_a"), col("id_b"))
+      val aIds = batch.select(col("doc_id").as("id_a"))
+      val bIds = batch.select(col("doc_id").as("id_b"))
+      pairsAll.join(aIds, Seq("id_a"), "left_semi")
+        .unionByName(pairsAll.join(bIds, Seq("id_b"), "left_semi")
+          .select(col("id_a"), col("id_b")))
+        .distinct()
+    }
+    var mAll = mhBoot
+    for (k <- 1 to 10) {
+      val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
+        .unionByName(Seq(plantedDoc(k)).toDF("doc_id", "text"))
+        .localCheckpoint(true)
+      val (pairs, appendSec) = timed {
+        StreamingMinhashDedup.processBatch(batch, k.toLong, "doc_id",
+          "text", mhIdxP, mhTxtP, threshold)
+      }
+      mAll = mAll.unionByName(batch).localCheckpoint(true)
+      val got = pairs.select(col("id_a"), col("id_b"))
+      val (parityM, paritySec) = timed {
+        val want = mhOneShot(mAll, batch).localCheckpoint(true)
+        want.exceptAll(got).isEmpty && got.exceptAll(want).isEmpty
+      }
+      // the cross-batch window: batch k's planted doc pairs with batch
+      // k-1's — only the APPENDED segment can catch it
+      val crossCaught = !pairs
+        .filter(col("id_a") === plantedDoc(k - 1)._1 &&
+          col("id_b") === plantedDoc(k)._1).isEmpty
+      var replayOk = true
+      if (k == 5) {
+        // at-least-once restart shape mid-chain: reprocess the SAME
+        // batch id — identical pairs, store unchanged
+        val idxRows = spark.read.parquet(mhIdxP).count()
+        val replay = StreamingMinhashDedup.processBatch(batch, k.toLong,
+          "doc_id", "text", mhIdxP, mhTxtP, threshold)
+          .select(col("id_a"), col("id_b"))
+        replayOk = replay.exceptAll(got).isEmpty &&
+          got.exceptAll(replay).isEmpty &&
+          spark.read.parquet(mhIdxP).count() == idxRows
+        require(replayOk, s"minhash replay broke at step $k")
+      }
+      val (fired, compactSec) = timed {
+        StreamingMinhashDedup.maybeCompact(spark, mhIdxP, mhTxtP,
+          maxSegments = 5)
+      }
+      println(s"""{"mode":"chain","store":"minhash","step":$k,""" +
+        s""""append_sec":$appendSec,"parity":$parityM,""" +
+        s""""parity_rerun_sec":$paritySec,"cross_caught":$crossCaught,""" +
+        s""""replay_ok":$replayOk,""" +
+        s""""segments":${StreamingMinhashDedup.segmentCount(spark, mhIdxP)},""" +
+        s""""compacted":$fired,""" +
+        s""""compact_sec":${if (fired) compactSec else 0.0}}""")
+      require(parityM, s"minhash chain parity broke at step $k")
+      require(crossCaught, s"cross-batch planted pair missed at step $k")
+    }
+    // post-chain read-only probe (held-out class, never appended)
+    val ((mProbeRows, mProbe), mProbeSec) = timed {
+      val idx = spark.read.parquet(mhIdxP)
+      val txts = spark.read.parquet(mhTxtP).drop("ingest_batch")
+      val p = Dedup.incrementalMinhashPairs(probeB, txts, idx, "doc_id",
+          "text", threshold)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      (p.count(), p)
+    }
+    val (mParity, mRerunSec) = timed {
+      val want = mhOneShot(mAll.unionByName(probeB), probeB)
+        .localCheckpoint(true)
+      want.exceptAll(mProbe).isEmpty && mProbe.exceptAll(want).isEmpty
+    }
+    println(s"""{"mode":"chain","store":"minhash","step":"probe",""" +
+      s""""probe_rows":$mProbeRows,"probe_sec":$mProbeSec,""" +
+      s""""parity":$mParity,"rerun_sec":$mRerunSec,""" +
+      s""""segments":${StreamingMinhashDedup.segmentCount(spark, mhIdxP)}}""")
   }
 }

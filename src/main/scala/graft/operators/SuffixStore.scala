@@ -84,13 +84,8 @@ object SuffixStore {
   /** Segment count of the store — the observable [[maybeCompact]]
     * thresholds on. Driver-side file listing; no Spark job.
     */
-  def segmentCount(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s => s.isDirectory &&
-      s.getPath.getName.startsWith("ingest_batch=")).toLong
-  }
+  def segmentCount(spark: SparkSession, path: String): Long =
+    SegmentStore.segmentCount(spark, path)
 
   /** Threshold-triggered [[compact]]: fires when more than
     * `maxSegments` segments have accumulated. Returns whether

@@ -115,19 +115,59 @@ object StreamingMinhashDedup {
       }
       .start()
 
-  /** Periodic maintenance: re-freeze GLOBAL bucket sizes across all
-    * appended segments (and compact small files). The only job that
-    * re-aggregates the index — run it on the store's compaction cadence,
-    * never per batch. Preserves the `ingest_batch` partitioning so
-    * replay idempotence survives compaction.
+  /** Segment count of the index store — the observable [[maybeCompact]]
+    * thresholds on (the shared [[graft.operators.SegmentStore
+    * .segmentCount]] listing; driver-side, no Spark job).
     */
-  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+  def segmentCount(spark: SparkSession, indexPath: String): Long =
+    graft.operators.SegmentStore.segmentCount(spark, indexPath)
+
+  /** Threshold-triggered [[compactIndex]] — the
+    * [[graft.operators.FamilyStore.maybeCompact]] policy shape at this
+    * store's one accumulating dimension (r16 verdict #2: this store
+    * had `compactIndex` but no trigger — its append lifecycle was
+    * inherited, not exercised). Segment count is the right observable:
+    * the per-segment frozen `bucket_sz` drifts from the global truth
+    * exactly as segments accumulate, and the fold below re-freezes it.
+    * Returns whether compaction ran. Call it where [[compactIndex]] is
+    * safe — after the stream's checkpoint has advanced past the folded
+    * batches.
+    */
+  def maybeCompact(spark: SparkSession, indexPath: String,
+      textPath: String, maxSegments: Long = 64L): Boolean = {
+    val fire = segmentCount(spark, indexPath) > maxSegments
+    if (fire) compactIndex(spark, indexPath, textPath)
+    fire
+  }
+
+  /** Periodic maintenance: fold EVERY segment — index and texts — into
+    * the bootstrap segment (-1), re-freezing GLOBAL bucket sizes in the
+    * same pass. The only job that re-aggregates the index; run it on
+    * the compaction cadence, never per batch. Folding re-arms the
+    * [[maybeCompact]] segment-count trigger and restores one file set
+    * per band (the pre-r17 rewrite preserved per-batch partitioning, so
+    * the segment count never dropped and a count-triggered policy would
+    * re-fire forever).
+    *
+    * REPLAY NOTE (the [[graft.operators.SuffixStore.compact]] /
+    * [[graft.operators.FamilyStore.compact]] trade): a batch folded
+    * into -1 can no longer prune its own rows out of a replayed probe —
+    * run compaction after the stream's checkpoint has advanced past the
+    * folded batches.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      textPath: String): Unit = {
     val idx = spark.read.parquet(indexPath)
-      .drop("bucket_sz")
+      .drop("bucket_sz", "ingest_batch")
       .withColumn("bucket_sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .localCheckpoint(true)
-    idx.write.mode("overwrite").partitionBy("ingest_batch", "band")
-      .parquet(indexPath)
+    graft.operators.SegmentStore.wipe(spark, indexPath)
+    graft.operators.SegmentStore.writeSegment(
+      idx.repartition(col("band")), -1L, indexPath, Seq("band"))
+    val txt = spark.read.parquet(textPath).drop("ingest_batch")
+      .localCheckpoint(true)
+    graft.operators.SegmentStore.wipe(spark, textPath)
+    graft.operators.SegmentStore.writeSegment(txt, -1L, textPath)
   }
 }
