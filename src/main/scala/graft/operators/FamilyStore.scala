@@ -242,6 +242,46 @@ object FamilyStore {
     fire
   }
 
+  /** [[maybeCompact]] under the AUTOMATED checkpoint-safety rule (r16
+    * verdict #4 — the plain form trusts the caller to invoke it "where
+    * compact is safe"): reads the owning stream's committed offsets
+    * from its checkpoint ([[SegmentStore.lastCommittedBatch]]) and
+    * REFUSES to fold while any appended segment is still replayable —
+    * its batch has no commit file yet, and a post-fold restart would
+    * replay it against a store that can no longer prune its rows (the
+    * compact replay note above). Returns [[SegmentStore.Compacted]],
+    * [[SegmentStore.CompactDeferred]] (trigger met, fold refused —
+    * call again after the stream commits), or
+    * [[SegmentStore.CompactIdle]]. Inside `foreachBatch` the
+    * just-written segment is uncommitted BY CONSTRUCTION (the commit
+    * file lands after the callback returns), so in-stream calls always
+    * defer — compaction belongs between batches, on the maintenance
+    * cadence, and this form makes that rule self-enforcing instead of
+    * a doc comment.
+    */
+  def maybeCompactChecked(spark: SparkSession, indexPath: String,
+      labelsPath: String, checkpointDir: String, maxDepth: Long = 4L,
+      maxSegments: Long = 64L,
+      maxDocsPerGram: Int = 1000): SegmentStore.CompactOutcome = {
+    val (nSegments, depth) = stats(spark, indexPath, labelsPath)
+    val fire = depth > maxDepth || nSegments > maxSegments
+    if (!fire) SegmentStore.CompactIdle
+    else {
+      // index segments are the superset (a batch with no label updates
+      // writes an index segment but no label partition)
+      val appended = SegmentStore.segmentIds(spark, indexPath)
+        .filter(_ >= 0L)
+      val committed = SegmentStore.lastCommittedBatch(spark,
+        checkpointDir)
+      val safe = appended.isEmpty ||
+        committed.exists(_ >= appended.max)
+      if (safe) {
+        compact(spark, indexPath, labelsPath, maxDocsPerGram)
+        SegmentStore.Compacted
+      } else SegmentStore.CompactDeferred
+    }
+  }
+
   /** Periodic maintenance — the only job that touches corpus-scale
     * state, run on the store's compaction cadence, never per batch:
     *

@@ -78,18 +78,58 @@ object SegmentStore {
     ()
   }
 
-  /** Segment count of a store (`ingest_batch=` partition directories) —
-    * the observable the stores' compaction policies threshold on.
+  /** Segment ids of a store (`ingest_batch=` partition directories).
     * Driver-side file listing; no Spark job. Shared here (r17): this
     * was the third copy of the listing across the store families.
     */
-  def segmentCount(spark: SparkSession, path: String): Long = {
+  def segmentIds(spark: SparkSession, path: String): Seq[Long] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(s => s.isDirectory &&
-      s.getPath.getName.startsWith("ingest_batch=")).toLong
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("ingest_batch="))
+      .flatMap(s => scala.util.Try(
+        s.getPath.getName.stripPrefix("ingest_batch=").toLong).toOption)
   }
+
+  /** Segment count — the observable the stores' compaction policies
+    * threshold on.
+    */
+  def segmentCount(spark: SparkSession, path: String): Long =
+    segmentIds(spark, path).size.toLong
+
+  /** Highest micro-batch id the stream owning `checkpointDir` has
+    * COMMITTED, read from the checkpoint's `commits/` log — a file
+    * named `<batchId>` lands there only AFTER the batch's foreachBatch
+    * completed, so a batch without one can still be REPLAYED on
+    * restart. `None` for a fresh or absent checkpoint. This is the
+    * observable behind the automated compaction-safety rule
+    * ([[graft.operators.FamilyStore.maybeCompactChecked]], r16 verdict
+    * #4): folding a segment whose batch lacks a commit file would
+    * strip the replay's ability to prune its own rows.
+    */
+  def lastCommittedBatch(spark: SparkSession,
+      checkpointDir: String): Option[Long] = {
+    val p = new Path(checkpointDir, "commits")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .flatMap(s => scala.util.Try(s.getPath.getName.toLong).toOption)
+      .maxOption
+  }
+
+  /** Outcome of a checkpoint-safe compaction policy call. */
+  sealed trait CompactOutcome
+  /** Trigger not met — nothing to do. */
+  case object CompactIdle extends CompactOutcome
+  /** Trigger met and every appended segment is committed — compacted. */
+  case object Compacted extends CompactOutcome
+  /** Trigger met but an appended segment is still replayable (no
+    * commit file yet) — fold REFUSED; call again after the stream
+    * commits.
+    */
+  case object CompactDeferred extends CompactOutcome
 
   /** Write a store-level metadata scalar as `path/_<name>` (overwrites).
     * Driver-side Hadoop FS IO — no Spark job.

@@ -55,6 +55,86 @@ class StreamingFamilyDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("10-micro-batch streaming chain (r16 verdict #4): every bridge " +
+      "resolves through the store, maybeCompactChecked COMPACTS between " +
+      "batches under the automated checkpoint-safety rule, DEFERS " +
+      "in-stream (the just-written segment is uncommitted by " +
+      "construction), and the chain survives a restart mid-chain") {
+    import graft.operators.{FamilyStore, SegmentStore}
+    // planted families with DESCENDING minima: bridge k merges P(k)
+    // and P(k+1), re-pointing the previous component minimum — one
+    // pointer generation per batch, the adversarial chain shape
+    def P(i: Int) = f"CHAIN-FAM-$i%02d-PHRASE-BLOCK!!"
+    def m(i: Int) = 10000L - 50L * i
+    val corpus = (1 to 11).flatMap { i =>
+      Seq((m(i), s"a${i}aaaaaaaa" + P(i) + s"a${i}bbbbbbbb"),
+        (m(i) + 1, s"a${i}cccccccc" + P(i) + s"a${i}dddddddd"))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sfamchain")
+      .toString
+    val (idxP, lblP, ckpt) = (s"$dir/idx", s"$dir/lbl", s"$dir/ckpt")
+    FamilyStore.init(corpus, "doc_id", "text", idxP, lblP, minLen = 26)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val sink = scala.collection.mutable.Map.empty[Long, Long]
+    val inStream =
+      scala.collection.mutable.ArrayBuffer.empty[SegmentStore.CompactOutcome]
+    def start() = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink ++= FamilyStore.processBatch(b, id, "doc_id", "text",
+          idxP, lblP, minLen = 26).as[(Long, Long)].collect()
+        // the IN-STREAM policy call: this batch's segment has no
+        // commit file yet, so a met trigger must DEFER, never fold
+        inStream += FamilyStore.maybeCompactChecked(spark, idxP, lblP,
+          ckpt, maxDepth = 2)
+        (): Unit
+      }.start()
+    val between =
+      scala.collection.mutable.ArrayBuffer.empty[SegmentStore.CompactOutcome]
+    var q = start()
+    try {
+      for (k <- 1 to 10) {
+        if (k == 6) { q.stop(); q = start() } // restart mid-chain
+        in.addData((20000L + k,
+          s"br${k}xxxx" + P(k) + s"br${k}yyyy" + P(k + 1) + "zz"))
+        q.processAllAvailable()
+        // bridge k's family is the merged minimum — resolved through
+        // however many pointer generations the chain has accumulated
+        assert(sink(20000L + k) == m(k + 1),
+          s"step $k: expected family ${m(k + 1)}, got $sink")
+        // BETWEEN batches the commit file is durable: a met trigger
+        // must fold, and fold must reset the depth bound
+        val o = FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+          maxDepth = 2)
+        between += o
+        if (o == SegmentStore.Compacted)
+          assert(FamilyStore.stats(spark, idxP, lblP)._2 == 1L)
+      }
+    } finally q.stop()
+    assert(between.count(_ == SegmentStore.Compacted) >= 3,
+      s"depth trigger must fire repeatedly across the chain: $between")
+    assert(!between.contains(SegmentStore.CompactDeferred),
+      s"between-batch folds are always safe (commits durable): $between")
+    assert(inStream.contains(SegmentStore.CompactDeferred),
+      s"in-stream met triggers must DEFER, not fold: $inStream")
+    assert(!inStream.contains(SegmentStore.Compacted),
+      s"no in-stream call may fold a replayable segment: $inStream")
+    // exactly-once across the restart: one index segment per batch
+    val segs = spark.read.parquet(idxP).select("ingest_batch")
+      .distinct().as[Long].collect().toSet
+    assert(segs == ((0L to 9L).toSet + -1L),
+      s"expected segments {-1, 0..9}, got $segs")
+    // the post-chain probe resolves the full merge history: a doc in
+    // family P(1) lands on the final minimum m(11)
+    val late = Seq((30000L, "zzzzzzzzzz" + P(1) + "wwwwwwwwww"))
+      .toDF("doc_id", "text")
+    val got = FamilyStore.probe(late, "doc_id", "text", idxP, lblP,
+      minLen = 26).as[(Long, Long)].collect().toMap
+    assert(got(30000L) == m(11),
+      s"post-chain probe must resolve to ${m(11)}: $got")
+  }
+
   test("the family store survives a stop/restart from checkpoint: " +
       "exactly-once appends (no duplicate segments, no re-delivery) " +
       "and the post-restart batch resolves pre-restart families " +
