@@ -119,6 +119,13 @@ object StoreSoak {
           minLen).localCheckpoint(true)
         (p.count(), p)
       }
+      // steady-state (warm) probe: the first probe pays one-time JIT +
+      // codegen-cache cost; production serves probes all day — report
+      // both, the cold number stays the headline
+      val (_, probeWarmSec) = timed {
+        FamilyStore.probe(b2, "doc_id", "text", idxP, lblP, minLen)
+          .count()
+      }
       val ((parity, _), rerunSec) = timed {
         val fams = SuffixDedup.suffixFamilies(docs, "doc_id", "text",
           minLen).withColumnRenamed("id", "doc_id")
@@ -131,7 +138,8 @@ object StoreSoak {
       }
       println(s"""{"store":"family","docs":$nDocs,"batch":$nBatch,""" +
         s""""init_sec":$initSec,"append_sec":$appendSec,""" +
-        s""""probe_sec":$probeSec,"probe_half_sec":$probeHalfSec,""" +
+        s""""probe_sec":$probeSec,"probe_warm_sec":$probeWarmSec,""" +
+        s""""probe_half_sec":$probeHalfSec,""" +
         s""""rerun_sec":$rerunSec,""" +
         s""""probe_rows":$probeRows,"parity":$parity}""")
     }

@@ -578,31 +578,61 @@ object SuffixDedup {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
-    val w = Window.partitionBy("h")
-    // batch postings with per-gram batch distinct-doc counts (window
-    // over the batch gram-hash stream — batch-scale, the increment's
-    // price; hash-keyed like the index, no gram strings anywhere).
-    // Checkpointed at THIS grain (r16): the posting frame feeds both
-    // the key broadcast and the member lists below, and an un-pinned
+    // batch postings (hash-keyed like the index, no gram strings
+    // anywhere — batch-scale, the increment's price). Checkpointed at
+    // THIS grain (r16): the posting frame feeds the key broadcast, the
+    // per-gram counts, and the member lists below, and an un-pinned
     // lineage gram-hashed the batch once per consumer — the probe's
     // two heaviest jobs were the same scan twice.
+    //
+    // ONE exchange serves everything downstream (r16 verdict #3, the
+    // fixed-phase floor): hash(h) satisfies the (h, doc_id) clustering
+    // the dedup requires (partitioning by a subset of the grouping
+    // keys), where the planner's bottom-up default inserted
+    // exchange(h, doc_id) — and the checkpoint preserves the
+    // partitioning, so the per-gram count aggregate below stays
+    // map-side too.
+    val obs = org.apache.spark.sql.Observation()
     val bposts = gramHashes(batch, idCol, textCol, minLen)
-      .select(col("h"), col("doc_id")).distinct()
-      .withColumn("__nb", count(lit(1)).over(w))
+      .select(col("h"), col("doc_id"))
+      .repartition(col("h"))
+      .dropDuplicates(Seq("h", "doc_id"))
+      .observe(obs, count(lit(1)).as("rows"))
       .localCheckpoint(true)
+    // per-gram batch doc counts as a MAP-SIDE aggregate off the
+    // checkpoint (hash(h) partitioning satisfied — no exchange): the
+    // previous window form paid a WindowExec SORT of the whole posting
+    // frame for the same counts
+    val bnb = bposts.groupBy(col("h"))
+      .agg(count(lit(1)).as("__nb"))
     // corpus postings relevant to the batch: stream the standing index
     // through a BROADCAST semi-join on the batch hash set — no index
     // shuffle, no corpus re-gram. Marker rows (doc_id null) ride along
     // to carry the frozen over-cap counts. The broadcast contract is
-    // enforced (the incrementalSpans guard): count off the checkpointed
-    // posting frame, refuse corpus-sized batches loudly.
-    val bkeys = bposts.select(col("h"), col("__nb")).distinct()
-    val nKeys = bkeys.count()
-    require(nKeys <= maxBatchKeys,
-      s"batchProbeEdges: batch carries $nKeys distinct gram hashes > " +
-        s"maxBatchKeys=$maxBatchKeys — not increment-sized for the " +
-        "broadcast probe; rebuild the family index over corpus + batch " +
-        "instead (or raise maxBatchKeys deliberately)")
+    // enforced via a TWO-TIER guard (r16 verdict #3: the separate
+    // distinct-count job was a fixed term of every probe): rows ≥
+    // distinct keys, and the row count rides the checkpoint's own
+    // action as an observation — an increment-sized batch clears with
+    // ZERO extra jobs; only a batch past maxBatchKeys ROWS pays the
+    // exact key-count job before the refuse decision. The wait is
+    // bounded with an explicit-count fallback (the ckptFp recipe: the
+    // listener bus can drop events under pressure).
+    val bkeys = bnb
+    val nRows =
+      try scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(60, "seconds"))
+        .getAs[Long]("rows")
+      catch {
+        case _: java.util.concurrent.TimeoutException => bposts.count()
+      }
+    if (nRows > maxBatchKeys) {
+      val nKeys = bkeys.count()
+      require(nKeys <= maxBatchKeys,
+        s"batchProbeEdges: batch carries $nKeys distinct gram hashes > " +
+          s"maxBatchKeys=$maxBatchKeys — not increment-sized for the " +
+          "broadcast probe; rebuild the family index over corpus + " +
+          "batch instead (or raise maxBatchKeys deliberately)")
+    }
     val hits = index.join(broadcast(bkeys), Seq("h"))
     // combined cap per gram: corpus count (0 when the gram is new)
     // + batch distinct docs, in [2, maxDocsPerGram]

@@ -31,7 +31,11 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 DUP_PCT = int(sys.argv[3]) if len(sys.argv) > 3 else 100
-COPIES = 10
+# 4th arg: replica count (default 10 = the sf1 tier; 100 = the r17
+# 10x-up tier). 5th arg: comma-list of tables to emit (default all) --
+# the 10x family-store tier needs documents only, not 60M lineitem rows.
+COPIES = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+ONLY = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
 OFF = 100_000_000
 
 KEYED = {
@@ -99,10 +103,14 @@ def main():
     import os
     os.makedirs(DST, exist_ok=True)
     for t in SINGLE:
+        if ONLY is not None and t not in ONLY:
+            continue
         src = pq.read_table(f"{SRC}/{t}.parquet")
         pq.write_table(src, f"{DST}/{t}.parquet")
         print(t, src.num_rows)
     for t, keys in KEYED.items():
+        if ONLY is not None and t not in ONLY:
+            continue
         src = pq.read_table(f"{SRC}/{t}.parquet")
         parts = []
         for k in range(COPIES):
