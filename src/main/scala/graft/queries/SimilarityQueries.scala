@@ -257,6 +257,33 @@ object SimilarityQueries {
           expr("n_clipped * 1000000 div n_vecs").as("clip_ppm"))
     }),
 
+    // the REBUILD response under the oracle (r17 — the r16 verdict's
+    // top item asked for the drift loop's response, not only its
+    // witness): the STALE codebook (fit on the standing 90%, the
+    // pre-drift state [[ScalarQuantizer.sqDriftReport]] measures) clips
+    // the appended extremes; the REFIT codebook (fit over the full
+    // corpus — exactly what [[ScalarQuantizer.rebuildIndex]] trains)
+    // clips NOTHING by construction. Both censuses integer-exact and
+    // replayed end-to-end by DuckDB — before/after of the production
+    // loop as an oracle face, beside AnnDriftRebuildSpec's full-loop
+    // spec (recall + served-vs-fresh parity need the index artifacts,
+    // which stay spec-grain).
+    "q_sq_rebuild_census" -> ((s, dir) => {
+      val e = emb(s, dir)
+      def census(m: graft.operators.ScalarQuantizer.Model,
+          phase: String) =
+        graft.operators.ScalarQuantizer.clipCensus(e, m)
+          .select(lit(phase).as("phase"),
+            asLong(col("n_vecs")).as("n_vecs"),
+            asLong(col("n_clipped")).as("n_clipped"),
+            expr("n_clipped * 1000000 div n_vecs").as("clip_ppm"))
+      val stale = graft.operators.ScalarQuantizer.fit(
+        e.filter(col("id") % 10 =!= 0), "embedding")
+      val refit = graft.operators.ScalarQuantizer.fit(e, "embedding")
+      census(stale, "stale").unionByName(census(refit, "rebuilt"))
+        .orderBy("phase")
+    }),
+
     // ENGINE-PORTABLE IVF face: fixture centroids — the exact
     // float→double images of vec_id 0,7,…,49 — injected through
     // ivfTopK's reuse seam instead of k-means, so cell assignment,
@@ -1215,6 +1242,43 @@ object SimilarityQueries {
         |  CAST(sum(clipped) AS BIGINT) AS n_clipped,
         |  CAST(sum(clipped) * 1000000 // count(*) AS BIGINT) AS clip_ppm
         |FROM cl""".stripMargin,
+
+    "q_sq_rebuild_census" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS i),
+        |st AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |mms AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM st, dims GROUP BY i),
+        |scs AS (SELECT i, mn,
+        |    CASE WHEN mx - mn > 0 THEN (mx - mn) / 255.0 ELSE 1.0 END AS sl
+        |  FROM mms),
+        |mmr AS (SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM e, dims GROUP BY i),
+        |scr AS (SELECT i, mn,
+        |    CASE WHEN mx - mn > 0 THEN (mx - mn) / 255.0 ELSE 1.0 END AS sl
+        |  FROM mmr),
+        |cls AS (SELECT e.vec_id,
+        |    max(CASE WHEN CAST(floor((e.v[c.i] - c.mn) / c.sl + 0.5)
+        |      AS BIGINT) NOT BETWEEN 0 AND 255 THEN 1 ELSE 0 END)
+        |      AS clipped
+        |  FROM e CROSS JOIN scs c GROUP BY e.vec_id),
+        |clr AS (SELECT e.vec_id,
+        |    max(CASE WHEN CAST(floor((e.v[c.i] - c.mn) / c.sl + 0.5)
+        |      AS BIGINT) NOT BETWEEN 0 AND 255 THEN 1 ELSE 0 END)
+        |      AS clipped
+        |  FROM e CROSS JOIN scr c GROUP BY e.vec_id)
+        |SELECT * FROM (
+        |  SELECT 'stale' AS phase, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(clipped) AS BIGINT) AS n_clipped,
+        |    CAST(sum(clipped) * 1000000 // count(*) AS BIGINT) AS clip_ppm
+        |  FROM cls
+        |  UNION ALL
+        |  SELECT 'rebuilt', CAST(count(*) AS BIGINT),
+        |    CAST(sum(clipped) AS BIGINT),
+        |    CAST(sum(clipped) * 1000000 // count(*) AS BIGINT)
+        |  FROM clr)
+        |ORDER BY phase""".stripMargin,
 
     // SQ8 is fully oracle-able with NO fixture: the min/max fit is exact
     // order-free arithmetic, encode is floor(x+0.5) (= Math.round) with
