@@ -218,58 +218,35 @@ object SuffixDedup {
       maxBatchKeys: Long = 10000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
-    // the batch gram stream, hashed ONCE and checkpointed (r17 — the
-    // old shape gram-hashed the batch twice: once into the key
-    // checkpoint, once again inside the final span action) and
-    // partitioned by h so the per-gram counts below are a MAP-SIDE
-    // aggregate instead of a WindowExec sort of every position row
-    val obs = org.apache.spark.sql.Observation()
+    val byH = Window.partitionBy("h")
     val bg = gramHashes(batch, idCol, textCol, minLen)
-      .repartition(col("h"))
-      .observe(obs, count(lit(1)).as("rows"))
-      .localCheckpoint(true)
-    val bnb = bg.groupBy(col("h")).agg(count(lit(1)).as("__nb"))
-    // broadcast-budget guard, two-tier (the batchProbeEdges recipe):
-    // position rows ≥ distinct keys and the row count rides the
-    // checkpoint's own action as a bounded Observation — an
-    // increment-sized batch clears with zero extra jobs; only a batch
-    // past maxBatchKeys ROWS pays the exact key-count job before the
-    // refuse decision
-    val nRows =
-      try scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(60, "seconds"))
-        .getAs[Long]("rows")
-      catch {
-        case _: java.util.concurrent.TimeoutException => bg.count()
-      }
-    if (nRows > maxBatchKeys) {
-      val nKeys = bnb.count()
-      require(nKeys <= maxBatchKeys,
-        s"incrementalSpans: batch carries $nKeys distinct gram hashes > " +
-          s"maxBatchKeys=$maxBatchKeys — this batch is not " +
-          "increment-sized relative to the broadcast budget; re-run " +
-          "duplicatedSpans over corpus + batch and re-index instead " +
-          "(or raise maxBatchKeys deliberately if the driver can hold " +
-          "the broadcast)")
-    }
+      .withColumn("__nb", count(lit(1)).over(byH))
     // corpus counts relevant to the batch: stream the standing index
-    // through a BROADCAST inner join on the batch hash set — the index
-    // is scanned map-side, never shuffled (a direct left join against
-    // the index cannot broadcast its left side, so it was shuffling
-    // the corpus-sized index per probe — exactly the cost the index
-    // exists to avoid; r14). Hash-only keys since r15: the broadcast
-    // carries 8 bytes/key, never 25-char gram strings. Summed per hash
-    // AFTER the batch-key prune: occurrence counts are mergeable, so a
-    // SEGMENTED store ([[SuffixStore]] — one suffixIndex per ingest
-    // batch) probes through the same code path as the canonical
-    // one-row-per-hash index; the aggregation runs over the
+    // through a BROADCAST inner join on the batch hash set, then LEFT
+    // join the batch-scale hit list back to batch positions — the
+    // index is scanned map-side, never shuffled (a direct left join
+    // against the index cannot broadcast its left side, so it was
+    // shuffling the corpus-sized index per probe — exactly the cost
+    // the index exists to avoid; r14). Hash-only keys since r15: the
+    // broadcast carries 8 bytes/key, never 25-char gram strings.
+    val bkeys = bg.select(col("h")).distinct().localCheckpoint(true)
+    val nKeys = bkeys.count()
+    require(nKeys <= maxBatchKeys,
+      s"incrementalSpans: batch carries $nKeys distinct gram hashes > " +
+        s"maxBatchKeys=$maxBatchKeys — this batch is not increment-sized " +
+        "relative to the broadcast budget; re-run duplicatedSpans over " +
+        "corpus + batch and re-index instead (or raise maxBatchKeys " +
+        "deliberately if the driver can hold the broadcast)")
+    // summed per hash AFTER the batch-key prune: occurrence counts are
+    // mergeable, so a SEGMENTED store ([[SuffixStore]] — one suffixIndex
+    // per ingest batch) probes through the same code path as the
+    // canonical one-row-per-hash index; the aggregation runs over the
     // batch-relevant sliver only, never the full index
     val cHits = index.select(col("h"), col("n_occ"))
-      .join(broadcast(bnb.select(col("h"))), Seq("h"))
+      .join(broadcast(bkeys), Seq("h"))
       .groupBy(col("h"))
       .agg(sum(col("n_occ")).as("n_occ"))
     val hits = bg
-      .join(broadcast(bnb), Seq("h"))
       .join(cHits, Seq("h"), "left")
       .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
       .select(col("doc_id"), col("pos"))
