@@ -266,20 +266,12 @@ object FamilyStore {
     val (nSegments, depth) = stats(spark, indexPath, labelsPath)
     val fire = depth > maxDepth || nSegments > maxSegments
     if (!fire) SegmentStore.CompactIdle
-    else {
-      // index segments are the superset (a batch with no label updates
-      // writes an index segment but no label partition)
-      val appended = SegmentStore.segmentIds(spark, indexPath)
-        .filter(_ >= 0L)
-      val committed = SegmentStore.lastCommittedBatch(spark,
-        checkpointDir)
-      val safe = appended.isEmpty ||
-        committed.exists(_ >= appended.max)
-      if (safe) {
-        compact(spark, indexPath, labelsPath, maxDocsPerGram)
-        SegmentStore.Compacted
-      } else SegmentStore.CompactDeferred
-    }
+    // index segments are the superset (a batch with no label updates
+    // writes an index segment but no label partition)
+    else if (SegmentStore.foldIsSafe(spark, indexPath, checkpointDir)) {
+      compact(spark, indexPath, labelsPath, maxDocsPerGram)
+      SegmentStore.Compacted
+    } else SegmentStore.CompactDeferred
   }
 
   /** Periodic maintenance — the only job that touches corpus-scale

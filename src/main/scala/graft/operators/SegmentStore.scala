@@ -119,6 +119,20 @@ object SegmentStore {
       .maxOption
   }
 
+  /** The automated compaction-safety predicate shared by every store
+    * family's `maybeCompactChecked`: folding is safe iff every
+    * appended segment's batch has a commit file — a segment whose
+    * batch is still replayable must keep its own partition so the
+    * replay can prune its rows out of the standing reads.
+    */
+  def foldIsSafe(spark: SparkSession, storePath: String,
+      checkpointDir: String): Boolean = {
+    val appended = segmentIds(spark, storePath).filter(_ >= 0L)
+    appended.isEmpty ||
+      lastCommittedBatch(spark, checkpointDir)
+        .exists(_ >= appended.max)
+  }
+
   /** Outcome of a checkpoint-safe compaction policy call. */
   sealed trait CompactOutcome
   /** Trigger not met — nothing to do. */

@@ -99,6 +99,23 @@ object SuffixStore {
     fire
   }
 
+  /** [[maybeCompact]] under the AUTOMATED checkpoint-safety rule (the
+    * [[FamilyStore.maybeCompactChecked]] shape, shared predicate
+    * [[SegmentStore.foldIsSafe]]): refuses to fold while any appended
+    * segment's batch lacks a commit file in the owning stream's
+    * checkpoint — in-stream calls defer by construction; between
+    * batches the fold proceeds when the trigger is met.
+    */
+  def maybeCompactChecked(spark: SparkSession, path: String,
+      checkpointDir: String, maxSegments: Long = 64L,
+      nBands: Int = 64): SegmentStore.CompactOutcome = {
+    if (segmentCount(spark, path) <= maxSegments) SegmentStore.CompactIdle
+    else if (SegmentStore.foldIsSafe(spark, path, checkpointDir)) {
+      compact(spark, path, nBands)
+      SegmentStore.Compacted
+    } else SegmentStore.CompactDeferred
+  }
+
   /** Maintenance: fold every segment's counts into one row per hash in
     * the bootstrap segment (see object doc for the replay trade). */
   def compact(spark: SparkSession, path: String,

@@ -140,6 +140,26 @@ object StreamingMinhashDedup {
     fire
   }
 
+  /** [[maybeCompact]] under the AUTOMATED checkpoint-safety rule (the
+    * [[graft.operators.FamilyStore.maybeCompactChecked]] shape, shared
+    * predicate [[graft.operators.SegmentStore.foldIsSafe]]): refuses to
+    * fold while any appended segment's batch lacks a commit file in
+    * the owning stream's checkpoint — in-stream calls defer by
+    * construction; between batches the fold proceeds when the trigger
+    * is met.
+    */
+  def maybeCompactChecked(spark: SparkSession, indexPath: String,
+      textPath: String, checkpointDir: String, maxSegments: Long = 64L)
+      : graft.operators.SegmentStore.CompactOutcome = {
+    import graft.operators.SegmentStore
+    if (segmentCount(spark, indexPath) <= maxSegments)
+      SegmentStore.CompactIdle
+    else if (SegmentStore.foldIsSafe(spark, indexPath, checkpointDir)) {
+      compactIndex(spark, indexPath, textPath)
+      SegmentStore.Compacted
+    } else SegmentStore.CompactDeferred
+  }
+
   /** Periodic maintenance: fold EVERY segment — index and texts — into
     * the bootstrap segment (-1), re-freezing GLOBAL bucket sizes in the
     * same pass. The only job that re-aggregates the index; run it on

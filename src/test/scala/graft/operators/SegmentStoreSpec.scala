@@ -76,6 +76,36 @@ class SegmentStoreSpec extends AnyFunSuite {
       "static overwrite must clear store metadata")
   }
 
+  test("foldIsSafe / lastCommittedBatch: safe only when every appended " +
+      "segment's batch has a commit file (the shared predicate behind " +
+      "every store family's maybeCompactChecked)") {
+    val store = tmp()
+    Seq((1L, 2L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(s"$store/ingest_batch=-1")
+    Seq((1L, 2L)).toDF("k", "v").write.mode("append")
+      .parquet(s"$store/ingest_batch=0")
+    Seq((1L, 2L)).toDF("k", "v").write.mode("append")
+      .parquet(s"$store/ingest_batch=1")
+    val ckpt = java.nio.file.Files.createTempDirectory("segckpt")
+      .toString
+    // fresh checkpoint: nothing committed → unsafe (both appended
+    // segments replayable)
+    assert(SegmentStore.lastCommittedBatch(spark, ckpt).isEmpty)
+    assert(!SegmentStore.foldIsSafe(spark, store, ckpt))
+    // commits/0 only: segment 1 still replayable → unsafe
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+    assert(SegmentStore.lastCommittedBatch(spark, ckpt).contains(0L))
+    assert(!SegmentStore.foldIsSafe(spark, store, ckpt))
+    // commits/1: every appended segment committed → safe (the
+    // bootstrap segment -1 never counts; non-numeric names ignored)
+    java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+    java.nio.file.Files.writeString(commits.resolve(".1.tmp"), "x")
+    assert(SegmentStore.lastCommittedBatch(spark, ckpt).contains(1L))
+    assert(SegmentStore.foldIsSafe(spark, store, ckpt))
+  }
+
   test("wipe deletes the store on its own filesystem and is a no-op " +
       "on a missing path") {
     val path = tmp()

@@ -144,6 +144,33 @@ class SuffixStoreSpec extends AnyFunSuite {
         Set(200L)))
   }
 
+  test("maybeCompactChecked defers while an appended segment is " +
+      "replayable and folds once the checkpoint commits it (the " +
+      "automated safety rule, suffix grain)") {
+    val phrase = "phrase in all tiers!"
+    val corpus = Seq((1L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val dir = java.nio.file.Files.createTempDirectory("sfxchk")
+      .toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("sfxchkpt")
+      .toString
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    SuffixStore.processBatch(
+      df(Seq((101L, "seg1huhuhu" + phrase + "seg1hahaha"))),
+      0L, "doc_id", "text", dir, L)
+    // trigger met (2 segments > 1) but batch 0 has no commit file
+    assert(SuffixStore.maybeCompactChecked(spark, dir, ckpt,
+      maxSegments = 1L) == SegmentStore.CompactDeferred)
+    assert(SuffixStore.segmentCount(spark, dir) == 2L)
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+    assert(SuffixStore.maybeCompactChecked(spark, dir, ckpt,
+      maxSegments = 1L) == SegmentStore.Compacted)
+    assert(SuffixStore.segmentCount(spark, dir) == 1L)
+    assert(SuffixStore.maybeCompactChecked(spark, dir, ckpt,
+      maxSegments = 1L) == SegmentStore.CompactIdle)
+  }
+
   test("the broadcast contract is enforced, not comment-only: a batch " +
       "past maxBatchKeys is refused loudly with the re-index advice") {
     val corpus = Seq((1L, "corpus text long enough to index AAA"))

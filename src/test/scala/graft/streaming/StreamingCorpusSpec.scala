@@ -309,6 +309,24 @@ class StreamingCorpusSpec extends AnyFunSuite {
     // the trigger is re-armed (one segment now)
     assert(!StreamingMinhashDedup.maybeCompact(spark, idxP, txtP,
       maxSegments = 2))
+    // the CHECKED variant under the automated safety rule: append one
+    // more batch, trigger met, but its batch has no commit file →
+    // defer; after the commit lands, fold
+    import graft.operators.SegmentStore
+    StreamingMinhashDedup.processBatch(
+      Seq((300L, novel.trim.replace("prose", "copy")))
+        .toDF("doc_id", "text"),
+      3L, "doc_id", "text", idxP, txtP, threshold = 0.5)
+    val ckpt = java.nio.file.Files.createTempDirectory("smhckpt")
+      .toString
+    assert(StreamingMinhashDedup.maybeCompactChecked(spark, idxP, txtP,
+      ckpt, maxSegments = 1) == SegmentStore.CompactDeferred)
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("3"), "v1\n{}")
+    assert(StreamingMinhashDedup.maybeCompactChecked(spark, idxP, txtP,
+      ckpt, maxSegments = 1) == SegmentStore.Compacted)
+    assert(StreamingMinhashDedup.segmentCount(spark, idxP) == 1L)
   }
 
   test("index-append is replay-idempotent: reprocessing a micro-batch " +
