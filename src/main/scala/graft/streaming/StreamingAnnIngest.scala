@@ -94,6 +94,45 @@ object StreamingAnnIngest {
     nbrs
   }
 
+  /** The rebuild RESPONSE for the STREAMING store (r17 — the served
+    * batch index got [[IvfPq.rebuildIndex]]; this is the same loop for
+    * the segment-partitioned layout): the store is self-contained (raw
+    * vectors live beside the codes), so the rebuild retrains over
+    * `vectors/`, re-encodes every segment against the new model, and
+    * rewrites `codes/` PRESERVING the `ingest_batch` partitioning —
+    * which makes the rebuild REPLAY-SAFE, unlike the fold compactions:
+    * a replayed batch re-encodes itself against the new model and
+    * overwrites its own partition with exactly the rows the rebuild
+    * wrote there (encoding is deterministic), so exactly-once survives
+    * the rebuild with no checkpoint-safety precondition. The one
+    * ordering rule is codes-then-model... inverted: the MODEL is
+    * written last, after the codes are consistent with it, and a
+    * long-running stream should swap its frozen in-memory model (the
+    * [[attach]] load-once) on the maintenance cadence that ran this.
+    * Returns the new model. `IvfPq.driftReport` reads this layout
+    * directly (`cell` stays a partition level under each segment), so
+    * the witness→rebuild→recovery loop is the same as the batch
+    * index's — spec-pinned in StreamingAnnIngestSpec.
+    */
+  def rebuildStore(spark: SparkSession, path: String, nlist: Int,
+      m: Int, ksub: Int, iters: Int = 2, pqIters: Int = 3,
+      trainFraction: Double = 1.0): IvfPq.Model = {
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("embedding"), col("ingest_batch"))
+      .localCheckpoint(true)
+    val mdl = IvfPq.train(vecs.select(col("id"), col("embedding")),
+      nlist, m, ksub, iters, pqIters, trainFraction)
+    // id spaces are disjoint across segments by contract, so the join
+    // that carries ingest_batch back onto the re-encoded rows is exact
+    val enc = IvfPq.encode(vecs.select(col("id"), col("embedding")), mdl)
+      .join(vecs.select(col("id"), col("ingest_batch")), Seq("id"))
+      .localCheckpoint(true)
+    enc.write.mode("overwrite").partitionBy("ingest_batch", "cell")
+      .parquet(s"$path/codes")
+    IvfPq.writeModel(spark, mdl, path)
+    mdl
+  }
+
   /** Wire an embedding stream to the store: per micro-batch, the
     * batch-vs-standing neighbor pairs go to `onNeighbors` (eagerly
     * materialized), then the batch joins the standing index.

@@ -108,4 +108,61 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     assert(nbrs2.length == nbrs2.distinct.length,
       "duplicate (query, neighbor) pairs — replayed codes leaked")
   }
+
+  test("rebuildStore: drifted appends flip the drift witness on the " +
+    "segmented layout, the rebuild retrains from the store's OWN " +
+    "vectors and clears the flag with recall restored, and replay " +
+    "idempotence SURVIVES the rebuild (a replayed batch re-encodes " +
+    "itself to exactly the rebuilt rows — no checkpoint-safety " +
+    "precondition, unlike the fold compactions)") {
+    val standing = clustered.filter($"id" < 400)
+    val mdl = IvfPq.train(standing, nlist = 16, m = 8, ksub = 32)
+    val dir = java.nio.file.Files.createTempDirectory("sannrb")
+      .toString + "/store"
+    StreamingAnnIngest.initStore(standing, mdl, dir)
+    // drifted micro-batch: 8 tight sub-clusters × 25 around 60·1 (the
+    // AnnDriftRebuildSpec drift shape — far enough that the frozen
+    // codebooks collapse, structured enough that a retrained model
+    // ranks it)
+    val rnd = new scala.util.Random(29)
+    val subCenters = Array.fill(8)(
+      Array.fill(16)(60.0 + rnd.nextGaussian() * 5.0))
+    val drifted = (for (c <- 0 until 8; i <- 0 until 25) yield
+      (10000L + c * 25 + i,
+        subCenters(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+          .toSeq))
+      .toDF("id", "embedding")
+    StreamingAnnIngest.processBatch(drifted, batchId = 0L, dir, k = 3,
+      model = Some(mdl))
+    // the store is self-contained: ground-truth corpus = its vectors
+    val full = spark.read.parquet(s"$dir/vectors")
+      .select($"id", $"embedding")
+    val probes = drifted.filter($"id" % 40 === 0)
+    def report() = IvfPq.driftReport(spark, dir, probes, full, k = 3,
+        nprobe = 8, rerankFactor = 16)
+      .select("recall", "rebuild").as[(Double, Boolean)].head()
+    val before = report()
+    assert(before._2 && before._1 < 0.9,
+      s"drifted append must flip rebuild on the streaming layout: " +
+        s"$before")
+    val m1 = StreamingAnnIngest.rebuildStore(spark, dir, nlist = 16,
+      m = 8, ksub = 32)
+    val after = report()
+    assert(!after._2 && after._1 >= 0.9,
+      s"rebuild must clear the flag and restore recall: $after")
+    // replay SURVIVES the rebuild: reprocessing batch 0 (a restart
+    // replaying an uncommitted batch right after maintenance) encodes
+    // against the stored NEW model and overwrites its partition with
+    // exactly the rows the rebuild wrote there
+    val codes0 = spark.read.parquet(s"$dir/codes")
+      .select($"id", $"cell", $"code", $"nrm", $"ingest_batch")
+      .localCheckpoint(true)
+    StreamingAnnIngest.processBatch(drifted, batchId = 0L, dir, k = 3,
+      model = Some(m1))
+    val codes1 = spark.read.parquet(s"$dir/codes")
+      .select($"id", $"cell", $"code", $"nrm", $"ingest_batch")
+    assert(codes1.exceptAll(codes0).isEmpty &&
+      codes0.exceptAll(codes1).isEmpty,
+      "replayed batch must rewrite exactly the rebuilt rows")
+  }
 }
