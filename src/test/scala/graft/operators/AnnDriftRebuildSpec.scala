@@ -130,6 +130,15 @@ class AnnDriftRebuildSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Double)].collect().toSeq
     assert(served(dir) == served(freshDir),
       "rebuilt index must serve exactly what a fresh index serves")
+    // the production knob: a SAMPLED rebuild (train on half the grown
+    // corpus — the 100 TB shape, where a full-corpus k-means per
+    // rebuild is the cost that matters) still clears the flag and
+    // restores recall; sampling is seeded, so this too is deterministic
+    IvfPq.rebuildIndex(full, dir, nlist = 16, m = 8, ksub = 32,
+      trainFraction = 0.5)
+    val sampled = report()
+    assert(!sampled._2 && sampled._1 >= 0.9,
+      s"sampled-training rebuild must also recover: $sampled")
   }
 
   test("SQ8: appended drift flips sqDriftReport.rebuild via the clip " +
