@@ -174,6 +174,44 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the minhash store's APPEND-CHAIN gate at oracle grain (r17 — the
+    // q_family_chain discipline applied to the last store family whose
+    // chain evidence was soak/spec-only): bootstrap 60% of the corpus
+    // into the standing store, THREE sequential processBatch appends,
+    // compactIndex fired MID-chain (global bucket-size re-freeze +
+    // fold to one segment), then a READ-ONLY probe of a held-out
+    // slice. The oracle never sees the chain: it replays the exact
+    // whole-corpus shingle-Jaccard pairs restricted to probe-involving
+    // pairs — chain-of-appends + mid-chain compaction ≡ one-shot, as
+    // an oracle fact rather than a spec assertion.
+    "q_minhash_chain" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val boot = docs.filter(col("doc_id") % 10 =!= 0 &&
+        col("doc_id") % 10 =!= 5 && col("doc_id") % 10 =!= 7 &&
+        col("doc_id") % 10 =!= 8)
+      val scratch = java.nio.file.Files
+        .createTempDirectory("mhchain").toString
+      val (idxP, txtP) = (s"$scratch/idx", s"$scratch/txt")
+      graft.streaming.StreamingMinhashDedup.initIndex(boot, "doc_id",
+        "text", idxP, txtP)
+      Seq(7L, 8L).zipWithIndex.foreach { case (m, i) =>
+        graft.streaming.StreamingMinhashDedup.processBatch(
+          docs.filter(col("doc_id") % 10 === m), i.toLong, "doc_id",
+          "text", idxP, txtP, threshold = 0.4, maxBucketSize = 200)
+      }
+      graft.streaming.StreamingMinhashDedup.compactIndex(s, idxP, txtP)
+      graft.streaming.StreamingMinhashDedup.processBatch(
+        docs.filter(col("doc_id") % 10 === 0), 2L, "doc_id", "text",
+        idxP, txtP, threshold = 0.4, maxBucketSize = 200)
+      val probe = docs.filter(col("doc_id") % 10 === 5)
+      val idx = s.read.parquet(idxP)
+      val txts = s.read.parquet(txtP).drop("ingest_batch")
+      Dedup.incrementalMinhashPairs(probe, txts, idx, "doc_id", "text",
+          threshold = 0.4, maxBucketSize = 200)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact n-gram Jaccard pairs on a bounded slice (inverted-index join,
     // no cross join) — the oracle-checked ground truth for MinHash.
     "q_ngram_jaccard" -> ((s, dir) =>
@@ -1164,6 +1202,25 @@ object SimilarityQueries {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE (id_a % 10 = 0 OR id_b % 10 = 0)
+        |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_minhash_chain" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(w) - 1, 1)),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE (id_a % 10 = 5 OR id_b % 10 = 5)
         |  AND CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
 
