@@ -246,18 +246,19 @@ object FamilyStore {
     * verdict #4 — the plain form trusts the caller to invoke it "where
     * compact is safe"): reads the owning stream's committed offsets
     * from its checkpoint ([[SegmentStore.lastCommittedBatch]]) and
-    * REFUSES to fold while any appended segment is still replayable —
-    * its batch has no commit file yet, and a post-fold restart would
-    * replay it against a store that can no longer prune its rows (the
-    * compact replay note above). Returns [[SegmentStore.Compacted]],
-    * [[SegmentStore.CompactDeferred]] (trigger met, fold refused —
-    * call again after the stream commits), or
-    * [[SegmentStore.CompactIdle]]. Inside `foreachBatch` the
-    * just-written segment is uncommitted BY CONSTRUCTION (the commit
-    * file lands after the callback returns), so in-stream calls always
-    * defer — compaction belongs between batches, on the maintenance
-    * cadence, and this form makes that rule self-enforcing instead of
-    * a doc comment.
+    * never folds a segment whose batch is still replayable — its batch
+    * has no commit file yet, and a post-fold restart would replay it
+    * against a store that can no longer prune its rows (the compact
+    * replay note above). All folding routes through [[compactPrefix]]
+    * (the staged, crash-consistent protocol): with every appended
+    * segment committed the whole store folds
+    * ([[SegmentStore.Compacted]]); with a replayable tail the
+    * COMMITTED PREFIX folds and the tail keeps its replay protection
+    * ([[SegmentStore.CompactedPrefix]]) — which is what lets a
+    * NEVER-IDLE stream compact from inside `foreachBatch`, where the
+    * just-written segment is uncommitted by construction and the r16
+    * form could only defer; only a store with nothing committed defers
+    * ([[SegmentStore.CompactDeferred]]).
     */
   def maybeCompactChecked(spark: SparkSession, indexPath: String,
       labelsPath: String, checkpointDir: String, maxDepth: Long = 4L,
@@ -268,10 +269,93 @@ object FamilyStore {
     if (!fire) SegmentStore.CompactIdle
     // index segments are the superset (a batch with no label updates
     // writes an index segment but no label partition)
-    else if (SegmentStore.foldIsSafe(spark, indexPath, checkpointDir)) {
-      compact(spark, indexPath, labelsPath, maxDocsPerGram)
-      SegmentStore.Compacted
-    } else SegmentStore.CompactDeferred
+    else SegmentStore.checkedFold(spark, indexPath, checkpointDir)(
+      upTo =>
+        compactPrefix(spark, indexPath, labelsPath, upTo, maxDocsPerGram))
+  }
+
+  /** Committed-prefix [[compact]]: flatten and fold only the segments
+    * with `ingest_batch <= upTo` (the bootstrap plus every COMMITTED
+    * batch), leaving newer — still replayable — segments in place with
+    * their replay protection intact. This is also the ONLY fold that
+    * can bound the INDEX store's segment count: [[compact]]
+    * deliberately preserves per-batch index partitioning because it
+    * cannot know which batches are still replayable, but a committed
+    * batch is never replayed, so its index segment folds freely.
+    *
+    * LABELS correctness across the partial fold: the flatten is pure
+    * path compression of the prefix pointer graph (every prefix id
+    * rewritten to its prefix-component minimum), which preserves both
+    * final resolution and reachability for chains that continue
+    * through live segments — a live row's target is a component
+    * minimum AT ITS WRITE TIME, so it is never an id the prefix
+    * flatten re-points past (an id with an outgoing prefix row was not
+    * a minimum then). The depth bound after the fold is
+    * `min(recorded, flattenedDepth + liveLabelSegments)` — the prefix
+    * contributes at most one generation post-flatten and each live
+    * batch's segment at most one (the structural per-batch deepening
+    * bound) — written AFTER the fold so a crash can only leave the old
+    * (over-estimating, safe) bound. A legacy store (no depth metadata)
+    * gains the structural bound, upgrading it to the lazy probe path.
+    */
+  def compactPrefix(spark: SparkSession, indexPath: String,
+      labelsPath: String, upTo: Long, maxDocsPerGram: Int = 1000): Unit = {
+    SegmentStore.completeFold(spark, indexPath)
+    SegmentStore.completeFold(spark, labelsPath)
+    // ---- labels: path-compress the prefix, fold into segment -1 ----
+    val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
+      .filter(col("ingest_batch") <= upTo)
+    val latest = lbl.groupBy(col("id"))
+      .agg(max_by(struct(col("label"), col("ingest_batch")),
+        col("ingest_batch")).as("b"))
+      .select(col("id"), col("b.label").as("label"))
+    val resolved = Dedup.connectedComponentsBounded(
+        latest.select(col("id").as("id_a"), col("label").as("id_b")),
+        eagerInput = true, tag = "FamilyStore.compactPrefix")
+      .withColumnRenamed("label", "final")
+    val flat = latest.join(resolved, Seq("id"), "left")
+      .select(col("id"), coalesce(col("final"), col("label")).as("label"))
+      .filter(col("id") =!= col("label"))
+      .localCheckpoint(true)
+    SegmentStore.foldPrefix(spark, labelsPath, upTo, flat)
+    val nLive = SegmentStore.segmentIds(spark, labelsPath).count(_ > upTo)
+    val flattenedDepth = if (flat.isEmpty) 0L else 1L
+    val bound = SegmentStore.readMeta(spark, labelsPath, "depth")
+      .fold(flattenedDepth + nLive)(old =>
+        old.min(flattenedDepth + nLive))
+    SegmentStore.writeMeta(spark, labelsPath, "depth", bound)
+    // a folded (committed) bumping batch can never be replayed — re-arm
+    // the replay-idempotence sentinel; a LIVE bumping batch keeps it
+    if (SegmentStore.readMeta(spark, labelsPath, "depth_batch")
+        .forall(_ <= upTo))
+      SegmentStore.writeMeta(spark, labelsPath, "depth_batch", -1L)
+
+    // ---- index: fold the prefix, collapsing globally-over-cap ----
+    // totals across the WHOLE store (counts only grow, so a gram over
+    // cap globally can never contribute new edges again), rewrite
+    // restricted to the prefix rows the fold owns
+    val idx = SegmentStore.read(spark, indexPath, IndexSchema)
+    val totals = idx.groupBy(col("h"))
+      .agg((sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)) +
+        coalesce(sum(when(col("doc_id").isNull, col("n_docs"))), lit(0L)))
+        .as("__tot"))
+      .filter(col("__tot") > maxDocsPerGram)
+      .select(col("h"))
+    val prefixIdx = idx.filter(col("ingest_batch") <= upTo)
+    val over = prefixIdx.join(totals, Seq("h"), "left_semi")
+    val under = prefixIdx.join(totals, Seq("h"), "left_anti")
+    val collapsed = over.groupBy(col("h"), col("band"))
+      .agg((sum(when(col("doc_id").isNotNull, 1L).otherwise(0L)) +
+        coalesce(sum(when(col("doc_id").isNull, col("n_docs"))), lit(0L)))
+        .as("n_docs"))
+      .select(col("h"), lit(null).cast("long").as("doc_id"),
+        col("n_docs"), col("band"))
+    val foldedIdx = under
+      .select(col("h"), col("doc_id"), col("n_docs"), col("band"))
+      .unionByName(collapsed)
+      .repartition(col("band"))
+      .localCheckpoint(true)
+    SegmentStore.foldPrefix(spark, indexPath, upTo, foldedIdx, Seq("band"))
   }
 
   /** Periodic maintenance — the only job that touches corpus-scale

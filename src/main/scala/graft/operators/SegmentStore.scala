@@ -60,10 +60,28 @@ object SegmentStore {
     * object doc), optionally partition-pruning one batch's own segment
     * out (the replay contract: a replayed batch must recompute against
     * the pre-append state, not its own previously-written rows).
+    * Marker-aware: when a committed-prefix fold is mid-protocol (the
+    * `_fold_upto` marker is present — see [[foldPrefix]]), the folded
+    * view is served (staging as the bootstrap segment, folded segments
+    * excluded), so readers see a consistent store at every instant of
+    * the fold.
     */
   def read(spark: SparkSession, path: String, schema: StructType,
       excludeBatch: Option[Long] = None): DataFrame = {
-    val base = spark.read.schema(schema).parquet(path)
+    val base0 = spark.read.schema(schema).parquet(path)
+    val base = pendingFoldUpto(spark, path) match {
+      case None => base0
+      case Some(upTo) =>
+        val st = stagingPath(path)
+        val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(st))
+          spark.read.schema(schema).parquet(st.toString)
+            .withColumn("ingest_batch", lit(-1L))
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+            .unionByName(base0.filter(col("ingest_batch") > upTo))
+        else base0.filter(
+          col("ingest_batch") === -1L || col("ingest_batch") > upTo)
+    }
     excludeBatch.foldLeft(base)((d, b) =>
       d.filter(col("ingest_batch") =!= b))
   }
@@ -144,6 +162,179 @@ object SegmentStore {
     * commits.
     */
   case object CompactDeferred extends CompactOutcome
+  /** Trigger met with a replayable tail, but a COMMITTED PREFIX of the
+    * appended segments existed and was folded into the bootstrap
+    * segment; the replayable segments were left in place (their replay
+    * protection is intact). The under-load outcome: a never-idle
+    * stream's in-stream policy calls make progress through this path
+    * instead of deferring forever.
+    */
+  case object CompactedPrefix extends CompactOutcome
+
+  // --------------------------------------------------------------------
+  // Committed-prefix fold protocol (r17 headroom item: under
+  // fold-EVERYTHING semantics an in-stream policy call always defers —
+  // the just-written segment is uncommitted by construction — so a
+  // never-idle stream could only compact from a maintenance thread.
+  // Folding only the segments whose batches the checkpoint has
+  // committed is always replay-safe: a committed batch is never
+  // replayed, so it no longer needs its own partition for prune-out.)
+  //
+  // The fold replaces N directories by one while readers SUM (or
+  // max_by) across directories, so it cannot be done by in-place
+  // overwrites — any ordering leaves a crash window that double- or
+  // under-counts. Instead it is a staged swap around a tiny manifest
+  // marker (`_fold_upto` — the table-format commit-log idea at
+  // metadata-file scale), with the single marker-file CREATE as the
+  // atomic commit point:
+  //
+  //   1. write the folded replacement for the bootstrap segment to
+  //      `_fold_staging/` — underscore-prefixed, so segment listings
+  //      and parquet reads of the store root do not see it;
+  //   2. COMMIT: create `_fold_upto = upTo`. Marker-aware reads
+  //      ([[read]] / [[readRawView]]) now serve
+  //      staging ∪ segments > upTo; before the marker they served the
+  //      unchanged original store. Either side of this instant is a
+  //      complete, consistent view;
+  //   3. delete the old bootstrap directory and RENAME staging into
+  //      `ingest_batch=-1` (each intermediate state still serves:
+  //      staging present → staging is -1's content);
+  //   4. delete the folded segment directories (already excluded from
+  //      marked reads);
+  //   5. clear the marker.
+  //
+  // A crash anywhere resumes idempotently: [[completeFold]] (run at
+  // every policy entry) finishes 3-5 when the marker is present, and a
+  // stale staging dir without a marker (crash before 2) is inert and
+  // overwritten by the next fold.
+  // --------------------------------------------------------------------
+
+  private val FoldMeta = "fold_upto"
+
+  private def stagingPath(path: String) = new Path(path, "_fold_staging")
+
+  /** The pending committed-prefix fold marker, if a fold is
+    * mid-protocol (between its commit point and [[completeFold]]).
+    */
+  def pendingFoldUpto(spark: SparkSession, path: String): Option[Long] =
+    readMeta(spark, path, FoldMeta)
+
+  /** The consistent standing view for callers that read raw
+    * (schema-inferred) parquet rather than [[read]]: without a marker,
+    * the store as-is; with one, the folded view — staging (as segment
+    * -1) when it has not been renamed into place yet, plus the
+    * segments newer than the fold's bound.
+    */
+  def readRawView(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    pendingFoldUpto(spark, path) match {
+      case None => base
+      case Some(upTo) =>
+        val st = stagingPath(path)
+        val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(st)) {
+          // staging is never empty (foldPrefix short-circuits zero-row
+          // folds), so the inferred read is safe
+          val live = base.filter(col("ingest_batch") > upTo)
+          spark.read.parquet(st.toString)
+            .withColumn("ingest_batch", lit(-1L))
+            .select(base.columns.map(col).toIndexedSeq: _*)
+            .unionByName(live)
+        } else base.filter(
+          col("ingest_batch") === -1L || col("ingest_batch") > upTo)
+    }
+  }
+
+  /** Steps 3-5 of the fold protocol: swap staging into the bootstrap
+    * directory, delete the folded segment directories, clear the
+    * marker. Idempotent; no-op without a marker. Policy entry points
+    * call this first, healing a fold that crashed mid-protocol.
+    */
+  def completeFold(spark: SparkSession, path: String): Unit =
+    pendingFoldUpto(spark, path).foreach { upTo =>
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = stagingPath(path)
+      if (fs.exists(st)) {
+        fs.delete(new Path(path, "ingest_batch=-1"), true)
+        fs.rename(st, new Path(path, "ingest_batch=-1"))
+      }
+      segmentIds(spark, path)
+        .filter(id => id != -1L && id <= upTo)
+        .foreach(id => fs.delete(new Path(path, s"ingest_batch=$id"), true))
+      deleteMeta(spark, path, FoldMeta)
+    }
+
+  /** Steps 1-5 of the fold protocol. `folded` MUST be eagerly
+    * materialized by the caller (localCheckpoint — the swap below must
+    * not re-read what it replaces) and cover the bootstrap segment
+    * plus every appended segment `<= upTo`; it becomes the store's new
+    * bootstrap segment, laid out under `subPartitions`. A zero-row
+    * fold (every covered segment empty) skips the protocol — deleting
+    * empty directories is consistent at every instant unstaged.
+    */
+  def foldPrefix(spark: SparkSession, path: String, upTo: Long,
+      folded: DataFrame, subPartitions: Seq[String] = Nil): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = stagingPath(path)
+    fs.delete(st, true) // stale staging from an abandoned pre-commit fold
+    if (folded.isEmpty) {
+      segmentIds(spark, path)
+        .filter(id => id != -1L && id <= upTo)
+        .foreach(id => fs.delete(new Path(path, s"ingest_batch=$id"), true))
+    } else {
+      val w = folded.write.mode("overwrite")
+      (if (subPartitions.nonEmpty) w.partitionBy(subPartitions: _*) else w)
+        .parquet(st.toString)
+      writeMeta(spark, path, FoldMeta, upTo) // COMMIT POINT
+      completeFold(spark, path)
+    }
+  }
+
+  /** The decision core shared by the store families'
+    * `maybeCompactChecked`, entered with the trigger already met:
+    * `fold(upTo)` — the store's committed-prefix fold — is invoked
+    * with `Long.MaxValue` when every appended segment is committed
+    * (fold everything; [[Compacted]]), with the last committed batch
+    * when a replayable tail exists ([[CompactedPrefix]]), and not at
+    * all only when nothing is committed yet ([[CompactDeferred]]).
+    * Routing the all-committed case through the same staged fold keeps
+    * the checked policy crash-consistent everywhere (the plain
+    * `compact`s keep their documented wipe-and-rewrite maintenance
+    * trade) — and for [[FamilyStore]] it is also what lets the checked
+    * policy bound the INDEX store's segment count, which the plain
+    * compact must conservatively preserve. Heals a crashed fold first
+    * (cheap no-op otherwise). `decisionPath` is the store whose
+    * segments gate the decision (the appended superset — e.g.
+    * [[FamilyStore]] decides on the index store); sibling stores are
+    * healed by the store's own compactPrefix.
+    */
+  def checkedFold(spark: SparkSession, decisionPath: String,
+      checkpointDir: String)(fold: Long => Unit): CompactOutcome = {
+    completeFold(spark, decisionPath)
+    val appended = segmentIds(spark, decisionPath).filter(_ >= 0L)
+    val committed = lastCommittedBatch(spark, checkpointDir)
+    if (appended.isEmpty || committed.exists(_ >= appended.max)) {
+      fold(Long.MaxValue)
+      Compacted
+    } else committed match {
+      case Some(upTo) if appended.exists(_ <= upTo) =>
+        fold(upTo)
+        CompactedPrefix
+      case _ => CompactDeferred
+    }
+  }
+
+  /** Delete a metadata scalar written by [[writeMeta]]; no-op when
+    * absent.
+    */
+  def deleteMeta(spark: SparkSession, path: String, name: String): Unit = {
+    val p = new Path(path, s"_$name")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(p, false)
+    ()
+  }
 
   /** Write a store-level metadata scalar as `path/_<name>` (overwrites).
     * Driver-side Hadoop FS IO — no Spark job.

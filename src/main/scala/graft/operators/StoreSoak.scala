@@ -52,7 +52,13 @@ import org.apache.spark.sql.functions._
   *   "compacted":bool,"compact_sec":…}` plus a final
   * `{"mode":"chain","step":"probe",…}` line.
   *
-  * Usage: `runMain graft.operators.StoreSoak <sfDir> [minLen] [chain]`
+  * STREAM mode (r17 committed-prefix fold): `StoreSoak <sfDir>
+  * [minLen] stream` — the never-idle streaming chain where the only
+  * compaction opportunity is the in-stream policy call; see
+  * [[runStream]].
+  *
+  * Usage: `runMain graft.operators.StoreSoak <sfDir> [minLen]
+  * [chain|stream]`
   * Default mode prints one JSON line per store:
   * `{"store":"family"|"suffix","docs":N,"batch":N,"init_sec":…,
   *   "append_sec":…,"probe_sec":…,"probe_half_sec":…,"rerun_sec":…,
@@ -63,6 +69,7 @@ object StoreSoak {
     val dir = args(0)
     val minLen = if (args.length > 1) args(1).toInt else 25
     val chainMode = args.contains("chain")
+    val streamMode = args.contains("stream")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -73,6 +80,7 @@ object StoreSoak {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
+    if (streamMode) { runStream(spark, dir, minLen); return }
     if (chainMode) { runChain(spark, dir, minLen); return }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
@@ -178,6 +186,42 @@ object StoreSoak {
     }
   }
 
+  /** Planted-family construction shared by the chain and stream soaks.
+    *
+    * ISOLATION INVARIANT (r17 fix): the longest substring shared by
+    * two documents of DIFFERENT planted families must be shorter than
+    * the gram length, or the families merge already in the bootstrap
+    * and the "bridge k merges P(k) and P(k+1)" narrative is
+    * degenerate. The pre-r17 pads (`pl${i}aaaa`) violated this:
+    * `"aaaa" + "PLANTED-CHAIN-FAMILY-"` is a shared 25-char substring
+    * across ALL families, so every planted pair landed in ONE
+    * bootstrap family (caught by the stream soak's per-step
+    * merged-minimum assertion; the chain soaks' PARITY claims were
+    * unaffected — the one-shot oracle merges identically — but their
+    * per-step depth growth came from real-document merges, not the
+    * planted bridges). The pads now carry the family digits twice, so
+    * any cross-family common substring is at most
+    * 1 (pad overlap) + 22 (phrase prefix through the shared decade
+    * digit) = 23 < 24 <= minLen.
+    */
+  private[operators] val B = 1000000000000L
+  private[operators] def m(i: Int) = B - 50L * i
+  private[operators] def P(i: Int) =
+    f"PLANTED-CHAIN-FAMILY-$i%02d-PHRASE!!"
+  private[operators] def plantedPairs: Seq[(Long, String)] =
+    (1 to 11).flatMap { i =>
+      Seq(
+        (m(i), f"x$i%02dy$i%02dz" + P(i) + f"u$i%02dv$i%02dw"),
+        (m(i) + 1, f"c$i%02dd$i%02de" + P(i) + f"f$i%02dg$i%02dh"))
+    }
+  /** Bridge k's text: contains P(k) and P(k+1) whole (all pure-phrase
+    * grams shared with both planted pairs), with k-digit pads so two
+    * bridges share at most 2 + 22 = 24 < minLen... (pads `br${k}..`
+    * overlap on their trailing two letters only).
+    */
+  private[operators] def bridgeText(k: Int): String =
+    s"br${k}aa" + P(k) + s"br${k}bb" + P(k + 1) + "zz"
+
   /** The 10-append chain soak (see object doc). */
   private def runChain(spark: org.apache.spark.sql.SparkSession,
       dir: String, minLen: Int): Unit = {
@@ -189,17 +233,12 @@ object StoreSoak {
     }
     val docsRaw = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
-    require(minLen <= 31, s"planted chain phrases are 31 chars; got $minLen")
-    def P(i: Int) = f"PLANTED-CHAIN-FAMILY-$i%02d-PHRASE!!"
+    require(minLen >= 24 && minLen <= 31,
+      s"planted chain phrases assume 24 <= minLen <= 31; got $minLen")
     // planted families with DESCENDING minima far above the real id
     // space: every bridge re-points the previous component minimum at
     // a new, smaller one — one extra pointer generation per step
-    val B = 1000000000000L
-    def m(i: Int) = B - 50L * i
-    val planted = (1 to 11).flatMap { i =>
-      Seq((m(i), s"pl${i}aaaa" + P(i) + s"pl${i}bbbb"),
-        (m(i) + 1, s"pl${i}cccc" + P(i) + s"pl${i}dddd"))
-    }
+    val planted = plantedPairs
     val bootstrap = docsRaw.filter(col("doc_id") % 25 <= 13)
       .unionByName(planted.toDF("doc_id", "text")).localCheckpoint(true)
     val scratch = java.nio.file.Files
@@ -222,9 +261,7 @@ object StoreSoak {
     }
     var all = bootstrap
     for (k <- 1 to 10) {
-      val bridge = Seq(
-        (B + 1000000L + k,
-          s"br${k}aa" + P(k) + s"br${k}bb" + P(k + 1) + "zz"))
+      val bridge = Seq((B + 1000000L + k, bridgeText(k)))
       val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
         .unionByName(bridge.toDF("doc_id", "text")).localCheckpoint(true)
       val (fams, appendSec) = timed {
@@ -424,5 +461,140 @@ object StoreSoak {
       s""""probe_rows":$mProbeRows,"probe_sec":$mProbeSec,""" +
       s""""parity":$mParity,"rerun_sec":$mRerunSec,""" +
       s""""segments":${StreamingMinhashDedup.segmentCount(spark, mhIdxP)}}""")
+  }
+
+  /** The NEVER-IDLE streaming chain soak (r17 committed-prefix fold):
+    * a real `writeStream`/`foreachBatch` family-store chain at tier
+    * scale where the ONLY compaction opportunity is the in-stream
+    * policy call — no between-batch maintenance window exists, the
+    * shape a continuously-loaded production stream is permanently in.
+    * Ten micro-batches, each carrying a planted bridging doc (the
+    * chain-mode adversarial shape: every batch deepens the pointer
+    * chain), [[FamilyStore.maybeCompactChecked]] invoked INSIDE
+    * `foreachBatch` after each processBatch (where the just-written
+    * segment is uncommitted by construction — pre-r17 this could only
+    * defer), a stream restart mid-chain, a post-chain probe with
+    * parity vs the one-shot rerun, and a final all-committed checked
+    * fold. One JSON line per batch:
+    * `{"mode":"stream","step":k,"batch_sec":…,"outcome":"…",
+    *   "fold_sec":…,"depth":D,"segments":S,"own_segment":bool}`.
+    */
+  private def runStream(spark: org.apache.spark.sql.SparkSession,
+      dir: String, minLen: Int): Unit = {
+    import spark.implicits._
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val docsRaw = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    require(minLen >= 24 && minLen <= 31,
+      s"planted chain phrases assume 24 <= minLen <= 31; got $minLen")
+    val planted = plantedPairs
+    val bootstrap = docsRaw.filter(col("doc_id") % 25 <= 13)
+      .unionByName(planted.toDF("doc_id", "text")).localCheckpoint(true)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("streamsoak").toString
+    val (idxP, lblP, ckpt) =
+      (s"$scratch/idx", s"$scratch/lbl", s"$scratch/ckpt")
+    val (_, initSec) = timed {
+      FamilyStore.init(bootstrap, "doc_id", "text", idxP, lblP, minLen)
+    }
+    println(s"""{"mode":"stream","step":"init",""" +
+      s""""docs_so_far":${bootstrap.count()},"init_sec":$initSec}""")
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.Map.empty[Long, Long]
+    // per-batch observation from inside the callback:
+    // (outcome, foldSec, depthAfter, segmentsAfter, ownSegmentPresent)
+    val obs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double, Long, Long, Boolean)]
+    def start() = in.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        results ++= FamilyStore.processBatch(b, id, "doc_id", "text",
+          idxP, lblP, minLen).as[(Long, Long)].collect()
+        val (o, foldSec) = timed {
+          FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+            maxDepth = 4)
+        }
+        val (segs, depth) = FamilyStore.stats(spark, idxP, lblP)
+        obs += ((id, o.toString, foldSec, depth, segs,
+          SegmentStore.segmentIds(spark, idxP).contains(id)))
+        (): Unit
+      }.start()
+    var q = start()
+    var all = bootstrap
+    try {
+      for (k <- 1 to 10) {
+        if (k == 6) { q.stop(); q = start() } // restart mid-chain
+        val bridge = Seq((B + 1000000L + k, bridgeText(k)))
+        val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
+          .unionByName(bridge.toDF("doc_id", "text")).localCheckpoint(true)
+        val (_, batchSec) = timed {
+          in.addData(batch.as[(Long, String)].collect().toSeq: _*)
+          q.processAllAvailable()
+        }
+        all = all.unionByName(batch).localCheckpoint(true)
+        val (id, o, foldSec, depth, segs, own) = obs.last
+        require(results(B + 1000000L + k) == m(k + 1),
+          s"stream step $k: bridge must land on the merged minimum " +
+            s"${m(k + 1)}, got ${results(B + 1000000L + k)} " +
+            s"(batch id $id, outcome $o, depth $depth, segments $segs)")
+        require(o != "Compacted",
+          s"stream step $k: no in-stream call may full-fold")
+        require(own,
+          s"stream step $k: the replayable segment must survive a fold")
+        println(s"""{"mode":"stream","step":$k,"batch_id":$id,""" +
+          s""""batch_sec":$batchSec,"outcome":"$o",""" +
+          s""""fold_sec":$foldSec,"depth":$depth,"segments":$segs,""" +
+          s""""own_segment":$own}""")
+      }
+    } finally q.stop()
+    val nPrefix = obs.count(_._2 == "CompactedPrefix")
+    require(nPrefix >= 2,
+      s"the depth trigger must fold repeatedly UNDER LOAD ($obs)")
+    // post-chain read-only probe with one-shot parity
+    val probeB = docsRaw.filter(col("doc_id") % 25 === 24)
+      .localCheckpoint(true)
+    val ((probeRows, probe), probeSec) = timed {
+      val p = FamilyStore.probe(probeB, "doc_id", "text", idxP, lblP,
+        minLen).localCheckpoint(true)
+      (p.count(), p)
+    }
+    val (parity, rerunSec) = timed {
+      val fams = SuffixDedup.suffixFamilies(all.unionByName(probeB),
+        "doc_id", "text", minLen).withColumnRenamed("id", "doc_id")
+      val want = probeB.select(col("doc_id"))
+        .join(fams, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("family"))
+        .localCheckpoint(true)
+      want.exceptAll(probe).isEmpty && probe.exceptAll(want).isEmpty
+    }
+    require(parity, "stream post-chain probe parity broke")
+    // the stream is stopped — everything is committed, so the SAME
+    // policy entry now folds everything (Compacted) and resolution is
+    // unchanged
+    val (o2, finalFoldSec) = timed {
+      FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+        maxDepth = 0, maxSegments = 1)
+    }
+    val (probe2, probe2Sec) = timed {
+      FamilyStore.probe(probeB, "doc_id", "text", idxP, lblP, minLen)
+        .localCheckpoint(true)
+    }
+    val parity2 = probe2.exceptAll(probe).isEmpty &&
+      probe.exceptAll(probe2).isEmpty
+    require(o2 == SegmentStore.Compacted && parity2,
+      s"final all-committed fold must run full and preserve results ($o2)")
+    println(s"""{"mode":"stream","step":"probe","probe_rows":$probeRows,""" +
+      s""""probe_sec":$probeSec,"parity":$parity,"rerun_sec":$rerunSec,""" +
+      s""""prefix_folds":$nPrefix,""" +
+      s""""final_fold":"$o2","final_fold_sec":$finalFoldSec,""" +
+      s""""probe_after_full_fold_sec":$probe2Sec,"parity2":$parity2,""" +
+      s""""segments":${SegmentStore.segmentCount(spark, idxP)}}""")
   }
 }

@@ -100,20 +100,43 @@ object SuffixStore {
   }
 
   /** [[maybeCompact]] under the AUTOMATED checkpoint-safety rule (the
-    * [[FamilyStore.maybeCompactChecked]] shape, shared predicate
-    * [[SegmentStore.foldIsSafe]]): refuses to fold while any appended
-    * segment's batch lacks a commit file in the owning stream's
-    * checkpoint — in-stream calls defer by construction; between
-    * batches the fold proceeds when the trigger is met.
+    * [[FamilyStore.maybeCompactChecked]] shape, shared decision core
+    * [[SegmentStore.checkedFold]]): folds everything when every
+    * appended segment's batch has a commit file in the owning stream's
+    * checkpoint; with a replayable tail, folds the COMMITTED PREFIX
+    * ([[compactPrefix]] — replay-safe by construction, so a never-idle
+    * stream's in-stream policy calls make progress); only a store with
+    * NOTHING committed defers.
     */
   def maybeCompactChecked(spark: SparkSession, path: String,
       checkpointDir: String, maxSegments: Long = 64L,
       nBands: Int = 64): SegmentStore.CompactOutcome = {
     if (segmentCount(spark, path) <= maxSegments) SegmentStore.CompactIdle
-    else if (SegmentStore.foldIsSafe(spark, path, checkpointDir)) {
-      compact(spark, path, nBands)
-      SegmentStore.Compacted
-    } else SegmentStore.CompactDeferred
+    else SegmentStore.checkedFold(spark, path, checkpointDir)(
+      upTo => compactPrefix(spark, path, upTo, nBands))
+  }
+
+  /** Committed-prefix [[compact]]: fold only the segments with
+    * `ingest_batch <= upTo` (the bootstrap plus every COMMITTED batch)
+    * into segment -1, leaving newer — still replayable — segments in
+    * place with their replay protection intact. Exact for this store at
+    * every instant: the probe SUMS `n_occ` across segments, and the
+    * fold preserves per-hash totals; the [[SegmentStore.foldPrefix]]
+    * marker keeps concurrent readers from double-counting between the
+    * -1 rewrite and the folded-segment deletes.
+    */
+  def compactPrefix(spark: SparkSession, path: String, upTo: Long,
+      nBands: Int = 64): Unit = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    SegmentStore.completeFold(spark, path)
+    val folded = SegmentStore.read(spark, path, Schema)
+      .filter(col("ingest_batch") <= upTo)
+      .groupBy(col("h"))
+      .agg(sum(col("n_occ")).as("n_occ"))
+      .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
+      .repartition(col("band"))
+      .localCheckpoint(true)
+    SegmentStore.foldPrefix(spark, path, upTo, folded, Seq("band"))
   }
 
   /** Maintenance: fold every segment's counts into one row per hash in

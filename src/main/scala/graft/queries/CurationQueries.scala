@@ -489,6 +489,57 @@ object CurationQueries {
         idxP, lblP, minLen = 25)
         .select(col("doc_id"), asLong(col("family")).as("family"))
         .orderBy("doc_id")
+    }),
+
+    // the UNDER-LOAD fold gate (r17: committed-prefix fold — the
+    // standing headroom item after r16 closed the fold-everything
+    // safety rule, whose in-stream calls could only DEFER): bootstrap
+    // from 60%, append batches 0 and 1, then fold in the state a
+    // never-idle stream is permanently in — batch 0 committed, batch 1
+    // still replayable. maybeCompactChecked must take the
+    // CompactedPrefix path (folding index AND label segments <= 0 into
+    // the bootstrap segment through the staged marker protocol, which
+    // the plain compact can never do for the index store), after which
+    // batch 1 REPLAYS against the folded store (the at-least-once
+    // restart shape) and the chain continues with batch 2. Oracle: the
+    // one-shot whole-slice family chain restricted to the probe batch
+    // — a hash match proves fold-under-load ∘ replay ∘ append ≡ full
+    // rebuild. The outcome is require-checked so the gate cannot pass
+    // trivially by never folding.
+    "q_family_fold_live" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      val corpus = docs.filter(col("doc_id") % 10 >= 1 &&
+        col("doc_id") % 10 <= 6)
+      val probe = docs.filter(col("doc_id") % 10 === 0)
+      val base = System.getProperty("java.io.tmpdir") +
+        s"/graft_famfold_${s.sparkContext.applicationId}/r"
+      val (idxP, lblP) = (s"$base/idx", s"$base/lbl")
+      graft.operators.FamilyStore.init(corpus, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+      for (m <- Seq(7, 8))
+        graft.operators.FamilyStore.processBatch(
+          docs.filter(col("doc_id") % 10 === m), (m - 7).toLong,
+          "doc_id", "text", idxP, lblP, minLen = 25)
+      val ckpt = java.nio.file.Files.createTempDirectory("famfoldck")
+      java.nio.file.Files.createDirectories(ckpt.resolve("commits"))
+      java.nio.file.Files.writeString(
+        ckpt.resolve("commits").resolve("0"), "v1\n{}")
+      val o = graft.operators.FamilyStore.maybeCompactChecked(s, idxP,
+        lblP, ckpt.toString, maxSegments = 1)
+      require(o == graft.operators.SegmentStore.CompactedPrefix,
+        s"q_family_fold_live: expected CompactedPrefix, got $o")
+      // at-least-once: the replayable batch reprocesses under its id
+      // against the folded store, then the chain continues
+      graft.operators.FamilyStore.processBatch(
+        docs.filter(col("doc_id") % 10 === 8), 1L,
+        "doc_id", "text", idxP, lblP, minLen = 25)
+      graft.operators.FamilyStore.processBatch(
+        docs.filter(col("doc_id") % 10 === 9), 2L,
+        "doc_id", "text", idxP, lblP, minLen = 25)
+      graft.operators.FamilyStore.probe(probe, "doc_id", "text",
+        idxP, lblP, minLen = 25)
+        .select(col("doc_id"), asLong(col("family")).as("family"))
+        .orderBy("doc_id")
     })
   )
 
@@ -901,6 +952,36 @@ object CurationQueries {
     // sliced doc is in the store (bootstrap ∪ A1..A3) or the probe
     // batch, so the rerun restricted to the probe batch IS the oracle
     "q_family_chain" ->
+      """WITH RECURSIVE pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
+        |pos AS (SELECT doc_id, pos,
+        |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
+        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+        |dg AS (SELECT DISTINCT gram, doc_id FROM pos JOIN dup USING (gram)),
+        |keep AS (SELECT gram FROM dg GROUP BY gram
+        |  HAVING count(*) >= 2 AND count(*) <= 1000),
+        |prs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+        |  FROM dg a JOIN keep USING (gram) JOIN dg b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |edges AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+        |reach(id, r) AS (
+        |  SELECT u, u FROM edges
+        |  UNION
+        |  SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.id),
+        |fam AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS family
+        |  FROM reach GROUP BY id)
+        |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
+        |FROM documents d LEFT JOIN fam f USING (doc_id)
+        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 2000
+        |ORDER BY doc_id""".stripMargin,
+
+    // probe after (append, append, UNDER-LOAD committed-prefix fold,
+    // replay, append) ≡ one-shot rebuild: same whole-slice contract as
+    // q_family_chain — the fold changes the store's layout, never its
+    // resolution
+    "q_family_fold_live" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text

@@ -78,10 +78,14 @@ object StreamingMinhashDedup {
     val spark = batch.sparkSession
     // a REPLAYED batch must not probe its own previously-written rows:
     // partition-prune them out of the standing read (self-pairs and
-    // double-counted band matches otherwise)
-    val standingIdx = spark.read.parquet(indexPath)
+    // double-counted band matches otherwise). The marker-aware view
+    // (shared fold plumbing): mid-[[compactPrefix]] the folded
+    // segments' rows are served from the staged bootstrap segment.
+    val standingIdx = graft.operators.SegmentStore
+      .readRawView(spark, indexPath)
       .filter(col("ingest_batch") =!= batchId)
-    val standingTexts = spark.read.parquet(textPath)
+    val standingTexts = graft.operators.SegmentStore
+      .readRawView(spark, textPath)
       .filter(col("ingest_batch") =!= batchId)
       .drop("ingest_batch")
     // eager: the probe must see the PRE-append store (lazy evaluation
@@ -142,11 +146,13 @@ object StreamingMinhashDedup {
 
   /** [[maybeCompact]] under the AUTOMATED checkpoint-safety rule (the
     * [[graft.operators.FamilyStore.maybeCompactChecked]] shape, shared
-    * predicate [[graft.operators.SegmentStore.foldIsSafe]]): refuses to
-    * fold while any appended segment's batch lacks a commit file in
-    * the owning stream's checkpoint — in-stream calls defer by
-    * construction; between batches the fold proceeds when the trigger
-    * is met.
+    * decision core [[graft.operators.SegmentStore.checkedFold]]): a
+    * full fold runs only when every appended segment's batch has a
+    * commit file in the owning stream's checkpoint; with a replayable
+    * tail, the COMMITTED PREFIX is folded instead ([[compactPrefix]] —
+    * replay-safe by construction, so a never-idle stream's in-stream
+    * policy calls make progress); only a store with NOTHING committed
+    * defers.
     */
   def maybeCompactChecked(spark: SparkSession, indexPath: String,
       textPath: String, checkpointDir: String, maxSegments: Long = 64L)
@@ -154,10 +160,39 @@ object StreamingMinhashDedup {
     import graft.operators.SegmentStore
     if (segmentCount(spark, indexPath) <= maxSegments)
       SegmentStore.CompactIdle
-    else if (SegmentStore.foldIsSafe(spark, indexPath, checkpointDir)) {
-      compactIndex(spark, indexPath, textPath)
-      SegmentStore.Compacted
-    } else SegmentStore.CompactDeferred
+    else SegmentStore.checkedFold(spark, indexPath, checkpointDir)(
+      upTo => compactPrefix(spark, indexPath, textPath, upTo))
+  }
+
+  /** Committed-prefix [[compactIndex]]: fold only the segments with
+    * `ingest_batch <= upTo` (bootstrap + every COMMITTED batch) of
+    * BOTH stores into segment -1, re-freezing the folded rows'
+    * `bucket_sz` over the PREFIX (the same truth-restoration the full
+    * fold applies globally, restricted to the rows it owns; live
+    * segments keep their per-segment frozen sizes — the documented
+    * drift-until-compaction contract). Replayable segments stay in
+    * place, so the fold is safe under a running stream; the
+    * [[graft.operators.SegmentStore.foldPrefix]] marker keeps
+    * concurrent probes consistent mid-protocol.
+    */
+  def compactPrefix(spark: SparkSession, indexPath: String,
+      textPath: String, upTo: Long): Unit = {
+    import graft.operators.SegmentStore
+    SegmentStore.completeFold(spark, indexPath)
+    SegmentStore.completeFold(spark, textPath)
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("ingest_batch") <= upTo)
+      .drop("bucket_sz", "ingest_batch")
+      .withColumn("bucket_sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .repartition(col("band"))
+      .localCheckpoint(true)
+    SegmentStore.foldPrefix(spark, indexPath, upTo, idx, Seq("band"))
+    val txt = spark.read.parquet(textPath)
+      .filter(col("ingest_batch") <= upTo)
+      .drop("ingest_batch")
+      .localCheckpoint(true)
+    SegmentStore.foldPrefix(spark, textPath, upTo, txt)
   }
 
   /** Periodic maintenance: fold EVERY segment — index and texts — into

@@ -314,6 +314,72 @@ class FamilyStoreSpec extends AnyFunSuite {
       s"deep chase must land on the final minimum ${m(11)}: $got")
   }
 
+  test("committed-prefix fold (under-load compaction): with a " +
+      "replayable tail the trigger flattens and folds ONLY the " +
+      "committed segments — including INDEX segments, which the full " +
+      "compact must preserve — probes and the tail's replay are " +
+      "unchanged, and the depth bound tightens to prefix+tail") {
+    def P(i: Int) = f"FAMILY-$i%02d-SHARED-PHRASE!!!"
+    def m(i: Int) = 1000L - 50L * i
+    val corpus = (1 to 4).flatMap { i =>
+      Seq((m(i), s"pad${i}aaaa" + P(i) + s"pad${i}bbbb"),
+        (m(i) + 1, s"pad${i}cccc" + P(i) + s"pad${i}dddd"))
+    }
+    val (idxP, lblP) = tmp("famprefix")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP, lblP, L)
+    // three bridging batches, each deepening the chain one generation
+    var all = corpus
+    for (i <- 1 to 3) {
+      val bridge = Seq(
+        (3000L + i, s"br${i}aa" + P(i) + s"br${i}bb" + P(i + 1) + "zz"))
+      FamilyStore.processBatch(df(bridge), (i - 1).toLong, "doc_id",
+        "text", idxP, lblP, L)
+      all = all ++ bridge
+    }
+    assert(FamilyStore.stats(spark, idxP, lblP) == ((4L, 4L)))
+    val late = Seq((5000L, "lateLateLa" + P(1) + "teLateLate"))
+    val want = oneShot(all ++ late, Set(5000L))
+    assert(probeMap(late, idxP, lblP) == want)
+    // batches 0,1 committed; batch 2 still replayable
+    val ckpt = java.nio.file.Files.createTempDirectory("fampfxck")
+      .toString
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+    java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+    assert(FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+      maxDepth = 2) == SegmentStore.CompactedPrefix)
+    // the fold bounded BOTH stores' segment counts — the full compact
+    // can never fold index segments (replayability unknown); the
+    // committed prefix folds freely
+    assert(SegmentStore.segmentIds(spark, idxP).sorted == Seq(-1L, 2L),
+      "committed index segments folded, replayable tail in place")
+    assert(SegmentStore.segmentIds(spark, lblP).sorted == Seq(-1L, 2L),
+      "committed label segments flattened into the bootstrap segment")
+    // depth bound: flattened prefix (1) + one live label segment
+    assert(FamilyStore.stats(spark, idxP, lblP)._2 == 2L,
+      "depth bound must tighten to flattenedPrefix + liveSegments")
+    // probe parity: the deep chase resolves to the same final minimum
+    // through the flattened prefix + live tail
+    val got = probeMap(late, idxP, lblP)
+    assert(got == want && got(5000L) == m(4))
+    // the replayable batch's exactly-once contract survived the fold:
+    // reprocessing batch 2 under its id returns the same families and
+    // later probes are unchanged
+    val bridge3 = Seq((3003L, "br3aa" + P(3) + "br3bb" + P(4) + "zz"))
+    val replayed = FamilyStore.processBatch(df(bridge3), 2L, "doc_id",
+      "text", idxP, lblP, L).as[(Long, Long)].collect().toMap
+    assert(replayed == oneShot(all, Set(3003L)) &&
+      replayed(3003L) == m(4),
+      s"post-fold replay must equal the one-shot rerun: $replayed")
+    assert(probeMap(late, idxP, lblP) == want)
+    // once batch 2 commits, the next trigger folds everything
+    java.nio.file.Files.writeString(commits.resolve("2"), "v1\n{}")
+    assert(FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+      maxDepth = 0, maxSegments = 1) == SegmentStore.Compacted)
+    assert(probeMap(late, idxP, lblP) == want)
+  }
+
   test("frozen-cap semantics ACROSS segments: a gram the append pushes " +
       "over the combined cap blocks new edges, but the standing family " +
       "built under the cap keeps its labels") {

@@ -106,6 +106,105 @@ class SegmentStoreSpec extends AnyFunSuite {
     assert(SegmentStore.foldIsSafe(spark, store, ckpt))
   }
 
+  test("committed-prefix fold protocol: foldPrefix folds exactly the " +
+      "segments <= upTo into the bootstrap segment, leaves the " +
+      "replayable tail in place, and serves a CONSISTENT view at " +
+      "every crash point of the protocol") {
+    val path = tmp()
+    SegmentStore.writeSegment(Seq((1L, 10L)).toDF("k", "v"), -1L, path)
+    SegmentStore.writeSegment(Seq((1L, 5L)).toDF("k", "v"), 0L, path,
+      dynamic = true)
+    SegmentStore.writeSegment(Seq((2L, 7L)).toDF("k", "v"), 1L, path,
+      dynamic = true)
+    SegmentStore.writeSegment(Seq((3L, 9L)).toDF("k", "v"), 2L, path,
+      dynamic = true)
+    def view(): Set[(Long, Long, Long)] =
+      SegmentStore.read(spark, path, Schema)
+        .as[(Long, Long, Long)].collect().toSet
+    val before = view()
+    // the folded replacement for segments {-1, 0, 1}: summed per key
+    val folded = Seq((1L, 15L), (2L, 7L)).toDF("k", "v")
+      .localCheckpoint(true)
+
+    // --- protocol stages replayed by hand (every crash window) ---
+    // stage 1: staging written, NO marker yet — readers see the
+    // ORIGINAL store unchanged
+    folded.write.mode("overwrite").parquet(s"$path/_fold_staging")
+    assert(view() == before, "pre-commit staging must be invisible")
+    // stage 2 (COMMIT): marker created — readers flip to the folded
+    // view (staging as bootstrap + the live tail) atomically
+    SegmentStore.writeMeta(spark, path, "fold_upto", 1L)
+    val foldedView = Set((1L, 15L, -1L), (2L, 7L, -1L), (3L, 9L, 2L))
+    assert(view() == foldedView, "marked read must serve staging + tail")
+    // raw (schema-inferred) readers get the same view
+    assert(SegmentStore.readRawView(spark, path)
+      .select("k", "v", "ingest_batch")
+      .as[(Long, Long, Long)].collect().toSet == foldedView)
+    // stage 3-5: completeFold heals — staging renamed into the
+    // bootstrap dir, folded segments deleted, marker cleared
+    SegmentStore.completeFold(spark, path)
+    assert(view() == foldedView, "post-heal content identical")
+    assert(SegmentStore.segmentIds(spark, path).sorted == Seq(-1L, 2L))
+    assert(SegmentStore.pendingFoldUpto(spark, path).isEmpty)
+    SegmentStore.completeFold(spark, path) // idempotent no-op
+    assert(view() == foldedView)
+
+    // the one-call form produces the same end state on a fresh store
+    val p2 = tmp()
+    SegmentStore.writeSegment(Seq((1L, 10L)).toDF("k", "v"), -1L, p2)
+    SegmentStore.writeSegment(Seq((1L, 5L)).toDF("k", "v"), 0L, p2,
+      dynamic = true)
+    SegmentStore.writeSegment(Seq((2L, 7L)).toDF("k", "v"), 1L, p2,
+      dynamic = true)
+    SegmentStore.writeSegment(Seq((3L, 9L)).toDF("k", "v"), 2L, p2,
+      dynamic = true)
+    SegmentStore.foldPrefix(spark, p2, 1L,
+      Seq((1L, 15L), (2L, 7L)).toDF("k", "v").localCheckpoint(true))
+    assert(SegmentStore.read(spark, p2, Schema)
+      .as[(Long, Long, Long)].collect().toSet == foldedView)
+    assert(SegmentStore.segmentIds(spark, p2).sorted == Seq(-1L, 2L))
+  }
+
+  test("checkedFold decision core: full fold when everything is " +
+      "committed, committed-prefix fold with a replayable tail, defer " +
+      "only when nothing is committed") {
+    def store(): String = {
+      val path = tmp()
+      SegmentStore.writeSegment(Seq((1L, 10L)).toDF("k", "v"), -1L, path)
+      SegmentStore.writeSegment(Seq((2L, 20L)).toDF("k", "v"), 0L, path,
+        dynamic = true)
+      SegmentStore.writeSegment(Seq((3L, 30L)).toDF("k", "v"), 1L, path,
+        dynamic = true)
+      path
+    }
+    def ckptWith(committed: Long*): String = {
+      val ckpt = java.nio.file.Files.createTempDirectory("cfckpt")
+        .toString
+      val commits = java.nio.file.Paths.get(ckpt, "commits")
+      java.nio.file.Files.createDirectories(commits)
+      committed.foreach(b => java.nio.file.Files.writeString(
+        commits.resolve(b.toString), "v1\n{}"))
+      ckpt
+    }
+    var ran = ""
+    def run(path: String, ckpt: String) =
+      SegmentStore.checkedFold(spark, path, ckpt)(upTo =>
+        ran = if (upTo == Long.MaxValue) "full" else s"prefix:$upTo")
+    // nothing committed → defer, no fold ran
+    ran = ""
+    assert(run(store(), ckptWith()) == SegmentStore.CompactDeferred)
+    assert(ran == "")
+    // batch 0 committed, batch 1 replayable → prefix fold up to 0
+    ran = ""
+    assert(run(store(), ckptWith(0L)) == SegmentStore.CompactedPrefix)
+    assert(ran == "prefix:0")
+    // everything committed → fold everything (upTo = ∞ through the
+    // same staged protocol)
+    ran = ""
+    assert(run(store(), ckptWith(0L, 1L)) == SegmentStore.Compacted)
+    assert(ran == "full")
+  }
+
   test("wipe deletes the store on its own filesystem and is a no-op " +
       "on a missing path") {
     val path = tmp()

@@ -171,6 +171,58 @@ class SuffixStoreSpec extends AnyFunSuite {
       maxSegments = 1L) == SegmentStore.CompactIdle)
   }
 
+  test("committed-prefix fold (under-load compaction): with a " +
+      "replayable tail the trigger folds ONLY the committed segments, " +
+      "probes are unchanged, the tail's replay stays idempotent, and " +
+      "a later full commit folds the rest") {
+    val phrase = "phrase in all tiers!"
+    val corpus = Seq((1L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val batches = (1 to 3).map(i =>
+      Seq((100L + i, s"seg${i}huhu" + phrase + s"seg${i}haha")))
+    val dir = java.nio.file.Files.createTempDirectory("sfxprefix")
+      .toString + "/idx"
+    val ckpt = java.nio.file.Files.createTempDirectory("sfxprefixck")
+      .toString
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      SuffixStore.processBatch(df(b), i.toLong, "doc_id", "text", dir, L)
+    }
+    val all = corpus ++ batches.flatten
+    val late = Seq((200L, "hhhhjjjjkk" + phrase + "lllzzzxxxcc"))
+    val before = SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(before == oneShot(all ++ late, Set(200L)))
+    // batches 0 and 1 committed; batch 2 still replayable
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+    java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+    assert(SuffixStore.maybeCompactChecked(spark, dir, ckpt,
+      maxSegments = 1L) == SegmentStore.CompactedPrefix)
+    assert(SegmentStore.segmentIds(spark, dir).sorted == Seq(-1L, 2L),
+      "committed prefix folded, replayable tail left in place")
+    assert(SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet == before,
+      "prefix fold must not change probe results")
+    // the replayable batch's exactly-once contract survived the fold:
+    // reprocessing batch 2 under its id gives identical spans and does
+    // not change the store's totals
+    val replayed = SuffixStore.processBatch(df(batches(2)), 2L,
+      "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(replayed == oneShot(all, Set(103L)),
+      "post-fold replay must equal the one-shot rerun")
+    assert(SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet == before)
+    // once batch 2 commits, the next trigger folds everything
+    java.nio.file.Files.writeString(commits.resolve("2"), "v1\n{}")
+    assert(SuffixStore.maybeCompactChecked(spark, dir, ckpt,
+      maxSegments = 1L) == SegmentStore.Compacted)
+    assert(SegmentStore.segmentIds(spark, dir) == Seq(-1L))
+    assert(SuffixStore.probe(df(late), "doc_id", "text", dir, L)
+      .as[(Long, Long, Long, Long)].collect().toSet == before)
+  }
+
   test("the broadcast contract is enforced, not comment-only: a batch " +
       "past maxBatchKeys is refused loudly with the re-index advice") {
     val corpus = Seq((1L, "corpus text long enough to index AAA"))

@@ -329,6 +329,74 @@ class StreamingCorpusSpec extends AnyFunSuite {
     assert(StreamingMinhashDedup.segmentCount(spark, idxP) == 1L)
   }
 
+  test("committed-prefix fold (under-load compaction, minhash grain): " +
+    "with a replayable tail the trigger folds ONLY the committed " +
+    "segments of index AND texts, re-freezes the folded rows' bucket " +
+    "sizes over the prefix, probes are unchanged, and the tail's " +
+    "replay stays idempotent") {
+    import spark.implicits._
+    import graft.operators.{Dedup, SegmentStore}
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val novel = "fresh unrelated prose mentioning parquet shuffles " +
+      "broadcast joins and adaptive execution plans " * 6
+    val corpus = Seq((0L, base.trim)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("smhpfx").toString
+    val (idxP, txtP) = (s"$dir/index", s"$dir/texts")
+    StreamingMinhashDedup.initIndex(corpus, "doc_id", "text", idxP, txtP)
+    val batches = Seq(
+      Seq((100L, base.trim)),                               // dups corpus
+      Seq((110L, novel.trim)),                              // seeds
+      Seq((120L, novel.trim.replace("adaptive", "dynamic")))) // dups b1
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamingMinhashDedup.processBatch(b.toDF("doc_id", "text"),
+        i.toLong, "doc_id", "text", idxP, txtP, threshold = 0.5)
+    }
+    val late = Seq((200L, base.trim.replace("lazy", "sleepy")),
+      (201L, novel.trim.replace("joins", "hashes")))
+      .toDF("doc_id", "text")
+    def probePairs(): Set[(Long, Long)] =
+      Dedup.incrementalMinhashPairs(late,
+          SegmentStore.readRawView(spark, txtP).drop("ingest_batch"),
+          SegmentStore.readRawView(spark, idxP), "doc_id", "text",
+          threshold = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val before = probePairs()
+    assert(before.contains((0L, 200L)) && before.contains((110L, 201L)))
+    // batches 0,1 committed; batch 2 replayable → prefix fold only
+    val ckpt = java.nio.file.Files.createTempDirectory("smhpfxck")
+      .toString
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    java.nio.file.Files.createDirectories(commits)
+    java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+    java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+    assert(StreamingMinhashDedup.maybeCompactChecked(spark, idxP, txtP,
+      ckpt, maxSegments = 1) == SegmentStore.CompactedPrefix)
+    assert(SegmentStore.segmentIds(spark, idxP).sorted == Seq(-1L, 2L) &&
+      SegmentStore.segmentIds(spark, txtP).sorted == Seq(-1L, 2L),
+      "committed prefix folded in BOTH stores, tail left in place")
+    assert(probePairs() == before,
+      "prefix fold must not change probe results")
+    // folded rows' bucket sizes are re-frozen over the prefix: within
+    // segment -1 every (band, bucket) records its own row count
+    val stale = spark.read.parquet(idxP)
+      .filter($"ingest_batch" === -1L)
+      .groupBy($"band", $"bucket")
+      .agg(org.apache.spark.sql.functions.max($"bucket_sz").as("sz"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .filter($"sz" =!= $"n").count()
+    assert(stale == 0L, "prefix fold must re-freeze folded bucket sizes")
+    // the replayable batch's exactly-once contract survived: replaying
+    // batch 2 yields the same pairs and leaves the store stable
+    val replayed = StreamingMinhashDedup.processBatch(
+      batches(2).toDF("doc_id", "text"), 2L, "doc_id", "text", idxP,
+      txtP, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replayed == Set((110L, 120L)),
+      s"post-fold replay must re-find the cross-batch pair: $replayed")
+    assert(probePairs() == before)
+  }
+
   test("index-append is replay-idempotent: reprocessing a micro-batch " +
     "(foreachBatch at-least-once) overwrites its own partition instead " +
     "of duplicating it") {

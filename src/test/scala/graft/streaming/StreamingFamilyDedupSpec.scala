@@ -55,11 +55,12 @@ class StreamingFamilyDedupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("10-micro-batch streaming chain (r16 verdict #4): every bridge " +
-      "resolves through the store, maybeCompactChecked COMPACTS between " +
-      "batches under the automated checkpoint-safety rule, DEFERS " +
-      "in-stream (the just-written segment is uncommitted by " +
-      "construction), and the chain survives a restart mid-chain") {
+  test("10-micro-batch NEVER-IDLE streaming chain (r16 verdict #4 + " +
+      "r17 committed-prefix fold): the ONLY policy calls run in-stream " +
+      "— each folds the committed prefix, never the just-written " +
+      "replayable segment, never defers once anything is committed — " +
+      "depth stays bounded under load with no maintenance window, and " +
+      "the chain survives a restart mid-chain") {
     import graft.operators.{FamilyStore, SegmentStore}
     // planted families with DESCENDING minima: bridge k merges P(k)
     // and P(k+1), re-pointing the previous component minimum — one
@@ -77,21 +78,24 @@ class StreamingFamilyDedupSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
     val sink = scala.collection.mutable.Map.empty[Long, Long]
-    val inStream =
-      scala.collection.mutable.ArrayBuffer.empty[SegmentStore.CompactOutcome]
+    // per in-stream call: (batchId, outcome, own segment survived?)
+    val inStream = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, SegmentStore.CompactOutcome, Boolean)]
     def start() = in.toDF().toDF("doc_id", "text").writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
         sink ++= FamilyStore.processBatch(b, id, "doc_id", "text",
           idxP, lblP, minLen = 26).as[(Long, Long)].collect()
-        // the IN-STREAM policy call: this batch's segment has no
-        // commit file yet, so a met trigger must DEFER, never fold
-        inStream += FamilyStore.maybeCompactChecked(spark, idxP, lblP,
+        // the IN-STREAM policy call — the never-idle stream's ONLY
+        // compaction opportunity. This batch's segment has no commit
+        // file yet; a met trigger folds the COMMITTED PREFIX and must
+        // leave this batch's replay protection in place.
+        val o = FamilyStore.maybeCompactChecked(spark, idxP, lblP,
           ckpt, maxDepth = 2)
+        inStream += ((id, o,
+          SegmentStore.segmentIds(spark, idxP).contains(id)))
         (): Unit
       }.start()
-    val between =
-      scala.collection.mutable.ArrayBuffer.empty[SegmentStore.CompactOutcome]
     var q = start()
     try {
       for (k <- 1 to 10) {
@@ -103,36 +107,50 @@ class StreamingFamilyDedupSpec extends AnyFunSuite {
         // however many pointer generations the chain has accumulated
         assert(sink(20000L + k) == m(k + 1),
           s"step $k: expected family ${m(k + 1)}, got $sink")
-        // BETWEEN batches the commit file is durable: a met trigger
-        // must fold, and fold must reset the depth bound
-        val o = FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
-          maxDepth = 2)
-        between += o
-        if (o == SegmentStore.Compacted)
-          assert(FamilyStore.stats(spark, idxP, lblP)._2 == 1L)
+        // under load the in-stream folds keep the chain depth bounded
+        // without any between-batch maintenance window
+        assert(FamilyStore.stats(spark, idxP, lblP)._2 <= 3L,
+          s"step $k: depth must stay bounded by the in-stream folds")
       }
     } finally q.stop()
-    assert(between.count(_ == SegmentStore.Compacted) >= 3,
-      s"depth trigger must fire repeatedly across the chain: $between")
-    assert(!between.contains(SegmentStore.CompactDeferred),
-      s"between-batch folds are always safe (commits durable): $between")
-    assert(inStream.contains(SegmentStore.CompactDeferred),
-      s"in-stream met triggers must DEFER, not fold: $inStream")
-    assert(!inStream.contains(SegmentStore.Compacted),
-      s"no in-stream call may fold a replayable segment: $inStream")
-    // exactly-once across the restart: one index segment per batch
+    val folds = inStream.filter(_._2 == SegmentStore.CompactedPrefix)
+    assert(folds.size >= 3,
+      s"the depth trigger must fold repeatedly UNDER LOAD: $inStream")
+    assert(!inStream.exists(_._2 == SegmentStore.Compacted),
+      s"no in-stream call may full-fold a replayable segment: $inStream")
+    assert(inStream.collect {
+        case (id, o, _) if id > 0L => o
+      }.forall(_ != SegmentStore.CompactDeferred),
+      s"with a committed prefix, in-stream calls fold, not defer: " +
+        s"$inStream")
+    assert(inStream.forall(_._3),
+      s"the just-written segment must survive its own batch's fold: " +
+        s"$inStream")
+    // segment hygiene under load: everything up to the LAST in-stream
+    // fold's bound is folded into the bootstrap segment; only the tail
+    // since then (plus the folded bootstrap) remains
+    val lastFold = folds.last._1 // fold during batch k covers <= k-1
     val segs = spark.read.parquet(idxP).select("ingest_batch")
       .distinct().as[Long].collect().toSet
-    assert(segs == ((0L to 9L).toSet + -1L),
-      s"expected segments {-1, 0..9}, got $segs")
+    assert(segs == ((lastFold until 10L).toSet + -1L),
+      s"expected {-1} + live tail [$lastFold, 9], got $segs")
     // the post-chain probe resolves the full merge history: a doc in
     // family P(1) lands on the final minimum m(11)
     val late = Seq((30000L, "zzzzzzzzzz" + P(1) + "wwwwwwwwww"))
       .toDF("doc_id", "text")
-    val got = FamilyStore.probe(late, "doc_id", "text", idxP, lblP,
-      minLen = 26).as[(Long, Long)].collect().toMap
-    assert(got(30000L) == m(11),
-      s"post-chain probe must resolve to ${m(11)}: $got")
+    def probeLate(): Long = FamilyStore.probe(late, "doc_id", "text",
+      idxP, lblP, minLen = 26).as[(Long, Long)].collect().toMap
+      .apply(30000L)
+    assert(probeLate() == m(11),
+      s"post-chain probe must resolve to ${m(11)}")
+    // after the stream stops everything is committed: the maintenance
+    // fold still runs full and the probe is unchanged
+    assert(FamilyStore.maybeCompactChecked(spark, idxP, lblP, ckpt,
+      maxDepth = 0, maxSegments = 1) == SegmentStore.Compacted)
+    assert(spark.read.parquet(idxP).select("ingest_batch").distinct()
+      .as[Long].collect().toSeq == Seq(-1L))
+    assert(probeLate() == m(11),
+      "the full maintenance fold must not change resolution")
   }
 
   test("the family store survives a stop/restart from checkpoint: " +
