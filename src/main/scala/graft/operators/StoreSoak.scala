@@ -287,6 +287,13 @@ object StoreSoak {
         s""""segments":$segs,"compacted":$fired,""" +
         s""""compact_sec":${if (fired) compactSec else 0.0}}""")
       require(parity, s"chain parity broke at step $k")
+      // the planted bridge must actually bridge: its family is the
+      // MERGED minimum m(k+1), one re-point per step (the assertion
+      // that caught the pre-r17 degenerate planted construction)
+      val bridgeFam = fams.filter(col("doc_id") === (B + 1000000L + k))
+        .select(col("family")).as[Long].head()
+      require(bridgeFam == m(k + 1),
+        s"chain step $k: bridge must land on ${m(k + 1)}, got $bridgeFam")
     }
     // the post-chain read-only probe: held-out class, never appended
     val probeB = docsRaw.filter(col("doc_id") % 25 === 24)
