@@ -109,6 +109,60 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
       "duplicate (query, neighbor) pairs — replayed codes leaked")
   }
 
+  test("committed-prefix fold (under-load compaction, vector grain): " +
+    "with a replayable tail the trigger folds ONLY the committed " +
+    "segments of codes AND vectors, serving is unchanged, the tail's " +
+    "replay stays idempotent, and a later full commit folds the rest") {
+    import graft.operators.SegmentStore
+    val standing = clustered.filter($"id" < 400)
+    val mdl = IvfPq.train(standing, nlist = 16, m = 4, ksub = 16)
+    val dir = java.nio.file.Files.createTempDirectory("sannpfx")
+      .toString + "/store"
+    StreamingAnnIngest.initStore(standing, mdl, dir)
+    val batch0 = clustered.filter($"id" >= 400 && $"id" < 425)
+    val batch1 = clustered.filter($"id" >= 425 && $"id" < 450)
+    StreamingAnnIngest.processBatch(batch0, batchId = 0L, dir, k = 3,
+      model = Some(mdl))
+    val nbrs1 = StreamingAnnIngest.processBatch(batch1, batchId = 1L,
+        dir, k = 3, model = Some(mdl))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val queries = clustered.filter($"id" % 100 === 0)
+    def serve() = IvfPq.ivfPqTopKFromIndex(spark, dir, queries,
+        clustered.filter($"id" < 450), 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    val before = serve()
+    // batch 0 committed; batch 1 still replayable → prefix fold only
+    val ckpt = java.nio.file.Files.createTempDirectory("sannpfxck")
+    java.nio.file.Files.createDirectories(ckpt.resolve("commits"))
+    java.nio.file.Files.writeString(
+      ckpt.resolve("commits").resolve("0"), "v1\n{}")
+    assert(StreamingAnnIngest.maybeCompactChecked(spark, dir,
+      ckpt.toString, maxSegments = 1) == SegmentStore.CompactedPrefix)
+    assert(SegmentStore.segmentIds(spark, s"$dir/codes").sorted ==
+      Seq(-1L, 1L) &&
+      SegmentStore.segmentIds(spark, s"$dir/vectors").sorted ==
+      Seq(-1L, 1L),
+      "committed prefix folded in BOTH stores, tail left in place")
+    assert(serve() == before, "prefix fold must not change serving")
+    // the replayable batch's exactly-once contract survived the fold
+    val replay = StreamingAnnIngest.processBatch(batch1, batchId = 1L,
+        dir, k = 3, model = Some(mdl))
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(replay == nbrs1,
+      "post-fold replay must reproduce the original neighbors")
+    assert(serve() == before)
+    // once batch 1 commits, the next trigger folds everything
+    java.nio.file.Files.writeString(
+      ckpt.resolve("commits").resolve("1"), "v1\n{}")
+    assert(StreamingAnnIngest.maybeCompactChecked(spark, dir,
+      ckpt.toString, maxSegments = 0) == SegmentStore.Compacted)
+    assert(SegmentStore.segmentIds(spark, s"$dir/codes") == Seq(-1L))
+    assert(serve() == before)
+  }
+
   test("rebuildStore: drifted appends flip the drift witness on the " +
     "segmented layout, the rebuild retrains from the store's OWN " +
     "vectors and clears the flag with recall restored, and replay " +
