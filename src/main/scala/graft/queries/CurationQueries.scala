@@ -507,7 +507,11 @@ object CurationQueries {
     // rebuild. The outcome is require-checked so the gate cannot pass
     // trivially by never folding.
     "q_family_fold_live" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      // half the chain gate's slice: the fold gate runs FIVE lifecycle
+      // phases (two appends, the under-load fold, a replay, a third
+      // append) on top of init + probe, so the fixed slice is halved
+      // to keep the line's cost at the chain gate's scale
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
       val corpus = docs.filter(col("doc_id") % 10 >= 1 &&
         col("doc_id") % 10 <= 6)
       val probe = docs.filter(col("doc_id") % 10 === 0)
@@ -979,13 +983,14 @@ object CurationQueries {
 
     // probe after (append, append, UNDER-LOAD committed-prefix fold,
     // replay, append) ≡ one-shot rebuild: same whole-slice contract as
-    // q_family_chain — the fold changes the store's layout, never its
-    // resolution
+    // q_family_chain on HALF the slice (five lifecycle phases — the
+    // line's cost is kept at the chain gate's scale) — the fold
+    // changes the store's layout, never its resolution
     "q_family_fold_live" ->
       """WITH RECURSIVE pos0 AS (
         |  SELECT doc_id,
         |    unnest(range(1, CAST(length(text) AS BIGINT) - 23)) AS pos, text
-        |  FROM documents WHERE length(text) >= 25 AND doc_id < 2000),
+        |  FROM documents WHERE length(text) >= 25 AND doc_id < 1000),
         |pos AS (SELECT doc_id, pos,
         |    substr(text, CAST(pos AS INT), 25) AS gram FROM pos0),
         |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
@@ -1004,7 +1009,7 @@ object CurationQueries {
         |  FROM reach GROUP BY id)
         |SELECT d.doc_id, COALESCE(f.family, d.doc_id) AS family
         |FROM documents d LEFT JOIN fam f USING (doc_id)
-        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 2000
+        |WHERE d.doc_id % 10 = 0 AND d.doc_id < 1000
         |ORDER BY doc_id""".stripMargin,
 
     // identical contract to q_family_incremental on the fixed slice —
