@@ -603,5 +603,106 @@ object StoreSoak {
       s""""final_fold":"$o2","final_fold_sec":$finalFoldSec,""" +
       s""""probe_after_full_fold_sec":$probe2Sec,"parity2":$parity2,""" +
       s""""segments":${SegmentStore.segmentCount(spark, idxP)}}""")
+
+    // ---- the MINHASH never-idle stream: same shape, segment-count
+    // trigger (this store's one accumulating dimension), planted
+    // cross-batch near-dup per batch (the window only an appended
+    // index closes — it must keep closing ACROSS in-stream folds) ----
+    import graft.streaming.StreamingMinhashDedup
+    val T = ("planted minhash stream template about tungsten codegen " +
+      "shuffles broadcast joins and adaptive plans ") * 4
+    def plantedDoc(k: Int) = (B + 2000000L + k, s"${T.trim} step$k")
+    val mhBoot = docsRaw.filter(col("doc_id") % 25 <= 13)
+      .unionByName(Seq(plantedDoc(0)).toDF("doc_id", "text"))
+      .localCheckpoint(true)
+    val (mhIdxP, mhTxtP, mhCkpt) =
+      (s"$scratch/mh/idx", s"$scratch/mh/txt", s"$scratch/mh/ckpt")
+    val threshold = 0.5
+    val (_, mInitSec) = timed {
+      StreamingMinhashDedup.initIndex(mhBoot, "doc_id", "text",
+        mhIdxP, mhTxtP)
+    }
+    println(s"""{"mode":"stream","store":"minhash","step":"init",""" +
+      s""""docs_so_far":${mhBoot.count()},"init_sec":$mInitSec}""")
+    val mhIn = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val mhPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    val mhObs = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Double, Long, Boolean)]
+    def mhStart() = mhIn.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", mhCkpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        mhPairs ++= StreamingMinhashDedup.processBatch(b, id, "doc_id",
+            "text", mhIdxP, mhTxtP, threshold)
+          .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+        val (o, foldSec) = timed {
+          StreamingMinhashDedup.maybeCompactChecked(spark, mhIdxP,
+            mhTxtP, mhCkpt, maxSegments = 3)
+        }
+        mhObs += ((id, o.toString, foldSec,
+          StreamingMinhashDedup.segmentCount(spark, mhIdxP),
+          SegmentStore.segmentIds(spark, mhIdxP).contains(id)))
+        (): Unit
+      }.start()
+    var mq = mhStart()
+    var mAll = mhBoot
+    try {
+      for (k <- 1 to 10) {
+        if (k == 6) { mq.stop(); mq = mhStart() } // restart mid-chain
+        val batch = docsRaw.filter(col("doc_id") % 25 === (13 + k))
+          .unionByName(Seq(plantedDoc(k)).toDF("doc_id", "text"))
+          .localCheckpoint(true)
+        val (_, batchSec) = timed {
+          mhIn.addData(batch.as[(Long, String)].collect().toSeq: _*)
+          mq.processAllAvailable()
+        }
+        mAll = mAll.unionByName(batch).localCheckpoint(true)
+        val (id, o, foldSec, segs, own) = mhObs.last
+        // the cross-batch window stays closed ACROSS in-stream folds:
+        // batch k's planted doc pairs with batch k-1's
+        require(mhPairs.contains(
+            (plantedDoc(k - 1)._1, plantedDoc(k)._1)),
+          s"minhash stream step $k: cross-batch planted pair missed")
+        require(o != "Compacted" && own,
+          s"minhash stream step $k: in-stream fold must spare the " +
+            s"replayable segment ($o, own=$own)")
+        println(s"""{"mode":"stream","store":"minhash","step":$k,""" +
+          s""""batch_id":$id,"batch_sec":$batchSec,"outcome":"$o",""" +
+          s""""fold_sec":$foldSec,"segments":$segs,"own_segment":$own}""")
+      }
+    } finally mq.stop()
+    val mhFolds = mhObs.count(_._2 == "CompactedPrefix")
+    require(mhFolds >= 2,
+      s"the segment trigger must fold repeatedly UNDER LOAD ($mhObs)")
+    // post-chain read-only probe with one-shot parity (batch-involving
+    // pairs of a held-out batch)
+    val ((mProbeRows, mProbe), mProbeSec) = timed {
+      val p = Dedup.incrementalMinhashPairs(probeB,
+          SegmentStore.readRawView(spark, mhTxtP).drop("ingest_batch"),
+          SegmentStore.readRawView(spark, mhIdxP), "doc_id", "text",
+          threshold)
+        .select(col("id_a"), col("id_b")).localCheckpoint(true)
+      (p.count(), p)
+    }
+    val (mParity, mRerunSec) = timed {
+      val pairsAll = Dedup.minhashDedupPairs(
+          mAll.unionByName(probeB), "doc_id", "text", threshold)
+        .select(col("id_a"), col("id_b"))
+      val want = pairsAll
+        .join(probeB.select(col("doc_id").as("id_a")), Seq("id_a"),
+          "left_semi")
+        .unionByName(pairsAll
+          .join(probeB.select(col("doc_id").as("id_b")), Seq("id_b"),
+            "left_semi")
+          .select(col("id_a"), col("id_b")))
+        .distinct().localCheckpoint(true)
+      want.exceptAll(mProbe).isEmpty && mProbe.exceptAll(want).isEmpty
+    }
+    require(mParity, "minhash stream post-chain probe parity broke")
+    println(s"""{"mode":"stream","store":"minhash","step":"probe",""" +
+      s""""probe_rows":$mProbeRows,"probe_sec":$mProbeSec,""" +
+      s""""parity":$mParity,"rerun_sec":$mRerunSec,""" +
+      s""""prefix_folds":$mhFolds,""" +
+      s""""segments":${StreamingMinhashDedup.segmentCount(spark, mhIdxP)}}""")
   }
 }
