@@ -81,8 +81,16 @@ object CrossModal {
     * `text_exact → audio_near_dup → image_near_dup →
     * cross_modal_merge`.
     */
-  def prepAttrition(ents: DataFrame, hammingImg: Int = 3,
+  def prepAttrition(ents0: DataFrame, hammingImg: Int = 3,
       hammingWav: Int = 1, maxBucketSize: Int = 1000): DataFrame = {
+    // materialize the entity frame and each channel's pair list ONCE
+    // (r17, guide §1.2.1): the four arbitrations below each collect
+    // their pair graph, and the merged stage unions all three channels
+    // — unpinned, every channel's sketch pipeline (including BOTH
+    // perceptual hex DECODES) ran twice and the entity construction
+    // once per plan branch. At 100 TB the decode-once property is the
+    // point; at gate scale it halves the stage count.
+    val ents = ents0.localCheckpoint(true)
     val scored = ents.select(col("id"), col("score"))
     val txtPairs = ents.groupBy(col("text"))
       .agg(collect_set(col("id")).as("__ids"))
@@ -90,15 +98,18 @@ object CrossModal {
       .select(array_min(col("__ids")).as("id_a"),
         explode(col("__ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
+      .localCheckpoint(true)
     val imgPairs = ImageDedup.nearDupPairs(
       Multimodal.fingerprintImageHex(ents, "id", "hex"),
       hammingMax = hammingImg, maxBucketSize = maxBucketSize)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     val avPairs = ImageDedup.nearDupPairs(
       Multimodal.fingerprintWavHex(ents, "id", "hex"),
       hammingMax = hammingWav, maxBucketSize = maxBucketSize,
       sketcher = ImageDedup.wavDeltaSketches)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
     // per-channel arbitration losers: CC over the channel's pairs
     // (pair-scale, never corpus-scale — the bounded path's guarded
     // driver union-find with distributed fallback), keeper =

@@ -549,11 +549,29 @@ object Dedup {
   def incrementalMinhashPairs(batch: DataFrame, corpus: DataFrame,
       corpusIndex: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, k: Int = 32, bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame =
+    incrementalMinhashPairsFromIndex(batch, corpus, corpusIndex,
+      minhashIndex(batch, idCol, textCol, shingleN, k, bands), idCol,
+      textCol, threshold, shingleN, maxBucketSize)
+
+  /** [[incrementalMinhashPairs]] over a PRE-BUILT batch [[minhashIndex]]
+    * (r17 fusion): the append lifecycle
+    * ([[graft.streaming.StreamingMinhashDedup.processBatch]]) signs the
+    * batch ONCE, checkpoints the 16-rows/doc index frame, probes through
+    * this entry point, and appends the same frame as the batch's
+    * segment — where the unfused form signed the batch once for the
+    * probe's broadcast side, once for its batch-internal candidates,
+    * and once more for the segment write. `batchIndex` must be the
+    * [[minhashIndex]] of `batch` with the same `shingleN`/k/bands
+    * (its per-batch `bucket_sz` IS the window the unfused probe
+    * computed); results are identical by construction.
+    */
+  def incrementalMinhashPairsFromIndex(batch: DataFrame, corpus: DataFrame,
+      corpusIndex: DataFrame, batchIndex: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
-    val bIdx = lshIndex(batch, idCol, textCol, shingleN, k, bands)
-      .withColumn("sz", count(lit(1)).over(w))
-      .filter(col("sz") <= maxBucketSize)
+    val bIdx = batchIndex
+      .filter(col("bucket_sz") <= maxBucketSize)
       .select(col("id").as("id_new"), col("band"), col("bucket"))
     val cIdx = observeCaps(corpusIndex, "bucket_sz", maxBucketSize,
         "incrementalMinhashPairs")
@@ -568,8 +586,12 @@ object Dedup {
         greatest(col("id_old"), col("id_new")).as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_bands_matched"))
-    val internal = minhashCandidates(batch, idCol, textCol, shingleN, k,
-      bands, maxBucketSize)
+    // batch-internal pairs off the same index frame (bandPairs recomputes
+    // its own size window — identical to bucket_sz — so the observeCaps
+    // accounting keeps the minhashCandidates op name and semantics)
+    val internal = bandPairs(
+      batchIndex.select(col("id"), col("band"), col("bucket")),
+      maxBucketSize, "minhashCandidates")
     val docs = batch.select(col(idCol), col(textCol))
       .unionByName(corpus.select(col(idCol), col(textCol)))
     verifyJaccard(cross.unionByName(internal), docs, idCol, textCol, shingleN)
@@ -629,15 +651,36 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      // changed-label count rides the checkpoint's own action as an
+      // Observation (the ckptFp recipe — bounded wait, explicit-agg
+      // fallback): the r16 loop paid a second join+action per round for
+      // the same convergence boolean
+      val obs = org.apache.spark.sql.Observation()
+      val updated = labels.withColumnRenamed("label", "__old")
+        .join(neighborMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+          least(col("__old"), coalesce(col("nlabel"), col("__old")))
+            .as("label"),
+          col("__old"))
+        .observe(obs, coalesce(sum(
+            when(col("label") =!= col("__old"), 1L).otherwise(0L)),
+          lit(0L)).as("nchg"))
+        .drop("__old")
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val nChanged =
+        try scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(60, "seconds"))
+          .getAs[Long]("nchg")
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            // fallback loses the dropped __old column — recompute the
+            // diff against the PREVIOUS labels frame (both sides are
+            // materialized RDDs, one bounded join)
+            updated.join(labels.withColumnRenamed("label", "__old"),
+                Seq("id"))
+              .filter(col("label") =!= col("__old")).count()
+        }
+      converged = nChanged == 0L
       labels = updated
       i += 1
     }

@@ -155,22 +155,50 @@ object FamilyStore {
       maxDocsPerGram: Int = 1000, nBands: Int = 64,
       maxChase: Int = 20): DataFrame = {
     val spark = batch.sparkSession
-    val (fams, comps, pointers) = probeWithComponents(batch, idCol,
-      textCol, indexPath, labelsPath, minLen, maxDocsPerGram, maxChase,
-      excludeBatch = Some(batchId))
-    // eager BEFORE the appends: both outputs must reflect the
-    // pre-append store (lazy evaluation after the writes would probe
-    // the batch against its own rows)
-    val famsOut = fams.localCheckpoint(true)
+    val (fams, comps, pointers, bposts) = probeWithComponents(batch,
+      idCol, textCol, indexPath, labelsPath, minLen, maxDocsPerGram,
+      maxChase, excludeBatch = Some(batchId))
+    // batch-membership side of the depth probe below, derived from the
+    // probe's posting frame instead of a fresh batch scan: an updates
+    // id is an edge endpoint or a closure label, batch-side endpoints
+    // always carry >= 1 gram (gram-less docs reach no edge), so the
+    // posting doc_ids are a complete batch-membership test WITHIN the
+    // updates id set (id spaces disjoint by contract)
+    val batchIds = bposts.select(col("doc_id").as("id")).distinct()
     // drop no-op rows (exactly restating an id's current latest row):
     // redundant for resolution, and they would make every
     // family-touching batch bump the depth bound below
-    val updates = comps.filter(col("id") =!= col("label"))
+    val updates0 = comps.filter(col("id") =!= col("label"))
       .join(pointers.select(col("id"), col("label").as("__cur"))
         .distinct(), Seq("id"), "left")
       .filter(col("__cur").isNull || col("__cur") =!= col("label"))
       .drop("__cur")
+      .join(broadcast(batchIds.withColumn("__isb", lit(1L))),
+        Seq("id"), "left")
+    // ONE eager materialization for BOTH pre-append outputs (r17: the
+    // r16 form paid one checkpoint action for the batch families and a
+    // second for the label updates — a tagged union evaluates both in
+    // one scheduled job set), eager BEFORE the appends: both outputs
+    // must reflect the pre-append store (lazy evaluation after the
+    // writes would probe the batch against its own rows). The depth
+    // probe's two emptiness checks ride the same action as an
+    // Observation (the ckptFp recipe — bounded wait, explicit
+    // fallback): two more driver actions the r16 form paid per append
+    val obs = org.apache.spark.sql.Observation()
+    val combined = fams
+      .select(col("doc_id").as("id"), col("family").as("label"),
+        lit(1L).as("__isb"), lit(0).as("__kind"))
+      .unionByName(updates0.withColumn("__kind", lit(1)))
+      .observe(obs,
+        coalesce(sum(when(col("__kind") === 1, 1L)), lit(0L)).as("n"),
+        coalesce(sum(when(col("__kind") === 1 && col("__isb").isNull,
+          1L)), lit(0L)).as("nc"))
+      .drop("__isb")
       .localCheckpoint(true)
+    val famsOut = combined.filter(col("__kind") === 0)
+      .select(col("id").as("doc_id"), col("label").as("family"))
+    val updates = combined.filter(col("__kind") === 1)
+      .select(col("id"), col("label"))
     // depth bound FIRST, before the label segment lands: +1 only when
     // a CORPUS-side id is re-pointed (a standing row may now chain
     // through it); batch-only updates start chains, never extend them.
@@ -190,10 +218,24 @@ object FamilyStore {
     // same reason: a crash between them makes the replay bump AGAIN
     // (over-estimate, safe), never skip a bump it still owes.
     SegmentStore.readMeta(spark, labelsPath, "depth").foreach { old =>
-      val batchIds = batch.select(col(idCol).as("id")).distinct()
-      val hasUpdates = !updates.isEmpty
-      val deepens = hasUpdates &&
-        !updates.join(broadcast(batchIds), Seq("id"), "left_anti").isEmpty
+      val (nUpd, nCorpusUpd) =
+        try {
+          val r = scala.concurrent.Await.result(obs.future,
+            scala.concurrent.duration.Duration(60, "seconds"))
+          (r.getAs[Long]("n"), r.getAs[Long]("nc"))
+        } catch {
+          case _: java.util.concurrent.TimeoutException =>
+            val r = updates
+              .join(broadcast(batchIds.withColumn("__isb", lit(1L))),
+                Seq("id"), "left")
+              .agg(count(lit(1)).as("n"),
+                coalesce(sum(when(col("__isb").isNull, 1L)
+                  .otherwise(0L)), lit(0L)).as("nc"))
+              .head()
+            (r.getAs[Long]("n"), r.getAs[Long]("nc"))
+        }
+      val hasUpdates = nUpd > 0L
+      val deepens = nCorpusUpd > 0L
       val alreadyBumped = SegmentStore
         .readMeta(spark, labelsPath, "depth_batch").contains(batchId)
       val next = if (deepens && !alreadyBumped) old.max(1L) + 1L
@@ -203,9 +245,12 @@ object FamilyStore {
       if (deepens && !alreadyBumped)
         SegmentStore.writeMeta(spark, labelsPath, "depth_batch", batchId)
     }
+    // the batch's index segment, derived from the probe's posting
+    // frame (one gram pass per append, not two — the r16 form re-ran
+    // familyIndex over the batch text the probe had already reduced
+    // to the checkpointed key-grain frame)
     writeIndexSegment(
-      SuffixDedup.familyIndex(batch, idCol, textCol, minLen,
-        maxDocsPerGram),
+      SuffixDedup.familyIndexFromPosts(bposts, maxDocsPerGram),
       batchId, indexPath, nBands, dynamic = true)
     writeLabelSegment(updates, batchId, labelsPath, dynamic = true)
     famsOut
@@ -305,13 +350,18 @@ object FamilyStore {
     // ---- labels: path-compress the prefix, fold into segment -1 ----
     val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
       .filter(col("ingest_batch") <= upTo)
+    // checkpoint the latest-row table ONCE (r17): it feeds both the CC
+    // edge list and the flatten join below — eagerInput on the CC call
+    // materialized the projection and then the flatten re-derived the
+    // same store aggregation as extra stages in its own job
     val latest = lbl.groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
       .select(col("id"), col("b.label").as("label"))
+      .localCheckpoint(true)
     val resolved = Dedup.connectedComponentsBounded(
         latest.select(col("id").as("id_a"), col("label").as("id_b")),
-        eagerInput = true, tag = "FamilyStore.compactPrefix")
+        tag = "FamilyStore.compactPrefix")
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))
@@ -393,16 +443,19 @@ object FamilyStore {
       maxDocsPerGram: Int = 1000): Unit = {
     // ---- labels: full path compression, folded into segment -1 ----
     val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
+    // checkpoint the latest-row table ONCE (r17, the compactPrefix
+    // rationale): it feeds the CC edge list AND the flatten join
     val latest = lbl.groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
       .select(col("id"), col("b.label").as("label"))
+      .localCheckpoint(true)
     // bounded components (guarded driver union-find): the pointer graph
     // is labels-store-scale — small stores flatten on the driver, big
     // stores fall back to the distributed pass via the cap
     val resolved = Dedup.connectedComponentsBounded(
         latest.select(col("id").as("id_a"), col("label").as("id_b")),
-        eagerInput = true, tag = "FamilyStore.compact")
+        tag = "FamilyStore.compact")
       .withColumnRenamed("label", "final")
     val flat = latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))
@@ -449,20 +502,25 @@ object FamilyStore {
   private def probeWithComponents(batch: DataFrame, idCol: String,
       textCol: String, indexPath: String, labelsPath: String, minLen: Int,
       maxDocsPerGram: Int, maxChase: Int,
-      excludeBatch: Option[Long]): (DataFrame, DataFrame, DataFrame) = {
+      excludeBatch: Option[Long])
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val idx = SegmentStore.read(spark, indexPath, IndexSchema,
         excludeBatch)
       .select(col("h"), col("doc_id"), col("n_docs"))
-    val edges = SuffixDedup.batchProbeEdges(batch, idCol, textCol, idx,
-      minLen, maxDocsPerGram).localCheckpoint(true)
+    val (edges0, bposts) = SuffixDedup.batchProbeEdgesWithPosts(batch,
+      idCol, textCol, idx, minLen, maxDocsPerGram)
+    val edges = edges0.localCheckpoint(true)
     val touched = edges.select(col("id_a").as("id"))
       .unionByName(edges.select(col("id_b").as("id"))).distinct()
     val pointers0 = fetchPointerClosure(spark, labelsPath, touched,
       maxChase, excludeBatch)
     // the ingest path consumes the closure twice (components pass +
     // the no-op update filter) — materialize once; the read-only probe
-    // consumes it once, lazily, inside the components pass
+    // consumes it once, lazily, inside the components pass. (r17 note:
+    // dropping this checkpoint was tried and MEASURED WORSE — the
+    // per-generation fetch aggregation re-ran as extra AQE stages in
+    // BOTH consumers, +17 jobs on the fold gate.)
     val pointers =
       if (excludeBatch.isDefined) pointers0.localCheckpoint(true)
       else pointers0
@@ -488,7 +546,7 @@ object FamilyStore {
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("family"))
-    (fams, comps, pointers)
+    (fams, comps, pointers, bposts)
   }
 
   /** Fetch the pointer CLOSURE of every touched id. Returns the raw

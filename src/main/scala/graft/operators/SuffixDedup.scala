@@ -574,7 +574,26 @@ object SuffixDedup {
     */
   private[operators] def batchProbeEdges(batch: DataFrame, idCol: String,
       textCol: String, index: DataFrame, minLen: Int,
-      maxDocsPerGram: Int, maxBatchKeys: Long = 10000000L): DataFrame = {
+      maxDocsPerGram: Int, maxBatchKeys: Long = 10000000L): DataFrame =
+    batchProbeEdgesWithPosts(batch, idCol, textCol, index, minLen,
+      maxDocsPerGram, maxBatchKeys)._1
+
+  /** [[batchProbeEdges]] plus the batch's deduplicated `(h, doc_id)`
+    * posting frame it derives them from (eagerly checkpointed,
+    * hash(h)-partitioned). The APPEND lifecycle ([[FamilyStore
+    * .processBatch]]) derives the batch's index SEGMENT from this frame
+    * instead of re-running [[familyIndex]] over the batch — the segment
+    * write previously re-grammed and re-shuffled text the probe had
+    * already reduced to this exact frame (one gram-hash scan + one
+    * exchange per append, saved outright; the family posting frame is
+    * KEY grain, which is why this fusion holds where the position-grain
+    * suffix-span variant was measured slower and reverted — see
+    * SOAK_r17 §3).
+    */
+  private[operators] def batchProbeEdgesWithPosts(batch: DataFrame,
+      idCol: String, textCol: String, index: DataFrame, minLen: Int,
+      maxDocsPerGram: Int,
+      maxBatchKeys: Long = 10000000L): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxDocsPerGram >= 2,
       s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
@@ -660,13 +679,35 @@ object SuffixDedup {
       .unionByName(hits.filter(col("doc_id").isNotNull)
         .select(col("h"), col("doc_id")))
       .join(gramTotals, Seq("h"))
-    members
+    val edges = members
       .groupBy(col("h"))
       .agg(collect_set(col("doc_id")).as("__ds"))
       .select(array_min(col("__ds")).as("id_a"),
         explode(col("__ds")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
+    (edges, bposts)
+  }
+
+  /** The [[familyIndex]] of a batch, derived from its already-computed
+    * deduplicated `(h, doc_id)` posting frame
+    * ([[batchProbeEdgesWithPosts]]) instead of the batch text: exactly
+    * [[familyIndex]]'s tail after its `dropDuplicates` — identical
+    * output by construction (same per-hash distinct-doc window count,
+    * same over-cap marker collapse), minus the gram-hash scan and the
+    * `repartition(h)` exchange the checkpoint already paid.
+    */
+  private[operators] def familyIndexFromPosts(bposts: DataFrame,
+      maxDocsPerGram: Int = 1000): DataFrame = {
+    val byH = Window.partitionBy("h")
+    bposts
+      .withColumn("__rn", row_number().over(byH.orderBy("doc_id")))
+      .withColumn("n_docs", count(lit(1)).over(byH))
+      .filter(col("n_docs") <= maxDocsPerGram || col("__rn") === 1)
+      .select(col("h"),
+        when(col("n_docs") <= maxDocsPerGram, col("doc_id"))
+          .otherwise(lit(null).cast(LongType)).as("doc_id"),
+        col("n_docs"))
   }
 
   /** The contraction half of [[incrementalFamilies]]: replace each edge

@@ -88,14 +88,19 @@ object StreamingMinhashDedup {
       .readRawView(spark, textPath)
       .filter(col("ingest_batch") =!= batchId)
       .drop("ingest_batch")
+    // sign the batch ONCE (r17 fusion): the checkpointed 16-rows/doc
+    // index frame serves the probe's broadcast side, its batch-internal
+    // candidates, AND the segment append below — the unfused form ran
+    // the shingle+signature pass three times per batch
+    val bIdx = Dedup.minhashIndex(batch, idCol, textCol, shingleN, k,
+      bands).localCheckpoint(true)
     // eager: the probe must see the PRE-append store (lazy evaluation
     // after the append would join the batch against its own rows)
-    val pairs = Dedup.incrementalMinhashPairs(batch, standingTexts,
-      standingIdx, idCol, textCol, threshold, shingleN, k, bands,
-      maxBucketSize).localCheckpoint(true)
+    val pairs = Dedup.incrementalMinhashPairsFromIndex(batch,
+      standingTexts, standingIdx, bIdx, idCol, textCol, threshold,
+      shingleN, maxBucketSize).localCheckpoint(true)
     graft.operators.SegmentStore.writeSegment(
-      Dedup.minhashIndex(batch, idCol, textCol, shingleN, k, bands),
-      batchId, indexPath, Seq("band"), dynamic = true)
+      bIdx, batchId, indexPath, Seq("band"), dynamic = true)
     graft.operators.SegmentStore.writeSegment(
       batch.select(col(idCol), col(textCol)), batchId, textPath,
       dynamic = true)

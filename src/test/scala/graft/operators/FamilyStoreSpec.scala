@@ -413,4 +413,40 @@ class FamilyStoreSpec extends AnyFunSuite {
       "the standing family's label (min doc 1, via doc 3's P gram) " +
         s"must survive the cap crossing untouched: $m2")
   }
+
+  test("the appended index segment equals familyIndex over the batch " +
+      "(r17 fusion: segment derived from the probe's posting frame — " +
+      "posting rows AND the over-cap marker collapse)") {
+    val MEGA = "UNIVERSAL-BOILERPLATE-GRAM"
+    val P = "FAMILY-ONE-SHARED-PHRASE!!"
+    val corpus = Seq(
+      (1L, "aaaaaaaaaaaaaaaaaaaaaa" + P),
+      (2L, "bbbbbbbbbbbbbbbbbbbbbb" + P))
+    // batch with an internally OVER-CAP gram (MEGA in 3 docs, cap 2):
+    // the fused segment write must collapse it to one marker row
+    // exactly like familyIndex does, and keep under-cap postings
+    val batch = Seq(
+      (100L, "padpadpadpadpadpadpaAB" + MEGA),
+      (101L, "padpadpadpadpadpadpaCD" + MEGA),
+      (102L, "padpadpadpadpadpadpaEF" + MEGA + P),
+      (103L, "a batch doc with no 26-gram dup...."))
+    val (idxP_, lblP_) = tmp("famsegfused")
+    FamilyStore.init(df(corpus), "doc_id", "text", idxP_, lblP_, L,
+      maxDocsPerGram = 2)
+    FamilyStore.processBatch(df(batch), 0L, "doc_id", "text", idxP_,
+      lblP_, L, maxDocsPerGram = 2)
+    val seg = spark.read.parquet(idxP_)
+      .filter($"ingest_batch" === 0L)
+      .select($"h", $"doc_id", $"n_docs")
+    val expected = SuffixDedup.familyIndex(df(batch), "doc_id", "text",
+      L, maxDocsPerGram = 2)
+    assert(seg.exceptAll(expected).isEmpty &&
+      expected.exceptAll(seg).isEmpty,
+      "fused segment must match the direct familyIndex of the batch")
+    // sanity: the expected index genuinely exercises both shapes
+    assert(expected.filter($"doc_id".isNull).count() >= 1L,
+      "test construction: an over-cap marker row must exist")
+    assert(expected.filter($"doc_id".isNotNull).count() >= 1L,
+      "test construction: under-cap posting rows must exist")
+  }
 }
