@@ -59,9 +59,13 @@ object QueryProfile {
       spark.sparkContext.addSparkListener(listener)
       val t = run()
       spark.sparkContext.removeSparkListener(listener)
-      // drain listener-bus stragglers before printing
+      // drain listener-bus stragglers before printing — BEST-EFFORT:
+      // under bus pressure late job-end events can still be dropped
+      // after the bounded sleep, so counts/times may be incomplete
+      // (acceptable for a diagnostic; the header says so)
       Thread.sleep(500)
-      println(f"== $name warm=$warm%.2fs measured=$t%.2fs jobs=${lines.size}")
+      println(f"== $name warm=$warm%.2fs measured=$t%.2fs " +
+        f"jobs=${lines.size} (job list best-effort: async bus drain)")
       lines.forEach(l => println(s"   $l"))
     }
     spark.stop()

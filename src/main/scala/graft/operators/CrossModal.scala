@@ -89,27 +89,30 @@ object CrossModal {
     // — unpinned, every channel's sketch pipeline (including BOTH
     // perceptual hex DECODES) ran twice and the entity construction
     // once per plan branch. At 100 TB the decode-once property is the
-    // point; at gate scale it halves the stage count.
-    val ents = ents0.localCheckpoint(true)
+    // point; at gate scale it halves the stage count. The entity frame
+    // is CORPUS-scale (media payloads inline), so it materializes
+    // through the size-tiered helper (r18: local tier at gate scale,
+    // reliable disk-backed checkpoint above the threshold — an
+    // executor loss must not kill the lineage of the one frame every
+    // channel reads, guide §5); the pair lists are pair-scale but get
+    // the same treatment for free.
+    val ents = Materialize.eager(ents0)
     val scored = ents.select(col("id"), col("score"))
-    val txtPairs = ents.groupBy(col("text"))
+    val txtPairs = Materialize.eager(ents.groupBy(col("text"))
       .agg(collect_set(col("id")).as("__ids"))
       .filter(size(col("__ids")) >= 2)
       .select(array_min(col("__ids")).as("id_a"),
         explode(col("__ids")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .localCheckpoint(true)
-    val imgPairs = ImageDedup.nearDupPairs(
+      .filter(col("id_a") < col("id_b")))
+    val imgPairs = Materialize.eager(ImageDedup.nearDupPairs(
       Multimodal.fingerprintImageHex(ents, "id", "hex"),
       hammingMax = hammingImg, maxBucketSize = maxBucketSize)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val avPairs = ImageDedup.nearDupPairs(
+      .select(col("id_a"), col("id_b")))
+    val avPairs = Materialize.eager(ImageDedup.nearDupPairs(
       Multimodal.fingerprintWavHex(ents, "id", "hex"),
       hammingMax = hammingWav, maxBucketSize = maxBucketSize,
       sketcher = ImageDedup.wavDeltaSketches)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .select(col("id_a"), col("id_b")))
     // per-channel arbitration losers: CC over the channel's pairs
     // (pair-scale, never corpus-scale — the bounded path's guarded
     // driver union-find with distributed fallback), keeper =

@@ -754,30 +754,59 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
-    // canonical orientation (big, small), self-loops dropped
+    // canonical orientation (big, small), self-loops dropped — the
+    // INITIAL pass only; the star passes below emit canonically by
+    // construction, so re-canonicalizing them per round would pay a
+    // greatest/least projection plus a (u,v)-keyed dedup exchange for
+    // rows that provably already satisfy u > v (r18, guide §2.4)
     def canon(e: DataFrame): DataFrame = e
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
 
+    // SHUFFLE SHAPE PER ROUND (r17 verdict #2 — the r17 form paid four
+    // shuffle exchanges per alternation round: a groupBy(u) and a
+    // distinct-by-(u,v) in EACH star pass): the round now dedups ONCE.
+    // Large-star's dedup is gone outright — its only consumer is
+    // small-star, whose groupBy(u).min is duplicate-blind and whose own
+    // dedup collapses the duplicates large-star may emit (two neighbors
+    // of y sharing one min); large-star output stays |e| rows exactly
+    // (the 1:min join emits one row per input edge), so carrying the
+    // duplicates one hop grows nothing. Both passes' re-canonicalization
+    // (greatest/least/filter projections) is also gone: large-star
+    // emits (y, m(x)) with m(x) <= x < y and small-star emits (v, m)
+    // with m = min of u's smaller neighbors (m <= v < u, v = m
+    // filtered), so every emission is already canonically oriented and
+    // self-loop-free — re-deriving that per round paid expression work
+    // for provably no-op values (guide §2.4/§1.2.1). Three exchanges
+    // per round instead of four; each is AQE-sized (no fixed partition
+    // count anywhere), so the shape is scale-adaptive, not a local[32]
+    // constant. (An explicit repartition-by-u feeding both consumers of
+    // each pass was ALSO tried here (r18): at gate scale AQE plans the
+    // min-side as a broadcast join, the repartitions became pure extra
+    // stages — measured +9 stage-jobs on q_cc_components at equal wall
+    // — and it was reverted; the dedup cut below measures strictly
+    // fewer jobs on the same A/B.)
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u")
         .agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      canon(sym.filter(col("v") > col("u"))
+      sym.filter(col("v") > col("u"))
         .join(mins, Seq("u"))
-        .select(col("v").as("u"), col("m").as("v")))
+        .select(col("v").as("u"), col("m").as("v"))
     }
 
     def smallStar(e: DataFrame): DataFrame = {
-      // e is canonically oriented: u > v everywhere
+      // e is canonically oriented (u > v everywhere), possibly with
+      // duplicate rows from largeStar — mins is duplicate-blind
       val mins = e.groupBy("u").agg(min(col("v")).as("m"))
       val rewired = e.join(mins, Seq("u"))
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-      canon(rewired.union(mins.select(col("u"), col("m").as("v"))))
+      rewired.union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
     }
 
     // cheap per-round fingerprint (count, order-free hash sum); the exact
@@ -797,12 +826,15 @@ object Dedup {
     // DECIMAL(38,0) sum: ANSI-overflow-proof for full-range 64-bit hashes
     def ckptFp(e: DataFrame): (DataFrame, (Long, String)) = {
       val obs = org.apache.spark.sql.Observation()
-      val ck = e.observe(obs,
+      // round edge lists are corpus-scale on the distributed path —
+      // size-tiered materialization (r18, §5: reliable checkpoint
+      // above the threshold so a lost executor can't kill the round
+      // lineage; the Observation completes on either tier)
+      val ck = Materialize.eager(e.observe(obs,
           count(lit(1)).as("n"),
           coalesce(sum(xxhash64(col("u"), col("v"))
             .cast(DecimalType(38, 0))),
-            lit(0).cast(DecimalType(38, 0))).as("hs"))
-        .localCheckpoint(true)
+            lit(0).cast(DecimalType(38, 0))).as("hs")))
       val m: Map[String, Any] =
         try {
           scala.concurrent.Await.result(obs.future,
@@ -922,9 +954,13 @@ object Dedup {
     * materialization instead of RE-DERIVING the edges from scratch.
     * Callers whose edge derivation is corpus-scale and plausibly
     * above-cap ([[SuffixDedup.familyLabels]],
-    * [[SuffixDedup.suffixFamilies]], [[FamilyStore.compact]]) pass
-    * true: at 100 TB the wasted partial execution of a corpus-wide
-    * gram pass would dwarf the job it saves. Callers whose graphs are
+    * [[SuffixDedup.suffixFamilies]]) pass true: at 100 TB the wasted
+    * partial execution of a corpus-wide gram pass would dwarf the job
+    * it saves. ([[FamilyStore.compact]]/`compactPrefix` used to pass
+    * true; since r17 they localCheckpoint their `latest` table
+    * upstream — a checkpointed INPUT gives the fallback the same
+    * re-read-not-re-derive property with a materialization the caller
+    * reuses anyway, so eagerInput would only duplicate it.) Callers whose graphs are
     * batch/pair-scale BY CONSTRUCTION (the family probe, the
     * CrossModal arbitrations) keep the default — the fallback is a
     * contract violation there, not a plan.
@@ -937,7 +973,7 @@ object Dedup {
     import spark.implicits._
     val sel0 = pairs.select(col("id_a").cast(LongType).as("id_a"),
       col("id_b").cast(LongType).as("id_b"))
-    val sel = if (eagerInput) sel0.localCheckpoint(true) else sel0
+    val sel = if (eagerInput) Materialize.eager(sel0) else sel0
     // effective cap: never budget more than a quarter of the driver
     // heap at the worst-case ~300 bytes/edge rate (see scaladoc)
     val heapCap = ((Runtime.getRuntime.maxMemory() / 4L) / 300L)
@@ -945,13 +981,22 @@ object Dedup {
     val cap = math.min(maxDriverEdges, math.max(1, heapCap))
     // primitive tuple collect (ADVICE r16: boxed Row collect cost 100+
     // bytes/edge); null endpoints contribute no edge on either path,
-    // so dropping them pre-collect preserves exact parity
+    // so dropping them pre-collect preserves exact parity.
+    // coalesce(1) before the limit (r18): executeTake's scale-up scans
+    // 1 partition, comes up short of cap+1 (always, on the driver
+    // path), and pays a SECOND job for the rest — every bounded-CC
+    // call sites two scheduled jobs where one suffices. One narrow
+    // partition makes the take single-job; the row set collected is
+    // identical, and on the over-cap path the take still stops at
+    // cap+1 rows (iterator-lazy), so the discarded partial stays
+    // bounded at scale too.
     val edges = sel
       .filter(col("id_a").isNotNull && col("id_b").isNotNull)
+      .coalesce(1)
       .limit(cap + 1).as[(Long, Long)].collect()
     if (edges.length > cap) {
       recordCcDecision("distributed", edges.length.toLong, cap, tag)
-      return connectedComponents(sel).localCheckpoint(true)
+      return Materialize.eager(connectedComponents(sel))
     }
     recordCcDecision("driver", edges.length.toLong, cap, tag)
     val parent = new java.util.HashMap[Long, Long]()

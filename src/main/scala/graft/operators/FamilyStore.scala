@@ -110,14 +110,22 @@ object FamilyStore {
       indexPath: String, labelsPath: String, minLen: Int,
       maxDocsPerGram: Int = 1000, nBands: Int = 64): Unit = {
     val spark = corpus.sparkSession
-    val idx = SuffixDedup.familyIndex(corpus, idCol, textCol, minLen,
-      maxDocsPerGram).localCheckpoint(true)
+    // corpus-scale frames: size-tiered materialization (r18 — local
+    // tier at gate scale, reliable checkpoint above threshold, §5)
+    val idx = Materialize.eager(
+      SuffixDedup.familyIndex(corpus, idCol, textCol, minLen,
+        maxDocsPerGram))
     writeIndexSegment(idx, -1L, indexPath, nBands)
-    val lbl = SuffixDedup.familyLabels(idx, maxDocsPerGram)
-      .filter(col("id") =!= col("label")).localCheckpoint(true)
+    // the emptiness probe for the depth bound rides the label frame's
+    // own materialization as an Observation (r18, the ckptFp recipe —
+    // the separate isEmpty job was one fixed action per bootstrap)
+    val obsL = org.apache.spark.sql.Observation()
+    val lbl = Materialize.eager(SuffixDedup.familyLabels(idx,
+      maxDocsPerGram).filter(col("id") =!= col("label"))
+      .observe(obsL, count(lit(1)).as("n")))
     writeLabelSegment(lbl, -1L, labelsPath)
     SegmentStore.writeMeta(spark, labelsPath, "depth",
-      if (lbl.isEmpty) 0L else 1L)
+      if (observedCount(obsL, lbl) == 0L) 0L else 1L)
     // -1 (the bootstrap segment id — never a stream batch id) = "no
     // batch owns the current bound": any replayed batch re-bumps,
     // which over-estimates and is safe
@@ -350,26 +358,29 @@ object FamilyStore {
     // ---- labels: path-compress the prefix, fold into segment -1 ----
     val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
       .filter(col("ingest_batch") <= upTo)
-    // checkpoint the latest-row table ONCE (r17): it feeds both the CC
+    // materialize the latest-row table ONCE (r17): it feeds both the CC
     // edge list and the flatten join below — eagerInput on the CC call
     // materialized the projection and then the flatten re-derived the
-    // same store aggregation as extra stages in its own job
-    val latest = lbl.groupBy(col("id"))
+    // same store aggregation as extra stages in its own job. Store-scale
+    // frames, so size-tiered (r18, §5).
+    val latest = Materialize.eager(lbl.groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
-      .select(col("id"), col("b.label").as("label"))
-      .localCheckpoint(true)
+      .select(col("id"), col("b.label").as("label")))
     val resolved = Dedup.connectedComponentsBounded(
         latest.select(col("id").as("id_a"), col("label").as("id_b")),
         tag = "FamilyStore.compactPrefix")
       .withColumnRenamed("label", "final")
-    val flat = latest.join(resolved, Seq("id"), "left")
+    // the flatten's emptiness (depth-bound input) rides its own
+    // materialization as an Observation (r18, the ckptFp recipe)
+    val obsF = org.apache.spark.sql.Observation()
+    val flat = Materialize.eager(latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))
       .filter(col("id") =!= col("label"))
-      .localCheckpoint(true)
+      .observe(obsF, count(lit(1)).as("n")))
     SegmentStore.foldPrefix(spark, labelsPath, upTo, flat)
     val nLive = SegmentStore.segmentIds(spark, labelsPath).count(_ > upTo)
-    val flattenedDepth = if (flat.isEmpty) 0L else 1L
+    val flattenedDepth = if (observedCount(obsF, flat) == 0L) 0L else 1L
     val bound = SegmentStore.readMeta(spark, labelsPath, "depth")
       .fold(flattenedDepth + nLive)(old =>
         old.min(flattenedDepth + nLive))
@@ -400,11 +411,10 @@ object FamilyStore {
         .as("n_docs"))
       .select(col("h"), lit(null).cast("long").as("doc_id"),
         col("n_docs"), col("band"))
-    val foldedIdx = under
+    val foldedIdx = Materialize.eager(under
       .select(col("h"), col("doc_id"), col("n_docs"), col("band"))
       .unionByName(collapsed)
-      .repartition(col("band"))
-      .localCheckpoint(true)
+      .repartition(col("band")))
     SegmentStore.foldPrefix(spark, indexPath, upTo, foldedIdx, Seq("band"))
   }
 
@@ -443,13 +453,13 @@ object FamilyStore {
       maxDocsPerGram: Int = 1000): Unit = {
     // ---- labels: full path compression, folded into segment -1 ----
     val lbl = SegmentStore.read(spark, labelsPath, LabelSchema)
-    // checkpoint the latest-row table ONCE (r17, the compactPrefix
-    // rationale): it feeds the CC edge list AND the flatten join
-    val latest = lbl.groupBy(col("id"))
+    // materialize the latest-row table ONCE (r17, the compactPrefix
+    // rationale): it feeds the CC edge list AND the flatten join —
+    // store-scale, so size-tiered (r18, §5)
+    val latest = Materialize.eager(lbl.groupBy(col("id"))
       .agg(max_by(struct(col("label"), col("ingest_batch")),
         col("ingest_batch")).as("b"))
-      .select(col("id"), col("b.label").as("label"))
-      .localCheckpoint(true)
+      .select(col("id"), col("b.label").as("label")))
     // bounded components (guarded driver union-find): the pointer graph
     // is labels-store-scale — small stores flatten on the driver, big
     // stores fall back to the distributed pass via the cap
@@ -457,13 +467,14 @@ object FamilyStore {
         latest.select(col("id").as("id_a"), col("label").as("id_b")),
         tag = "FamilyStore.compact")
       .withColumnRenamed("label", "final")
-    val flat = latest.join(resolved, Seq("id"), "left")
+    val obsF = org.apache.spark.sql.Observation()
+    val flat = Materialize.eager(latest.join(resolved, Seq("id"), "left")
       .select(col("id"), coalesce(col("final"), col("label")).as("label"))
       .filter(col("id") =!= col("label"))
-      .localCheckpoint(true)
+      .observe(obsF, count(lit(1)).as("n")))
     writeLabelSegment(flat, -1L, labelsPath)
     SegmentStore.writeMeta(spark, labelsPath, "depth",
-      if (flat.isEmpty) 0L else 1L)
+      if (observedCount(obsF, flat) == 0L) 0L else 1L)
     SegmentStore.writeMeta(spark, labelsPath, "depth_batch", -1L)
 
     // ---- index: collapse globally-over-cap postings to markers ----
@@ -484,9 +495,8 @@ object FamilyStore {
         .as("n_docs"))
       .select(col("h"), lit(null).cast("long").as("doc_id"),
         col("n_docs"), col("ingest_batch"), col("band"))
-    val rewritten = under.unionByName(collapsed)
-      .repartition(col("ingest_batch"), col("band"))
-      .localCheckpoint(true)
+    val rewritten = Materialize.eager(under.unionByName(collapsed)
+      .repartition(col("ingest_batch"), col("band")))
     rewritten.write.mode("overwrite").partitionBy("ingest_batch", "band")
       .parquet(indexPath)
   }
@@ -630,6 +640,20 @@ object FamilyStore {
         pointers.getOrElse(empty)
     }
   }
+
+  /** Row count of an already-materialized frame, read from the
+    * Observation that rode its materialization — bounded wait with an
+    * explicit-count fallback (the ckptFp recipe: the listener bus can
+    * drop events under pressure, so a bare `obs.get` could hang).
+    */
+  private def observedCount(obs: org.apache.spark.sql.Observation,
+      materialized: DataFrame): Long =
+    try scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(60, "seconds"))
+      .getAs[Long]("n")
+    catch {
+      case _: java.util.concurrent.TimeoutException => materialized.count()
+    }
 
   private def writeIndexSegment(index: DataFrame, batchId: Long,
       path: String, nBands: Int, dynamic: Boolean = false): Unit = {

@@ -218,37 +218,73 @@ object SuffixDedup {
       maxBatchKeys: Long = 10000000L): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(minOcc >= 2L, s"minOcc must be >= 2, got $minOcc")
-    val byH = Window.partitionBy("h")
-    val bg = gramHashes(batch, idCol, textCol, minLen)
-      .withColumn("__nb", count(lit(1)).over(byH))
-    // corpus counts relevant to the batch: stream the standing index
-    // through a BROADCAST inner join on the batch hash set, then LEFT
-    // join the batch-scale hit list back to batch positions — the
-    // index is scanned map-side, never shuffled (a direct left join
-    // against the index cannot broadcast its left side, so it was
-    // shuffling the corpus-sized index per probe — exactly the cost
-    // the index exists to avoid; r14). Hash-only keys since r15: the
-    // broadcast carries 8 bytes/key, never 25-char gram strings.
-    val bkeys = bg.select(col("h")).distinct().localCheckpoint(true)
-    val nKeys = bkeys.count()
+    incrementalSpansFromCounts(batch, idCol, textCol,
+      batchGramCounts(batch, idCol, textCol, minLen).localCheckpoint(true),
+      index, minLen, minOcc, maxBatchKeys)
+  }
+
+  /** The batch's own [[suffixIndex]] — `(h, n_occ)`, key grain. Exposed
+    * inside the package so [[SuffixStore.processBatch]] computes it
+    * ONCE (checkpointed) and feeds BOTH the probe
+    * ([[incrementalSpansFromCounts]]) and the segment append: through
+    * r17 the store paid a second full gram scan + count exchange to
+    * re-derive exactly this frame for the write (r17 verdict #3 — the
+    * key-grain fusion; the position-grain variant was tried in r17 and
+    * measured worse, this frame is the aggregated one).
+    */
+  private[operators] def batchGramCounts(batch: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame =
+    suffixIndex(batch, idCol, textCol, minLen)
+
+  /** [[incrementalSpans]] with the batch's key-grain gram counts
+    * precomputed (and expected EAGER — the guard below counts them).
+    *
+    * Shuffle shape (r18, guide §2.3/§2.4): the r17 form ran a
+    * count-over-window BY HASH across the batch's full position-grain
+    * gram stream — an exchange + sort of every position — plus a
+    * separate distinct-keys exchange for the broadcast guard. The
+    * duplicated/not decision only needs KEY-grain counts, so it now
+    * rides the map-side-combined `groupBy(h)` frame, and positions
+    * never shuffle at all: the duplicated key set (batch count +
+    * broadcast-pruned corpus count >= minOcc, batch-scale by the
+    * `maxBatchKeys` contract) broadcasts back against a second
+    * zero-allocation gram scan, so the only position-grain exchange
+    * left is [[mergeSpans]]' by-doc window over the duplicated SLIVER.
+    * One key-grain exchange replaces two position/key exchanges; the
+    * extra text scan is the trade (in-place byte scan, no shuffle).
+    */
+  private[operators] def incrementalSpansFromCounts(batch: DataFrame,
+      idCol: String, textCol: String, bcounts: DataFrame,
+      index: DataFrame, minLen: Int, minOcc: Long,
+      maxBatchKeys: Long): DataFrame = {
+    val nKeys = bcounts.count()
     require(nKeys <= maxBatchKeys,
       s"incrementalSpans: batch carries $nKeys distinct gram hashes > " +
         s"maxBatchKeys=$maxBatchKeys — this batch is not increment-sized " +
         "relative to the broadcast budget; re-run duplicatedSpans over " +
         "corpus + batch and re-index instead (or raise maxBatchKeys " +
         "deliberately if the driver can hold the broadcast)")
-    // summed per hash AFTER the batch-key prune: occurrence counts are
-    // mergeable, so a SEGMENTED store ([[SuffixStore]] — one suffixIndex
-    // per ingest batch) probes through the same code path as the
-    // canonical one-row-per-hash index; the aggregation runs over the
-    // batch-relevant sliver only, never the full index
+    // corpus counts relevant to the batch: stream the standing index
+    // through a BROADCAST inner join on the batch hash set — the index
+    // is scanned map-side, never shuffled (a direct left join against
+    // the index cannot broadcast its left side, so it was shuffling
+    // the corpus-sized index per probe — exactly the cost the index
+    // exists to avoid; r14). Hash-only keys since r15: the broadcast
+    // carries 8 bytes/key, never 25-char gram strings. Summed per hash
+    // AFTER the batch-key prune: occurrence counts are mergeable, so a
+    // SEGMENTED store ([[SuffixStore]] — one suffixIndex per ingest
+    // batch) probes through the same code path as the canonical
+    // one-row-per-hash index.
     val cHits = index.select(col("h"), col("n_occ"))
-      .join(broadcast(bkeys), Seq("h"))
+      .join(broadcast(bcounts.select(col("h"))), Seq("h"))
       .groupBy(col("h"))
       .agg(sum(col("n_occ")).as("n_occ"))
-    val hits = bg
+    val dupKeys = bcounts.select(col("h"), col("n_occ").as("__nb"))
       .join(cHits, Seq("h"), "left")
       .filter(col("__nb") + coalesce(col("n_occ"), lit(0L)) >= minOcc)
+      .select(col("h"))
+    val hits = gramHashes(batch, idCol, textCol, minLen)
+      .join(broadcast(dupKeys), Seq("h"))
       .select(col("doc_id"), col("pos"))
     mergeSpans(hits, minLen)
   }
@@ -699,6 +735,11 @@ object SuffixDedup {
     */
   private[operators] def familyIndexFromPosts(bposts: DataFrame,
       maxDocsPerGram: Int = 1000): DataFrame = {
+    // same precondition familyIndex enforces (r17 advice): at 0/1 the
+    // filter below would silently collapse EVERY gram to a marker row
+    // instead of failing fast
+    require(maxDocsPerGram >= 2,
+      s"maxDocsPerGram must be >= 2, got $maxDocsPerGram")
     val byH = Window.partitionBy("h")
     bposts
       .withColumn("__rn", row_number().over(byH.orderBy("doc_id")))

@@ -74,10 +74,21 @@ object SuffixStore {
       nBands: Int = 64, maxBatchKeys: Long = 10000000L): DataFrame = {
     val standing = readIndex(batch.sparkSession, path,
       excludeBatch = Some(batchId))
-    val spans = SuffixDedup.incrementalSpans(batch, idCol, textCol,
-      standing, minLen, minOcc, maxBatchKeys).localCheckpoint(true)
-    writeSegment(SuffixDedup.suffixIndex(batch, idCol, textCol, minLen),
-      batchId, path, nBands, dynamic = true)
+    // ONE key-grain gram-count pass per append (r17 verdict #3): the
+    // checkpointed (h, n_occ) frame IS the batch's suffixIndex, so it
+    // serves the probe (guard count + broadcast key set + batch-side
+    // counts) AND the segment append — through r17 the write re-ran
+    // the full gram scan + count exchange to re-derive it. The
+    // position-grain variant of this fusion was tried in the r17
+    // continuation and measured WORSE (SOAK_r17 §3: positions are
+    // corpus-density-sized, the checkpoint cost more than the scan);
+    // the key-grain frame is bounded by maxBatchKeys by contract.
+    val bcounts = SuffixDedup.batchGramCounts(batch, idCol, textCol,
+      minLen).localCheckpoint(true)
+    val spans = SuffixDedup.incrementalSpansFromCounts(batch, idCol,
+      textCol, bcounts, standing, minLen, minOcc, maxBatchKeys)
+      .localCheckpoint(true)
+    writeSegment(bcounts, batchId, path, nBands, dynamic = true)
     spans
   }
 
@@ -129,13 +140,13 @@ object SuffixStore {
       nBands: Int = 64): Unit = {
     require(nBands >= 1, s"nBands must be >= 1, got $nBands")
     SegmentStore.completeFold(spark, path)
-    val folded = SegmentStore.read(spark, path, Schema)
+    // store-scale fold output: size-tiered materialization (r18, §5)
+    val folded = Materialize.eager(SegmentStore.read(spark, path, Schema)
       .filter(col("ingest_batch") <= upTo)
       .groupBy(col("h"))
       .agg(sum(col("n_occ")).as("n_occ"))
       .withColumn("band", pmod(col("h"), lit(nBands.toLong)))
-      .repartition(col("band"))
-      .localCheckpoint(true)
+      .repartition(col("band")))
     SegmentStore.foldPrefix(spark, path, upTo, folded, Seq("band"))
   }
 
@@ -143,10 +154,10 @@ object SuffixStore {
     * the bootstrap segment (see object doc for the replay trade). */
   def compact(spark: SparkSession, path: String,
       nBands: Int = 64): Unit = {
-    val folded = SegmentStore.read(spark, path, Schema)
+    // store-scale fold output: size-tiered materialization (r18, §5)
+    val folded = Materialize.eager(SegmentStore.read(spark, path, Schema)
       .groupBy(col("h"))
-      .agg(sum(col("n_occ")).as("n_occ"))
-      .localCheckpoint(true)
+      .agg(sum(col("n_occ")).as("n_occ")))
     writeSegment(folded, -1L, path, nBands, wipe = true)
   }
 

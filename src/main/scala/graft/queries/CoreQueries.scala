@@ -59,13 +59,30 @@ object CoreQueries {
     * partitioning is pinned at start from `spark.sql.shuffle.partitions`
     * — at the session's 32 that is 32 state tasks PER STORE PER
     * micro-batch of pure scheduling overhead for a ~6.6k-row bounded
-    * harness slice. The gates drop to 4 for the duration of the
+    * harness slice. The gates drop to 1 for the duration of the
     * streaming query (set before `start()`, restored after `stop()`;
     * registry queries run sequentially, so the session-conf flip cannot
     * leak into a concurrent query). Semantics are partition-count
-    * invariant — a production deployment sizes this to its volume.
+    * invariant — every gate's output is re-sorted and oracle-checked —
+    * and a production deployment sizes this to its volume via
+    * `graft.gate.statePartitions`.
+    *
+    * Why 1 and not 4 (r18, StreamProfile measurement): per micro-batch
+    * a stream-stream join runs 4 state stores PER partition, and each
+    * store commit is a delta-file write + fsync into the checkpoint —
+    * at 4 partitions that is 16 fsyncs per batch, measured at
+    * ~900 ms of summed task time (~250 ms updates) against a
+    * fixture-bound state of a few thousand rows; at 1 partition the
+    * same batch commits ~180 ms (~80 ms updates). The r17 driver pair
+    * showed the gates ANTI-scale with local cores (q_stream_join
+    * 13.8 s at c32 vs 7.6 s at c8) — fsync-bound work that more
+    * threads only contend over is exactly the term this shrinks. The
+    * residual per-batch floor (~0.4 s: incremental re-planning, 2-3
+    * stage scheduling, offset/commit log writes) is partition-count
+    * independent and stays.
     */
-  private val GateStatePartitions = "4"
+  private val GateStatePartitions =
+    sys.props.getOrElse("graft.gate.statePartitions", "1")
 
   private def emitted[A](s: org.apache.spark.sql.SparkSession, name: String,
       batches: Seq[Seq[A]],

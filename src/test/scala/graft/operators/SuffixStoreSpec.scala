@@ -237,4 +237,25 @@ class SuffixStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxBatchKeys") &&
       e.getMessage.contains("re-index"))
   }
+
+  test("fused append (r18): the segment processBatch writes IS the " +
+      "batch's suffixIndex — the shared key-grain count frame serves " +
+      "probe and write identically") {
+    val phrase = "phrase shared with corpus"
+    val corpus = Seq((1L, "aaaabbbbcc" + phrase + "ddddeeeefff"))
+    val b1 = Seq(
+      (100L, "qqqqwwwwrr" + phrase + "ttttyyyyuuu"),
+      (101L, "selfrepeat selfrepeat XX")) // within-doc repeated grams
+    val dir = java.nio.file.Files.createTempDirectory("sfxfused")
+      .toString + "/idx"
+    SuffixStore.init(df(corpus), "doc_id", "text", dir, L)
+    SuffixStore.processBatch(df(b1), 7L, "doc_id", "text", dir, L)
+    val seg = spark.read.parquet(dir)
+      .filter($"ingest_batch" === 7L)
+      .select("h", "n_occ").as[(Long, Long)].collect().toSet
+    val ref = SuffixDedup.suffixIndex(df(b1), "doc_id", "text", L)
+      .as[(Long, Long)].collect().toSet
+    assert(seg == ref,
+      "appended segment must equal suffixIndex(batch) row-for-row")
+  }
 }
